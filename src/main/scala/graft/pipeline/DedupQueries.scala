@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Deduplication operators for training-data pipelines (SURVEY north-star
+  * extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup.
+  *
+  * Scale design (the point at 100 TB):
+  *  - Exact dedup = hash-groupBy → one shuffle on a 128-bit digest, perfectly
+  *    parallel, no skew (hash keys are uniform).
+  *  - MinHash: signatures are computed scan-side with codegen'd higher-order
+  *    functions (no UDF, no shuffle); candidate pairs come from a *band
+  *    equi-join* (shuffle on (band, signature) — the canonical LSH join),
+  *    never a cross join.
+  *  - SimHash / Jaccard verify run only on blocked/banded candidates.
+  *  - All "randomness" is compile-time constants from a fixed seed, so every
+  *    run (and every executor) agrees.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact duplicate grouping on a content digest. */
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val exactSql =
+    """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+  private val MinhashPerms = 32
+  private val Bands = 8 // 8 bands × 4 rows
+  private val RowsPerBand = MinhashPerms / Bands
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  /** Fixed-seed affine permutations (a, b); a*h+b stays < 2^62 (no overflow). */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new Random(42)
+    Seq.fill(MinhashPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id + 3-word-shingle minhash signature columns mh0..mh31.
+    * Entirely narrow (scan-side) work. */
+  private[pipeline] def signatures(d: DataFrame): DataFrame = {
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(sh, h -> (${a}L * h + ${b}L) % ${P}L))").as(s"mh$i")
+    }
+    d.withColumn("tokens", split(trim(col("text")), "\\s+"))
+      .withColumn("shingles",
+        expr("transform(sequence(0, greatest(size(tokens) - 3, 0)), i -> concat_ws(' ', slice(tokens, i + 1, 3)))"))
+      .withColumn("sh", expr(s"transform(shingles, x -> pmod(xxhash64(x), ${P}L))"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH band rows: (doc_id, band, band_sig) — the join key for candidates. */
+  private[pipeline] def bandRows(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { bnd =>
+      val sigExpr = concat_ws(",",
+        (0 until RowsPerBand).map(r => col(s"mh${bnd * RowsPerBand + r}")): _*)
+      struct(lit(bnd).as("band"), xxhash64(sigExpr).as("band_sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
+  }
+
+  /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(signatures(docs(s, dir)))
+    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash-estimated Jaccard for every candidate pair (fraction of the 32
+    * signature components that agree). */
+  private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(docs(s, dir))
+    val asArr = sig.select(col("doc_id"),
+      array((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig"))
+    val bands = bandRows(sig)
+    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    val cand = a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(asArr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sa"), "doc_a")
+      .join(asArr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sb"), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($MinhashPerms as double)"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+  /** Exact token-set Jaccard over source-blocked pairs (blocking keeps the
+    * join from going quadratic; at scale the block key would be an LSH band). */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("tokens", array_distinct(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    val a = d.select(col("source").as("src_a"), col("doc_id").as("doc_a"), col("tokens").as("ta"))
+    val b = d.select(col("source").as("src_b"), col("doc_id").as("doc_b"), col("tokens").as("tb"))
+    a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double")
+          / size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash per document + 16-bit prefix bucket (hamming-neighbor
+    * candidates share buckets). Pure higher-order-function bit voting. */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("th", expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("bits",
+        expr("transform(sequence(0, 63), b -> CASE WHEN aggregate(th, 0L, (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0 THEN 1L ELSE 0L END)"))
+      .withColumn("simhash64",
+        expr("aggregate(sequence(0, 63), 0L, (acc, b) -> acc | (element_at(bits, b + 1) << b))"))
+      .select(col("doc_id"), col("simhash64"),
+        expr("simhash64 >> 48").as("bucket16"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------- embedding cosine near-dup
+  /** Near-duplicate pairs by embedding cosine over LSH-bucketed candidates
+    * (random-hyperplane signatures, fixed seed). */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.withNorm(Tables.load(s, dir, "embeddings"))
+    val bucketed = Similarity.withLshBucket(emb, Similarity.planes(8, 64, seed = 7))
+    val a = bucketed.select(col("bucket").as("bk_a"), col("vec_id").as("vec_a"),
+      col("vecd").as("va"), col("norm").as("na"))
+    val b = bucketed.select(col("bucket").as("bk_b"), col("vec_id").as("vec_b"),
+      col("vecd").as("vb"), col("norm").as("nb"))
+    a.join(b, col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // the synthetic embeddings are near-random (max pairwise cosine ≈ 0.48)
+      // — 0.2 sits at ~p99 of the pair distribution, so "near-dup" is
+      // meaningful while the candidate set stays small.
+      .filter(col("cosine") >= 0.2)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("p05_dedup_exact", exact, Some(exactSql)),
+    Q("p06_minhash_lsh_pairs", minhashPairs, None),
+    Q("p07_minhash_est_jaccard", minhashJaccard, None),
+    Q("p08_ngram_jaccard_pairs", ngramJaccard, None),
+    Q("p09_simhash64", simhash, None),
+    Q("p10_embedding_neardup", embeddingNearDup, None))
+}

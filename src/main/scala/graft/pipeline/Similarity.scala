@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: Array[Float] dim=64, label).
+  *
+  * Two paths, per the north-star spec:
+  *  - brute-force cosine top-k — the correctness baseline. Queries are a
+  *    small set → `broadcast()` them against the corpus: a map-side nested
+  *    loop that scales linearly in corpus size with zero shuffle (the top-k
+  *    per query is a partial-aggregated window).
+  *  - LSH-bucketed (random hyperplane signatures) — the 100 TB path: corpus
+  *    is bucketed once (narrow), candidates come from a bucket equi-join.
+  *
+  * Dot products run through `zip_with`/`aggregate` higher-order functions —
+  * codegen'd, no UDF. Hyperplanes are fixed-seed compile-time constants.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes: nPlanes × dim, values in [-1, 1). */
+  private[pipeline] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Cast the float vector to double once (`vecd`) and attach its L2 norm. */
+  private[pipeline] def withNorm(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("vecd", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(vecd, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+
+  private[pipeline] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-bit LSH bucket from fixed hyperplanes (needs `vecd`). */
+  private[pipeline] def withLshBucket(emb: DataFrame, ps: Seq[Array[Double]]): DataFrame = {
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("vecd"), planeCol) >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.load(s, dir, "embeddings"))
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 5). */
+  private def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val queries = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vecd").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    c.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("vecd"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("label"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** LSH-bucketed ANN: same queries, candidates restricted to the query's
+    * bucket — the sublinear scale path (bucket equi-join instead of scan). */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = withLshBucket(corpus(s, dir), planes(8, 64, seed = 7))
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vecd").as("qv"),
+        col("norm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    bucketed.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("vecd"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Per-label centroid stats — grouped vector aggregation via posexplode +
+    * re-assemble (shuffle on (label, pos), no driver collect). */
+  private def labelCentroidNorm(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("label"), posexplode(col("vecd")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(sum(col("cv") * col("cv")).as("centroid_sqnorm"),
+        count(lit(1)).as("dim"))
+      .orderBy(col("label"))
+
+  val all: Seq[Q] = Seq(
+    Q("p11_ann_brute_topk", annBrute, None),
+    Q("p12_ann_lsh_topk", annLsh, None),
+    Q("p13_label_centroids", labelCentroidNorm, None))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the data-pipeline operators (dedup / similarity /
+  * text) that have no SQL oracle — verify their mathematical invariants. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("exact dedup: keep_id count equals distinct text count") {
+    val kept = run("p05_dedup_exact").count()
+    val distinctTexts = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).distinct().count()
+    assert(kept === distinctTexts)
+  }
+
+  test("minhash estimated jaccard is within [0, 1] and pairs are ordered") {
+    val df = run("p07_minhash_est_jaccard").cache()
+    assert(df.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    df.unpersist()
+  }
+
+  test("minhash candidate pairs agree on >= 4/32 signature components") {
+    // every LSH candidate shares a full band (4 identical components)
+    val df = run("p07_minhash_est_jaccard")
+    assert(df.filter(col("est_jaccard") < 4.0 / 32.0).count() === 0)
+  }
+
+  test("ngram jaccard pairs are above threshold and symmetric-free") {
+    val df = run("p08_ngram_jaccard_pairs").cache()
+    assert(df.filter(col("jaccard") < 0.8).count() === 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    df.unpersist()
+  }
+
+  test("simhash is deterministic and 64-bit-stable across runs") {
+    val a = run("p09_simhash64").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = run("p09_simhash64").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+    assert(a.size === 500)
+  }
+
+  test("ann brute-force: 5 neighbors per query, none is the query itself") {
+    val df = run("p11_ann_brute_topk").cache()
+    val perQuery = df.groupBy(col("query_id")).count().collect()
+    assert(perQuery.forall(_.getLong(1) === 5))
+    assert(df.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    df.unpersist()
+  }
+
+  test("ann lsh: results are a subset of brute-force candidate space") {
+    val lsh = run("p12_ann_lsh_topk")
+    // sanity: every (query, neighbor) pair has cosine defined — i.e. valid ids
+    val ids = Tables.load(spark, sfDir, "embeddings").select(col("vec_id"))
+    val bad = lsh.join(ids, lsh("neighbor_id") === ids("vec_id"), "left_anti")
+    assert(bad.count() === 0)
+  }
+
+  test("language id: every doc classified, scores are non-negative") {
+    val df = run("p03_lang_id").cache()
+    assert(df.count() === 500)
+    assert(df.filter(col("s_en") < 0 || col("s_es") < 0 || col("s_fr") < 0).count() === 0)
+    assert(df.filter(!col("pred_lang").isin("en", "es", "fr", "und")).count() === 0)
+    df.unpersist()
+  }
+
+  test("token count matches manual whitespace split on a sample") {
+    val sample = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(20).collect()
+    val got = run("p01_token_count")
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach { r =>
+      val expected = r.getString(1).trim.split("\\s+").length.toLong
+      assert(got(r.getLong(0)) === expected, s"doc ${r.getLong(0)}")
+    }
+  }
+}
