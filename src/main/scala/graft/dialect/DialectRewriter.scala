@@ -1,0 +1,124 @@
+package graft.dialect
+
+import graft.session.FileRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
+
+/** String-level dialect shim mapping the reference's SQL surface onto Spark
+  * SQL before parsing (SURVEY §4.2 item 1):
+  *
+  *  - `parquet_scan('f')` / `read_parquet('f')` table functions
+  *    (reference: lib/test/parquet_test.cc:25, filesystem.test.ts:25)
+  *  - `read_csv('f', ...)` scans (webdb.cc:339-404)
+  *  - bare-filename FROM refs: `FROM 'data.csv'` (github_332.test.ts:67)
+  *  - `generate_series(a, b)` inclusive series (bindings.test.ts:57)
+  *  - `PRAGMA show_tables` (bindings.test.ts:43-51) — handled as a command
+  *    by Connection (SHOW can't nest in a SELECT), detected here.
+  *
+  * `x::TYPE` casts need no rewrite — Spark ≥3.4 parses `::` natively.
+  *
+  * Scans resolve through the FileRegistry and materialize as temp views, so
+  * Catalyst sees an ordinary relation (predicate pushdown + pruning intact).
+  */
+final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
+
+  private val viewCounter = new AtomicLong()
+
+  private val ParquetScan = """(?i)(parquet_scan|read_parquet)\s*\(\s*'([^']+)'\s*\)""".r
+  private val ReadCsv = """(?i)read_csv(?:_auto)?\s*\(\s*'([^']+)'([^)]*)\)""".r
+  private val BareFile = """(?i)\b(from|join)\s+'([^']+\.(?:csv|parquet|json))'""".r
+  private val GenSeries = """(?i)generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
+
+  def rewrite(sql: String): String = {
+    var out = sql
+    out = ParquetScan.replaceAllIn(out, m => {
+      val v = tempView(spark.read.parquet(files.resolve(m.group(2))))
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+    out = ReadCsv.replaceAllIn(out, m => {
+      val opts = parseCsvArgs(m.group(2))
+      val reader = spark.read.options(opts)
+      val df0 = reader.csv(files.resolve(m.group(1)))
+      // headerless CSV: reference names columns column0..N, Spark _c0..N
+      val df =
+        if (opts.get("header").contains("false"))
+          df0.toDF(df0.columns.indices.map(i => s"column$i"): _*)
+        else df0
+      java.util.regex.Matcher.quoteReplacement(tempView(df))
+    })
+    out = BareFile.replaceAllIn(out, m => {
+      val path = files.resolve(m.group(2))
+      val df = path.toLowerCase match {
+        case p if p.endsWith(".csv") =>
+          spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        case p if p.endsWith(".json") => spark.read.json(path)
+        case _ => spark.read.parquet(path)
+      }
+      java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${tempView(df)}")
+    })
+    // DuckDB's generate_series is end-INCLUSIVE and yields BIGINT;
+    // Spark's sequence() matches the inclusivity, the cast fixes the type.
+    out = GenSeries.replaceAllIn(out,
+      m => s"(SELECT explode(sequence(CAST(${m.group(1)} AS BIGINT), " +
+        s"CAST(${m.group(2)} AS BIGINT))) AS generate_series)")
+    out
+  }
+
+  private def tempView(df: DataFrame): String = {
+    val name = s"__graft_scan_${viewCounter.incrementAndGet()}"
+    df.createOrReplaceTempView(name)
+    name
+  }
+
+  /** Translate the reference's read_csv named args (csv_insert_options.h:
+    * 17-45) to Spark reader options, incl. strftime→java time patterns. */
+  private[dialect] def parseCsvArgs(args: String): Map[String, String] = {
+    val Arg = """(?i)\s*,?\s*(\w+)\s*=\s*('([^']*)'|[^,]+)""".r
+    Arg.findAllMatchIn(args).flatMap { m =>
+      val key = m.group(1).toLowerCase
+      val value = Option(m.group(3)).getOrElse(m.group(2).trim)
+      key match {
+        case "delim" | "sep" => Some("sep" -> value)
+        case "header" => Some("header" -> value.toLowerCase)
+        case "quote" => Some("quote" -> value)
+        case "escape" => Some("escape" -> value)
+        case "skip" => Some("skipRows" -> value)
+        case "auto_detect" => Some("inferSchema" -> value.toLowerCase)
+        case "dateformat" => Some("dateFormat" -> Strftime.toJavaPattern(value))
+        case "timestampformat" => Some("timestampFormat" -> Strftime.toJavaPattern(value))
+        case _ => None
+      }
+    }.toMap match {
+      case m0 if !m0.contains("inferSchema") => m0 + ("inferSchema" -> "true")
+      case m0 => m0
+    }
+  }
+}
+
+/** strftime → java.time.DateTimeFormatter pattern translation for the CSV
+  * option surface (reference accepts `%m/%d/%Y`-style patterns,
+  * insert_csv.test.ts:151-177). */
+object Strftime {
+  private val map = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'p' -> "a", 'j' -> "DDD", 'B' -> "MMMM",
+    'b' -> "MMM", 'a' -> "EEE", 'A' -> "EEEE", '%' -> "%")
+
+  def toJavaPattern(strf: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < strf.length) {
+      val c = strf.charAt(i)
+      if (c == '%' && i + 1 < strf.length) {
+        sb.append(map.getOrElse(strf.charAt(i + 1), strf.charAt(i + 1).toString))
+        i += 2
+      } else {
+        // literal chars that are pattern letters need quoting
+        if (c.isLetter) sb.append("'").append(c).append("'") else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}

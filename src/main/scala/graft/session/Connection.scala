@@ -1,0 +1,176 @@
+package graft.session
+
+import graft.dialect.DialectRewriter
+import graft.ingest.{CsvIngest, IngestOptions, JsonIngest}
+import graft.results.ResultWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ArrowBridge
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+
+/** One engine session: query / streaming-send / prepared statements / ingest
+  * (reference Connection — lib/include/duckdb/web/webdb.h:33-99). Tables are
+  * shared engine-wide (one catalog), prepared statements and the single
+  * active result stream are per-connection, exactly like the reference. */
+final class Connection(val engine: Engine) {
+
+  private def spark: SparkSession = engine.spark
+  private lazy val rewriter = new DialectRewriter(spark, engine.files)
+
+  private val stmtCounter = new AtomicLong()
+  private val statements = mutable.Map[Long, PreparedStatement]()
+  @volatile private var activeStream: Option[ResultStream] = None
+
+  // ------------------------------------------------------------------ query
+  /** Run SQL, return the DataFrame (the engine-native form). */
+  def queryDF(sql: String): DataFrame = {
+    val trimmed = sql.trim.stripSuffix(";")
+    Commands.dispatch(this, trimmed).getOrElse(
+      org.apache.spark.sql.graftbridge.CasePreserve.fix(
+        spark.sql(rewriter.rewrite(trimmed))))
+  }
+
+  /** Run SQL, materialize as an Arrow IPC file buffer (reference
+    * RunQuery → MaterializeQueryResult, webdb.cc:84-119,141-154). */
+  def query(sql: String): Array[Byte] =
+    ResultWriter.ipcFile(queryDF(sql), engine.config.emitBigInt)
+
+  // ----------------------------------------------------------------- stream
+  /** Start a streaming result (reference SendQuery, webdb.cc:156-167):
+    * schema first, then one Arrow batch per fetch; one active stream per
+    * connection — a new send replaces the previous stream. */
+  def send(sql: String): ResultStream = {
+    val st = ResultWriter.stream(queryDF(sql), engine.config.emitBigInt)
+    activeStream = Some(st)
+    st
+  }
+
+  /** Fetch the next batch of the active stream; empty array = end-of-stream
+    * (mirrors FetchQueryResults, webdb.cc:169-202 incl. clear-on-end). */
+  def fetchQueryResults(): Array[Byte] = activeStream match {
+    case None => Array.emptyByteArray
+    case Some(st) =>
+      val b = st.nextBatch()
+      if (b.isEmpty) activeStream = None
+      b
+  }
+
+  // --------------------------------------------------------------- prepared
+  def prepare(sql: String): Long = {
+    val id = stmtCounter.incrementAndGet()
+    statements(id) = new PreparedStatement(spark, rewriter, sql)
+    id
+  }
+
+  def runPrepared(id: Long, params: Seq[Any]): DataFrame =
+    statements.getOrElse(id,
+      throw new IllegalArgumentException(s"no prepared statement $id")).run(params)
+
+  def closePrepared(id: Long): Unit = statements.remove(id)
+
+  // ----------------------------------------------------------------- ingest
+  /** CSV ingest (reference insertCSVFromPath, webdb.cc:339-404). */
+  def insertCSVFromPath(name: String, opts: IngestOptions): Unit =
+    saveIngested(CsvIngest.read(spark, engine.files.resolve(name), opts), opts)
+
+  /** JSON ingest w/ shape auto-detection (webdb.cc:407-453). */
+  def insertJSONFromPath(name: String, opts: IngestOptions): Unit =
+    saveIngested(JsonIngest.read(spark, engine.files.resolve(name), opts), opts)
+
+  /** Arrow IPC stream ingest (webdb.cc:280-337). */
+  def insertArrowFromIPCStream(bytes: Array[Byte], opts: IngestOptions): Unit =
+    saveIngested(ArrowBridge.fromIpcStream(spark, bytes), opts)
+
+  private def saveIngested(df: DataFrame, opts: IngestOptions): Unit = {
+    val table = s"${opts.schema}.`${opts.name}`"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${opts.schema}")
+    if (opts.create)
+      df.write.mode("overwrite").saveAsTable(table)
+    else
+      df.write.mode("append").saveAsTable(table)
+  }
+
+  def close(): Unit = { statements.clear(); activeStream = None }
+}
+
+/** A started streaming result: schema message up front, then IPC batches. */
+final class ResultStream(val schemaIpc: Array[Byte], batches: Iterator[Array[Byte]]) {
+  def nextBatch(): Array[Byte] =
+    if (batches.hasNext) batches.next() else Array.emptyByteArray
+}
+
+/** Strict prepared statements with positional `?` params (reference
+  * webdb.cc:204-277; strict type checks pinned by bindings.test.ts:86-143 —
+  * e.g. binding 10000 into a TINYINT column must error, where plain Spark
+  * would silently coerce). */
+final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sql: String) {
+
+  private val paramCount = sql.count(_ == '?')
+
+  private val InsertInto =
+    """(?is)\s*insert\s+into\s+([\w.`"]+)\s*(?:\(([^)]*)\))?\s*values\s*\(.*""".r
+
+  def run(params: Seq[Any]): DataFrame = {
+    require(params.length == paramCount,
+      s"expected $paramCount parameters, got ${params.length}")
+    validateStrict(params)
+    spark.sql(rewriter.rewrite(sql.trim.stripSuffix(";")), params.toArray)
+  }
+
+  /** Reference semantics: reject out-of-range numerics against the target
+    * column types of an INSERT (Spark alone would coerce/overflow). */
+  private def validateStrict(params: Seq[Any]): Unit = sql match {
+    case InsertInto(table, colList) =>
+      val schema = spark.table(table.replace("`", "").replace("\"", "")).schema
+      val targets: Seq[org.apache.spark.sql.types.DataType] =
+        Option(colList).filter(_ != null).map(_.split(",").map(_.trim.replace("`", ""))
+            .toSeq.map(c => schema(c).dataType))
+          .getOrElse(schema.fields.toSeq.map(_.dataType))
+      params.zip(targets).zipWithIndex.foreach { case ((p, dt), i) =>
+        Strict.check(p, dt, i + 1)
+      }
+    case _ => ()
+  }
+}
+
+private object Strict {
+  import org.apache.spark.sql.types._
+
+  def check(value: Any, dt: DataType, pos: Int): Unit = {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"parameter $pos: $msg")
+    def asNum: Option[Double] = value match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case _ => None
+    }
+    if (value == null) return
+    dt match {
+      case ByteType => asNum.foreach { d =>
+        if (d < Byte.MinValue || d > Byte.MaxValue || d != math.floor(d))
+          fail(s"value $d out of range for TINYINT")
+      }
+      case ShortType => asNum.foreach { d =>
+        if (d < Short.MinValue || d > Short.MaxValue || d != math.floor(d))
+          fail(s"value $d out of range for SMALLINT")
+      }
+      case IntegerType => asNum.foreach { d =>
+        if (d < Int.MinValue || d > Int.MaxValue || d != math.floor(d))
+          fail(s"value $d out of range for INTEGER")
+      }
+      case LongType => asNum.foreach { d =>
+        if (d != math.floor(d)) fail(s"value $d not an integer for BIGINT")
+      }
+      case BooleanType => value match {
+        case _: Boolean => ()
+        case other => fail(s"value $other is not a BOOLEAN")
+      }
+      case _ => ()
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.session
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** Engine configuration — mirrors the reference's open() config surface
+  * (lib/src/config.cc:25-55: path, emitBigInt, maximumThreads,
+  * allowFullHTTPReads; feature flags lib/include/duckdb/web/config.h:14-21).
+  *
+  * `maximumThreads` maps to local[n] parallelism; at cluster scale the same
+  * engine builds against an existing cluster SparkSession instead.
+  */
+final case class EngineConfig(
+    path: Option[String] = None,
+    emitBigInt: Boolean = true,
+    maximumThreads: Int = 0, // 0 → all cores
+    shufflePartitions: Int = 32,
+    existingSession: Option[SparkSession] = None)
+
+/** The engine root: owns the SparkSession (≈ the reference's WebDB,
+  * lib/src/webdb.cc:545-577), the file registry, and the catalog. Sessions
+  * connect via [[Connection]] (own prepared statements + one active result
+  * stream, lib/include/duckdb/web/webdb.h:33-99).
+  *
+  * The default schema is `main`, like the reference (webdb.cc:348). A
+  * `path` opens a directory of parquet files as a read-only catalog — the
+  * Spark-native replacement for attaching a DuckDB-format .db file
+  * (SURVEY §2.1 "out of scope" row).
+  */
+final class Engine(val config: EngineConfig = EngineConfig()) {
+
+  val files = new FileRegistry
+
+  private def buildSession(): SparkSession = config.existingSession.getOrElse {
+    val n = if (config.maximumThreads > 0) config.maximumThreads.toString else "*"
+    val warehouse = Files.createTempDirectory("graft-warehouse-")
+    warehouse.toFile.deleteOnExit()
+    val s = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions", config.shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  @volatile private var _spark: SparkSession = _
+
+  def spark: SparkSession = synchronized {
+    if (_spark == null) { _spark = buildSession(); initCatalog() }
+    _spark
+  }
+
+  private def initCatalog(): Unit = {
+    _spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    _spark.catalog.setCurrentDatabase("main")
+    config.path.foreach(openPath)
+  }
+
+  /** Open a directory of `<table>.parquet` files as the catalog (read-only). */
+  private def openPath(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val name = f.getName.stripSuffix(".parquet")
+        _spark.read.parquet(f.getPath).createOrReplaceTempView(name)
+      }
+  }
+
+  def connect(): Connection = new Connection(this)
+
+  /** Drop everything and reopen (reference reset(), webdb.cc:542;
+    * semantics pinned by bindings.test.ts:38-52). */
+  def reset(): Unit = synchronized {
+    if (_spark != null) {
+      val cat = _spark.catalog
+      cat.listTables("main").collect().foreach { t =>
+        if (t.isTemporary) cat.dropTempView(t.name)
+        else _spark.sql(s"DROP TABLE IF EXISTS main.`${t.name}`")
+      }
+      cat.listTables().collect().filter(_.isTemporary)
+        .foreach(t => cat.dropTempView(t.name))
+      cat.clearCache()
+      files.dropFiles()
+      initCatalog()
+    }
+  }
+
+  def getVersion: String = s"graft-spark-${spark.version}"
+
+  /** Capability flags (reference getFeatureFlags, config.h:14-21). */
+  def getFeatureFlags: Map[String, Boolean] = Map(
+    "threads" -> true, // JVM engine always threads (wasm gated this)
+    "simd" -> true, // whole-stage codegen ≈ vectorized execution
+    "bigint64array" -> true,
+    "crossOriginIsolated" -> false)
+
+  def tokenize(sql: String): (Seq[Int], Seq[Int]) = SqlTokenizer.tokenize(sql)
+
+  def close(): Unit = synchronized {
+    if (_spark != null && config.existingSession.isEmpty) _spark.stop()
+    _spark = null
+  }
+}

@@ -1,0 +1,102 @@
+package graft.session
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Named byte-source registry, mirroring the reference's registered-file
+  * model (registerFileBuffer/URL/Path, dropFile, globFiles, copyFileToBuffer
+  * — /root/reference lib/src/webdb.cc:578-757, protocols BUFFER/NATIVE/HTTP
+  * in lib/include/duckdb/web/io/web_filesystem.h:29-33).
+  *
+  * Spark reads through Hadoop `FileSystem`, which already does ranged reads
+  * over local/HTTP/S3 paths — so "registration" reduces to a name→URI map;
+  * in-memory buffers are spilled to a session temp dir so executors can read
+  * them like any other file (at cluster scale that dir would be shared
+  * storage; the registry API is unchanged).
+  */
+final class FileRegistry {
+  private val entries = new ConcurrentHashMap[String, String]()
+  private lazy val spillDir: Path = {
+    val d = Files.createTempDirectory("graft-files-")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  /** Register an in-memory buffer under a file name. */
+  def registerFileBuffer(name: String, bytes: Array[Byte]): Unit = {
+    val p = spillDir.resolve(sanitize(name))
+    Files.createDirectories(p.getParent)
+    Files.write(p, bytes)
+    entries.put(name, p.toString)
+  }
+
+  /** Register UTF-8 text under a file name. */
+  def registerFileText(name: String, text: String): Unit =
+    registerFileBuffer(name, text.getBytes("UTF-8"))
+
+  /** Register a URL (http(s)://...) or local path under a file name. */
+  def registerFileURL(name: String, url: String): Unit =
+    entries.put(name, url)
+
+  /** Register a native filesystem path under a file name. */
+  def registerFilePath(name: String, path: String): Unit =
+    entries.put(name, path)
+
+  def dropFile(name: String): Boolean = entries.remove(name) != null
+
+  def dropFiles(): Unit = entries.clear()
+
+  /** Resolve a (possibly registered) name to a readable URI; unregistered
+    * names pass through untouched (bare paths work like the reference's
+    * NATIVE protocol). */
+  def resolve(name: String): String =
+    Option(entries.get(name)).getOrElse(name)
+
+  def isRegistered(name: String): Boolean = entries.containsKey(name)
+
+  /** Glob over registered names (reference glob semantics: `*` any run, `?`
+    * one char — lib/src/io/glob.cc:16-128). */
+  def globFiles(pattern: String): Seq[String] = {
+    val re = GlobToRegex(pattern)
+    entries.keySet.asScala.toSeq.filter(re.matches).sorted
+  }
+
+  /** Read back the bytes behind a registered name (reference
+    * copyFileToBuffer, used to export query/COPY results). */
+  def copyFileToBuffer(name: String): Array[Byte] = {
+    val p = Paths.get(resolve(name))
+    if (Files.isDirectory(p)) {
+      // Spark sinks write part-directories; a single-part dir reads back
+      // as its lone data file (COPY TO coalesces to 1 part).
+      val parts = Files.list(p).iterator().asScala
+        .filter(f => { val n = f.getFileName.toString
+          !n.startsWith(".") && !n.startsWith("_") })
+        .toSeq.sortBy(_.getFileName.toString)
+      require(parts.nonEmpty, s"no data files under $name")
+      Files.readAllBytes(parts.head)
+    } else Files.readAllBytes(p)
+  }
+
+  /** Copy a registered file's bytes to a native path. */
+  def copyFileToPath(name: String, out: String): Unit =
+    Files.write(Paths.get(out), copyFileToBuffer(name))
+
+  private def sanitize(name: String): String =
+    name.replaceAll("[^A-Za-z0-9._/-]", "_").stripPrefix("/")
+}
+
+/** Reference-faithful glob→regex translation (`*` → `.*`, `?` → `.`,
+  * everything else literal — lib/src/io/glob.cc:16-128). */
+object GlobToRegex {
+  def apply(glob: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString.r
+  }
+}

@@ -1,0 +1,117 @@
+package org.apache.spark.sql.graftbridge
+
+import java.io.ByteArrayOutputStream
+import java.nio.channels.Channels
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.VectorSchemaRoot
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.arrow.{ArrowConverters, ArrowWriter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.ArrowUtils
+
+/** Bridge into Spark's `private[sql]` Arrow machinery (ArrowUtils /
+  * ArrowWriter / ArrowConverters) — the engine's result wire format is Arrow
+  * IPC, exactly like the reference (lib/src/webdb.cc:84-139 materializes an
+  * IPC *file*, streams one IPC `RecordBatch` per fetch).
+  *
+  * Lives under `org.apache.spark.sql` purely for package-private access; all
+  * engine logic stays in the `graft` packages.
+  */
+object ArrowBridge {
+
+  /** Serialize a DataFrame as a complete Arrow IPC **file** (materialized
+    * query result). Runs the plan distributed, collects InternalRows to the
+    * driver (results are client-bound by definition), writes vectors in
+    * `maxRecordsPerBatch` chunks. */
+  def toIpcFile(df: DataFrame, maxRecordsPerBatch: Int = 2048): Array[Byte] =
+    write(df, maxRecordsPerBatch, stream = false)
+
+  /** Serialize as Arrow IPC **stream** bytes (schema header + batches + EOS). */
+  def toIpcStream(df: DataFrame, maxRecordsPerBatch: Int = 2048): Array[Byte] =
+    write(df, maxRecordsPerBatch, stream = true)
+
+  private def write(df: DataFrame, maxRecordsPerBatch: Int, stream: Boolean): Array[Byte] = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val timeZone = spark.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = ArrowUtils.toArrowSchema(
+      schema, timeZone, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val rows: Array[InternalRow] =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+        .queryExecution.executedPlan.executeCollect()
+
+    val allocator = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val out = new ByteArrayOutputStream()
+    val channel = Channels.newChannel(out)
+    val writer =
+      if (stream) new ArrowStreamWriter(root, null, channel)
+      else new ArrowFileWriter(root, null, channel)
+    val arrowWriter = ArrowWriter.create(root)
+    try {
+      writer.start()
+      var i = 0
+      while (i < rows.length) {
+        val end = math.min(i + maxRecordsPerBatch, rows.length)
+        arrowWriter.reset()
+        var j = i
+        while (j < end) { arrowWriter.write(rows(j)); j += 1 }
+        arrowWriter.finish()
+        writer.writeBatch()
+        i = end
+      }
+      writer.end()
+      out.toByteArray
+    } finally {
+      writer.close()
+      root.close()
+      allocator.close()
+    }
+  }
+
+  /** Decode a complete Arrow IPC stream into a DataFrame (ingest path —
+    * reference insertArrowFromIPCStream, webdb.cc:280-337). */
+  def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val (iter, schema) = ArrowConverters.fromIPCStream(bytes)
+    try ofLocalRows(spark, schema, iter.map(_.copy()).toSeq)
+    finally iter.close()
+  }
+
+  /** Build a DataFrame from driver-local InternalRows. */
+  def ofLocalRows(spark: SparkSession, schema: StructType,
+      rows: Seq[InternalRow]): DataFrame = {
+    val attrs: Seq[Attribute] = DataTypeUtils.toAttributes(schema)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LocalRelation(attrs, rows))
+  }
+}
+
+/** Reference behavior pinned by github_332.test.ts:71-77: identifier
+  * resolution is case-insensitive but the output schema preserves the
+  * *stored* column case (`SELECT productgroup` returns a field named
+  * `ProductGroup`). Spark instead emits the case as typed in the query; this
+  * pass renames output columns back to the leaf relation's case when a
+  * unique case-insensitive match exists. */
+object CasePreserve {
+  def fix(df: DataFrame): DataFrame = {
+    val analyzed =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution.analyzed
+    val leafNames = analyzed.collectLeaves().flatMap(_.output.map(_.name)).distinct
+    val byLower = leafNames.groupBy(_.toLowerCase)
+    val renamed = df.schema.fieldNames.map { n =>
+      byLower.get(n.toLowerCase) match {
+        case Some(Seq(orig)) if orig != n => orig
+        case _ => n
+      }
+    }
+    if (renamed.sameElements(df.schema.fieldNames)) df
+    else df.toDF(renamed.toIndexedSeq: _*)
+  }
+}

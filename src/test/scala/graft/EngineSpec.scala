@@ -1,0 +1,222 @@
+package graft
+
+import graft.ingest.IngestOptions
+import graft.session.{Engine, EngineConfig}
+import org.apache.spark.sql.graftbridge.ArrowBridge
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** API-surface tests mirroring the reference's own suite:
+  * bindings.test.ts (query/prepared/reset), filesystem.test.ts (parquet scan,
+  * COPY, EXPORT), insert_csv/json/arrow tests, webdb_test.cc (tokenizer). */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val engine =
+    new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark)))
+  private lazy val conn = engine.connect()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("query via parquet_scan returns Arrow IPC file bytes (bindings.test.ts:161-173)") {
+    engine.files.registerFilePath("lineitem.parquet", s"$sf/lineitem.parquet")
+    val df = conn.queryDF(
+      "SELECT count(*)::INTEGER AS cnt FROM parquet_scan('lineitem.parquet')")
+    assert(df.collect().head.getInt(0) === 6000)
+    val bytes = conn.query(
+      "SELECT count(*)::INTEGER AS cnt FROM parquet_scan('lineitem.parquet')")
+    // Arrow IPC file magic
+    assert(new String(bytes.take(6), "UTF-8") === "ARROW1")
+  }
+
+  test("generate_series is end-inclusive (bindings.test.ts:57)") {
+    val rows = conn.queryDF("SELECT * FROM generate_series(1, 5)")
+      .collect().map(_.getLong(0)) // explode(sequence) yields ints per input type
+    assert(rows.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bare-filename FROM ref scans a CSV (github_332.test.ts:67)") {
+    val p = Files.createTempFile("graft", ".csv")
+    Files.writeString(p, "Name,ProductGroup\nx,A\ny,B\n")
+    engine.files.registerFilePath("Products.csv", p.toString)
+    val df = conn.queryDF("SELECT productgroup FROM 'Products.csv' ORDER BY 1")
+    // case-insensitive resolution, case-preserving output schema
+    assert(df.schema.head.name === "ProductGroup")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("A", "B"))
+  }
+
+  test("read_csv TVF with options (duckdb_sync_benchmarks.ts:400)") {
+    val p = Files.createTempFile("graft", ".csv")
+    Files.writeString(p, "1|10.5\n2|20.5\n")
+    engine.files.registerFilePath("pipe.csv", p.toString)
+    val df = conn.queryDF(
+      "SELECT * FROM read_csv('pipe.csv', delim='|', header=false)")
+    assert(df.columns.toSeq === Seq("column0", "column1"))
+    assert(df.count() === 2)
+  }
+
+  test("CREATE TABLE / INSERT / DROP round-trip (bindings.test.ts:74-86)") {
+    conn.queryDF("DROP TABLE IF EXISTS main.tbl_rt")
+    conn.queryDF("CREATE TABLE main.tbl_rt(a INT, b STRING)")
+    conn.queryDF("INSERT INTO main.tbl_rt VALUES (1, 'x'), (2, 'y')")
+    assert(conn.queryDF("SELECT sum(a)::INT AS s FROM main.tbl_rt")
+      .collect().head.getInt(0) === 3)
+    conn.queryDF("DROP TABLE main.tbl_rt")
+  }
+
+  test("PRAGMA show_tables lists tables with a single name column (bindings.test.ts:43-51)") {
+    conn.queryDF("CREATE TABLE IF NOT EXISTS main.show_me(a INT)")
+    val df = conn.queryDF("PRAGMA show_tables")
+    assert(df.columns.toSeq === Seq("name"))
+    assert(df.collect().map(_.getString(0)).contains("show_me"))
+    conn.queryDF("DROP TABLE main.show_me")
+  }
+
+  test("prepared statement with positional params (bindings.test.ts:57,203)") {
+    val id = conn.prepare("SELECT v + ? AS r FROM (SELECT 10 AS v)")
+    val out = conn.runPrepared(id, Seq(5)).collect().head.getInt(0)
+    assert(out === 15)
+    conn.closePrepared(id)
+  }
+
+  test("strict prepared-param typecheck rejects out-of-range ints (bindings.test.ts:103-141)") {
+    conn.queryDF("DROP TABLE IF EXISTS main.strict_t")
+    conn.queryDF("CREATE TABLE main.strict_t(v TINYINT)")
+    val id = conn.prepare("INSERT INTO main.strict_t VALUES (?)")
+    conn.runPrepared(id, Seq(100)) // fits
+    val e = intercept[IllegalArgumentException](conn.runPrepared(id, Seq(10000)))
+    assert(e.getMessage.contains("out of range"))
+    conn.queryDF("DROP TABLE main.strict_t")
+  }
+
+  test("reset drops tables (bindings.test.ts:38-52)") {
+    conn.queryDF("CREATE TABLE main.reset_me(a INT)")
+    assert(conn.queryDF("PRAGMA show_tables")
+      .collect().map(_.getString(0)).contains("reset_me"))
+    engine.reset()
+    assert(!conn.queryDF("PRAGMA show_tables")
+      .collect().map(_.getString(0)).contains("reset_me"))
+  }
+
+  test("tokenizer goldens (webdb_test.cc:75-80)") {
+    assert(engine.tokenize("SELECT 1") === (Seq(0, 7), Seq(4, 1)))
+    assert(engine.tokenize("SELECT * FROM region") ===
+      (Seq(0, 7, 9, 14), Seq(4, 3, 4, 0)))
+    val (off, typ) = engine.tokenize("SELECT 'x' -- c")
+    assert(off === Seq(0, 7, 11) && typ === Seq(4, 2, 5))
+  }
+
+  test("streaming send: schema first, then batches, then EOS (webdb.cc:121-202)") {
+    engine.files.registerFilePath("li2.parquet", s"$sf/lineitem.parquet")
+    val st = conn.send("SELECT l_orderkey FROM parquet_scan('li2.parquet') LIMIT 5000")
+    assert(st.schemaIpc.nonEmpty)
+    var batches = 0
+    var b = conn.fetchQueryResults()
+    while (b.nonEmpty) { batches += 1; b = conn.fetchQueryResults() }
+    assert(batches >= 2) // 5000 rows / 2048 per batch ⇒ ≥2 batches
+    // stream cleared after EOS
+    assert(conn.fetchQueryResults().isEmpty)
+  }
+
+  test("Arrow IPC ingest round-trip (insert_arrow.test.ts)") {
+    val src = conn.queryDF("SELECT id, id * 2 AS dbl FROM range(0, 10)")
+    val ipc = ArrowBridge.toIpcStream(src)
+    conn.insertArrowFromIPCStream(ipc, IngestOptions(name = "arrow_rt"))
+    val back = conn.queryDF("SELECT sum(dbl)::BIGINT AS s FROM main.arrow_rt")
+    assert(back.collect().head.getLong(0) === (0 until 10).map(_ * 2).sum)
+    conn.queryDF("DROP TABLE main.arrow_rt")
+  }
+
+  test("CSV ingest with dateformat (insert_csv.test.ts:151-177)") {
+    val p = Files.createTempFile("graft", ".csv")
+    Files.writeString(p, "d\n01/02/2020\n03/04/2021\n")
+    engine.files.registerFilePath("dates.csv", p.toString)
+    conn.insertCSVFromPath("dates.csv", IngestOptions(name = "csv_dates",
+      dateFormat = Some("%m/%d/%Y"),
+      columns = Some(StructType(Seq(StructField("d", DateType))))))
+    val rows = conn.queryDF("SELECT d FROM main.csv_dates ORDER BY d")
+      .collect().map(_.getDate(0).toString)
+    assert(rows.toSeq === Seq("2020-01-02", "2021-03-04"))
+    conn.queryDF("DROP TABLE main.csv_dates")
+  }
+
+  test("JSON ingest: ROW_ARRAY shape with type inference (insert_json.test.ts:21-45)") {
+    val p = Files.createTempFile("graft", ".json")
+    Files.writeString(p,
+      """[{"a":1,"b":"x","t":"2008-01-01 00:00:00"},{"a":2,"b":"y","t":"2009-01-01 00:00:00"}]""")
+    engine.files.registerFilePath("rows.json", p.toString)
+    conn.insertJSONFromPath("rows.json", IngestOptions(name = "json_rows"))
+    val df = conn.queryDF("SELECT * FROM main.json_rows")
+    // analyzer: small ints → INT32, timestamp-candidate strings → TIMESTAMP,
+    // fields sorted by name
+    assert(df.schema.fieldNames.toSeq === Seq("a", "b", "t"))
+    assert(df.schema("a").dataType === IntegerType)
+    assert(df.schema("t").dataType === TimestampType)
+    assert(df.count() === 2)
+    conn.queryDF("DROP TABLE main.json_rows")
+  }
+
+  test("JSON ingest: COLUMN_OBJECT shape (insert_json.test.ts:47-82)") {
+    val p = Files.createTempFile("graft", ".json")
+    Files.writeString(p, """{"a":[1,4,9],"b":["x","y","z"]}""")
+    engine.files.registerFilePath("cols.json", p.toString)
+    conn.insertJSONFromPath("cols.json", IngestOptions(name = "json_cols"))
+    val rows = conn.queryDF("SELECT a, b FROM main.json_cols ORDER BY a").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 4, 9))
+    assert(rows.map(_.getString(1)).toSeq === Seq("x", "y", "z"))
+    conn.queryDF("DROP TABLE main.json_cols")
+  }
+
+  test("COPY TO CSV writes a single file with header/delimiter (filesystem.test.ts:116-130)") {
+    conn.queryDF("CREATE TABLE main.copy_src AS SELECT 1 AS a, 2 AS b UNION ALL SELECT 3, 4")
+    val out = Files.createTempDirectory("graft-copy-test").resolve("out.csv")
+    conn.queryDF(s"COPY main.copy_src TO '${out}' WITH (FORMAT CSV, HEADER 1, DELIMITER ';')")
+    val content = Files.readString(out)
+    assert(content === "a;b\n1;2\n3;4\n")
+    conn.queryDF("DROP TABLE main.copy_src")
+  }
+
+  test("COPY (SELECT ...) TO parquet (filesystem.test.ts:246-259)") {
+    val out = Files.createTempDirectory("graft-copy-test").resolve("q.parquet")
+    conn.queryDF(s"COPY (SELECT 42 AS v) TO '${out}' (FORMAT PARQUET)")
+    val back = SparkTestSession.spark.read.parquet(out.toString)
+    assert(back.collect().head.getInt(0) === 42)
+  }
+
+  test("EXPORT DATABASE writes tables + schema.sql + load.sql (filesystem.test.ts:183-244)") {
+    conn.queryDF("CREATE TABLE main.exp_t AS SELECT 7 AS x")
+    val dir = Files.createTempDirectory("graft-export-test")
+    conn.queryDF(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    val names = Files.list(dir).iterator()
+    val listed = new scala.collection.mutable.ArrayBuffer[String]()
+    names.forEachRemaining(p => listed += p.getFileName.toString)
+    assert(listed.contains("schema.sql"))
+    assert(listed.contains("load.sql"))
+    assert(listed.contains("exp_t.parquet"))
+    assert(Files.readString(dir.resolve("schema.sql")).contains("CREATE TABLE exp_t"))
+    conn.queryDF("DROP TABLE main.exp_t")
+  }
+
+  test("emitBigInt=false patches INT64 → FLOAT64 recursively (bindings.test.ts:176-198)") {
+    val e2 = new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark),
+      emitBigInt = false))
+    val c2 = e2.connect()
+    val bytes = c2.send("SELECT 1::BIGINT AS v").schemaIpc
+    val df = ArrowBridge.fromIpcStream(SparkTestSession.spark, bytes)
+    assert(df.schema("v").dataType === DoubleType)
+  }
+
+  test("glob + copyFileToBuffer over registered files (webdb.cc:578-757)") {
+    engine.files.registerFileText("data/a1.csv", "x\n1\n")
+    engine.files.registerFileText("data/a2.csv", "x\n2\n")
+    engine.files.registerFileText("other.txt", "zzz")
+    assert(engine.files.globFiles("data/*.csv") === Seq("data/a1.csv", "data/a2.csv"))
+    assert(new String(engine.files.copyFileToBuffer("other.txt"), "UTF-8") === "zzz")
+    assert(engine.files.dropFile("other.txt"))
+    assert(!engine.files.isRegistered("other.txt"))
+  }
+
+  test("feature flags + version") {
+    assert(engine.getVersion.startsWith("graft-spark-"))
+    assert(engine.getFeatureFlags("threads"))
+  }
+}
