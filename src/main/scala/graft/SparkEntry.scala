@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{OperatorQueries, RelationalQueries}
-import graft.pipeline.{DedupQueries, Similarity, TextQueries}
+import graft.pipeline.{DedupQueries, Multimodal, Similarity, TextQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,8 @@ object SparkEntry {
 
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ OperatorQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ Similarity.all
+      TextQueries.all ++ DedupQueries.all ++ Similarity.all ++
+      Multimodal.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ExprBridge
+
+/** Column-API + SQL-surface wrappers for the engine's native Catalyst
+  * expressions. `registerAll` exposes them to `spark.sql` text
+  * (vec_dot / vec_norm / vec_cosine / simhash64). */
+package object functions {
+
+  import graft.functions.{SimHash64, VecCosine, VecDot, VecNorm}
+
+  def vec_dot(a: Column, b: Column): Column =
+    ExprBridge.column(VecDot(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def vec_norm(a: Column): Column =
+    ExprBridge.column(VecNorm(ExprBridge.expression(a)))
+
+  def vec_cosine(a: Column, b: Column): Column =
+    ExprBridge.column(VecCosine(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def simhash64(tokenHashes: Column): Column =
+    ExprBridge.column(SimHash64(ExprBridge.expression(tokenHashes)))
+
+  private def arity(name: String, n: Int)(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
+    es
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    ExprBridge.registerFunction(spark, "vec_dot",
+      es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "vec_norm",
+      es => { arity("vec_norm", 1)(es); VecNorm(es.head) })
+    ExprBridge.registerFunction(spark, "vec_cosine",
+      es => { arity("vec_cosine", 2)(es); VecCosine(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "simhash64",
+      es => { arity("simhash64", 1)(es); SimHash64(es.head) })
+  }
+}

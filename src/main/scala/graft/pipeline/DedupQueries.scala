@@ -72,9 +72,20 @@ object DedupQueries {
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
   }
 
+  /** Signature stage is persisted: the 32-permutation × shingle transform is
+    * the expensive narrow stage, and both the band join and the verify join
+    * consume it multiple times — caching avoids recomputing it per branch
+    * (at cluster scale this is a materialized intermediate, exactly like a
+    * staged pipeline would checkpoint it). */
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig
+  }
+
   /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(signatures(docs(s, dir)))
+    val bands = bandRows(cachedSignatures(s, dir))
     val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
       col("doc_id").as("doc_a"))
     val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
@@ -89,7 +100,7 @@ object DedupQueries {
   /** MinHash-estimated Jaccard for every candidate pair (fraction of the 32
     * signature components that agree). */
   private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(docs(s, dir))
+    val sig = cachedSignatures(s, dir)
     val asArr = sig.select(col("doc_id"),
       array((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig"))
     val bands = bandRows(sig)
@@ -110,18 +121,30 @@ object DedupQueries {
   }
 
   // ------------------------------------------------------- n-gram Jaccard
-  /** Exact token-set Jaccard over source-blocked pairs (blocking keeps the
-    * join from going quadratic; at scale the block key would be an LSH band). */
+  /** Exact token-set Jaccard as a token equi-join (the scalable
+    * set-similarity join): explode distinct tokens, join on (source, token),
+    * count common tokens per pair, then |A∪B| = |A|+|B|−common. Pairs with
+    * no shared token never materialize, and the shuffle key is the token —
+    * no quadratic per-pair array work, unlike a blocked self-join. Source
+    * blocking bounds the candidate space (at full scale the block key would
+    * be an LSH band instead). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .withColumn("tokens", array_distinct(split(trim(col("text")), "\\s+")))
-      .select(col("doc_id"), col("source"), col("tokens"))
-    val a = d.select(col("source").as("src_a"), col("doc_id").as("doc_a"), col("tokens").as("ta"))
-    val b = d.select(col("source").as("src_b"), col("doc_id").as("doc_b"), col("tokens").as("tb"))
-    a.join(b, col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double")
-          / size(array_union(col("ta"), col("tb"))).cast("double"))
+      .select(col("doc_id"), col("source"),
+        col("tokens"), size(col("tokens")).as("nt"))
+    val toks = d.select(col("doc_id"), col("source"), col("nt"),
+      explode(col("tokens")).as("tok"))
+    val a = toks.select(col("source").as("src"), col("tok"),
+      col("doc_id").as("doc_a"), col("nt").as("nt_a"))
+    val b = toks.select(col("source").as("src"), col("tok"),
+      col("doc_id").as("doc_b"), col("nt").as("nt_b"))
+    a.join(b, Seq("src", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("nt_a") + col("nt_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -129,14 +152,12 @@ object DedupQueries {
 
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash per document + 16-bit prefix bucket (hamming-neighbor
-    * candidates share buckets). Pure higher-order-function bit voting. */
+    * candidates share buckets). The bit-vote kernel is a native codegen'd
+    * Catalyst expression (graft.functions.SimHash64) over token hashes. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("th", expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))"))
-      .withColumn("bits",
-        expr("transform(sequence(0, 63), b -> CASE WHEN aggregate(th, 0L, (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0 THEN 1L ELSE 0L END)"))
-      .withColumn("simhash64",
-        expr("aggregate(sequence(0, 63), 0L, (acc, b) -> acc | (element_at(bits, b + 1) << b))"))
+      .withColumn("simhash64", graft.functions.simhash64(col("th")))
       .select(col("doc_id"), col("simhash64"),
         expr("simhash64 >> 48").as("bucket16"))
       .orderBy(col("doc_id"))
@@ -145,14 +166,14 @@ object DedupQueries {
   /** Near-duplicate pairs by embedding cosine over LSH-bucketed candidates
     * (random-hyperplane signatures, fixed seed). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Similarity.withNorm(Tables.load(s, dir, "embeddings"))
+    val emb = Tables.load(s, dir, "embeddings")
     val bucketed = Similarity.withLshBucket(emb, Similarity.planes(8, 64, seed = 7))
     val a = bucketed.select(col("bucket").as("bk_a"), col("vec_id").as("vec_a"),
-      col("vecd").as("va"), col("norm").as("na"))
+      col("embedding").as("va"))
     val b = bucketed.select(col("bucket").as("bk_b"), col("vec_id").as("vec_b"),
-      col("vecd").as("vb"), col("norm").as("nb"))
+      col("embedding").as("vb"))
     a.join(b, col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", graft.functions.vec_cosine(col("va"), col("vb")))
       // the synthetic embeddings are near-random (max pairwise cosine ≈ 0.48)
       // — 0.2 sits at ~p99 of the pair distribution, so "near-dup" is
       // meaningful while the candidate set stays small.

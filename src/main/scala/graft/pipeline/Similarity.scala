@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import graft.functions.{vec_cosine, vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,8 +18,10 @@ import scala.util.Random
   *  - LSH-bucketed (random hyperplane signatures) — the 100 TB path: corpus
   *    is bucketed once (narrow), candidates come from a bucket equi-join.
   *
-  * Dot products run through `zip_with`/`aggregate` higher-order functions —
-  * codegen'd, no UDF. Hyperplanes are fixed-seed compile-time constants.
+  * The kernels (dot / norm / cosine) are native codegen'd Catalyst
+  * expressions over the raw float arrays (graft.functions.VectorExpressions)
+  * — no per-row intermediate arrays, no UDFs, float→double widening inside
+  * the generated loop. Hyperplanes are fixed-seed compile-time constants.
   */
 object Similarity {
 
@@ -28,21 +31,15 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Cast the float vector to double once (`vecd`) and attach its L2 norm. */
+  /** Attach the L2 norm of the raw float vector. */
   private[pipeline] def withNorm(emb: DataFrame): DataFrame =
-    emb
-      .withColumn("vecd", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(vecd, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+    emb.withColumn("norm", vec_norm(col("embedding")))
 
-  private[pipeline] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Sign-bit LSH bucket from fixed hyperplanes (needs `vecd`). */
+  /** Sign-bit LSH bucket from fixed hyperplanes. */
   private[pipeline] def withLshBucket(emb: DataFrame, ps: Seq[Array[Double]]): DataFrame = {
     val bucket = ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(col("vecd"), planeCol) >= 0, 1 << i).otherwise(0)
+      val planeCol = array(p.map(lit).toSeq: _*)
+      when(vec_dot(col("embedding"), planeCol) >= 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
   }
@@ -54,10 +51,10 @@ object Similarity {
   private def annBrute(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val queries = c.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("vecd").as("qv"), col("norm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     c.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("vecd"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("label"))
@@ -69,12 +66,12 @@ object Similarity {
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val bucketed = withLshBucket(corpus(s, dir), planes(8, 64, seed = 7))
     val queries = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("vecd").as("qv"),
-        col("norm").as("qn"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     bucketed.join(broadcast(queries),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("vecd"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"))
@@ -84,8 +81,8 @@ object Similarity {
   /** Per-label centroid stats — grouped vector aggregation via posexplode +
     * re-assemble (shuffle on (label, pos), no driver collect). */
   private def labelCentroidNorm(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
-      .select(col("label"), posexplode(col("vecd")).as(Seq("pos", "v")))
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("v")).as("cv"))
       .groupBy(col("label"))

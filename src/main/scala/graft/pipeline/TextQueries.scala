@@ -120,13 +120,14 @@ object TextQueries {
     val tokens = split(trim(col("text")), ws)
     docs(s, dir)
       .withColumn("tokens", tokens)
+      .withColumn("th", expr("transform(tokens, t -> xxhash64(t))"))
       .select(
         col("doc_id"),
         md5(col("text")).as("content_md5"),
         xxhash64(col("text")).as("content_xx64"),
         // winnowing-style: min/max over token hashes = robust doc sketch
-        expr("array_min(transform(tokens, t -> xxhash64(t)))").as("min_token_hash"),
-        expr("array_max(transform(tokens, t -> xxhash64(t)))").as("max_token_hash"))
+        array_min(col("th")).as("min_token_hash"),
+        array_max(col("th")).as("max_token_hash"))
       .orderBy(col("doc_id"))
   }
 

@@ -58,6 +58,7 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
   private def initCatalog(): Unit = {
     _spark.sql("CREATE DATABASE IF NOT EXISTS main")
     _spark.catalog.setCurrentDatabase("main")
+    graft.functions.registerAll(_spark) // vec_dot / vec_cosine / simhash64 in SQL
     config.path.foreach(openPath)
   }
 

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table. The reference engine has no
+  * event-time streaming surface (SURVEY §1.1 — its only "streaming" is
+  * incremental result fetch), so this module is part of the north-star
+  * extension set: the same engine operators, run incrementally.
+  *
+  * Every transform here is defined once and works on BOTH a batch DataFrame
+  * and a readStream DataFrame — the Spark-native way to keep batch/streaming
+  * parity testable (StreamingSpec drives the same functions through a
+  * memory-sink streaming query).
+  */
+object EventStreaming {
+
+  /** Tumbling-window hourly counts per event type with a watermark for state
+    * eviction (at 100 TB/day the watermark bounds state size). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window (1h window, 15m slide) event rates. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  // ------------------------------------------------- stateful sessionization
+  final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long)
+  final case class SessionizedEvent(user_id: Long, event_id: Long,
+      session_id: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Per-user session assignment via mapGroupsWithState-style custom state:
+    * a new session starts after a >30 min gap. Streaming-native stateful
+    * processing (KeyValueGroupedDataset.flatMapGroupsWithState). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(assignSessions)
+  }
+
+  private def assignSessions(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionizedEvent] = {
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+    val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val t = e.ts.getTime
+      if (st.lastTs != Long.MinValue && t - st.lastTs > SessionGapMs)
+        st = SessionState(st.sessionId + 1, t)
+      else st = st.copy(lastTs = t)
+      SessionizedEvent(e.user_id, e.event_id, st.sessionId)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Batch-equivalent sessionization (gap → cumulative sum over a window) —
+    * the oracle-checkable form of the same semantics. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull, 0)
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > SessionGapMs / 1000,
+            1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("long"))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+  }
+}
+
+/** Batch-contract entries for the driver's correctness gate. */
+object StreamingQueries {
+  import graft.{Q, Tables}
+
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    EventStreaming.sessionizeBatch(Tables.load(s, dir, "events"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val sessionizeSql =
+    """SELECT user_id, event_id, session_id
+      |FROM (SELECT user_id, event_id,
+      |        CAST(sum(CASE WHEN prev_ts IS NULL THEN 0
+      |                      WHEN floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1
+      |                      ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS session_id
+      |      FROM (SELECT user_id, event_id, ts,
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |            FROM events) g) t
+      |ORDER BY user_id, event_id""".stripMargin
+
+  private def hourlyAggQ(s: SparkSession, dir: String): DataFrame =
+    EventStreaming.hourlyAgg(Tables.load(s, dir, "events"))
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private val hourlyAggSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+      | event_type, count(*) AS n, sum(value) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q36_sessionize_gapwindow", sessionizeQ, Some(sessionizeSql)),
+    Q("q37_event_time_window", hourlyAggQ, Some(hourlyAggSql)))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: correctness vs reference Scala math, codegen
+  * vs interpreted agreement, and SQL registration. */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+    (3L, Array(-1.0f, 2.5f, 0.5f), Array(2.0f, -0.5f, 1.5f)))
+
+  test("vec_dot / vec_norm / vec_cosine match reference math") {
+    val df = vecs.toDF("id", "a", "b")
+      .withColumn("dot", vec_dot(col("a"), col("b")))
+      .withColumn("na", vec_norm(col("a")))
+      .withColumn("cos", vec_cosine(col("a"), col("b")))
+      .orderBy("id")
+    val rows = df.collect()
+    vecs.zip(rows).foreach { case ((_, a, b), r) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      val cos = if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      assert(math.abs(r.getAs[Double]("dot") - dot) < 1e-12)
+      assert(math.abs(r.getAs[Double]("na") - na) < 1e-12)
+      assert(math.abs(r.getAs[Double]("cos") - cos) < 1e-12)
+    }
+  }
+
+  test("mixed float/double arrays work (LSH plane dot)") {
+    val df = vecs.toDF("id", "a", "b")
+      .withColumn("plane", array(lit(0.5), lit(-0.5), lit(1.0)))
+      .withColumn("d", vec_dot(col("a"), col("plane")))
+      .orderBy("id")
+    val first = df.collect().head.getAs[Double]("d")
+    assert(math.abs(first - (1.0 * 0.5 + 2.0 * -0.5 + 3.0 * 1.0)) < 1e-12)
+  }
+
+  test("simhash64: identical inputs → identical hash; bit-majority behavior") {
+    val df = Seq(
+      (1L, Array(0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL, 0L)),
+      (2L, Array(0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL, 0L)),
+      (3L, Array(0L, 0L, 1L)))
+      .toDF("id", "hashes")
+      .withColumn("sh", simhash64(col("hashes")))
+      .orderBy("id")
+      .select("id", "sh")
+    val rows = df.collect()
+    assert(rows(0).getLong(1) === rows(1).getLong(1))
+    // two all-ones vs one zero → every bit majority 1 → all-ones
+    assert(rows(0).getLong(1) === -1L)
+    // majority zero everywhere except bit0 has 1 vote of 3 → all zero
+    assert(rows(2).getLong(1) === 0L)
+  }
+
+  test("expressions are SQL-registered via the engine") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "simhash64(array(7L)) AS s").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) === 7L)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // force interpreted path by eval'ing the expression directly
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val e = graft.functions.VecCosine(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        ArrayData.toArrayData(Array(1.0f, 2.0f)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        ArrayData.toArrayData(Array(2.0f, 4.0f)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    val viaDf = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(vec_cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(math.abs(interpreted - viaDf) < 1e-15)
+    assert(math.abs(interpreted - 1.0) < 1e-12)
+  }
+}

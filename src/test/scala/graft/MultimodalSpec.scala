@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal column plumbing: schema contract, determinism, and shape
+  * invariants (the decode kernels are deterministic stubs by design). */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("asset table has the (binary payload, typed meta) schema") {
+    val df = graft.pipeline.Multimodal.assets(spark, sfDir)
+    assert(df.schema("payload").dataType === BinaryType)
+    val meta = df.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq === Seq("mime", "n_bytes", "origin"))
+    assert(df.count() === 500)
+  }
+
+  test("decode emits positive dimensions and is deterministic") {
+    val a = run("p14_multimodal_decode").collect()
+    val b = run("p14_multimodal_decode").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0))
+  }
+
+  test("resize plan never exceeds the max dimension and preserves aspect") {
+    val rows = run("p15_multimodal_resize").collect()
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 256 && oh <= 256)
+      assert(ow <= w && oh <= h)
+    }
+  }
+
+  test("frame sampling slices only video assets, ≤10 frames") {
+    val df = run("p16_multimodal_frames")
+    assert(df.count() > 0)
+    assert(df.filter(col("n_sampled") > 10).count() === 0)
+  }
+
+  test("feature extraction yields fixed-dim vectors in [-1, 1]") {
+    val df = run("p17_multimodal_features")
+    assert(df.filter(size(col("features")) =!= 16).count() === 0)
+    val flat = df.select(explode(col("features")).as("v"))
+    assert(flat.filter(col("v") < -1.0 || col("v") > 1.0).count() === 0)
+  }
+}
