@@ -61,6 +61,11 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
     out = GenSeries.replaceAllIn(out,
       m => s"(SELECT explode(sequence(CAST(${m.group(1)} AS BIGINT), " +
         s"CAST(${m.group(2)} AS BIGINT))) AS generate_series)")
+    // DuckDB type names Spark spells differently: bare VARCHAR (no length)
+    // and BLOB (batch_stream.test.ts uses ::VARCHAR; BLOB ↔ BinaryType per
+    // SURVEY §1.3). VARCHAR(n) passes through untouched.
+    out = """(?i)\bVARCHAR\b(?!\s*\()""".r.replaceAllIn(out, "STRING")
+    out = """(?i)\bBLOB\b""".r.replaceAllIn(out, "BINARY")
     out
   }
 

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the 100 TB design invariants, asserted on
+  * the actual optimized plans so a regression (lost pushdown, lost broadcast,
+  * lost top-k fusion, codegen fallout) fails CI rather than surfacing as a
+  * 10× slowdown at scale. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def qe(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+
+  private def plan(name: String): String = qe(name).executedPlan.toString
+
+  /** codegen-mode explain: "Found N WholeStageCodegen subtrees" + the
+    * generated code itself. */
+  private def codegen(name: String): String =
+    qe(name).explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+
+  test("q06 global agg: filters are pushed into the parquet scan") {
+    val p = plan("q06_global_agg")
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      "shipdate filter not pushed")
+  }
+
+  test("q06 global agg: scan reads only needed columns (pruning)") {
+    val p = plan("q06_global_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q05 6-table join: constant dims are broadcast") {
+    val p = plan("q05_join_6table")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in 6-table plan")
+  }
+
+  test("q03 top-k: ORDER BY + LIMIT fuses to TakeOrderedAndProject") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not fused")
+  }
+
+  test("q01 aggregation: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q01_agg_pricing_summary")
+    assert(p.contains("partial_sum"), "no partial aggregation")
+    val cg = codegen("q01_agg_pricing_summary")
+    assert(cg.contains("WholeStageCodegen subtrees"), "aggregation fell out of codegen")
+  }
+
+  test("native vector expressions stay inside WholeStageCodegen") {
+    val cg = codegen("p11_ann_brute_topk")
+    assert(cg.contains("WholeStageCodegen subtrees"))
+    // the cosine kernel appears in the generated code, not as a UDF call
+    assert(plan("p11_ann_brute_topk").contains("veccosine"))
+    assert(!plan("p11_ann_brute_topk").toLowerCase.contains("batchevalpython"))
+  }
+
+  test("p01 token count is a pure narrow projection (no shuffle before sort)") {
+    val df = Tables.load(spark, sfDir, "documents")
+    val narrow = SparkEntry.queries("p01_token_count")(spark, sfDir)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    // exactly one exchange, and it's the final rangepartitioning sort
+    val exchanges = narrow.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"unexpected shuffles:\n$narrow")
+  }
+
+  test("semi/anti joins are planned as such (not inner + dedup)") {
+    assert(plan("q04_exists_semijoin").contains("LeftSemi"))
+    assert(plan("q22_substring_antijoin").contains("LeftAnti"))
+  }
+}
