@@ -22,6 +22,9 @@ package object functions {
   def simhash64(tokenHashes: Column): Column =
     ExprBridge.column(SimHash64(ExprBridge.expression(tokenHashes)))
 
+  def minhash_sig(elementHashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ExprBridge.column(MinHashSignature(ExprBridge.expression(elementHashes), a, b, p))
+
   private def arity(name: String, n: Int)(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(es.length == n, s"$name requires $n argument(s), got ${es.length}")

@@ -48,25 +48,34 @@ object DedupQueries {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id + 3-word-shingle minhash signature columns mh0..mh31.
-    * Entirely narrow (scan-side) work. */
-  private[pipeline] def signatures(d: DataFrame): DataFrame = {
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(sh, h -> (${a}L * h + ${b}L) % ${P}L))").as(s"mh$i")
-    }
+  /** 3-word shingle hashes per document (the discriminative unit — unigram
+    * tokens from a small vocabulary would make every pair look similar).
+    * Hashes are combined numerically from per-token hashes — building the
+    * shingle *strings* just to hash them costs ~5× more (measured). */
+  private[graft] def shingleHashes(d: DataFrame): DataFrame =
     d.withColumn("tokens", split(trim(col("text")), "\\s+"))
-      .withColumn("shingles",
-        expr("transform(sequence(0, greatest(size(tokens) - 3, 0)), i -> concat_ws(' ', slice(tokens, i + 1, 3)))"))
-      .withColumn("sh", expr(s"transform(shingles, x -> pmod(xxhash64(x), ${P}L))"))
-      .select(col("doc_id") +: sigCols: _*)
-  }
+      .withColumn("th", expr(s"transform(tokens, t -> pmod(xxhash64(t), ${P}L))"))
+      // reduced mod P before combining: (P·31+P)·31+P < 2^41, no ANSI overflow
+      .withColumn("sh", expr(
+        s"""transform(sequence(0, greatest(size(th) - 3, 0)),
+           | i -> pmod((element_at(th, i + 1) * 31L + element_at(th, i + 2)) * 31L
+           |           + element_at(th, i + 3), ${P}L))""".stripMargin))
+
+  /** doc_id + 32-component minhash signature array, computed in ONE pass
+    * over the shingle hashes by the native MinHashSignature expression.
+    * Entirely narrow (scan-side) work. */
+  private[pipeline] def signatures(d: DataFrame): DataFrame =
+    shingleHashes(d)
+      .select(col("doc_id"),
+        graft.functions.minhash_sig(col("sh"), perms.map(_._1), perms.map(_._2), P)
+          .as("sig"))
 
   /** LSH band rows: (doc_id, band, band_sig) — the join key for candidates. */
   private[pipeline] def bandRows(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { bnd =>
-      val sigExpr = concat_ws(",",
-        (0 until RowsPerBand).map(r => col(s"mh${bnd * RowsPerBand + r}")): _*)
-      struct(lit(bnd).as("band"), xxhash64(sigExpr).as("band_sig"))
+      val sliceStr = expr(
+        s"concat_ws(',', transform(slice(sig, ${bnd * RowsPerBand + 1}, $RowsPerBand), x -> cast(x as string)))")
+      struct(lit(bnd).as("band"), xxhash64(sliceStr).as("band_sig"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
@@ -101,8 +110,7 @@ object DedupQueries {
     * signature components that agree). */
   private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSignatures(s, dir)
-    val asArr = sig.select(col("doc_id"),
-      array((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig"))
+    val asArr = sig
     val bands = bandRows(sig)
     val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
       col("doc_id").as("doc_a"))
@@ -129,12 +137,14 @@ object DedupQueries {
     * blocking bounds the candidate space (at full scale the block key would
     * be an LSH band instead). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .withColumn("tokens", array_distinct(split(trim(col("text")), "\\s+")))
+    // persisted: both sides of the self-join consume the same gram arrays
+    val d = shingleHashes(docs(s, dir))
+      .withColumn("grams", array_distinct(col("sh")))
       .select(col("doc_id"), col("source"),
-        col("tokens"), size(col("tokens")).as("nt"))
+        col("grams"), size(col("grams")).as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = d.select(col("doc_id"), col("source"), col("nt"),
-      explode(col("tokens")).as("tok"))
+      explode(col("grams")).as("tok"))
     val a = toks.select(col("source").as("src"), col("tok"),
       col("doc_id").as("doc_a"), col("nt").as("nt_a"))
     val b = toks.select(col("source").as("src"), col("tok"),
@@ -189,4 +199,20 @@ object DedupQueries {
     Q("p08_ngram_jaccard_pairs", ngramJaccard, None),
     Q("p09_simhash64", simhash, None),
     Q("p10_embedding_neardup", embeddingNearDup, None))
+
+  /** Debug/inspection helper: full shingle-jaccard distribution (no
+    * threshold) over source-blocked pairs. */
+  private[graft] def shingleJaccardAll(s: SparkSession, dir: String): DataFrame = {
+    val d = shingleHashes(docs(s, dir))
+      .withColumn("grams", array_distinct(col("sh")))
+      .select(col("doc_id"), col("source"), col("grams"), size(col("grams")).as("nt"))
+    val toks = d.select(col("doc_id"), col("source"), col("nt"), explode(col("grams")).as("tok"))
+    val a = toks.select(col("source").as("src"), col("tok"), col("doc_id").as("doc_a"), col("nt").as("nt_a"))
+    val b = toks.select(col("source").as("src"), col("tok"), col("doc_id").as("doc_b"), col("nt").as("nt_b"))
+    a.join(b, Seq("src", "tok")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("nt_a") + col("nt_b") - col("common")).cast("double"))
+  }
 }

@@ -131,9 +131,45 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash-free train/valid/test split (stable across runs and
+    * engines — the property a reproducible training pipeline needs). */
+  private def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10)) < 9, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
+  private val trainTestSplitSql =
+    """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+      |            WHEN doc_id % 10 < 9 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY split ORDER BY split""".stripMargin
+
+  /** Corpus vocabulary with doc frequencies — the explode-then-aggregate
+    * shape (shuffle on token; at 100 TB this is the canonical wordcount). */
+  private def vocabulary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), ws)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("tok"))
+
+  private val vocabularySql =
+    """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |      FROM documents) t
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_token_count", tokenCount, Some(tokenCountSql)),
     Q("p02_quality_score", quality, Some(qualitySql)),
     Q("p03_lang_id", langId, Some(langIdSql)),
-    Q("p04_fingerprint", fingerprint, None))
+    Q("p04_fingerprint", fingerprint, None),
+    Q("p18_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
+    Q("p19_vocabulary", vocabulary, Some(vocabularySql)))
 }
