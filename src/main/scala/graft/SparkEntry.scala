@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{OperatorQueries, RelationalQueries}
+import graft.operators.{ExtendedQueries, OperatorQueries, RelationalQueries}
 import graft.pipeline.{DedupQueries, Multimodal, Similarity, TextQueries}
 import graft.streaming.StreamingQueries
 
@@ -16,7 +16,7 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
 
   val allQueries: Seq[Q] =
-    RelationalQueries.all ++ OperatorQueries.all ++
+    RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ Similarity.all ++
       Multimodal.all ++ StreamingQueries.all
 
