@@ -47,11 +47,14 @@ final class Connection(val engine: Engine) {
   }
 
   /** Fetch the next batch of the active stream; empty array = end-of-stream
-    * (mirrors FetchQueryResults, webdb.cc:169-202 incl. clear-on-end). */
+    * (mirrors FetchQueryResults, webdb.cc:169-202: state is cleared on end
+    * AND on error — a failed stream doesn't wedge the connection). */
   def fetchQueryResults(): Array[Byte] = activeStream match {
     case None => Array.emptyByteArray
     case Some(st) =>
-      val b = st.nextBatch()
+      val b =
+        try st.nextBatch()
+        catch { case e: Throwable => activeStream = None; throw e }
       if (b.isEmpty) activeStream = None
       b
   }
@@ -78,9 +81,31 @@ final class Connection(val engine: Engine) {
   def insertJSONFromPath(name: String, opts: IngestOptions): Unit =
     saveIngested(JsonIngest.read(spark, engine.files.resolve(name), opts), opts)
 
-  /** Arrow IPC stream ingest (webdb.cc:280-337). */
-  def insertArrowFromIPCStream(bytes: Array[Byte], opts: IngestOptions): Unit =
-    saveIngested(ArrowBridge.fromIpcStream(spark, bytes), opts)
+  /** Arrow IPC stream ingest (webdb.cc:280-337). The reference's worker
+    * protocol delivers the stream in chunks across multiple calls, buffering
+    * until the end-of-stream marker (webdb.cc:284-304) — mirrored here: call
+    * repeatedly with chunks; the table materializes when the IPC EOS marker
+    * (or an empty chunk) arrives. A complete stream in one call works too. */
+  def insertArrowFromIPCStream(bytes: Array[Byte], opts: IngestOptions): Unit = {
+    val key = s"${opts.schema}.${opts.name}"
+    val buf = arrowBuffers.getOrElseUpdate(key, new java.io.ByteArrayOutputStream())
+    buf.write(bytes)
+    if (bytes.isEmpty || endsWithEos(bytes)) {
+      val all = buf.toByteArray
+      arrowBuffers.remove(key)
+      saveIngested(ArrowBridge.fromIpcStream(spark, all), opts)
+    }
+  }
+
+  private val arrowBuffers = mutable.Map[String, java.io.ByteArrayOutputStream]()
+
+  /** Arrow IPC end-of-stream marker: 0xFFFFFFFF followed by length 0. */
+  private def endsWithEos(b: Array[Byte]): Boolean = {
+    val n = b.length
+    n >= 8 &&
+      b(n - 8) == -1 && b(n - 7) == -1 && b(n - 6) == -1 && b(n - 5) == -1 &&
+      b(n - 4) == 0 && b(n - 3) == 0 && b(n - 2) == 0 && b(n - 1) == 0
+  }
 
   private def saveIngested(df: DataFrame, opts: IngestOptions): Unit = {
     val table = s"${opts.schema}.`${opts.name}`"

@@ -126,6 +126,19 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.arrow_rt")
   }
 
+  test("Arrow IPC ingest buffers chunks until EOS (webdb.cc:284-304)") {
+    val src = conn.queryDF("SELECT id FROM range(0, 100)")
+    val ipc = ArrowBridge.toIpcStream(src)
+    val (h1, h2) = ipc.splitAt(ipc.length / 2)
+    conn.insertArrowFromIPCStream(h1, IngestOptions(name = "arrow_chunked"))
+    // stream not complete yet → table must not exist
+    assert(!SparkTestSession.spark.catalog.tableExists("main.arrow_chunked"))
+    conn.insertArrowFromIPCStream(h2, IngestOptions(name = "arrow_chunked"))
+    assert(conn.queryDF("SELECT count(*)::BIGINT AS n FROM main.arrow_chunked")
+      .collect().head.getLong(0) === 100)
+    conn.queryDF("DROP TABLE main.arrow_chunked")
+  }
+
   test("CSV ingest with dateformat (insert_csv.test.ts:151-177)") {
     val p = Files.createTempFile("graft", ".csv")
     Files.writeString(p, "d\n01/02/2020\n03/04/2021\n")
