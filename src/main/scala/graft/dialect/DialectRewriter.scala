@@ -32,10 +32,12 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
   def rewrite(sql: String): String = {
     var out = sql
     out = ParquetScan.replaceAllIn(out, m => {
+      files.recordScan(m.group(2))
       val v = tempView(spark.read.parquet(files.resolve(m.group(2))))
       java.util.regex.Matcher.quoteReplacement(v)
     })
     out = ReadCsv.replaceAllIn(out, m => {
+      files.recordScan(m.group(1))
       val opts = parseCsvArgs(m.group(2))
       val reader = spark.read.options(opts)
       val df0 = reader.csv(files.resolve(m.group(1)))
@@ -47,6 +49,7 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
       java.util.regex.Matcher.quoteReplacement(tempView(df))
     })
     out = BareFile.replaceAllIn(out, m => {
+      files.recordScan(m.group(2))
       val path = files.resolve(m.group(2))
       val df = path.toLowerCase match {
         case p if p.endsWith(".csv") =>

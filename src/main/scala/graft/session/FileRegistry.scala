@@ -15,8 +15,45 @@ import scala.jdk.CollectionConverters._
   * them like any other file (at cluster scale that dir would be shared
   * storage; the registry API is unchanged).
   */
+/** Per-file I/O statistics (reference collectFileStatistics /
+  * exportFileStatistics — webdb.cc:703-714, counters file_stats.h:24-120).
+  * The reference counts page-level cold/ahead/cached reads inside its own
+  * buffer manager; Spark I/O goes through Hadoop FS + OS cache, so the
+  * engine-observable equivalents are exposed: file size, scan resolutions,
+  * and API-level byte reads. */
+final case class FileStatistics(
+    fileName: String,
+    sizeBytes: Long,
+    scanResolutions: Long,
+    apiReads: Long,
+    apiBytesRead: Long)
+
 final class FileRegistry {
   private val entries = new ConcurrentHashMap[String, String]()
+  private val statsEnabled = ConcurrentHashMap.newKeySet[String]()
+  private val scanCounts = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val readCounts = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val readBytes = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def counter(m: ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+      name: String) =
+    m.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
+
+  /** Enable/disable statistics collection for a registered file. */
+  def collectFileStatistics(name: String, enable: Boolean): Unit =
+    if (enable) statsEnabled.add(name) else statsEnabled.remove(name)
+
+  def exportFileStatistics(name: String): FileStatistics = {
+    val p = Paths.get(resolve(name))
+    val size = if (Files.exists(p) && !Files.isDirectory(p)) Files.size(p) else 0L
+    FileStatistics(name, size,
+      counter(scanCounts, name).get(),
+      counter(readCounts, name).get(),
+      counter(readBytes, name).get())
+  }
+
+  private[graft] def recordScan(name: String): Unit =
+    if (statsEnabled.contains(name)) counter(scanCounts, name).incrementAndGet()
   private lazy val spillDir: Path = {
     val d = Files.createTempDirectory("graft-files-")
     d.toFile.deleteOnExit()
@@ -65,6 +102,15 @@ final class FileRegistry {
   /** Read back the bytes behind a registered name (reference
     * copyFileToBuffer, used to export query/COPY results). */
   def copyFileToBuffer(name: String): Array[Byte] = {
+    val out = doCopyFileToBuffer(name)
+    if (statsEnabled.contains(name)) {
+      counter(readCounts, name).incrementAndGet()
+      counter(readBytes, name).addAndGet(out.length.toLong)
+    }
+    out
+  }
+
+  private def doCopyFileToBuffer(name: String): Array[Byte] = {
     val p = Paths.get(resolve(name))
     if (Files.isDirectory(p)) {
       // Spark sinks write part-directories; a single-part dir reads back

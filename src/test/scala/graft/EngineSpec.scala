@@ -228,6 +228,19 @@ class EngineSpec extends AnyFunSuite {
     assert(!engine.files.isRegistered("other.txt"))
   }
 
+  test("file statistics: scan + read counters (webdb.cc:703-714)") {
+    engine.files.registerFilePath("stats.parquet", s"$sf/region.parquet")
+    engine.files.collectFileStatistics("stats.parquet", enable = true)
+    conn.queryDF("SELECT count(*) AS n FROM parquet_scan('stats.parquet')").collect()
+    engine.files.copyFileToBuffer("stats.parquet")
+    val st = engine.files.exportFileStatistics("stats.parquet")
+    assert(st.sizeBytes > 0)
+    assert(st.scanResolutions === 1)
+    assert(st.apiReads === 1)
+    assert(st.apiBytesRead === st.sizeBytes)
+    engine.files.collectFileStatistics("stats.parquet", enable = false)
+  }
+
   test("feature flags + version") {
     assert(engine.getVersion.startsWith("graft-spark-"))
     assert(engine.getFeatureFlags("threads"))

@@ -1,0 +1,63 @@
+package graft
+
+import graft.scale.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique verification: bucketed joins really avoid the shuffle,
+  * salted joins really produce identical results to plain joins. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("bucketed co-located join has zero Exchange in the plan") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("DROP TABLE IF EXISTS main.b_orders")
+    spark.sql("DROP TABLE IF EXISTS main.b_lineitem")
+    Scale.writeBucketed(
+      Tables.load(spark, sfDir, "orders"), "main.b_orders", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.load(spark, sfDir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "main.b_lineitem", "o_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("main.b_orders")
+        .join(spark.table("main.b_lineitem"), "o_orderkey")
+      val plan = joined
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expected = Tables.load(spark, sfDir, "orders")
+        .join(Tables.load(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS main.b_orders")
+      spark.sql("DROP TABLE IF EXISTS main.b_lineitem")
+    }
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("okey"))
+    val salted = Scale.saltedJoin(li, o, Seq("okey"), saltBuckets = 4)
+    assert(salted.count() === plain.count())
+    assert(salted.select("okey", "l_quantity", "o_orderpriority")
+      .exceptAll(plain.select("okey", "l_quantity", "o_orderpriority")).count() === 0)
+  }
+
+  test("key skew histogram finds the heaviest keys") {
+    val skew = Scale.keySkew(Tables.load(spark, sfDir, "lineitem"), "l_suppkey", 5)
+    val rows = skew.collect()
+    assert(rows.length === 5)
+    // descending
+    assert(rows.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
+  }
+}
