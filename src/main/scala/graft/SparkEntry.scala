@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ExtendedQueries, OperatorQueries, RelationalQueries}
+import graft.operators.{ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries}
 import graft.pipeline.{DedupQueries, Multimodal, Similarity, TextQueries}
 import graft.streaming.StreamingQueries
 
@@ -17,8 +17,8 @@ object SparkEntry {
 
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ Similarity.all ++
-      Multimodal.all ++ StreamingQueries.all
+      MicroQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      Similarity.all ++ Multimodal.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
