@@ -48,7 +48,7 @@ object JsonIngest {
     }
 
   /** First structural token decides the shape (json_table.cc:320-330). */
-  private[ingest] def detectShape(path: String): Shape = {
+  private[graft] def detectShape(path: String): Shape = {
     val head = {
       val in = Files.newInputStream(Paths.get(path))
       try {
@@ -60,33 +60,46 @@ object JsonIngest {
     val t = head.dropWhile(_.isWhitespace)
     if (t.startsWith("[")) RowArray
     else {
-      // `{` then: values that are arrays ⇒ COLUMN_OBJECT; else NDJSON rows
+      // `{` then: values that are arrays ⇒ COLUMN_OBJECT; else NDJSON rows.
+      // An empty object is COLUMN_OBJECT with zero columns (analyzer golden
+      // "cols_empty", json_analyzer_test.cc).
       val p = new JsonFactory().createParser(t)
       try {
         p.nextToken() // START_OBJECT
-        p.nextToken() // FIELD_NAME (or END_OBJECT)
-        val v = p.nextToken()
-        if (v == JsonToken.START_ARRAY) ColumnObject else NdJson
+        p.nextToken() match {
+          case JsonToken.END_OBJECT => ColumnObject
+          case JsonToken.FIELD_NAME =>
+            if (p.nextToken() == JsonToken.START_ARRAY) ColumnObject else NdJson
+          case _ => NdJson
+        }
       } catch { case _: Exception => NdJson }
       finally p.close()
     }
   }
 
   // -------------------------------------------------------------- analyzer
-  /** Per-field type statistics, reference counters (json_analyzer.cc:140-154). */
-  private final class FieldStats {
-    var ints, doubles, bools, strings, nulls, objects, arrays = 0L
+  /** Per-field type statistics, reference counters (json_analyzer.cc:140-154).
+    * Resolution rules replicate the reference's *tested* behavior
+    * (lib/test/json_analyzer_test.cc goldens), with unsigned types widened
+    * per SURVEY §1.3: uint32 → LongType, uint64 → DecimalType(20,0). */
+  private[ingest] final class FieldStats(rowShape: Boolean) {
+    var ints, doubles, bools, strings, nulls, objects, arrays, bigints = 0L
     var minLong = Long.MaxValue
     var maxLong = Long.MinValue
     /** string candidate survivors (start all-true, knocked out per value) */
     var candTimestamp, candInt, candDouble, candBool = true
     var seen = 0L
+    /** nested-object field stats (rows_nested_1: numbers fingerprint to
+      * double inside nested structs) */
+    var nested: mutable.LinkedHashMap[String, FieldStats] = _
 
     def observeLong(v: Long): Unit = {
       ints += 1; seen += 1
       if (v < minLong) minLong = v
       if (v > maxLong) maxLong = v
     }
+    /** JSON integer beyond int64 range (uint64 territory). */
+    def observeBigInt(): Unit = { bigints += 1; seen += 1 }
     def observeDouble(): Unit = { doubles += 1; seen += 1 }
     def observeBool(): Unit = { bools += 1; seen += 1 }
     def observeNull(): Unit = { nulls += 1 }
@@ -98,35 +111,67 @@ object JsonIngest {
       if (candBool && !Candidates.isBool(s)) candBool = false
     }
 
-    /** Resolve per reference preference order (json_analyzer.cc:256-295). */
+    private def hasNegative: Boolean = ints > 0 && minLong < 0
+
+    /** Resolve per reference preference order (json_analyzer.cc:256-295,
+      * :354-356) — see golden table in JsonGoldenSpec. */
     def resolve(): DataType = {
       if (seen == 0) return StringType // all-null/empty ⇒ NULL→STRING (§1.3)
-      if (strings > 0 && strings == seen) {
-        // pure string column: candidate preference TIMESTAMP(100) > INT(40/38)
-        // > DOUBLE(20) > BOOL(10) > STRING(1)
-        if (candTimestamp) return TimestampType
-        if (candInt) return LongType
-        if (candDouble) return DoubleType
-        if (candBool) return BooleanType
+      if (objects > 0 && objects == seen && nested != null) {
+        // nested struct: fields sorted, numerics fingerprint to double
+        return StructType(nested.toSeq.sortBy(_._1).map { case (n, st) =>
+          StructField(n, st.resolveNestedLeaf(), nullable = true)
+        })
+      }
+      if (strings > 0) {
+        // timestamp candidates survive mixing with ints (goldens
+        // cols/rows_timestamp_mixed_1: ints are epoch seconds)
+        if (candTimestamp && doubles == 0 && bools == 0 && bigints == 0)
+          return TimestampType
+        if (strings == seen) {
+          // pure string column: preference TIMESTAMP(100) > INT(40/38)
+          // > DOUBLE(20) > BOOL(10) > STRING(1)
+          if (candInt) return LongType
+          if (candDouble) return DoubleType
+          if (candBool) return BooleanType
+        }
         return StringType
       }
-      if (strings > 0) return StringType // mixed string/non-string ⇒ string
+      if (bigints > 0)
+        // uint64 unless a negative value forces double
+        // (cols_u64 vs cols_u64_sign_conflict)
+        return if (hasNegative || doubles > 0) DoubleType else DecimalType(20, 0)
+      if (doubles > 0) return DoubleType // any double (incl. bool/int mix)
       if (bools > 0)
-        return if (bools == seen) BooleanType else StringType
-      if (doubles > 0) return DoubleType
-      if (ints > 0)
-        // integer widening: int32 if all values fit, else int64 (:273-295)
-        return if (minLong >= Int.MinValue && maxLong <= Int.MaxValue) IntegerType
-        else LongType
+        // bool-only ⇒ bool; bool mixed with ints ⇒ double (cols_f64_mixed_1)
+        return if (bools == seen) BooleanType else DoubleType
+      if (ints > 0) {
+        if (minLong >= Int.MinValue && maxLong <= Int.MaxValue) return IntegerType
+        // sign-conflict beyond int32: the reference's ROW path resolves
+        // uint64 where the COLUMN path resolves int64 (json_analyzer.cc:
+        // 354-356 quirk, pinned by rows_ vs cols_i32_sign_conflict) —
+        // replicate the tested behavior, not the apparent intent.
+        if (rowShape && hasNegative) return DecimalType(20, 0)
+        return LongType
+      }
       StringType
+    }
+
+    /** Leaf type inside a nested struct: numerics → double (median
+      * fingerprint behavior, rows_nested_1). */
+    private def resolveNestedLeaf(): DataType = {
+      if (seen == 0) StringType
+      else if (strings > 0) StringType
+      else if (ints + doubles + bigints > 0) DoubleType
+      else if (bools > 0) BooleanType
+      else StringType
     }
   }
 
-  private object Candidates {
+  private[ingest] object Candidates {
     private val ts = Seq(
-      java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME,
-      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME,
-      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd'T'HH:mm:ss")
+      .map(java.time.format.DateTimeFormatter.ofPattern)
     def isTimestamp(s: String): Boolean =
       ts.exists { f => try { f.parse(s); true } catch { case _: Exception => false } }
     def isLong(s: String): Boolean = s.nonEmpty && s.forall(c => c.isDigit || c == '-') &&
@@ -139,7 +184,34 @@ object JsonIngest {
 
   /** Stream the ROW_ARRAY document once, gather stats, emit the schema with
     * fields sorted by name (json_analyzer.cc:416). */
-  private[ingest] def analyzeRowArray(path: String): StructType = {
+  /** Shared per-value observation incl. int64-overflow and nested-object
+    * recursion (one level, per the reference's fingerprint sampling). */
+  private def observeValue(p: JsonParser, st: FieldStats, tok: JsonToken,
+      rowShape: Boolean): Unit = tok match {
+    case JsonToken.VALUE_NUMBER_INT =>
+      if (p.getNumberType == JsonParser.NumberType.BIG_INTEGER) st.observeBigInt()
+      else st.observeLong(p.getLongValue)
+    case JsonToken.VALUE_NUMBER_FLOAT => st.observeDouble()
+    case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => st.observeBool()
+    case JsonToken.VALUE_NULL => st.observeNull()
+    case JsonToken.VALUE_STRING => st.observeString(p.getText)
+    case JsonToken.START_OBJECT =>
+      st.objects += 1; st.seen += 1
+      if (st.nested == null) st.nested = mutable.LinkedHashMap[String, FieldStats]()
+      var t = p.nextToken()
+      while (t == JsonToken.FIELD_NAME) {
+        val sub = st.nested.getOrElseUpdate(p.currentName(), new FieldStats(rowShape))
+        val vt = p.nextToken()
+        if (vt == JsonToken.START_OBJECT || vt == JsonToken.START_ARRAY) {
+          sub.objects += 1; sub.seen += 1; p.skipChildren()
+        } else observeValue(p, sub, vt, rowShape)
+        t = p.nextToken()
+      }
+    case JsonToken.START_ARRAY => st.arrays += 1; st.seen += 1; p.skipChildren()
+    case _ => ()
+  }
+
+  private[graft] def analyzeRowArray(path: String): StructType = {
     val stats = mutable.LinkedHashMap[String, FieldStats]()
     val p = new JsonFactory().createParser(Paths.get(path).toFile)
     try {
@@ -148,17 +220,8 @@ object JsonIngest {
         var t = p.nextToken()
         while (t == JsonToken.FIELD_NAME) {
           val name = p.currentName()
-          val st = stats.getOrElseUpdate(name, new FieldStats)
-          p.nextToken() match {
-            case JsonToken.VALUE_NUMBER_INT => st.observeLong(p.getLongValue)
-            case JsonToken.VALUE_NUMBER_FLOAT => st.observeDouble()
-            case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => st.observeBool()
-            case JsonToken.VALUE_NULL => st.observeNull()
-            case JsonToken.VALUE_STRING => st.observeString(p.getText)
-            case JsonToken.START_OBJECT => st.objects += 1; st.seen += 1; p.skipChildren()
-            case JsonToken.START_ARRAY => st.arrays += 1; st.seen += 1; p.skipChildren()
-            case _ => ()
-          }
+          val st = stats.getOrElseUpdate(name, new FieldStats(rowShape = true))
+          observeValue(p, st, p.nextToken(), rowShape = true)
           t = p.nextToken()
         }
       }
@@ -169,7 +232,7 @@ object JsonIngest {
   }
 
   /** COLUMN_OBJECT: parse `{col: [v,...], ...}` driver-side, transpose. */
-  private[ingest] def readColumnObject(path: String,
+  private[graft] def readColumnObject(path: String,
       explicit: Option[StructType]): (StructType, Seq[Row]) = {
     val columns = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Any]]()
     val stats = mutable.LinkedHashMap[String, FieldStats]()
@@ -180,13 +243,15 @@ object JsonIngest {
       while (t == JsonToken.FIELD_NAME) {
         val name = p.currentName()
         val buf = columns.getOrElseUpdate(name, mutable.ArrayBuffer[Any]())
-        val st = stats.getOrElseUpdate(name, new FieldStats)
+        val st = stats.getOrElseUpdate(name, new FieldStats(rowShape = false))
         require(p.nextToken() == JsonToken.START_ARRAY, s"column $name must be an array")
         var v = p.nextToken()
         while (v != JsonToken.END_ARRAY) {
           v match {
             case JsonToken.VALUE_NUMBER_INT =>
-              val l = p.getLongValue; st.observeLong(l); buf += l
+              if (p.getNumberType == JsonParser.NumberType.BIG_INTEGER) {
+                st.observeBigInt(); buf += new java.math.BigDecimal(p.getBigIntegerValue)
+              } else { val l = p.getLongValue; st.observeLong(l); buf += l }
             case JsonToken.VALUE_NUMBER_FLOAT =>
               st.observeDouble(); buf += p.getDoubleValue
             case JsonToken.VALUE_TRUE => st.observeBool(); buf += true
@@ -222,14 +287,22 @@ object JsonIngest {
     case (l: Long, IntegerType) => l.toInt
     case (l: Long, LongType) => l
     case (l: Long, DoubleType) => l.toDouble
+    case (l: Long, _: DecimalType) => java.math.BigDecimal.valueOf(l)
+    // epoch seconds mixed into a timestamp column (cols_timestamp_mixed_1)
+    case (l: Long, TimestampType) => new java.sql.Timestamp(l * 1000L)
     case (d: Double, DoubleType) => d
+    case (b: java.math.BigDecimal, _: DecimalType) => b
+    case (b: java.math.BigDecimal, DoubleType) => b.doubleValue()
     case (s: String, LongType) => s.toLong
     case (s: String, IntegerType) => s.toInt
     case (s: String, DoubleType) => s.toDouble
     case (s: String, BooleanType) => s.equalsIgnoreCase("true")
     case (s: String, TimestampType) =>
-      java.sql.Timestamp.valueOf(s.replace("T", " ").takeWhile(_ != '+'))
+      val norm = s.replace("T", " ").takeWhile(_ != '+')
+      val padded = if (norm.count(_ == ':') == 1) norm + ":00" else norm
+      java.sql.Timestamp.valueOf(padded)
     case (b: Boolean, BooleanType) => b
+    case (b: Boolean, DoubleType) => if (b) 1.0 else 0.0
     case (other, StringType) => other.toString
     case (other, _) => other
   }
