@@ -38,14 +38,18 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
     })
     out = ReadCsv.replaceAllIn(out, m => {
       files.recordScan(m.group(1))
-      val opts = parseCsvArgs(m.group(2))
-      val reader = spark.read.options(opts)
-      val df0 = reader.csv(files.resolve(m.group(1)))
-      // headerless CSV: reference names columns column0..N, Spark _c0..N
-      val df =
-        if (opts.get("header").contains("false"))
-          df0.toDF(df0.columns.indices.map(i => s"column$i"): _*)
-        else df0
+      val parsed = parseCsvArgs(m.group(2))
+      val df = graft.ingest.CsvIngest.read(spark, files.resolve(m.group(1)),
+        graft.ingest.IngestOptions(
+          name = m.group(1),
+          header = parsed.get("header").map(_.toBoolean),
+          delimiter = parsed.get("delim"),
+          quote = parsed.get("quote"),
+          escape = parsed.get("escape"),
+          skip = parsed.get("skip").map(_.toInt),
+          detect = parsed.get("auto_detect").forall(_.toBoolean),
+          dateFormat = parsed.get("dateformat"),
+          timestampFormat = parsed.get("timestampformat")))
       java.util.regex.Matcher.quoteReplacement(tempView(df))
     })
     out = BareFile.replaceAllIn(out, m => {
@@ -78,28 +82,22 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
     name
   }
 
-  /** Translate the reference's read_csv named args (csv_insert_options.h:
-    * 17-45) to Spark reader options, incl. strftime→java time patterns. */
+  /** Parse the reference's read_csv named args (csv_insert_options.h:17-45)
+    * into raw canonical keys; CsvIngest owns the Spark-option translation
+    * (incl. strftime→java patterns and the skip-N line drop). */
   private[dialect] def parseCsvArgs(args: String): Map[String, String] = {
     val Arg = """(?i)\s*,?\s*(\w+)\s*=\s*('([^']*)'|[^,]+)""".r
     Arg.findAllMatchIn(args).flatMap { m =>
       val key = m.group(1).toLowerCase
       val value = Option(m.group(3)).getOrElse(m.group(2).trim)
       key match {
-        case "delim" | "sep" => Some("sep" -> value)
-        case "header" => Some("header" -> value.toLowerCase)
-        case "quote" => Some("quote" -> value)
-        case "escape" => Some("escape" -> value)
-        case "skip" => Some("skipRows" -> value)
-        case "auto_detect" => Some("inferSchema" -> value.toLowerCase)
-        case "dateformat" => Some("dateFormat" -> Strftime.toJavaPattern(value))
-        case "timestampformat" => Some("timestampFormat" -> Strftime.toJavaPattern(value))
+        case "sep" => Some("delim" -> value)
+        case k @ ("delim" | "header" | "quote" | "escape" | "skip" |
+            "auto_detect" | "dateformat" | "timestampformat") =>
+          Some(k -> (if (k == "header" || k == "auto_detect") value.toLowerCase else value))
         case _ => None
       }
-    }.toMap match {
-      case m0 if !m0.contains("inferSchema") => m0 + ("inferSchema" -> "true")
-      case m0 => m0
-    }
+    }.toMap
   }
 }
 

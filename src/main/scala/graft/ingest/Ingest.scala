@@ -34,7 +34,6 @@ object CsvIngest {
     opts.delimiter.foreach(d => r = r.option("sep", d))
     opts.quote.foreach(q => r = r.option("quote", q))
     opts.escape.foreach(e => r = r.option("escape", e))
-    opts.skip.foreach(n => r = r.option("skipRows", n))
     opts.dateFormat.foreach(f => r = r.option("dateFormat", Strftime.toJavaPattern(f)))
     opts.timestampFormat.foreach(f =>
       r = r.option("timestampFormat", Strftime.toJavaPattern(f)))
@@ -42,7 +41,17 @@ object CsvIngest {
       case Some(schema) => r = r.schema(schema)
       case None => r = r.option("inferSchema", opts.detect.toString)
     }
-    val df = r.csv(path)
+    val df = opts.skip.filter(_ > 0) match {
+      case Some(n) =>
+        // Spark's CSV reader has no skip-N option — drop the first N
+        // physical lines via a global line index (zipWithIndex preserves
+        // file order across splits), then parse the remainder.
+        import spark.implicits._
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= n).map(_._1)
+        r.csv(spark.createDataset(lines))
+      case None => r.csv(path)
+    }
     if (!hasHeader && opts.columns.isEmpty)
       df.toDF(df.columns.indices.map(i => s"column$i"): _*)
     else df

@@ -54,6 +54,16 @@ class EngineSpec extends AnyFunSuite {
     assert(df.count() === 2)
   }
 
+  test("read_csv skip=N drops leading lines (csv_insert_options.h:17-45)") {
+    val p = Files.createTempFile("graft", ".csv")
+    Files.writeString(p, "garbage preamble\nmore garbage\na|b\n1|2\n3|4\n")
+    engine.files.registerFilePath("skippy.csv", p.toString)
+    val df = conn.queryDF(
+      "SELECT * FROM read_csv('skippy.csv', delim='|', header=true, skip=2)")
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.count() === 2)
+  }
+
   test("CREATE TABLE / INSERT / DROP round-trip (bindings.test.ts:74-86)") {
     conn.queryDF("DROP TABLE IF EXISTS main.tbl_rt")
     conn.queryDF("CREATE TABLE main.tbl_rt(a INT, b STRING)")
