@@ -28,18 +28,53 @@ object Tables {
       (System.identityHashCode(spark), dir, name), _ => doLoad(spark, dir, name))
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw Long and
-      // convert with exact integral division (a double roundtrip would lose
-      // precision above 2^53).
+    readParquetAuto(spark, s"$dir/$name.parquet")
+
+  /** Parquet read that tolerates TIMESTAMP(NANOS) columns, which Spark's
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The ns columns are
+    * detected from the parquet footer, read as raw Longs
+    * (`nanosAsLong`), and converted with exact integral division (a double
+    * roundtrip would lose precision above 2^53). */
+  def readParquetAuto(spark: SparkSession, path: String): DataFrame = {
+    val nsCols = nanosColumns(spark, path)
+    if (nsCols.isEmpty) spark.read.parquet(path)
+    else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      nsCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      }
     }
+  }
+
+  /** Column names with TIMESTAMP(NANOS) logical type, from the footer of the
+    * first parquet file under `path`. */
+  private def nanosColumns(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new HPath(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .getOrElse(return Nil)
+        else p
+      val footer = ParquetFileReader.readFooter(conf, file,
+        ParquetMetadataConverter.SKIP_ROW_GROUPS)
+      import scala.jdk.CollectionConverters._
+      footer.getFileMetaData.getSchema.getFields.asScala.toSeq.flatMap { f =>
+        Option(f.getLogicalTypeAnnotation).collect {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => f.getName
+        }
+      }
+    } catch { case _: Exception => Nil }
+  }
 
   /** Register every table as a temp view named exactly like the oracle's
     * table names, so `spark.sql` text matches DuckDB-side SQL 1:1. */

@@ -33,7 +33,7 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
     var out = sql
     out = ParquetScan.replaceAllIn(out, m => {
       files.recordScan(m.group(2))
-      val v = tempView(spark.read.parquet(files.resolve(m.group(2))))
+      val v = tempView(graft.Tables.readParquetAuto(spark, files.resolve(m.group(2))))
       java.util.regex.Matcher.quoteReplacement(v)
     })
     out = ReadCsv.replaceAllIn(out, m => {
@@ -59,7 +59,7 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
         case p if p.endsWith(".csv") =>
           spark.read.option("header", "true").option("inferSchema", "true").csv(path)
         case p if p.endsWith(".json") => spark.read.json(path)
-        case _ => spark.read.parquet(path)
+        case _ => graft.Tables.readParquetAuto(spark, path)
       }
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${tempView(df)}")
     })

@@ -69,7 +69,9 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
       .filter(_.getName.endsWith(".parquet"))
       .foreach { f =>
         val name = f.getName.stripSuffix(".parquet")
-        _spark.read.parquet(f.getPath).createOrReplaceTempView(name)
+        try graft.Tables.readParquetAuto(_spark, f.getPath).createOrReplaceTempView(name)
+        catch { case e: Exception =>
+          System.err.println(s"[engine] skipping $name: ${e.getMessage}") }
       }
   }
 
