@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries}
-import graft.pipeline.{DedupQueries, Multimodal, Similarity, TextQueries}
+import graft.pipeline.{DedupQueries, Multimodal, Similarity, TextQueries, TrainingPipeline}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++
       MicroQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      Similarity.all ++ Multimodal.all ++ StreamingQueries.all
+      Similarity.all ++ Multimodal.all ++ TrainingPipeline.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -134,7 +134,36 @@ object ExtendedQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact DECIMAL aggregation — TPC-H money semantics (SURVEY §7.3 risk 1):
+    * decimal sums are exact integers-scaled arithmetic, so the oracle hash
+    * matches bit for bit with no float tolerance at any scale. (avg is
+    * excluded: DuckDB returns DOUBLE for decimal avg, Spark a wider
+    * decimal.) */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(15,2)").as("price_dec"),
+        col("l_quantity").cast("decimal(15,2)").as("qty_dec"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("price_dec")).as("sum_price"),
+        sum(col("qty_dec")).as("sum_qty"),
+        max(col("price_dec")).as("max_price"),
+        min(col("price_dec")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q45Sql =
+    """SELECT l_returnflag,
+      | sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS sum_price,
+      | sum(CAST(l_quantity AS DECIMAL(15,2))) AS sum_qty,
+      | max(CAST(l_extendedprice AS DECIMAL(15,2))) AS max_price,
+      | min(CAST(l_extendedprice AS DECIMAL(15,2))) AS min_price,
+      | count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q45_decimal_exact_agg", q45, Some(q45Sql)),
     Q("q38_filter_aggregates", q38, Some(q38Sql)),
     Q("q39_cube_grouping", q39, Some(q39Sql)),
     Q("q40_full_outer_join", q40, Some(q40Sql)),

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composable training-data curation pipeline — the operators of this module
+  * (dedup, quality, language, splits) chained as one declarative flow, the
+  * way a 100 TB corpus actually gets built. Each stage is a DataFrame
+  * transformation: the whole pipeline is ONE Catalyst plan (filters merge,
+  * projections prune, nothing materializes until the sink), except the
+  * explicitly-staged LSH candidate join.
+  *
+  * ```scala
+  * TrainingPipeline(docs)
+  *   .dedupeExact()
+  *   .dedupeNear()                 // MinHash-LSH candidates → drop b-sides
+  *   .filterQuality(minTokens = 5, maxCharsPerToken = 12.0)
+  *   .withLanguage()
+  *   .split(train = 0.8, valid = 0.1)
+  *   .result
+  * ```
+  */
+final class TrainingPipeline private (val result: DataFrame) {
+
+  /** Keep one document per exact content duplicate group (min doc_id wins) —
+    * a window over the content digest, no driver-side state. */
+  def dedupeExact(): TrainingPipeline = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    new TrainingPipeline(
+      result.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Drop the higher-id side of every MinHash-LSH near-duplicate candidate
+    * pair (the staged band join from DedupQueries). */
+  def dedupeNear(): TrainingPipeline = {
+    val spark = result.sparkSession
+    val bands = DedupQueries.bandRows(DedupQueries.signatures(result))
+    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    val losers = a.join(b,
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    new TrainingPipeline(result.join(losers, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Quality gates: token count and verbosity bounds (pure narrow filter). */
+  def filterQuality(minTokens: Int, maxCharsPerToken: Double): TrainingPipeline = {
+    // fully qualified: the split(train, valid) stage below shadows functions.split
+    val toks = size(org.apache.spark.sql.functions.split(trim(col("text")), "\\s+"))
+    new TrainingPipeline(result.filter(
+      toks >= minTokens &&
+        (length(col("text")).cast("double") / toks.cast("double")) <= maxCharsPerToken))
+  }
+
+  /** Attach the heuristic language prediction. */
+  def withLanguage(): TrainingPipeline = {
+    def hits(markers: Seq[String]): Column =
+      markers.map(m =>
+        when(concat(lit(" "), lower(col("text")), lit(" ")).like(s"% $m %"), 1)
+          .otherwise(0)).reduce(_ + _)
+    val en = hits(Seq("the", "a", "and", "of", "is"))
+    val es = hits(Seq("el", "la", "de", "los", "es"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    new TrainingPipeline(result.withColumn("pred_lang",
+      when(en >= es && en >= fr && en > 0, "en")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr").otherwise("und")))
+  }
+
+  /** Deterministic train/valid/test assignment by id modulus. */
+  def split(train: Double, valid: Double): TrainingPipeline = {
+    val trainMax = (train * 10).toInt
+    val validMax = trainMax + (valid * 10).toInt
+    new TrainingPipeline(result.withColumn("split",
+      when(pmod(col("doc_id"), lit(10)) < trainMax, "train")
+        .when(pmod(col("doc_id"), lit(10)) < validMax, "valid")
+        .otherwise("test")))
+  }
+}
+
+object TrainingPipeline {
+  def apply(docs: DataFrame): TrainingPipeline = new TrainingPipeline(docs)
+
+  /** The end-to-end curation flow as a declared query (rows-only check):
+    * per-split corpus stats after full dedupe + quality gates. */
+  private def endToEnd(s: SparkSession, dir: String): DataFrame =
+    TrainingPipeline(graft.Tables.load(s, dir, "documents"))
+      .dedupeExact()
+      .dedupeNear()
+      .filterQuality(minTokens = 5, maxCharsPerToken = 12.0)
+      .withLanguage()
+      .split(train = 0.8, valid = 0.1)
+      .result
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("pred_lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  val all: Seq[Q] = Seq(Q("p20_training_pipeline", endToEnd, None))
+}

@@ -73,6 +73,17 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.tbl_rt")
   }
 
+  test("CREATE TABLE with DEFAULT columns (bindings.test.ts:74-84)") {
+    conn.queryDF("DROP TABLE IF EXISTS main.def_t")
+    conn.queryDF(
+      "CREATE TABLE main.def_t(a INT, b INT DEFAULT NULL, c STRING DEFAULT 'x')")
+    conn.queryDF("INSERT INTO main.def_t(a) VALUES (1), (2)")
+    val rows = conn.queryDF("SELECT a, b, c FROM main.def_t ORDER BY a").collect()
+    assert(rows.map(_.isNullAt(1)).forall(identity)) // DEFAULT NULL materializes
+    assert(rows.map(_.getString(2)).toSeq === Seq("x", "x"))
+    conn.queryDF("DROP TABLE main.def_t")
+  }
+
   test("PRAGMA show_tables lists tables with a single name column (bindings.test.ts:43-51)") {
     conn.queryDF("CREATE TABLE IF NOT EXISTS main.show_me(a INT)")
     val df = conn.queryDF("PRAGMA show_tables")
