@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function long tail beyond the rank/running-sum basics (SURVEY §2.5
+  * is entirely beyond the reference corpus, so every form Spark ships gets
+  * an oracle query): ntile/percent_rank/cume_dist, first/last value, RANGE
+  * frames, ordered string aggregation, ordered-set percentile. */
+object WindowExtras {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Distribution + value-positional window functions. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir)("orders")
+      .withColumn("nt", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("fv", first(col("o_orderkey")).over(w))
+      .withColumn("lv", last(col("o_orderkey")).over(wFull))
+      .select(col("o_custkey"), col("o_orderkey"), col("nt"), col("pr"),
+        col("cd"), col("fv"), col("lv"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q46Sql =
+    """SELECT o_custkey, o_orderkey,
+      | ntile(4) OVER w AS nt,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd,
+      | first_value(o_orderkey) OVER w AS fv,
+      | last_value(o_orderkey)
+      |   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** RANGE (value-based) window frame — distinct from ROWS frames. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey")).rangeBetween(-5, 0)
+    t(s, dir)("orders")
+      .withColumn("n_in_range", count(lit(1)).over(w))
+      .withColumn("sum_in_range",
+        sum(floor(col("o_totalprice")).cast("long")).over(w))
+      .select(col("o_orderkey"), col("n_in_range"), col("sum_in_range"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q47Sql =
+    """SELECT o_orderkey,
+      | count(*) OVER w AS n_in_range,
+      | CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) OVER w AS BIGINT) AS sum_in_range
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Ordered string aggregation + ordered-set percentile (exact at p50 over
+    * integers: midpoint of two longs is IEEE-exact). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations_csv"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey)")
+          .as("median_key"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  private val q48Sql =
+    """SELECT n_regionkey,
+      | string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      | percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS median_key,
+      | count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q46_window_distribution", q46, Some(q46Sql)),
+    Q("q47_range_frame", q47, Some(q47Sql)),
+    Q("q48_ordered_agg_percentile", q48, Some(q48Sql)))
+}
