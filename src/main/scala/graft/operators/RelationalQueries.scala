@@ -534,26 +534,30 @@ object RelationalQueries {
       |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
       |ORDER BY s_name""".stripMargin
 
-  /** TPC-H Q21: EXISTS + NOT EXISTS against the same table (semi + anti join
-    * with correlated non-equi conditions). */
+  /** TPC-H Q21: EXISTS + NOT EXISTS against the same table. The oracle keeps
+    * the correlated-subquery form; the Spark plan uses the equivalent
+    * aggregate formulation — per order, count distinct suppliers and
+    * distinct LATE suppliers, qualify when ≥2 suppliers and exactly one is
+    * late — which replaces the semi+anti double self-join (3 lineitem scans
+    * + two shuffles on a correlated non-equi key) with one grouped pass
+    * re-joined to the late items. Same result set; ~2× less lineitem I/O,
+    * and the heavy shuffle key is the plain order key. */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val T = t(s, dir) _
-    val li = T("lineitem")
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val l2 = li.select(col("l_orderkey").as("l2_okey"), col("l_suppkey").as("l2_skey"))
-    val l3 = li.select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"),
-      col("l_shipdate").as("l3_ship"))
-    T("supplier")
-      .join(li, col("s_suppkey") === col("l_suppkey"))
+    val liOrders = T("lineitem")
       .join(T("orders").filter(col("o_orderstatus") === "F"),
         col("o_orderkey") === col("l_orderkey"))
-      .filter(late)
-      .join(l2, col("l2_okey") === col("l_orderkey") && col("l2_skey") =!= col("l_suppkey"),
-        "left_semi")
-      .join(l3,
-        col("l3_okey") === col("l_orderkey") && col("l3_skey") =!= col("l_suppkey")
-          && col("l3_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-        "left_anti")
+    val perOrder = liOrders
+      .groupBy(col("l_orderkey").as("po_okey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("po_okey"))
+    liOrders.filter(late)
+      .join(perOrder, col("l_orderkey") === col("po_okey"), "left_semi")
+      .join(T("supplier"), col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
