@@ -173,6 +173,20 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.csv_dates")
   }
 
+  test("CSV ingest option matrix: quote + escape + delimiter (insert_csv.test.ts:21-120)") {
+    val p = Files.createTempFile("graft", ".csv")
+    Files.writeString(p, "name;note\n\"Smith; John\";\"said \\\"hi\\\"\"\nplain;text\n")
+    engine.files.registerFilePath("quoted.csv", p.toString)
+    conn.insertCSVFromPath("quoted.csv", graft.ingest.IngestOptions(
+      name = "csv_quoted", delimiter = Some(";"), quote = Some("\""),
+      escape = Some("\\")))
+    val rows = conn.queryDF("SELECT name, note FROM main.csv_quoted ORDER BY name")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("Smith; John", "plain"))
+    assert(rows.head.getString(1) === "said \"hi\"")
+    conn.queryDF("DROP TABLE main.csv_quoted")
+  }
+
   test("JSON ingest: ROW_ARRAY shape with type inference (insert_json.test.ts:21-45)") {
     val p = Files.createTempFile("graft", ".json")
     Files.writeString(p,
