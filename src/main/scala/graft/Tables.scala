@@ -19,13 +19,23 @@ object Tables {
     * resolved relation (file listing + parquet footer/schema read happen
     * once per session instead of once per query — measurable when a bench
     * run executes 60 queries back to back). DataFrames are immutable plans,
-    * so sharing is safe. */
+    * so sharing is safe. Weak keys: entries die with their SparkSession
+    * (identityHashCode keys would leak stopped sessions and could collide). */
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), _ => doLoad(spark, dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => doLoad(spark, dir, name))
+  }
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     readParquetAuto(spark, s"$dir/$name.parquet")

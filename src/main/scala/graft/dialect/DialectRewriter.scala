@@ -20,9 +20,13 @@ import java.util.concurrent.atomic.AtomicLong
   * Scans resolve through the FileRegistry and materialize as temp views, so
   * Catalyst sees an ordinary relation (predicate pushdown + pruning intact).
   */
-final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
-
+object DialectRewriter {
+  /** Global across all connections — temp views live in the session-wide
+    * namespace. */
   private val viewCounter = new AtomicLong()
+}
+
+final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
 
   private val ParquetScan = """(?i)(parquet_scan|read_parquet)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadCsv = """(?i)read_csv(?:_auto)?\s*\(\s*'([^']+)'([^)]*)\)""".r
@@ -63,21 +67,29 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
       }
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${tempView(df)}")
     })
-    // DuckDB's generate_series is end-INCLUSIVE and yields BIGINT;
-    // Spark's sequence() matches the inclusivity, the cast fixes the type.
-    out = GenSeries.replaceAllIn(out,
-      m => s"(SELECT explode(sequence(CAST(${m.group(1)} AS BIGINT), " +
-        s"CAST(${m.group(2)} AS BIGINT))) AS generate_series)")
-    // DuckDB type names Spark spells differently: bare VARCHAR (no length)
-    // and BLOB (batch_stream.test.ts uses ::VARCHAR; BLOB ↔ BinaryType per
-    // SURVEY §1.3). VARCHAR(n) passes through untouched.
-    out = """(?i)\bVARCHAR\b(?!\s*\()""".r.replaceAllIn(out, "STRING")
-    out = """(?i)\bBLOB\b""".r.replaceAllIn(out, "BINARY")
+    // Keyword-level rewrites run only OUTSIDE string literals — a literal
+    // containing the word BLOB or a series call must pass through untouched.
+    out = SqlText.mapOutsideLiterals(out) { seg =>
+      var o = seg
+      // DuckDB's generate_series is end-INCLUSIVE and yields BIGINT;
+      // Spark's sequence() matches the inclusivity, the cast fixes the type.
+      o = GenSeries.replaceAllIn(o,
+        m => s"(SELECT explode(sequence(CAST(${m.group(1)} AS BIGINT), " +
+          s"CAST(${m.group(2)} AS BIGINT))) AS generate_series)")
+      // DuckDB type names Spark spells differently: bare VARCHAR (no length)
+      // and BLOB (batch_stream.test.ts uses ::VARCHAR; BLOB ↔ BinaryType per
+      // SURVEY §1.3). VARCHAR(n) passes through untouched.
+      o = """(?i)\bVARCHAR\b(?!\s*\()""".r.replaceAllIn(o, "STRING")
+      o = """(?i)\bBLOB\b""".r.replaceAllIn(o, "BINARY")
+      o
+    }
     out
   }
 
   private def tempView(df: DataFrame): String = {
-    val name = s"__graft_scan_${viewCounter.incrementAndGet()}"
+    // engine-global counter: per-connection counters would collide in the
+    // shared session's temp-view namespace
+    val name = s"__graft_scan_${DialectRewriter.viewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(name)
     name
   }

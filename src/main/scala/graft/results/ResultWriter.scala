@@ -22,18 +22,16 @@ object ResultWriter {
 
   /** Streaming form: schema-only IPC stream first, then one IPC stream per
     * batch (reference sends the schema on send() and one RecordBatch per
-    * fetch — webdb.cc:121-139,169-202). */
+    * fetch — webdb.cc:121-139,169-202). The plan executes INCREMENTALLY via
+    * a partition-at-a-time iterator — the driver never materializes the full
+    * result, which is the whole point of the batch-fetch protocol. */
   def stream(df: DataFrame, emitBigInt: Boolean, batchRows: Int = 2048): ResultStream = {
     val patched = patch(df, emitBigInt)
+    val spark = patched.sparkSession
     val schemaIpc = ArrowBridge.toIpcStream(patched.limit(0))
-    val rows = patched.collect()
-    val batches = rows.grouped(batchRows).map { chunk =>
-      val spark = patched.sparkSession
-      val chunkDf = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(chunk.toSeq).asJava),
-        patched.schema)
-      ArrowBridge.toIpcStream(chunkDf, batchRows)
+    val (schema, rowIter) = ArrowBridge.executeToIterator(patched)
+    val batches = rowIter.map(_.copy()).grouped(batchRows).map { chunk =>
+      ArrowBridge.ipcStreamForRows(spark, schema, chunk)
     }
     new ResultStream(schemaIpc, batches)
   }

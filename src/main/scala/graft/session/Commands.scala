@@ -20,8 +20,10 @@ import scala.jdk.CollectionConverters._
 object Commands {
 
   private val ShowTables = """(?i)\s*PRAGMA\s+show_tables\s*""".r
+  // source = lazy up to the LAST " TO '...'" clause so subqueries with
+  // nested parens (COPY (SELECT count(*) ...) TO ...) parse correctly
   private val CopyTo =
-    """(?is)\s*COPY\s+(\([^)]+\)|[\w.`"]+)\s+TO\s+'([^']+)'\s*(?:\(?\s*(?:WITH\s*\()?([^)]*)\)?\s*)?""".r
+    """(?is)\s*COPY\s+(.+)\s+TO\s+'([^']+)'\s*(?:\(?\s*(?:WITH\s*\()?(.*?)\)?\s*)?""".r
   private val ExportDb = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*""".r
 
   /** Returns Some(result) when the SQL is a command handled here. */
@@ -40,38 +42,51 @@ object Commands {
     names.toDF("name")
   }
 
-  private def parseOpts(raw: Option[String]): Map[String, String] =
-    raw.map(_.split(",").flatMap { kv =>
-      kv.trim.split("\\s+", 2) match {
-        case Array(k, v) => Some(k.toUpperCase -> v.trim.stripPrefix("'").stripSuffix("'"))
-        case Array(k) if k.nonEmpty => Some(k.toUpperCase -> "")
-        case _ => None
-      }
-    }.toMap).getOrElse(Map.empty)
+  /** Quote-aware option parsing: `DELIMITER ','` keeps its comma — options
+    * are KEY [value] pairs where value is a quoted string or a bare word. */
+  private def parseOpts(raw: Option[String]): Map[String, String] = {
+    val Opt = """(\w+)(?:\s+('(?:[^']|'')*'|[^,()]+))?""".r
+    raw.map { s =>
+      Opt.findAllMatchIn(s).flatMap { m =>
+        val k = m.group(1).toUpperCase
+        val v = Option(m.group(2)).map(_.trim).map { t =>
+          if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+            t.substring(1, t.length - 1).replace("''", "'")
+          else t
+        }.getOrElse("")
+        if (k.nonEmpty) Some(k -> v) else None
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
 
   private def copyTo(conn: Connection, source: String, target: String,
       rawOpts: Option[String]): DataFrame = {
     val spark = conn.engine.spark
     val opts = parseOpts(rawOpts)
-    val df =
+    val df0 =
       if (source.startsWith("(")) conn.queryDF(source.stripPrefix("(").stripSuffix(")"))
       else spark.table(source.replace("`", ""))
-    val fmt = opts.getOrElse("FORMAT", "CSV").toUpperCase
-    val tmp = Files.createTempDirectory("graft-copy-").resolve("out")
-    fmt match {
-      case "PARQUET" =>
-        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      case _ =>
-        val header = opts.get("HEADER").forall(v => v == "1" || v.equalsIgnoreCase("true"))
-        df.coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("header", header)
-          .option("sep", opts.getOrElse("DELIMITER", ","))
-          .option("emptyValue", "")
-          .csv(tmp.toString)
-    }
-    moveSinglePart(tmp, conn, target)
-    import spark.implicits._
-    Seq(df.count()).toDF("count")
+    // cache so the write and the returned count are ONE execution of the
+    // source plan, not two
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fmt = opts.getOrElse("FORMAT", "CSV").toUpperCase
+      val tmp = Files.createTempDirectory("graft-copy-").resolve("out")
+      fmt match {
+        case "PARQUET" =>
+          df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        case _ =>
+          val header = opts.get("HEADER").forall(v => v == "1" || v.equalsIgnoreCase("true"))
+          df.coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("header", header)
+            .option("sep", opts.get("DELIMITER").filter(_.nonEmpty).getOrElse(","))
+            .option("emptyValue", "")
+            .csv(tmp.toString)
+      }
+      moveSinglePart(tmp, conn, target)
+      import spark.implicits._
+      Seq(df.count()).toDF("count")
+    } finally df.unpersist()
   }
 
   /** Move the lone part file to the registered target name. */

@@ -131,7 +131,8 @@ final class ResultStream(val schemaIpc: Array[Byte], batches: Iterator[Array[Byt
   * would silently coerce). */
 final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sql: String) {
 
-  private val paramCount = sql.count(_ == '?')
+  // '?' inside string literals is not a parameter marker
+  private val paramCount = graft.dialect.SqlText.countOutsideLiterals(sql, '?')
 
   private val InsertInto =
     """(?is)\s*insert\s+into\s+([\w.`"]+)\s*(?:\(([^)]*)\))?\s*values\s*\(.*""".r

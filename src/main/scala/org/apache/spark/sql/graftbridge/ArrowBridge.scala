@@ -75,6 +75,41 @@ object ArrowBridge {
     }
   }
 
+  /** Incremental execution: schema + a pull-based InternalRow iterator that
+    * runs the plan partition-by-partition (driver holds at most one
+    * partition — the streaming-send path must NOT materialize the result). */
+  def executeToIterator(df: DataFrame): (StructType, Iterator[InternalRow]) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    (df.schema, ds.queryExecution.executedPlan.executeToIterator())
+  }
+
+  /** One Arrow IPC stream (schema + single batch + EOS) from driver-local
+    * InternalRows — the per-fetch chunk of the streaming protocol. */
+  def ipcStreamForRows(spark: SparkSession, schema: StructType,
+      rows: Seq[InternalRow]): Array[Byte] = {
+    val timeZone = spark.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = ArrowUtils.toArrowSchema(
+      schema, timeZone, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val allocator = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val out = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+    val arrowWriter = ArrowWriter.create(root)
+    try {
+      writer.start()
+      if (rows.nonEmpty) {
+        arrowWriter.reset()
+        rows.foreach(arrowWriter.write)
+        arrowWriter.finish()
+        writer.writeBatch()
+      }
+      writer.end()
+      out.toByteArray
+    } finally {
+      writer.close(); root.close(); allocator.close()
+    }
+  }
+
   /** Decode a complete Arrow IPC stream into a DataFrame (ingest path —
     * reference insertArrowFromIPCStream, webdb.cc:280-337). */
   def fromIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
