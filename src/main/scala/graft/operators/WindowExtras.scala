@@ -79,8 +79,56 @@ object WindowExtras {
       | count(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond the ROLLUP/CUBE shorthands of q27/q39). */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir)("orders").createOrReplaceTempView("__graft_q51_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_pr
+        |FROM __graft_q51_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  private val q51Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      | CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+      | CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL / UNION-distinct
+    * (q23/q24 cover UNION ALL and the distinct INTERSECT/EXCEPT forms). */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem").select(col("l_suppkey").as("k"))
+    val su = t(s, dir)("supplier").select(col("s_suppkey").as("k"))
+    val ia = li.intersectAll(su).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("tag"), col("n"))
+    val ea = su.exceptAll(li).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("tag"), col("n"))
+    val ud = li.union(su).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union_distinct").as("tag"), col("n"))
+    ia.unionAll(ea).unionAll(ud).orderBy(col("tag"))
+  }
+
+  private val q52Sql =
+    """SELECT * FROM (
+      |  SELECT 'intersect_all' AS tag, count(*) AS n FROM
+      |    (SELECT l_suppkey AS k FROM lineitem INTERSECT ALL SELECT s_suppkey FROM supplier) a
+      |  UNION ALL
+      |  SELECT 'except_all' AS tag, count(*) AS n FROM
+      |    (SELECT s_suppkey AS k FROM supplier EXCEPT ALL SELECT l_suppkey FROM lineitem) b
+      |  UNION ALL
+      |  SELECT 'union_distinct' AS tag, count(*) AS n FROM
+      |    (SELECT l_suppkey AS k FROM lineitem UNION SELECT s_suppkey FROM supplier) c) u
+      |ORDER BY tag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q46_window_distribution", q46, Some(q46Sql)),
     Q("q47_range_frame", q47, Some(q47Sql)),
-    Q("q48_ordered_agg_percentile", q48, Some(q48Sql)))
+    Q("q48_ordered_agg_percentile", q48, Some(q48Sql)),
+    Q("q51_grouping_sets", q51, Some(q51Sql)),
+    Q("q52_multiset_ops", q52, Some(q52Sql)))
 }
