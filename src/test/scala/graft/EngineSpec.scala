@@ -276,6 +276,17 @@ class EngineSpec extends AnyFunSuite {
     engine.files.collectFileStatistics("stats.parquet", enable = false)
   }
 
+  test("EngineConfig.path opens a parquet directory as the catalog (SURVEY #2.1 .db replacement)") {
+    val e2 = new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark),
+      path = Some(sf)))
+    val c2 = e2.connect()
+    val n = c2.queryDF("SELECT count(*)::BIGINT AS n FROM region").collect().head.getLong(0)
+    assert(n === 5)
+    // the ns-timestamp events table opened too (readParquetAuto path)
+    assert(c2.queryDF("SELECT count(*)::BIGINT AS n FROM events")
+      .collect().head.getLong(0) === 1000)
+  }
+
   test("feature flags + version") {
     assert(engine.getVersion.startsWith("graft-spark-"))
     assert(engine.getFeatureFlags("threads"))
