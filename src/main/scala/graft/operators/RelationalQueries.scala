@@ -70,13 +70,15 @@ object RelationalQueries {
         && col("l_discount") >= 0.02)
       .select(col("l_orderkey"), col("l_linenumber"),
         revenue.as("disc_price"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   private val q02Sql =
     """SELECT l_orderkey, l_linenumber,
       | l_extendedprice * (1 - l_discount) AS disc_price, l_returnflag
       |FROM lineitem
       |WHERE l_quantity BETWEEN 10 AND 20
-      |  AND l_returnflag IN ('A', 'N') AND l_discount >= 0.02""".stripMargin
+      |  AND l_returnflag IN ('A', 'N') AND l_discount >= 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** TPC-H Q3: 3-way join + group + top-k (TakeOrderedAndProject). */
   private def q03(s: SparkSession, dir: String): DataFrame =
