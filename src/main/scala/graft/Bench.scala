@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness. Methodology (round-1 verdict item 4):
+  *  - every query executes through a **materializing** noop write — all
+  *    result rows are produced and serialized into the sink interface, so a
+  *    final ORDER BY is not eliminated the way it is under `count()` and the
+  *    timing matches the reference harness, which materializes full Arrow
+  *    results (packages/benchmarks/src/system/duckdb_sync_benchmarks.ts).
+  *  - each query is sampled SPARK_GRAFT_SAMPLES times (default 3, like
+  *    buffalo-bench's multi-cycle runs) and the **median** is reported.
+  *  - pinned caches are cleared between queries so timings are independent.
+  * Emits ONE JSON line: {"metric":"total",...,"queries":{name:sec,...}}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,23 +25,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      finally spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Warmup outside the timed loop: session/codegen/JIT init plus one pass
-    // over the first query so measurements reflect steady-state throughput
-    // (same methodology as the reference's buffalo-bench warmup cycles).
+    // over the first query so measurements reflect steady-state throughput.
     spark.range(1000).selectExpr("sum(id)").collect()
     val names = SparkEntry.queries.keys.toSeq.sorted
-    try SparkEntry.queries(names.head)(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    runOnce(names.head)
+
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(samples)(runOnce(name))
+      val ok = times.filter(_ >= 0)
+      val median =
+        if (ok.isEmpty) -1.0
+        else ok.sorted.apply(ok.length / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }

@@ -30,6 +30,9 @@ object Tables {
       var m = planCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        // first touch of a session: expose the native expressions
+        // (graft_polyhash etc.) to expr(...) text in the query builders
+        graft.functions.registerAll(spark)
         planCache.put(spark, m)
       }
       m
@@ -49,10 +52,17 @@ object Tables {
     val nsCols = nanosColumns(spark, path)
     if (nsCols.isEmpty) spark.read.parquet(path)
     else {
+      // The flag stays set for the session: every engine read path routes
+      // through this method (Tables.load / DialectRewriter / Engine / Shell),
+      // which converts any ns column — so a raw-long leak to a later read
+      // can't happen inside the engine surface.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       nsCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+        // floor division (not `div`, which truncates toward zero and is 1µs
+        // off for pre-epoch timestamps): subtract the positive remainder.
         df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+          org.apache.spark.sql.functions.expr(
+            s"(`$c` - pmod(`$c`, 1000)) div 1000")))
       }
     }
   }

@@ -25,6 +25,9 @@ package object functions {
   def minhash_sig(elementHashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExprBridge.column(MinHashSignature(ExprBridge.expression(elementHashes), a, b, p))
 
+  def poly_hash(s: Column, mult: Long, modP: Long): Column =
+    ExprBridge.column(PolyHash(ExprBridge.expression(s), mult, modP))
+
   private def arity(name: String, n: Int)(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
@@ -40,5 +43,17 @@ package object functions {
       es => { arity("vec_cosine", 2)(es); VecCosine(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "simhash64",
       es => { arity("simhash64", 1)(es); SimHash64(es.head) })
+    ExprBridge.registerFunction(spark, "graft_polyhash",
+      es => {
+        arity("graft_polyhash", 3)(es)
+        def const(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"graft_polyhash mult/mod must be integer literals, got $other")
+          }
+        PolyHash(es.head, const(es(1)), const(es(2)))
+      })
   }
 }

@@ -146,8 +146,10 @@ object ExtendedQueries {
         col("l_quantity").cast("decimal(15,2)").as("qty_dec"))
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(col("price_dec")).as("sum_price"),
-        sum(col("qty_dec")).as("sum_qty"),
+        // DuckDB's sum(DECIMAL(15,2)) widens to DECIMAL(38,2); Spark widens to
+        // DECIMAL(25,2) — cast so the result schema is bit-identical.
+        sum(col("price_dec")).cast("decimal(38,2)").as("sum_price"),
+        sum(col("qty_dec")).cast("decimal(38,2)").as("sum_qty"),
         max(col("price_dec")).as("max_price"),
         min(col("price_dec")).as("min_price"),
         count(lit(1)).as("n"))

@@ -31,15 +31,34 @@ object MicroQueries {
     s"(SELECT i AS id, (i * 48271) % 65536 AS v0, (i * 16807) % 32768 AS v1 FROM range(0, $n) t(i))"
 
   // sort-int: packages/benchmarks/src/suite_system_sort_int.ts:49-54
-  // The global row_number() funnels the ranked pass through one task — the
-  // price of emitting a total-order rank sample. (A zipWithIndex RDD rank
-  // parallelizes the rank but pays InternalRow→Row conversion for all 1e6
-  // rows — measured slower. At cluster scale the sample predicate would be
-  // pushed into a range-partitioned two-phase rank instead.)
+  // Two-phase distributed rank (a global row_number() window would funnel
+  // all 1e6 rows through ONE task — the round-1 scale-killer):
+  //   1. range-partition on the sort key (RangePartitioner boundaries are
+  //      deterministically sampled, ascending partition id = ascending key
+  //      range), tag rows with their partition id;
+  //   2. per-partition local rank (window partitioned by pid — parallel);
+  //   3. global rank = local rank + sum of lower partitions' counts,
+  //      computed by a broadcast join against the 32-row count table (a
+  //      tiny triangular self-join, so no single-partition window exists
+  //      anywhere in the plan).
+  // The (v0, v1, id) key is unique, so the result is identical to the
+  // global-window form at any partition count.
   private def sort(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("v0"), col("v1"), col("id"))
-    series(s, 1000000L)
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val parts = 32
+    val keyed = series(s, 1000000L)
+      .repartitionByRange(parts, col("v0"), col("v1"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val counts = keyed.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val ca = counts.select(col("pid").as("pid_a"))
+    val cb = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
+    val offsets = ca.join(cb, col("pid_b") < col("pid_a"), "left_outer")
+      .groupBy(col("pid_a"))
+      .agg(coalesce(sum(col("cnt_b")), lit(0L)).as("offset"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("v0"), col("v1"), col("id"))
+    keyed
+      .withColumn("lr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), col("pid") === col("pid_a"))
+      .withColumn("rn", col("lr") + col("offset"))
       .filter(col("rn") % 10000 === 0)
       .select(col("rn"), col("v0"), col("v1"))
   }

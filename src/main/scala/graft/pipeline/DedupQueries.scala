@@ -1,9 +1,9 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.pipeline.{PortableHash => PH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Deduplication operators for training-data pipelines (SURVEY north-star
   * extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
@@ -12,13 +12,17 @@ import scala.util.Random
   * Scale design (the point at 100 TB):
   *  - Exact dedup = hash-groupBy → one shuffle on a 128-bit digest, perfectly
   *    parallel, no skew (hash keys are uniform).
-  *  - MinHash: signatures are computed scan-side with codegen'd higher-order
-  *    functions (no UDF, no shuffle); candidate pairs come from a *band
-  *    equi-join* (shuffle on (band, signature) — the canonical LSH join),
-  *    never a cross join.
+  *  - MinHash: signatures are computed scan-side with the codegen'd one-pass
+  *    MinHashSignature kernel (no UDF, no shuffle); candidate pairs come from
+  *    a *band equi-join* (shuffle on (band, signature) — the canonical LSH
+  *    join), never a cross join.
   *  - SimHash / Jaccard verify run only on blocked/banded candidates.
   *  - All "randomness" is compile-time constants from a fixed seed, so every
   *    run (and every executor) agrees.
+  *
+  * Every hash is the portable polynomial family from [[PortableHash]], so
+  * each operator carries a bit-exact DuckDB oracle (generated from the same
+  * constants) instead of a rows-only check.
   */
 object DedupQueries {
 
@@ -37,29 +41,14 @@ object DedupQueries {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- MinHash
-  private val MinhashPerms = 32
-  private val Bands = 8 // 8 bands × 4 rows
-  private val RowsPerBand = MinhashPerms / Bands
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-  /** Fixed-seed affine permutations (a, b); a*h+b stays < 2^62 (no overflow). */
-  private val perms: Seq[(Long, Long)] = {
-    val rnd = new Random(42)
-    Seq.fill(MinhashPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
 
   /** 3-word shingle hashes per document (the discriminative unit — unigram
     * tokens from a small vocabulary would make every pair look similar).
-    * Hashes are combined numerically from per-token hashes — building the
+    * Shingles combine per-token poly-hashes numerically — building the
     * shingle *strings* just to hash them costs ~5× more (measured). */
   private[graft] def shingleHashes(d: DataFrame): DataFrame =
-    d.withColumn("tokens", split(trim(col("text")), "\\s+"))
-      .withColumn("th", expr(s"transform(tokens, t -> pmod(xxhash64(t), ${P}L))"))
-      // reduced mod P before combining: (P·31+P)·31+P < 2^41, no ANSI overflow
-      .withColumn("sh", expr(
-        s"""transform(sequence(0, greatest(size(th) - 3, 0)),
-           | i -> pmod((element_at(th, i + 1) * 31L + element_at(th, i + 2)) * 31L
-           |           + element_at(th, i + 3), ${P}L))""".stripMargin))
+    d.withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .withColumn("sh", expr(PH.sparkShingles("th")))
 
   /** doc_id + 32-component minhash signature array, computed in ONE pass
     * over the shingle hashes by the native MinHashSignature expression.
@@ -67,15 +56,15 @@ object DedupQueries {
   private[pipeline] def signatures(d: DataFrame): DataFrame =
     shingleHashes(d)
       .select(col("doc_id"),
-        graft.functions.minhash_sig(col("sh"), perms.map(_._1), perms.map(_._2), P)
+        graft.functions.minhash_sig(col("sh"), PH.perms.map(_._1), PH.perms.map(_._2), PH.P)
           .as("sig"))
 
-  /** LSH band rows: (doc_id, band, band_sig) — the join key for candidates. */
+  /** LSH band rows: (doc_id, band, band_sig) — the join key for candidates.
+    * Band signatures fold the band's 4 components with the same portable
+    * arithmetic the oracle uses. */
   private[pipeline] def bandRows(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { bnd =>
-      val sliceStr = expr(
-        s"concat_ws(',', transform(slice(sig, ${bnd * RowsPerBand + 1}, $RowsPerBand), x -> cast(x as string)))")
-      struct(lit(bnd).as("band"), xxhash64(sliceStr).as("band_sig"))
+    val bandStructs = (0 until PH.Bands).map { bnd =>
+      struct(lit(bnd).as("band"), expr(PH.sparkBandSig("sig", bnd)).as("band_sig"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
@@ -83,14 +72,13 @@ object DedupQueries {
 
   /** Signature stage is persisted: the 32-permutation × shingle transform is
     * the expensive narrow stage, and both the band join and the verify join
-    * consume it multiple times — caching avoids recomputing it per branch
-    * (at cluster scale this is a materialized intermediate, exactly like a
-    * staged pipeline would checkpoint it). */
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(docs(s, dir))
+    * consume it multiple times — caching avoids recomputing it per branch.
+    * Pinned entries are released by the harness after each consuming action
+    * (Verify/Bench call [[graft.Tables.unpersistAll]]) so a long-lived
+    * session does not accumulate them. */
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    signatures(docs(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig
-  }
 
   /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -106,11 +94,17 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val minhashPairsSql =
+    s"""WITH ${PH.duckLshCtes("documents")}
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash-estimated Jaccard for every candidate pair (fraction of the 32
     * signature components that agree). */
   private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSignatures(s, dir)
-    val asArr = sig
     val bands = bandRows(sig)
     val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
       col("doc_id").as("doc_a"))
@@ -120,12 +114,29 @@ object DedupQueries {
         && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
-      .join(asArr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sa"), "doc_a")
-      .join(asArr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sb"), "doc_b")
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sa"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sb"), "doc_b")
       .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($MinhashPerms as double)"))
+        expr(s"aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast(${PH.MinhashPerms} as double)"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashJaccardSql = {
+    val matches = (1 to PH.MinhashPerms)
+      .map(k => s"(CASE WHEN sa.sig[$k] = sb.sig[$k] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${PH.duckLshCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST($matches AS DOUBLE) / CAST(${PH.MinhashPerms} AS DOUBLE) AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -138,6 +149,7 @@ object DedupQueries {
     * be an LSH band instead). */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     // persisted: both sides of the self-join consume the same gram arrays
+    // (released by the harness after the consuming action)
     val d = shingleHashes(docs(s, dir))
       .withColumn("grams", array_distinct(col("sh")))
       .select(col("doc_id"), col("source"),
@@ -160,24 +172,55 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val ngramJaccardSql =
+    s"""WITH th AS (SELECT doc_id, source, ${PH.duckTokenHashes("text")} AS th FROM documents),
+       |sh AS (SELECT doc_id, source, ${PH.duckShingles("th")} AS sh FROM th),
+       |d AS (SELECT doc_id, source, list_distinct(sh) AS grams FROM sh),
+       |toks AS (SELECT doc_id, source, len(grams) AS nt, unnest(grams) AS tok FROM d),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nt AS nt_a, b.nt AS nt_b,
+       |         count(*) AS common
+       |  FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  CAST(common AS DOUBLE) / CAST(nt_a + nt_b - common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(common AS DOUBLE) / CAST(nt_a + nt_b - common AS DOUBLE) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------------------- SimHash
-  /** 64-bit SimHash per document + 16-bit prefix bucket (hamming-neighbor
+  /** SimHash per document + 16-bit suffix bucket (hamming-neighbor
     * candidates share buckets). The bit-vote kernel is a native codegen'd
-    * Catalyst expression (graft.functions.SimHash64) over token hashes. */
+    * Catalyst expression (graft.functions.SimHash64) over the portable
+    * 31-bit token poly-hashes — bits 31..63 of the vote are structurally 0,
+    * so the bucket comes from the low 16 bits. */
   private def simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("th", expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))"))
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .withColumn("simhash64", graft.functions.simhash64(col("th")))
       .select(col("doc_id"), col("simhash64"),
-        expr("simhash64 >> 48").as("bucket16"))
+        expr("simhash64 & 65535").as("bucket16"))
       .orderBy(col("doc_id"))
+
+  private val simhashSql = {
+    // per-bit majority vote, mirroring SimHash64: bit j set iff strictly
+    // more token hashes have bit j set than not (31 meaningful bits: token
+    // hashes are < 2^31)
+    val bits = (0 to 30).map { j =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents)
+       |SELECT doc_id, $bits AS simhash64, $bits & 65535 AS bucket16
+       |FROM th ORDER BY doc_id""".stripMargin
+  }
 
   // --------------------------------------------- embedding cosine near-dup
   /** Near-duplicate pairs by embedding cosine over LSH-bucketed candidates
     * (random-hyperplane signatures, fixed seed). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val bucketed = Similarity.withLshBucket(emb, Similarity.planes(8, 64, seed = 7))
+    val bucketed = Similarity.withLshBucket(emb, PH.planes(8, 64, seed = 7))
     val a = bucketed.select(col("bucket").as("bk_a"), col("vec_id").as("vec_a"),
       col("embedding").as("va"))
     val b = bucketed.select(col("bucket").as("bk_b"), col("vec_id").as("vec_b"),
@@ -192,13 +235,24 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  private val embeddingNearDupSql = {
+    val ps = PH.planes(8, 64, seed = 7)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${PH.duckLshBucket("v", ps)} AS bucket FROM e)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${PH.duckCosine("a.v", "b.v")} AS cosine
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${PH.duckCosine("a.v", "b.v")} >= 0.2
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("p05_dedup_exact", exact, Some(exactSql)),
-    Q("p06_minhash_lsh_pairs", minhashPairs, None),
-    Q("p07_minhash_est_jaccard", minhashJaccard, None),
-    Q("p08_ngram_jaccard_pairs", ngramJaccard, None),
-    Q("p09_simhash64", simhash, None),
-    Q("p10_embedding_neardup", embeddingNearDup, None))
+    Q("p06_minhash_lsh_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("p07_minhash_est_jaccard", minhashJaccard, Some(minhashJaccardSql)),
+    Q("p08_ngram_jaccard_pairs", ngramJaccard, Some(ngramJaccardSql)),
+    Q("p09_simhash64", simhash, Some(simhashSql)),
+    Q("p10_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import graft.pipeline.{PortableHash => PH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,11 +17,19 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`/`mapPartitions` stage) with the same schema contract.
   *
   * Payloads are synthesized from the documents table (text bytes stand in
-  * for media bytes) so the operators run on the driver-provided data.
+  * for media bytes) so the operators run on the driver-provided data. The
+  * stub arithmetic is the portable poly-hash family, so every query carries
+  * a bit-exact DuckDB oracle; array-valued outputs (frame hashes, feature
+  * vectors) are exposed through the API methods but the *declared* queries
+  * emit scalar digests — the driver's pandas compare can only sort scalars
+  * (round-1 p16/p17 harness crash).
   */
 object Multimodal {
 
   private val MimeByMod = Seq("image/png", "audio/wav", "video/mp4")
+  /** DuckDB mirror of the mime assignment in [[assets]]. */
+  private val duckMime = MimeByMod.map(m => s"'$m'")
+    .mkString("(([", ", ", "])[(doc_id % 3) + 1])")
 
   /** The multimodal table: doc payload bytes + typed metadata. */
   private[graft] def assets(s: SparkSession, dir: String): DataFrame =
@@ -35,16 +44,27 @@ object Multimodal {
           length(col("text")).cast("long").as("n_bytes"),
           col("source").as("origin")).as("meta"))
 
-  /** STUB decode: deterministic pseudo-dimensions from the payload hash
-    * (a real build plugs an image codec here; schema contract unchanged). */
+  /** STUB decode: deterministic pseudo-dimensions from two independent
+    * payload poly-hashes (a real build plugs an image codec here; schema
+    * contract unchanged). */
   private def decode(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
-      .withColumn("width", (pmod(xxhash64(col("payload")), lit(1920)) + 1).cast("int"))
-      .withColumn("height", (pmod(xxhash64(col("payload"), lit(1)), lit(1080)) + 1).cast("int"))
+      .withColumn("width",
+        (pmod(expr(PH.sparkCharHash("cast(payload as string)", PH.TokMult)), lit(1920)) + 1).cast("int"))
+      .withColumn("height",
+        (pmod(expr(PH.sparkCharHash("cast(payload as string)", PH.TokMult2)), lit(1080)) + 1).cast("int"))
       .withColumn("channels", lit(3))
       .select(col("asset_id"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"), col("width"), col("height"), col("channels"))
       .orderBy(col("asset_id"))
+
+  private val decodeSql =
+    s"""SELECT doc_id AS asset_id, $duckMime AS mime,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  CAST(${PH.duckCharHash("text", PH.TokMult)} % 1920 + 1 AS INTEGER) AS width,
+       |  CAST(${PH.duckCharHash("text", PH.TokMult2)} % 1080 + 1 AS INTEGER) AS height,
+       |  3 AS channels
+       |FROM documents ORDER BY asset_id""".stripMargin
 
   /** Resize planning: exact integer target dims preserving aspect ratio —
     * pure column arithmetic, no decode needed. */
@@ -60,34 +80,90 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
-  /** Frame sampling for video payloads: every k-th fixed-size block of the
-    * binary, hashed — real binary slicing (`substr` on binary), stub frame
-    * decode. */
-  private def frameSample(s: SparkSession, dir: String): DataFrame =
+  private val resizePlanSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS asset_id,
+       |    CAST(${PH.duckCharHash("text", PH.TokMult)} % 1920 + 1 AS INTEGER) AS width,
+       |    CAST(${PH.duckCharHash("text", PH.TokMult2)} % 1080 + 1 AS INTEGER) AS height
+       |  FROM documents),
+       |scaled AS (
+       |  SELECT asset_id, width, height,
+       |    least(CAST(1.0 AS DOUBLE), 256 / greatest(width, height)) AS scale
+       |  FROM dims)
+       |SELECT asset_id, width, height,
+       |  CAST(floor(width * scale) AS INTEGER) AS out_w,
+       |  CAST(floor(height * scale) AS INTEGER) AS out_h
+       |FROM scaled ORDER BY asset_id""".stripMargin
+
+  /** Frame sampling for video payloads: every 64-byte block of the binary
+    * (up to 10), hashed — real binary slicing (`substr` on binary), stub
+    * frame decode. Array form for API consumers. */
+  private[graft] def frameSampleRaw(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
       .filter(col("meta.mime") === "video/mp4")
       .withColumn("n_frames",
         greatest(lit(1), (col("meta.n_bytes") / 64).cast("int")))
       .withColumn("frame_hashes",
         expr("transform(sequence(0, least(n_frames - 1, 9)), " +
-          "i -> xxhash64(substr(payload, i * 64 + 1, 64)))"))
+          s"i -> ${PH.sparkCharHash("cast(substr(payload, i * 64 + 1, 64) as string)", PH.TokMult)})"))
+
+  /** Declared query: scalar digest of the sampled frame hashes (the array
+    * stays API-only — the driver compare sorts on scalars). */
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    frameSampleRaw(s, dir)
       .select(col("asset_id"), col("n_frames"),
-        size(col("frame_hashes")).as("n_sampled"), col("frame_hashes"))
+        size(col("frame_hashes")).as("n_sampled"),
+        expr(PH.sparkFoldDigest("frame_hashes")).as("frames_digest"))
       .orderBy(col("asset_id"))
 
-  /** STUB feature extraction: fixed-dim pseudo-embedding from payload hashes
-    * — the shape every downstream ANN operator consumes. */
-  private def features(s: SparkSession, dir: String): DataFrame =
+  private val frameSampleSql = {
+    val frameHash = PH.duckCharHash("substr(text, CAST(i * 64 + 1 AS INTEGER), 64)", PH.TokMult)
+    s"""WITH v AS (
+       |  SELECT doc_id AS asset_id, text,
+       |    greatest(1, CAST(floor(length(text) / 64.0) AS INTEGER)) AS n_frames
+       |  FROM documents WHERE (doc_id % 3) + 1 = 3),
+       |f AS (
+       |  SELECT asset_id, n_frames,
+       |    list_transform(range(0, least(n_frames - 1, 9) + 1), i -> $frameHash) AS fh
+       |  FROM v)
+       |SELECT asset_id, n_frames, CAST(len(fh) AS INTEGER) AS n_sampled,
+       |  ${PH.duckFoldDigest("fh")} AS frames_digest
+       |FROM f ORDER BY asset_id""".stripMargin
+  }
+
+  /** STUB feature extraction: fixed-dim pseudo-embedding derived from the
+    * payload poly-hash — the shape every downstream ANN operator consumes.
+    * Array form for API consumers. */
+  private[graft] def featuresRaw(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
+      .withColumn("base", expr(PH.sparkCharHash("cast(payload as string)", PH.TokMult)))
+      .withColumn("fv",
+        expr(s"transform(sequence(0, 15), i -> pmod(base * (i + 1) + i, ${PH.P}L))"))
       .withColumn("features",
-        expr("transform(sequence(0, 15), " +
-          "i -> cast(hash(payload, i) as double) / 2147483647.0)"))
-      .select(col("asset_id"), col("meta.mime").as("mime"), col("features"))
+        expr(s"transform(fv, v -> cast(v as double) / cast(${PH.P} as double))"))
+
+  /** Declared query: scalar digest of the 16 feature components. */
+  private def features(s: SparkSession, dir: String): DataFrame =
+    featuresRaw(s, dir)
+      .select(col("asset_id"), col("meta.mime").as("mime"),
+        lit(16).as("dim"),
+        expr(PH.sparkFoldDigest("fv")).as("features_digest"))
       .orderBy(col("asset_id"))
+
+  private val featuresSql = {
+    val base = PH.duckCharHash("text", PH.TokMult)
+    s"""WITH b AS (SELECT doc_id AS asset_id, $duckMime AS mime, $base AS base FROM documents),
+       |f AS (
+       |  SELECT asset_id, mime,
+       |    list_transform(range(0, 16), i -> (base * (i + 1) + i) % ${PH.P}) AS fv
+       |  FROM b)
+       |SELECT asset_id, mime, 16 AS dim, ${PH.duckFoldDigest("fv")} AS features_digest
+       |FROM f ORDER BY asset_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
-    Q("p14_multimodal_decode", decode, None),
-    Q("p15_multimodal_resize", resizePlan, None),
-    Q("p16_multimodal_frames", frameSample, None),
-    Q("p17_multimodal_features", features, None))
+    Q("p14_multimodal_decode", decode, Some(decodeSql)),
+    Q("p15_multimodal_resize", resizePlan, Some(resizePlanSql)),
+    Q("p16_multimodal_frames", frameSample, Some(frameSampleSql)),
+    Q("p17_multimodal_features", features, Some(featuresSql)))
 }

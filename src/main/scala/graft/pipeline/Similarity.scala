@@ -2,10 +2,10 @@ package graft.pipeline
 
 import graft.{Q, Tables}
 import graft.functions.{vec_cosine, vec_dot, vec_norm}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.pipeline.{PortableHash => PH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (vec_id, embedding: Array[Float] dim=64, label).
@@ -21,19 +21,11 @@ import scala.util.Random
   * The kernels (dot / norm / cosine) are native codegen'd Catalyst
   * expressions over the raw float arrays (graft.functions.VectorExpressions)
   * — no per-row intermediate arrays, no UDFs, float→double widening inside
-  * the generated loop. Hyperplanes are fixed-seed compile-time constants.
+  * the generated loop. Hyperplanes are fixed-seed compile-time constants
+  * shared with the generated DuckDB oracles ([[PortableHash.planes]]), so
+  * the oracle reproduces every bucket and cosine bit for bit.
   */
 object Similarity {
-
-  /** Deterministic random hyperplanes: nPlanes × dim, values in [-1, 1). */
-  private[pipeline] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
-    val rnd = new Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
-  }
-
-  /** Attach the L2 norm of the raw float vector. */
-  private[pipeline] def withNorm(emb: DataFrame): DataFrame =
-    emb.withColumn("norm", vec_norm(col("embedding")))
 
   /** Sign-bit LSH bucket from fixed hyperplanes. */
   private[pipeline] def withLshBucket(emb: DataFrame, ps: Seq[Array[Double]]): DataFrame = {
@@ -43,6 +35,10 @@ object Similarity {
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
   }
+
+  /** Attach the L2 norm of the raw float vector. */
+  private[pipeline] def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", vec_norm(col("embedding")))
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     withNorm(Tables.load(s, dir, "embeddings"))
@@ -61,10 +57,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  private val annBruteSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |         ${PH.duckCosine("e.v", "q.qv")} AS cosine
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, vec_id AS neighbor_id, label
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** LSH-bucketed ANN: same queries, candidates restricted to the query's
     * bucket — the sublinear scale path (bucket equi-join instead of scan). */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val bucketed = withLshBucket(corpus(s, dir), planes(8, 64, seed = 7))
+    val bucketed = withLshBucket(corpus(s, dir), PH.planes(8, 64, seed = 7))
     val queries = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("bucket").as("qbucket"))
@@ -76,6 +87,24 @@ object Similarity {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val annLshSql = {
+    val ps = PH.planes(8, 64, seed = 7)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${PH.duckLshBucket("v", ps)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM bk WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, bk.vec_id,
+       |         ${PH.duckCosine("bk.v", "q.qv")} AS cosine
+       |  FROM bk, q WHERE bk.bucket = q.qbucket AND bk.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, vec_id AS neighbor_id
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
   /** Per-label centroid stats — grouped vector aggregation via posexplode +
@@ -90,8 +119,16 @@ object Similarity {
         count(lit(1)).as("dim"))
       .orderBy(col("label"))
 
+  private val labelCentroidNormSql =
+    """WITH x AS (
+      |  SELECT label, pos, embedding[pos + 1] AS v
+      |  FROM embeddings, (SELECT unnest(range(64)) AS pos) p),
+      |c AS (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv FROM x GROUP BY 1, 2)
+      |SELECT label, CAST(sum(cv * cv) AS DOUBLE) AS centroid_sqnorm, count(*) AS dim
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("p11_ann_brute_topk", annBrute, None),
-    Q("p12_ann_lsh_topk", annLsh, None),
-    Q("p13_label_centroids", labelCentroidNorm, None))
+    Q("p11_ann_brute_topk", annBrute, Some(annBruteSql)),
+    Q("p12_ann_lsh_topk", annLsh, Some(annLshSql)),
+    Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)))
 }

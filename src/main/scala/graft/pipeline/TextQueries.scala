@@ -113,23 +113,27 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Document fingerprinting: content hash (md5, oracle-parity) + aggregate
-    * stats of the token-hash stream (rolling-hash-style, engine-native 64-bit
-    * hashes → no oracle, rows-only check). */
-  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val tokens = split(trim(col("text")), ws)
+  /** Document fingerprinting: content hash (md5) + rolling poly-hash of the
+    * full text + winnowing-style min/max over the token-hash stream. All
+    * portable arithmetic ([[PortableHash]]) → bit-exact DuckDB oracle. */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("tokens", tokens)
-      .withColumn("th", expr("transform(tokens, t -> xxhash64(t))"))
+      .withColumn("th", expr(PortableHash.sparkTokenHashes("text")))
       .select(
         col("doc_id"),
         md5(col("text")).as("content_md5"),
-        xxhash64(col("text")).as("content_xx64"),
+        expr(PortableHash.sparkCharHash("text")).as("content_poly"),
         // winnowing-style: min/max over token hashes = robust doc sketch
         array_min(col("th")).as("min_token_hash"),
         array_max(col("th")).as("max_token_hash"))
       .orderBy(col("doc_id"))
-  }
+
+  private val fingerprintSql =
+    s"""WITH th AS (SELECT doc_id, text, ${PortableHash.duckTokenHashes("text")} AS th FROM documents)
+       |SELECT doc_id, md5(text) AS content_md5,
+       |  ${PortableHash.duckCharHash("text")} AS content_poly,
+       |  list_min(th) AS min_token_hash, list_max(th) AS max_token_hash
+       |FROM th ORDER BY doc_id""".stripMargin
 
   /** Deterministic hash-free train/valid/test split (stable across runs and
     * engines — the property a reproducible training pipeline needs). */
@@ -169,7 +173,7 @@ object TextQueries {
     Q("p01_token_count", tokenCount, Some(tokenCountSql)),
     Q("p02_quality_score", quality, Some(qualitySql)),
     Q("p03_lang_id", langId, Some(langIdSql)),
-    Q("p04_fingerprint", fingerprint, None),
+    Q("p04_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("p18_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("p19_vocabulary", vocabulary, Some(vocabularySql)))
 }

@@ -102,5 +102,48 @@ object TrainingPipeline {
         countDistinct(col("pred_lang")).as("n_langs"))
       .orderBy(col("split"))
 
-  val all: Seq[Q] = Seq(Q("p20_training_pipeline", endToEnd, None))
+  /** The same flow as DuckDB CTEs — exact-dedupe window, the full portable
+    * MinHash-LSH chain ([[PortableHash.duckLshCtes]]) over the deduped set,
+    * quality/language/split stages, final per-split rollup. */
+  private val endToEndSql = {
+    def hits(markers: Seq[String]): String =
+      markers.map(m => s"(CASE WHEN (' ' || lower(text) || ' ') LIKE '% $m %' THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH exact AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM (
+       |    SELECT d.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents d) t
+       |  WHERE rn = 1),
+       |${PortableHash.duckLshCtes("exact")},
+       |losers AS (
+       |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |neardup AS (
+       |  SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |quality AS (
+       |  SELECT *, len(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM neardup),
+       |filt AS (
+       |  SELECT * FROM quality
+       |  WHERE toks >= 5 AND CAST(length(text) AS DOUBLE) / CAST(toks AS DOUBLE) <= 12.0),
+       |scored AS (
+       |  SELECT *, ${hits(Seq("the", "a", "and", "of", "is"))} AS s_en,
+       |            ${hits(Seq("el", "la", "de", "los", "es"))} AS s_es,
+       |            ${hits(Seq("le", "la", "et", "les", "est"))} AS s_fr
+       |  FROM filt),
+       |lang2 AS (
+       |  SELECT *, CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |                 WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |                 WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang
+       |  FROM scored),
+       |spl AS (
+       |  SELECT *, CASE WHEN doc_id % 10 < 8 THEN 'train'
+       |                 WHEN doc_id % 10 < 9 THEN 'valid'
+       |                 ELSE 'test' END AS split
+       |  FROM lang2)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       count(DISTINCT pred_lang) AS n_langs
+       |FROM spl GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(Q("p20_training_pipeline", endToEnd, Some(endToEndSql)))
 }

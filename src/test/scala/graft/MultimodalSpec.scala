@@ -43,9 +43,22 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("feature extraction yields fixed-dim vectors in [-1, 1]") {
-    val df = run("p17_multimodal_features")
+    // array form is API-only (the declared query emits a scalar digest so
+    // the driver's pandas compare can sort it)
+    val df = graft.pipeline.Multimodal.featuresRaw(spark, sfDir)
     assert(df.filter(size(col("features")) =!= 16).count() === 0)
     val flat = df.select(explode(col("features")).as("v"))
     assert(flat.filter(col("v") < -1.0 || col("v") > 1.0).count() === 0)
+  }
+
+  test("declared frame/feature queries emit scalar digests, no arrays") {
+    Seq("p16_multimodal_frames", "p17_multimodal_features").foreach { n =>
+      val schema = run(n).schema
+      assert(!schema.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"$n must emit only scalar columns for the driver compare")
+    }
+    // and the array forms stay available to API consumers
+    assert(graft.pipeline.Multimodal.frameSampleRaw(spark, sfDir)
+      .schema("frame_hashes").dataType.isInstanceOf[ArrayType])
   }
 }
