@@ -90,10 +90,21 @@ final class Connection(val engine: Engine) {
     val key = s"${opts.schema}.${opts.name}"
     val buf = arrowBuffers.getOrElseUpdate(key, new java.io.ByteArrayOutputStream())
     buf.write(bytes)
-    if (bytes.isEmpty || endsWithEos(bytes)) {
-      val all = buf.toByteArray
-      arrowBuffers.remove(key)
-      saveIngested(ArrowBridge.fromIpcStream(spark, all), opts)
+    // EOS is detected on the ACCUMULATED buffer's tail (a marker split
+    // across two chunks never lines up with a single chunk's tail). Batch
+    // payload bytes that merely *look* like EOS at a chunk boundary can
+    // still false-positive — so a parse failure on a non-final chunk keeps
+    // buffering instead of failing the ingest; the explicit final call
+    // (empty chunk) surfaces real corruption.
+    val all = buf.toByteArray
+    if (bytes.isEmpty || endsWithEos(all)) {
+      try {
+        saveIngested(ArrowBridge.fromIpcStream(spark, all), opts)
+        arrowBuffers.remove(key)
+      } catch {
+        case e: Throwable if bytes.nonEmpty => () // spurious EOS: keep buffering
+        case e: Throwable => arrowBuffers.remove(key); throw e
+      }
     }
   }
 
@@ -135,7 +146,7 @@ final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sq
   private val paramCount = graft.dialect.SqlText.countOutsideLiterals(sql, '?')
 
   private val InsertInto =
-    """(?is)\s*insert\s+into\s+([\w.`"]+)\s*(?:\(([^)]*)\))?\s*values\s*\(.*""".r
+    """(?is)\s*insert\s+into\s+([\w.`"]+)\s*(?:\(([^)]*)\))?\s*values\s*(\(.*)""".r
 
   def run(params: Seq[Any]): DataFrame = {
     require(params.length == paramCount,
@@ -145,18 +156,53 @@ final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sq
   }
 
   /** Reference semantics: reject out-of-range numerics against the target
-    * column types of an INSERT (Spark alone would coerce/overflow). */
+    * column types of an INSERT (Spark alone would coerce/overflow). Each `?`
+    * marker is mapped to its actual position inside its VALUES tuple —
+    * literals mixed into the tuple (`VALUES (1, ?)`) shift the marker to
+    * the right-hand column, and multi-row VALUES reuse per-tuple positions. */
   private def validateStrict(params: Seq[Any]): Unit = sql match {
-    case InsertInto(table, colList) =>
+    case InsertInto(table, colList, valuesPart) =>
       val schema = spark.table(table.replace("`", "").replace("\"", "")).schema
       val targets: Seq[org.apache.spark.sql.types.DataType] =
         Option(colList).filter(_ != null).map(_.split(",").map(_.trim.replace("`", ""))
             .toSeq.map(c => schema(c).dataType))
           .getOrElse(schema.fields.toSeq.map(_.dataType))
-      params.zip(targets).zipWithIndex.foreach { case ((p, dt), i) =>
-        Strict.check(p, dt, i + 1)
+      params.zip(markerColumns(valuesPart)).zipWithIndex.foreach {
+        case ((p, colIdx), i) if colIdx < targets.length =>
+          Strict.check(p, targets(colIdx), i + 1)
+        case _ => ()
       }
     case _ => ()
+  }
+
+  /** Tuple-column index of every `?` marker in a VALUES section, in marker
+    * order (literal-aware; nested parens belong to the enclosing column). */
+  private def markerColumns(valuesPart: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var depth = 0
+    var colIdx = 0
+    var i = 0
+    while (i < valuesPart.length) {
+      valuesPart.charAt(i) match {
+        case '\'' => // skip string literal ('' escapes a quote)
+          i += 1
+          var done = false
+          while (i < valuesPart.length && !done) {
+            if (valuesPart.charAt(i) == '\'') {
+              if (i + 1 < valuesPart.length && valuesPart.charAt(i + 1) == '\'') i += 2
+              else { done = true; i += 1 }
+            } else i += 1
+          }
+          i -= 1 // outer loop advances
+        case '(' => depth += 1; if (depth == 1) colIdx = 0
+        case ')' => depth -= 1
+        case ',' if depth == 1 => colIdx += 1
+        case '?' if depth >= 1 => out += colIdx
+        case _ => ()
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }
 

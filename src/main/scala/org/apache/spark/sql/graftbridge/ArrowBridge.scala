@@ -135,19 +135,26 @@ object ArrowBridge {
   * pass renames output columns back to the leaf relation's case when a
   * unique case-insensitive match exists. */
 object CasePreserve {
+  /** Restore the *stored* case of directly-referenced columns (the reference
+    * preserves creation case through case-insensitive resolution). Only
+    * output attributes that resolve to a leaf relation attribute — tracked
+    * by exprId through the analyzed plan — are renamed; explicit user
+    * aliases (fresh exprIds) are untouched, so `SELECT sum(x) AS Total`
+    * keeps its alias verbatim and two aliases can never collapse onto one
+    * leaf name. */
   def fix(df: DataFrame): DataFrame = {
     val analyzed =
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution.analyzed
-    val leafNames = analyzed.collectLeaves().flatMap(_.output.map(_.name)).distinct
-    val byLower = leafNames.groupBy(_.toLowerCase)
-    val renamed = df.schema.fieldNames.map { n =>
-      byLower.get(n.toLowerCase) match {
-        case Some(Seq(orig)) if orig != n => orig
-        case _ => n
+    val leafById = analyzed.collectLeaves()
+      .flatMap(_.output.map(a => a.exprId -> a.name)).toMap
+    val renamed = analyzed.output.map { a =>
+      leafById.get(a.exprId) match {
+        case Some(orig) if orig != a.name && orig.equalsIgnoreCase(a.name) => orig
+        case _ => a.name
       }
     }
-    if (renamed.sameElements(df.schema.fieldNames)) df
-    else df.toDF(renamed.toIndexedSeq: _*)
+    if (renamed == df.schema.fieldNames.toSeq) df
+    else df.toDF(renamed: _*)
   }
 }
 

@@ -160,6 +160,47 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.arrow_chunked")
   }
 
+  test("Arrow IPC ingest handles an EOS marker split across chunks") {
+    val src = conn.queryDF("SELECT id FROM range(0, 50)")
+    val ipc = ArrowBridge.toIpcStream(src)
+    // split INSIDE the trailing 8-byte EOS marker: neither chunk ends with
+    // the full marker, only the accumulated buffer does
+    val (h1, h2) = ipc.splitAt(ipc.length - 3)
+    conn.insertArrowFromIPCStream(h1, IngestOptions(name = "arrow_split_eos"))
+    assert(!SparkTestSession.spark.catalog.tableExists("main.arrow_split_eos"))
+    conn.insertArrowFromIPCStream(h2, IngestOptions(name = "arrow_split_eos"))
+    assert(conn.queryDF("SELECT count(*)::BIGINT AS n FROM main.arrow_split_eos")
+      .collect().head.getLong(0) === 50)
+    conn.queryDF("DROP TABLE main.arrow_split_eos")
+  }
+
+  test("strict typecheck maps ? markers past literals to the right column") {
+    conn.queryDF("DROP TABLE IF EXISTS main.strict_mix")
+    conn.queryDF("CREATE TABLE main.strict_mix(tiny TINYINT, big BIGINT)")
+    // the single ? binds to `big` (second column) — 10000 is valid there,
+    // and must NOT be rejected against TINYINT (round-1 advice finding)
+    val id = conn.prepare("INSERT INTO main.strict_mix(tiny, big) VALUES (1, ?)")
+    conn.runPrepared(id, Seq(10000L)).collect()
+    assert(conn.queryDF("SELECT big FROM main.strict_mix").collect().head.getLong(0) === 10000L)
+    // and an out-of-range TINYINT bind in first position still fails
+    val id2 = conn.prepare("INSERT INTO main.strict_mix(tiny, big) VALUES (?, 5)")
+    intercept[IllegalArgumentException] { conn.runPrepared(id2, Seq(10000)) }
+    conn.queryDF("DROP TABLE main.strict_mix")
+  }
+
+  test("explicit aliases keep their case (stored-case rename is ref-only)") {
+    conn.queryDF("DROP TABLE IF EXISTS main.case_t")
+    conn.queryDF("CREATE TABLE main.case_t(MixedCase INT)")
+    conn.queryDF("INSERT INTO main.case_t VALUES (7)")
+    // direct reference in any case resolves to the stored case
+    assert(conn.queryDF("SELECT mixedcase FROM main.case_t").schema.fieldNames
+      .toSeq === Seq("MixedCase"))
+    // a user alias that happens to match a leaf name is NOT rewritten
+    assert(conn.queryDF("SELECT sum(MixedCase) AS Mixedcase FROM main.case_t")
+      .schema.fieldNames.toSeq === Seq("Mixedcase"))
+    conn.queryDF("DROP TABLE main.case_t")
+  }
+
   test("CSV ingest with dateformat (insert_csv.test.ts:151-177)") {
     val p = Files.createTempFile("graft", ".csv")
     Files.writeString(p, "d\n01/02/2020\n03/04/2021\n")

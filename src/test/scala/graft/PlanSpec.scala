@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"unexpected shuffles:\n$narrow")
   }
 
+  test("micro_sort two-phase rank: no single-partition full-data window") {
+    val p = plan("micro_sort_int")
+    // every Window in the plan must be partitioned (a global rank window
+    // would read "Window [... ORDER BY ...]" with an empty partition spec
+    // under an Exchange SinglePartition) — the round-1 scale-killer
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in micro_sort plan:\n$p")
+    assert(p.contains("rangepartitioning"), "range partition phase missing")
+  }
+
   test("semi/anti joins are planned as such (not inner + dedup)") {
     assert(plan("q04_exists_semijoin").contains("LeftSemi"))
     assert(plan("q22_substring_antijoin").contains("LeftAnti"))
