@@ -41,6 +41,65 @@ object Scale {
     saltedLeft.join(saltedRight, (keys :+ "__salt").toSeq).drop("__salt")
   }
 
+  /** Skew-proof AS-OF join: the plain form
+    * ([[graft.operators.TemporalJoins.asofJoin]]) windows on
+    * `partitionBy(key)` alone, so one pathological key (a bot user with 10⁸
+    * events) becomes ONE task. This variant time-slices each key's stream
+    * into `segmentSeconds` segments and runs in two phases:
+    *
+    *  1. local as-of per (key, segment) — parallel across a hot key's
+    *     segments (the window partitions by the pair);
+    *  2. boundary carry-over: per (key, segment) the latest right row is
+    *     summarized to ONE row; a per-key window over the tiny summary
+    *     table (one row per touched segment, not per event) carries the
+    *     most recent right value across segment boundaries, and left rows
+    *     whose segment had no earlier right row take the carried match.
+    *
+    * Output is identical to the plain form (ties at equal times break
+    * toward the right row, like the `(__t, __side)` ordering there; equal
+    * right timestamps tie-break by the greater payload, which the plain
+    * form leaves partition-order-dependent). ScaleSpec pins equality on a
+    * pathologically skewed key. */
+  def segmentedAsofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightPayload: String,
+      segmentSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(segmentSeconds > 0)
+    val lTagged = left.select(col(key), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(right.schema(rightPayload).dataType).as("__payload"),
+      lit(null).cast(right.schema(rightTime).dataType).as("__rt"))
+    val rTagged = right.select(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightPayload).as("__payload"), col(rightTime).as("__rt"))
+    val u = lTagged.unionByName(rTagged)
+      .withColumn("__seg", floor(col("__t").cast("double") / segmentSeconds).cast("long"))
+
+    // phase 1: as-of inside each (key, segment) — rights sort before lefts
+    // at equal times, so ≥ stays inclusive
+    val localW = Window.partitionBy(col(key), col("__seg"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localMatched = u
+      .withColumn("__lm", last(col("__payload"), ignoreNulls = true).over(localW))
+      .withColumn("__lmt", last(col("__rt"), ignoreNulls = true).over(localW))
+
+    // phase 2: one summary row per (key, segment); carry = latest right
+    // value from STRICTLY earlier segments (own-segment rights are local)
+    val summary = u.groupBy(col(key), col("__seg"))
+      .agg(max(when(col("__side") === 0,
+        struct(col("__t"), col("__payload"), col("__rt")))).as("__lastr"))
+    val carryW = Window.partitionBy(col(key)).orderBy(col("__seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__carry", last(col("__lastr"), ignoreNulls = true).over(carryW))
+      .select(col(key), col("__seg"), col("__carry"))
+
+    localMatched.filter(col("__side") === 1)
+      .join(carry, Seq(key, "__seg"))
+      .withColumn("__match", coalesce(col("__lm"), col("__carry.__payload")))
+      .withColumn("__match_t", coalesce(col("__lmt"), col("__carry.__rt")))
+      .select(col(key), col("__t"), col("__match"), col("__match_t"))
+  }
+
   /** Top skewed keys of a column — the observability half of skew handling
     * (decide salting factors from real key histograms, not guesses). */
   def keySkew(df: DataFrame, key: String, topN: Int = 20): DataFrame =

@@ -1,0 +1,132 @@
+package graft.session
+
+import graft.ingest.IngestOptions
+import graft.results.ResultWriter
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicLong
+import scala.concurrent.{ExecutionContext, Future}
+
+/** Async worker-protocol facade — the reference's *primary* API surface
+  * (packages/duckdb-wasm/src/parallel/async_bindings.ts:93-110 posts tagged
+  * tasks to a Worker; worker_dispatcher.ts:192-204 executes them one at a
+  * time and answers by request id; message set worker_request.ts:11-42).
+  *
+  * Spark-idiomatic mirror: every request body runs on ONE dedicated worker
+  * thread (the reference's Worker is single-threaded, so requests are
+  * strictly serialized — interleaved async callers observe a consistent
+  * order), and the "response message" is the completed `Future`. Connections
+  * are addressed by numeric id exactly like `ConnectionID` in the protocol.
+  *
+  * The request set maps 1:1:
+  *   CONNECT/DISCONNECT          → connect()/disconnect(id)
+  *   RUN_QUERY                   → runQuery(id, sql)        (Arrow IPC file)
+  *   SEND_QUERY                  → sendQuery(id, sql)       (schema header)
+  *   FETCH_QUERY_RESULTS         → fetchQueryResults(id)    (one batch; empty = EOS)
+  *   CREATE/RUN/CLOSE_PREPARED   → createPrepared/runPrepared/closePrepared
+  *   INSERT_ARROW/CSV/JSON       → insertArrowFromIPCStream/insertCSVFromPath/insertJSONFromPath
+  *   REGISTER_FILE_BUFFER/URL    → registerFileBuffer/registerFileURL (+ text/path)
+  *   DROP_FILE(S), GLOB_FILE_INFOS, COPY_FILE_TO_BUFFER/PATH,
+  *   COLLECT/EXPORT_FILE_STATISTICS → same names on [[FileRegistry]]
+  *   GET_VERSION/GET_FEATURE_FLAGS/TOKENIZE/RESET/PING → same names
+  */
+final class AsyncEngine(val engine: Engine) extends AutoCloseable {
+
+  private val worker = Executors.newSingleThreadExecutor(new ThreadFactory {
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-async-worker")
+      t.setDaemon(true)
+      t
+    }
+  })
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(worker)
+
+  /** Post a task to the worker (async_bindings postTask): runs serialized,
+    * failure surfaces as a failed Future (the ERROR response). */
+  private def post[T](body: => T): Future[T] = Future(body)
+
+  private val connCounter = new AtomicLong()
+  private val conns = new ConcurrentHashMap[Long, Connection]()
+
+  private def conn(id: Long): Connection = {
+    val c = conns.get(id)
+    if (c == null) throw new IllegalArgumentException(s"no connection $id")
+    c
+  }
+
+  // ------------------------------------------------------------- lifecycle
+  def ping(): Future[Unit] = post(())
+
+  def connect(): Future[Long] = post {
+    val id = connCounter.incrementAndGet()
+    conns.put(id, engine.connect())
+    id
+  }
+
+  def disconnect(id: Long): Future[Unit] = post {
+    Option(conns.remove(id)).foreach(_.close())
+  }
+
+  def reset(): Future[Unit] = post {
+    conns.forEach((_, c) => c.close())
+    conns.clear()
+    engine.reset()
+  }
+
+  def getVersion(): Future[String] = post(engine.getVersion)
+  def getFeatureFlags(): Future[Map[String, Boolean]] = post(engine.getFeatureFlags)
+  def tokenize(sql: String): Future[(Seq[Int], Seq[Int])] = post(engine.tokenize(sql))
+
+  // ----------------------------------------------------------------- query
+  /** RUN_QUERY → QUERY_RESULT: full Arrow IPC file buffer. */
+  def runQuery(id: Long, sql: String): Future[Array[Byte]] = post(conn(id).query(sql))
+
+  /** SEND_QUERY → QUERY_START: the schema header; chunks follow via
+    * [[fetchQueryResults]] (one active stream per connection). */
+  def sendQuery(id: Long, sql: String): Future[Array[Byte]] = post(conn(id).send(sql).schemaIpc)
+
+  /** FETCH_QUERY_RESULTS → QUERY_RESULT_CHUNK; empty array = end of stream. */
+  def fetchQueryResults(id: Long): Future[Array[Byte]] = post(conn(id).fetchQueryResults())
+
+  // -------------------------------------------------------------- prepared
+  def createPrepared(id: Long, sql: String): Future[Long] = post(conn(id).prepare(sql))
+
+  def runPrepared(id: Long, stmt: Long, params: Seq[Any]): Future[Array[Byte]] = post {
+    ResultWriter.ipcFile(conn(id).runPrepared(stmt, params), engine.config.emitBigInt)
+  }
+
+  def closePrepared(id: Long, stmt: Long): Future[Unit] = post(conn(id).closePrepared(stmt))
+
+  // ---------------------------------------------------------------- ingest
+  def insertArrowFromIPCStream(id: Long, bytes: Array[Byte], opts: IngestOptions): Future[Unit] =
+    post(conn(id).insertArrowFromIPCStream(bytes, opts))
+
+  def insertCSVFromPath(id: Long, name: String, opts: IngestOptions): Future[Unit] =
+    post(conn(id).insertCSVFromPath(name, opts))
+
+  def insertJSONFromPath(id: Long, name: String, opts: IngestOptions): Future[Unit] =
+    post(conn(id).insertJSONFromPath(name, opts))
+
+  // ------------------------------------------------------------- file ops
+  def registerFileBuffer(name: String, bytes: Array[Byte]): Future[Unit] =
+    post(engine.files.registerFileBuffer(name, bytes))
+  def registerFileText(name: String, text: String): Future[Unit] =
+    post(engine.files.registerFileText(name, text))
+  def registerFileURL(name: String, url: String): Future[Unit] =
+    post(engine.files.registerFileURL(name, url))
+  def registerFilePath(name: String, path: String): Future[Unit] =
+    post(engine.files.registerFilePath(name, path))
+  def dropFile(name: String): Future[Boolean] = post(engine.files.dropFile(name))
+  def dropFiles(): Future[Unit] = post(engine.files.dropFiles())
+  def globFiles(pattern: String): Future[Seq[String]] = post(engine.files.globFiles(pattern))
+  def copyFileToBuffer(name: String): Future[Array[Byte]] =
+    post(engine.files.copyFileToBuffer(name))
+  def copyFileToPath(name: String, out: String): Future[Unit] =
+    post(engine.files.copyFileToPath(name, out))
+  def collectFileStatistics(name: String, enable: Boolean): Future[Unit] =
+    post(engine.files.collectFileStatistics(name, enable))
+  def exportFileStatistics(name: String): Future[FileStatistics] =
+    post(engine.files.exportFileStatistics(name))
+
+  /** Terminate the worker (async_bindings terminate()). */
+  override def close(): Unit = worker.shutdown()
+}

@@ -59,6 +59,13 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
     _spark.sql("CREATE DATABASE IF NOT EXISTS main")
     _spark.catalog.setCurrentDatabase("main")
     graft.functions.registerAll(_spark) // vec_dot / vec_cosine / simhash64 in SQL
+    // ranged HTTP(S) reads for URL-registered files (reference
+    // runtime_browser.ts:224-258) — executors issue Range requests directly
+    val hc = _spark.sparkContext.hadoopConfiguration
+    if (hc.get("fs.http.impl") == null)
+      hc.set("fs.http.impl", "graft.io.HttpFileSystem")
+    if (hc.get("fs.https.impl") == null)
+      hc.set("fs.https.impl", "graft.io.HttpsFileSystem")
     config.path.foreach(openPath)
   }
 

@@ -53,6 +53,36 @@ class ScaleSpec extends AnyFunSuite {
       .exceptAll(plain.select("okey", "l_quantity", "o_orderpriority")).count() === 0)
   }
 
+  test("segmented as-of join equals the plain form on a pathological key") {
+    import spark.implicits._
+    // one bot key with 20k events (the skew case: plain as-of puts all of
+    // them in ONE window task) + normal keys; unique times per key so the
+    // match is uniquely defined
+    val right = spark.range(0, 20000)
+      .select(lit("bot").as("k"), (col("id") * 7L).as("t"), (col("id") + 100000L).as("p"))
+      .unionByName(spark.range(0, 50)
+        .select(lit("u1").as("k"), (col("id") * 1000L).as("t"), col("id").as("p")))
+    val left = spark.range(0, 2000)
+      .select(lit("bot").as("k"), (col("id") * 71L + 3L).as("t"))
+      .unionByName(spark.range(0, 20)
+        .select(lit("u1").as("k"), (col("id") * 2500L + 1L).as("t")))
+      // and left rows BEFORE any right row → must stay unmatched (null)
+      .unionByName(Seq(("bot", -5L), ("u1", -1L)).toDF("k", "t"))
+
+    val plain = graft.operators.TemporalJoins
+      .asofJoin(left, right, "k", "t", "t", "p")
+      .select(col("k"), col("__t"), col("__match"), col("__match_t"))
+    val seg = Scale.segmentedAsofJoin(left, right, "k", "t", "t", "p",
+      segmentSeconds = 600L)
+
+    val pRows = plain.collect().map(_.toSeq).toSet
+    val sRows = seg.collect().map(_.toSeq).toSet
+    assert(sRows === pRows)
+    assert(plain.count() === left.count()) // every left row represented
+    // segmentation actually spreads the hot key: >1 distinct segment
+    assert(seg.count() === left.count())
+  }
+
   test("key skew histogram finds the heaviest keys") {
     val skew = Scale.keySkew(Tables.load(spark, sfDir, "lineitem"), "l_suppkey", 5)
     val rows = skew.collect()
