@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Derive a larger scale-factor dataset from an existing one, for
+PERFORMANCE measurement only (correctness stays gated on the driver's
+sf0.01 data). Replicates each table k times with key offsets so join
+fan-outs match a genuinely larger SF:
+
+  - region/nation: constant at every SF (copied as-is)
+  - customer/supplier/part: primary keys offset per copy
+  - orders: o_orderkey + o_custkey offset  (joins keep TPC-H shape)
+  - lineitem: l_orderkey/l_partkey/l_suppkey offset
+  - events: event_id + user_id offset (user base scales with SF)
+  - documents: doc_id offset, text prefixed with a per-copy tag word so
+    copies are NOT near-duplicates (otherwise LSH candidate pairs scale
+    quadratically in k instead of linearly in corpus size)
+  - embeddings: vec_id offset (vectors repeat; bucket sizes scale like a
+    corpus k times larger, which is the property the ANN bench needs)
+
+Usage: make_sf.py <src_dir> <dst_dir> <k>
+"""
+import sys, duckdb, os
+
+src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+def mx(table, col):
+    return con.sql(f"SELECT max({col}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+
+def copy(table, sql):
+    con.sql(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+def rep(table, replaces):
+    """k shifted copies via SELECT * REPLACE (schema-proof)."""
+    parts = []
+    for i in range(k):
+        r = ", ".join(t.format(i=i) for t in replaces)
+        parts.append(f"SELECT * REPLACE ({r}) FROM '{src}/{table}.parquet'")
+    return " UNION ALL ".join(parts)
+
+for t in ("region", "nation"):
+    copy(t, f"SELECT * FROM '{src}/{t}.parquet'")
+
+custk, suppk, partk = mx("customer", "c_custkey"), mx("supplier", "s_suppkey"), mx("part", "p_partkey")
+ordk = mx("orders", "o_orderkey")
+evk, usrk = mx("events", "event_id"), mx("events", "user_id")
+dock, veck = mx("documents", "doc_id"), mx("embeddings", "vec_id")
+
+copy("customer", rep("customer", [f"c_custkey + {{i}} * {custk} AS c_custkey"]))
+copy("supplier", rep("supplier", [f"s_suppkey + {{i}} * {suppk} AS s_suppkey"]))
+copy("part", rep("part", [f"p_partkey + {{i}} * {partk} AS p_partkey"]))
+copy("orders", rep("orders", [f"o_orderkey + {{i}} * {ordk} AS o_orderkey",
+                              f"o_custkey + {{i}} * {custk} AS o_custkey"]))
+copy("lineitem", rep("lineitem", [f"l_orderkey + {{i}} * {ordk} AS l_orderkey",
+                                  f"l_partkey + {{i}} * {partk} AS l_partkey",
+                                  f"l_suppkey + {{i}} * {suppk} AS l_suppkey"]))
+copy("events", rep("events", [f"event_id + {{i}} * {evk} AS event_id",
+                              f"user_id + {{i}} * {usrk} AS user_id"]))
+copy("documents", rep("documents", [f"doc_id + {{i}} * {dock} AS doc_id",
+                                    "'c{i} ' || text AS text",
+                                    "n_chars + 4 AS n_chars"]))
+copy("embeddings", rep("embeddings", [f"vec_id + {{i}} * {veck} AS vec_id"]))
+print("done:", dst)
