@@ -9,9 +9,12 @@ fan-outs match a genuinely larger SF:
   - orders: o_orderkey + o_custkey offset  (joins keep TPC-H shape)
   - lineitem: l_orderkey/l_partkey/l_suppkey offset
   - events: event_id + user_id offset (user base scales with SF)
-  - documents: doc_id offset, text prefixed with a per-copy tag word so
-    copies are NOT near-duplicates (otherwise LSH candidate pairs scale
-    quadratically in k instead of linearly in corpus size)
+  - documents: doc_id offset, text passed through a per-copy character
+    translation (rotating consonant map) so every token — and therefore
+    every shingle — differs between copies: copies are NOT near-duplicates
+    (a prefix tag is not enough: it shifts only the first two 3-gram
+    shingles and leaves J ≈ 0.94 between copies, which makes the derived
+    corpus 90% near-dups and the dedup pair set quadratic in k)
   - embeddings: vec_id offset (vectors repeat; bucket sizes scale like a
     corpus k times larger, which is the property the ANN bench needs)
 
@@ -57,8 +60,19 @@ copy("lineitem", rep("lineitem", [f"l_orderkey + {{i}} * {ordk} AS l_orderkey",
                                   f"l_suppkey + {{i}} * {suppk} AS l_suppkey"]))
 copy("events", rep("events", [f"event_id + {{i}} * {evk} AS event_id",
                               f"user_id + {{i}} * {usrk} AS user_id"]))
-copy("documents", rep("documents", [f"doc_id + {{i}} * {dock} AS doc_id",
-                                    "'c{i} ' || text AS text",
-                                    "n_chars + 4 AS n_chars"]))
+src_map = "bcdfghjklm"
+doc_replaces = []
+for i in range(k):
+    rot = src_map[i:] + src_map[:i]
+    if i == 0:
+        doc_replaces.append([f"doc_id + 0 * {dock} AS doc_id"])
+    else:
+        doc_replaces.append([f"doc_id + {i} * {dock} AS doc_id",
+                             f"translate(text, '{src_map}', '{rot}') AS text"])
+parts = []
+for i in range(k):
+    r = ", ".join(doc_replaces[i])
+    parts.append(f"SELECT * REPLACE ({r}) FROM '{src}/documents.parquet'")
+copy("documents", " UNION ALL ".join(parts))
 copy("embeddings", rep("embeddings", [f"vec_id + {{i}} * {veck} AS vec_id"]))
 print("done:", dst)

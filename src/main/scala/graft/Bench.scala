@@ -38,7 +38,11 @@ object Bench {
     // Warmup outside the timed loop: session/codegen/JIT init plus one pass
     // over the first query so measurements reflect steady-state throughput.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // optional comma-separated prefix filter for local iteration
+    // (driver never sets it → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     runOnce(names.head)
 
     val results = names.map { name =>

@@ -140,16 +140,26 @@ object DedupQueries {
   }
 
   // ------------------------------------------------------- n-gram Jaccard
-  /** Exact token-set Jaccard as a token equi-join (the scalable
-    * set-similarity join): explode distinct tokens, join on (source, token),
-    * count common tokens per pair, then |A∪B| = |A|+|B|−common. Pairs with
-    * no shared token never materialize, and the shuffle key is the token —
-    * no quadratic per-pair array work, unlike a blocked self-join. Source
-    * blocking bounds the candidate space (at full scale the block key would
-    * be an LSH band instead). */
+  /** Exact token-set Jaccard with **PPJoin prefix filtering** — the
+    * scalable set-similarity join. A full inverted-index join (every doc ×
+    * every distinct shingle) generates candidates super-linearly when
+    * shingles repeat across the corpus (measured 1.2 s → 23 s for sf0.1 →
+    * sf1). The prefix-filter principle makes it near-linear and is
+    * *lossless* for a Jaccard threshold t: if J(A,B) ≥ t the two docs must
+    * share at least one token among each one's `|X| − ⌈t·|X|⌉ + 1` rarest
+    * tokens under any fixed global token order. So:
+    *   1. global doc-frequency per shingle (one wordcount shuffle);
+    *   2. per doc, keep only the prefix of rarest shingles (window over
+    *      doc_id, ordered by (df, tok) — a total order shared by all docs);
+    *   3. candidates = prefix-token equi-join on (source, token) — hot
+    *      shingles are excluded from prefixes, so no quadratic blowup;
+    *   4. exact verify: array_intersect over the candidates' full gram
+    *      sets, then the threshold filter.
+    * ⌈0.8·n⌉ is computed in exact integer arithmetic ((4n+4) div 5) — a
+    * float ceil can round the prefix one short and silently drop pairs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // persisted: both sides of the self-join consume the same gram arrays
-    // (released by the harness after the consuming action)
+    // persisted: the prefix path and both verify joins consume the gram
+    // arrays (released by the harness after the consuming action)
     val d = shingleHashes(docs(s, dir))
       .withColumn("grams", array_distinct(col("sh")))
       .select(col("doc_id"), col("source"),
@@ -157,14 +167,21 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = d.select(col("doc_id"), col("source"), col("nt"),
       explode(col("grams")).as("tok"))
-    val a = toks.select(col("source").as("src"), col("tok"),
-      col("doc_id").as("doc_a"), col("nt").as("nt_a"))
-    val b = toks.select(col("source").as("src"), col("tok"),
-      col("doc_id").as("doc_b"), col("nt").as("nt_b"))
-    a.join(b, Seq("src", "tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("nt") - expr("(nt * 4 + 4) div 5") + 1)
+    val a = prefix.select(col("source").as("src"), col("tok"), col("doc_id").as("doc_a"))
+    val b = prefix.select(col("source").as("src"), col("tok"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("src", "tok"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
-      .agg(count(lit(1)).as("common"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("nt").as("nt_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("nt").as("nt_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard", col("common").cast("double")
         / (col("nt_a") + col("nt_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= 0.8)

@@ -142,13 +142,23 @@ object Multimodal {
       .withColumn("features",
         expr(s"transform(fv, v -> cast(v as double) / cast(${PH.P} as double))"))
 
-  /** Declared query: scalar digest of the 16 feature components. */
-  private def features(s: SparkSession, dir: String): DataFrame =
-    featuresRaw(s, dir)
+  /** Declared query: scalar digest of the 16 feature components. The fold
+    * is unrolled into ONE expression with 16 references to the `base`
+    * attribute: a `transform`-lambda over `base` would let CollapseProject
+    * inline the charfold into the lambda body and recompute it per element
+    * (measured 3× slower); a multi-referenced non-cheap alias is never
+    * inlined, so the hash runs once per row. */
+  private def features(s: SparkSession, dir: String): DataFrame = {
+    val digest = (0 until 16).foldLeft("0L") { (acc, i) =>
+      s"pmod(($acc) * ${PH.FoldMult}L + pmod(base * ${i + 1}L + ${i}L, ${PH.P}L), ${PH.P}L)"
+    }
+    assets(s, dir)
+      .withColumn("base", expr(PH.sparkCharHash("cast(payload as string)", PH.TokMult)))
       .select(col("asset_id"), col("meta.mime").as("mime"),
         lit(16).as("dim"),
-        expr(PH.sparkFoldDigest("fv")).as("features_digest"))
+        expr(digest).as("features_digest"))
       .orderBy(col("asset_id"))
+  }
 
   private val featuresSql = {
     val base = PH.duckCharHash("text", PH.TokMult)
