@@ -28,6 +28,11 @@ package object functions {
   def poly_hash(s: Column, mult: Long, modP: Long): Column =
     ExprBridge.column(PolyHash(ExprBridge.expression(s), mult, modP))
 
+  /** Element-wise vector sum aggregate (map-side partial aggregation). */
+  def vec_sum(a: Column): Column =
+    ExprBridge.column(
+      VecSumAgg(ExprBridge.expression(a)).toAggregateExpression())
+
   private def arity(name: String, n: Int)(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
@@ -43,6 +48,8 @@ package object functions {
       es => { arity("vec_cosine", 2)(es); VecCosine(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "simhash64",
       es => { arity("simhash64", 1)(es); SimHash64(es.head) })
+    ExprBridge.registerFunction(spark, "vec_sum",
+      es => { arity("vec_sum", 1)(es); VecSumAgg(es.head) })
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

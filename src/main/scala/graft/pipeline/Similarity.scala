@@ -107,16 +107,21 @@ object Similarity {
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
-  /** Per-label centroid stats — grouped vector aggregation via posexplode +
-    * re-assemble (shuffle on (label, pos), no driver collect). */
+  /** Per-label centroid stats — grouped vector aggregation via the native
+    * [[graft.functions.VecSumAgg]] aggregate: ONE shuffle carrying a single
+    * 64-slot buffer per (map task × label) thanks to map-side partial
+    * aggregation. (The posexplode → groupBy(label, pos) → re-assemble
+    * alternative shuffles rows × dim scalar records — 10⁹ exploded rows at
+    * corpus scale vs. a handful of arrays here.) */
   private def labelCentroidNorm(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
       .groupBy(col("label"))
-      .agg(sum(col("cv") * col("cv")).as("centroid_sqnorm"),
-        count(lit(1)).as("dim"))
+      .agg(graft.functions.vec_sum(col("embedding")).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        expr("aggregate(sums, cast(0 as double), (acc, x) -> acc + (x / n) * (x / n))")
+          .as("centroid_sqnorm"),
+        size(col("sums")).cast("long").as("dim"))
       .orderBy(col("label"))
 
   private val labelCentroidNormSql =

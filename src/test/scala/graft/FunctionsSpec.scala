@@ -84,4 +84,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(interpreted - viaDf) < 1e-15)
     assert(math.abs(interpreted - 1.0) < 1e-12)
   }
+
+  test("vec_sum aggregates element-wise with map-side partial aggregation") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 20.0f)), (1, Array(1.0f, 1.0f)), (1, Array(1.0f, 1.0f)))
+      .toDF("g", "v").repartition(4)
+    val rows = df.groupBy(col("g")).agg(vec_sum(col("v")).as("s"))
+      .orderBy(col("g")).collect()
+    assert(rows(0).getSeq[Double](1) === Seq(4.0, 6.0))
+    assert(rows(1).getSeq[Double](1) === Seq(12.0, 22.0))
+    // partial (map-side) aggregation is present before the exchange
+    val plan = df.groupBy(col("g")).agg(vec_sum(col("v")))
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vecsumagg") || plan.toLowerCase.contains("partial"),
+      s"no partial aggregation in plan:\n$plan")
+    // ragged lengths: shorter vector treated as zero-padded
+    val ragged = Seq((0, Array(1.0f)), (0, Array(1.0f, 5.0f))).toDF("g", "v")
+      .groupBy(col("g")).agg(vec_sum(col("v")).as("s")).collect()
+    assert(ragged.head.getSeq[Double](1) === Seq(2.0, 5.0))
+    // SQL registration
+    graft.functions.registerAll(spark)
+    Seq((0, Array(1.0f, 2.0f))).toDF("g", "v").createOrReplaceTempView("vs_t")
+    assert(spark.sql("SELECT vec_sum(v) AS s FROM vs_t GROUP BY g")
+      .collect().head.getSeq[Double](0) === Seq(1.0, 2.0))
+  }
 }

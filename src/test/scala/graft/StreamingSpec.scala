@@ -43,6 +43,23 @@ class StreamingSpec extends AnyFunSuite {
       "streaming emitted a row the batch computation doesn't have")
   }
 
+  test("streaming exact-dedup drops re-delivered events, equals batch distinct") {
+    // duplicate the source: every event delivered twice
+    val schema = eventsBatch.schema
+    val d = Files.createTempDirectory("graft-stream-dup")
+    eventsBatch.unionAll(eventsBatch).write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream.schema(schema).parquet(d.toString)
+    val q = EventStreaming.dedupeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_out")
+    assert(streamed.count() === eventsBatch.count())
+    assert(streamed.select(col("event_id")).distinct().count() === eventsBatch.count())
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch window equivalent") {
     import spark.implicits._
     val ds = eventsBatch
