@@ -107,6 +107,67 @@ object Similarity {
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    * queries scan ONLY their own cell (nprobe=1). The quantizer here is
+    * deterministic-seeded (centroids = the first 8 vectors) so the oracle
+    * reproduces the index bit for bit — at 100 TB the centroids come from
+    * an offline k-means and are broadcast the same way. Assignment is a
+    * broadcast nested loop (8 codegen'd cosines per row, map-side); the
+    * argmax is a per-vector window (one shuffle on vec_id; with trained
+    * literal centroids it would fold into the scan projection). Search is
+    * a cell equi-join — the same sublinear structure as the LSH path but
+    * with learned, data-adaptive cells. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cc", vec_cosine(col("embedding"), col("cv")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell").as("qcell"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cell"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val annIvfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cents.cent_id,
+       |         ${PH.duckCosine("e.v", "cents.cv")} AS cc
+       |  FROM e, cents),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cc DESC, cent_id) AS rk
+       |    FROM scored) t
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+       |      FROM assigned WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id, a.cell,
+       |         ${PH.duckCosine("a.v", "q.qv")} AS cosine
+       |  FROM assigned a, q
+       |  WHERE a.cell = q.qcell AND a.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cell,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM cand)
+       |SELECT query_id, rk, vec_id AS neighbor_id, cell
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** Per-label centroid stats — grouped vector aggregation via the native
     * [[graft.functions.VecSumAgg]] aggregate: ONE shuffle carrying a single
     * 64-slot buffer per (map task × label) thanks to map-side partial
@@ -135,5 +196,6 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("p11_ann_brute_topk", annBrute, Some(annBruteSql)),
     Q("p12_ann_lsh_topk", annLsh, Some(annLshSql)),
-    Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)))
+    Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)),
+    Q("p21_ann_ivf_topk", annIvf, Some(annIvfSql)))
 }

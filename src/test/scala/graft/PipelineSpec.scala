@@ -60,6 +60,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("ann ivf: 5 neighbors per query from the query's own cell") {
+    val df = run("p21_ann_ivf_topk").cache()
+    try {
+      val perQuery = df.groupBy(col("query_id")).count().collect()
+      assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 5))
+      assert(df.filter(col("neighbor_id") === col("query_id")).count() === 0)
+      // every query's neighbors share one cell (nprobe=1 by construction)
+      val cellsPerQuery = df.groupBy(col("query_id"))
+        .agg(org.apache.spark.sql.functions.countDistinct(col("cell")).as("nc"))
+        .collect()
+      assert(cellsPerQuery.forall(_.getLong(1) === 1L))
+    } finally df.unpersist()
+  }
+
   test("language id: every doc classified, scores are non-negative") {
     val df = run("p03_lang_id").cache()
     assert(df.count() === 500)

@@ -81,6 +81,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), "range partition phase missing")
   }
 
+  test("p08 PPJoin: candidates come from an equi-join, never a cartesian") {
+    val p = plan("p08_ngram_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PPJoin plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in PPJoin plan:\n$p")
+  }
+
+  test("p13 vec_sum: map-side partial aggregation before the shuffle") {
+    val p = plan("p13_label_centroids")
+    assert(p.contains("partial_vecsumagg") || p.contains("ObjectHashAggregate"),
+      s"no partial object aggregate in p13 plan:\n$p")
+    assert(!p.contains("Generate explode") && !p.contains("PosExplode"),
+      s"p13 still explodes vectors:\n$p")
+  }
+
   test("semi/anti joins are planned as such (not inner + dedup)") {
     assert(plan("q04_exists_semijoin").contains("LeftSemi"))
     assert(plan("q22_substring_antijoin").contains("LeftAnti"))
