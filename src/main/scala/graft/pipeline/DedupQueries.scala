@@ -263,13 +263,90 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -------------------------------------------- edit-distance verification
+  /** Character-level verification of the MinHash-LSH candidates: exact
+    * Levenshtein distance + normalized similarity per candidate pair. The
+    * expensive O(len²) kernel runs ONLY on banded candidates (never all
+    * pairs) — the standard second stage of a fuzzy-dedup pipeline, and the
+    * strictest near-dup signal available without semantics. Uses Spark's
+    * codegen'd `levenshtein`; DuckDB's `levenshtein` has identical unit-edit
+    * semantics, so the oracle is exact. */
+  private def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val cand = {
+      val bands = bandRows(signatures(docs(s, dir)))
+      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+        col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("ta")), length(col("tb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val editDistancePairsSql =
+    s"""WITH ${PH.duckLshCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+       |  1.0::DOUBLE - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+       |    / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_sim
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.doc_a
+       |JOIN documents db ON db.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+  /** Deterministic stratified sample: the k "first" documents per
+    * (source, lang) stratum under poly-hash order — balanced subcorpora
+    * with run-to-run (and engine-to-engine) stability, the sampling shape
+    * a reproducible training mix needs. One shuffle on the stratum key;
+    * rank state is per stratum. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("hk", expr(PH.sparkCharHash("text")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("lang"), col("rnk"))
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT source, lang, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars
+       |FROM (
+       |  SELECT source, lang, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source, lang
+       |                            ORDER BY ${PH.duckCharHash("text")}, doc_id) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= 5
+       |ORDER BY source, lang, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p05_dedup_exact", exact, Some(exactSql)),
     Q("p06_minhash_lsh_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("p07_minhash_est_jaccard", minhashJaccard, Some(minhashJaccardSql)),
     Q("p08_ngram_jaccard_pairs", ngramJaccard, Some(ngramJaccardSql)),
     Q("p09_simhash64", simhash, Some(simhashSql)),
-    Q("p10_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
+    Q("p10_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    Q("p22_edit_distance_pairs", editDistancePairs, Some(editDistancePairsSql)),
+    Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */
