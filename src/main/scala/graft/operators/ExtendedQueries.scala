@@ -164,8 +164,47 @@ object ExtendedQueries {
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** KMV (k-minimum-values) distinct estimator: est = (k−1)·M / h_k where
+    * h_k is the k-th smallest distinct hash. Unlike HLL sketches (q44,
+    * whose bit-level layout legitimately differs per engine), KMV over a
+    * shared hash function is **deterministic**, so approximate distinct
+    * counting gets a bit-exact DuckDB oracle. The hash is the affine
+    * (a·x + b) mod P family from the MinHash kernel; per group the k-th
+    * order statistic comes from a ranked window over distinct hashes here
+    * (clear, oracle-mirrored); the cluster form replaces the window with a
+    * per-partition smallest-k partial aggregate + merge, keeping k values
+    * of state per (task × group). */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val (kk, a, b, p) = (64, 1103515245L, 12345L, 2147483647L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("h"))
+    t(s, dir)("lineitem")
+      .select(col("l_returnflag"),
+        expr(s"pmod(l_partkey * ${a}L + ${b}L, ${p}L)").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === kk)
+      .select(col("l_returnflag"),
+        (lit((kk - 1).toDouble) * lit(p.toDouble) / col("h").cast("double"))
+          .cast("long").as("kmv_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q55Sql =
+    """SELECT l_returnflag,
+      | CAST(floor(63.0::DOUBLE * 2147483647.0::DOUBLE / CAST(h AS DOUBLE)) AS BIGINT) AS kmv_est
+      |FROM (
+      |  SELECT l_returnflag, h,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT l_returnflag,
+      |               (l_partkey * 1103515245 + 12345) % 2147483647 AS h
+      |        FROM lineitem) d) t
+      |WHERE rn = 64
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_decimal_exact_agg", q45, Some(q45Sql)),
+    Q("q55_kmv_distinct", q55, Some(q55Sql)),
     Q("q38_filter_aggregates", q38, Some(q38Sql)),
     Q("q39_cube_grouping", q39, Some(q39Sql)),
     Q("q40_full_outer_join", q40, Some(q40Sql)),

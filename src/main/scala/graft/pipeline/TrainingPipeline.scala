@@ -73,6 +73,19 @@ final class TrainingPipeline private (val result: DataFrame) {
         .when(fr > 0, "fr").otherwise("und")))
   }
 
+  /** Deterministic stratified subsample: keep the k "first" documents per
+    * stratum under poly-hash order (reproducible balanced mixes; one
+    * shuffle on the stratum key). */
+  def sampleStratified(k: Int, strata: String*): TrainingPipeline = {
+    val keys = if (strata.nonEmpty) strata else Seq("source", "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(expr(PortableHash.sparkCharHash("text")), col("doc_id"))
+    new TrainingPipeline(
+      result.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= k).drop("__rnk"))
+  }
+
   /** Deterministic train/valid/test assignment by id modulus. */
   def split(train: Double, valid: Double): TrainingPipeline = {
     val trainMax = (train * 10).toInt

@@ -94,6 +94,10 @@ final class AsyncEngine(val engine: Engine) extends AutoCloseable {
     ResultWriter.ipcFile(conn(id).runPrepared(stmt, params), engine.config.emitBigInt)
   }
 
+  /** SEND_PREPARED → QUERY_START; chunks via [[fetchQueryResults]]. */
+  def sendPrepared(id: Long, stmt: Long, params: Seq[Any]): Future[Array[Byte]] =
+    post(conn(id).sendPrepared(stmt, params).schemaIpc)
+
   def closePrepared(id: Long, stmt: Long): Future[Unit] = post(conn(id).closePrepared(stmt))
 
   // ---------------------------------------------------------------- ingest

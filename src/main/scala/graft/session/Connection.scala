@@ -70,6 +70,15 @@ final class Connection(val engine: Engine) {
     statements.getOrElse(id,
       throw new IllegalArgumentException(s"no prepared statement $id")).run(params)
 
+  /** Streaming form of a prepared execution (reference sendPrepared,
+    * webdb.cc:259-277): schema first, then batch-per-fetch, replacing any
+    * active stream like send(). */
+  def sendPrepared(id: Long, params: Seq[Any]): ResultStream = {
+    val st = ResultWriter.stream(runPrepared(id, params), engine.config.emitBigInt)
+    activeStream = Some(st)
+    st
+  }
+
   def closePrepared(id: Long): Unit = statements.remove(id)
 
   // ----------------------------------------------------------------- ingest

@@ -160,6 +160,17 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.arrow_chunked")
   }
 
+  test("sendPrepared streams a prepared result: schema, batches, EOS") {
+    val id = conn.prepare("SELECT v * ? AS r FROM (SELECT 6 AS v)")
+    val st = conn.sendPrepared(id, Seq(7))
+    assert(st.schemaIpc.nonEmpty)
+    var batches = 0
+    var b = conn.fetchQueryResults()
+    while (b.nonEmpty) { batches += 1; b = conn.fetchQueryResults() }
+    assert(batches >= 1)
+    conn.closePrepared(id)
+  }
+
   test("Arrow IPC ingest handles an EOS marker split across chunks") {
     val src = conn.queryDF("SELECT id FROM range(0, 50)")
     val ipc = ArrowBridge.toIpcStream(src)

@@ -10,6 +10,18 @@ class PipelineSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("stratified sample stage: at most k docs per stratum, deterministic") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampled = graft.pipeline.TrainingPipeline(docs)
+      .sampleStratified(3, "source", "lang").result
+    val sizes = sampled.groupBy(col("source"), col("lang")).count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(2) <= 3))
+    // deterministic: a second run selects exactly the same doc ids
+    val again = graft.pipeline.TrainingPipeline(docs)
+      .sampleStratified(3, "source", "lang").result
+    assert(sampled.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+  }
+
   test("exact dedup: keep_id count equals distinct text count") {
     val kept = run("p05_dedup_exact").count()
     val distinctTexts = Tables.load(spark, sfDir, "documents")
