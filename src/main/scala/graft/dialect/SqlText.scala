@@ -7,7 +7,7 @@ object SqlText {
 
   /** End index (exclusive) of the literal starting at `start` (which must
     * point at the opening quote). */
-  private def literalEnd(sql: String, start: Int): Int = {
+  def literalEnd(sql: String, start: Int): Int = {
     var i = start + 1
     while (i < sql.length) {
       if (sql.charAt(i) == '\'') {

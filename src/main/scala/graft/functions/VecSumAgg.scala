@@ -49,23 +49,26 @@ case class VecSumAgg(
     if (buf.length >= n) buf
     else java.util.Arrays.copyOf(buf, n)
 
+  // type dispatch hoisted out of the per-element hot loop (one virtual call
+  // per element instead of a pattern match per element per row)
+  private lazy val get: (ArrayData, Int) => Double = elemType match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported $other")
+  }
+
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = grow(buf, n)
+    val g = get
     var i = 0
     while (i < n) {
-      if (!(elemNullable && arr.isNullAt(i))) {
-        out(i) += (elemType match {
-          case FloatType => arr.getFloat(i).toDouble
-          case DoubleType => arr.getDouble(i)
-          case LongType => arr.getLong(i).toDouble
-          case IntegerType => arr.getInt(i).toDouble
-          case other => throw new IllegalStateException(s"unsupported $other")
-        })
-      }
+      if (!(elemNullable && arr.isNullAt(i))) out(i) += g(arr, i)
       i += 1
     }
     out

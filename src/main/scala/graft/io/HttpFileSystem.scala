@@ -33,6 +33,19 @@ class HttpFileSystem extends FileSystem {
 
   override def getUri: URI = fsUri
 
+  /** Rebuild the real URL from a Hadoop Path: a `!q=<base64url>` suffix
+    * (written by FileRegistry.registerFileURL) carries the query string a
+    * Path cannot represent — decode it back into `?query`. */
+  private def toURL(f: Path): URL = {
+    val raw = f.toUri.toString
+    val idx = raw.lastIndexOf("!q=")
+    if (idx >= 0) {
+      val q = new String(
+        java.util.Base64.getUrlDecoder.decode(raw.substring(idx + 3)), "UTF-8")
+      new URL(raw.substring(0, idx) + "?" + q)
+    } else new URL(raw)
+  }
+
   private def contentLength(url: URL): Long = {
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod("HEAD")
@@ -46,12 +59,12 @@ class HttpFileSystem extends FileSystem {
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val url = f.toUri.toURL
+    val url = toURL(f)
     new FSDataInputStream(new HttpRangeInputStream(url, contentLength(url)))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
-    val len = contentLength(f.toUri.toURL)
+    val len = contentLength(toURL(f))
     new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, f)
   }
 

@@ -97,7 +97,12 @@ object Multimodal {
 
   /** Frame sampling for video payloads: every 64-byte block of the binary
     * (up to 10), hashed — real binary slicing (`substr` on binary), stub
-    * frame decode. Array form for API consumers. */
+    * frame decode. Array form for API consumers.
+    *
+    * The hash is taken over the *character* slice (payload decoded back to
+    * string first) so the oracle — which slices `text` by characters — is
+    * exact for any content; slicing the raw binary would split multi-byte
+    * UTF-8 sequences and silently diverge on the first non-ASCII corpus. */
   private[graft] def frameSampleRaw(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
       .filter(col("meta.mime") === "video/mp4")
@@ -105,7 +110,7 @@ object Multimodal {
         greatest(lit(1), (col("meta.n_bytes") / 64).cast("int")))
       .withColumn("frame_hashes",
         expr("transform(sequence(0, least(n_frames - 1, 9)), " +
-          s"i -> ${PH.sparkCharHash("cast(substr(payload, i * 64 + 1, 64) as string)", PH.TokMult)})"))
+          s"i -> ${PH.sparkCharHash("substr(cast(payload as string), i * 64 + 1, 64)", PH.TokMult)})"))
 
   /** Declared query: scalar digest of the sampled frame hashes (the array
     * stays API-only — the driver compare sorts on scalars). */

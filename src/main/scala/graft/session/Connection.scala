@@ -100,24 +100,43 @@ final class Connection(val engine: Engine) {
     val buf = arrowBuffers.getOrElseUpdate(key, new java.io.ByteArrayOutputStream())
     buf.write(bytes)
     // EOS is detected on the ACCUMULATED buffer's tail (a marker split
-    // across two chunks never lines up with a single chunk's tail). Batch
-    // payload bytes that merely *look* like EOS at a chunk boundary can
-    // still false-positive — so a parse failure on a non-final chunk keeps
-    // buffering instead of failing the ingest; the explicit final call
-    // (empty chunk) surfaces real corruption.
-    val all = buf.toByteArray
-    if (bytes.isEmpty || endsWithEos(all)) {
-      try {
-        saveIngested(ArrowBridge.fromIpcStream(spark, all), opts)
-        arrowBuffers.remove(key)
-      } catch {
-        case e: Throwable if bytes.nonEmpty => () // spurious EOS: keep buffering
-        case e: Throwable => arrowBuffers.remove(key); throw e
+    // across two chunks never lines up with a single chunk's tail); the
+    // tail is tracked incrementally — materializing the whole buffer per
+    // chunk would make an N-chunk ingest O(total²) in memory traffic.
+    // Batch payload bytes that merely *look* like EOS at a chunk boundary
+    // can still false-positive — a PARSE failure on a non-final chunk
+    // therefore keeps buffering; but once the stream parses, a failure to
+    // SAVE is a genuine error and always propagates (it must not be
+    // mistaken for an incomplete stream).
+    if (bytes.isEmpty || endsWithEos(tail(key, bytes))) {
+      val all = buf.toByteArray
+      val parsed =
+        try Some(ArrowBridge.fromIpcStream(spark, all))
+        catch {
+          case _: Throwable if bytes.nonEmpty => None // spurious EOS: keep buffering
+          case e: Throwable => dropBuffer(key); throw e
+        }
+      parsed.foreach { df =>
+        dropBuffer(key)
+        saveIngested(df, opts)
       }
     }
   }
 
   private val arrowBuffers = mutable.Map[String, java.io.ByteArrayOutputStream]()
+  private val arrowTails = mutable.Map[String, Array[Byte]]()
+
+  /** Rolling last-8-bytes of the accumulated stream for `key`. */
+  private def tail(key: String, chunk: Array[Byte]): Array[Byte] = {
+    val t = (arrowTails.getOrElse(key, Array.emptyByteArray) ++ chunk).takeRight(8)
+    arrowTails(key) = t
+    t
+  }
+
+  private def dropBuffer(key: String): Unit = {
+    arrowBuffers.remove(key)
+    arrowTails.remove(key)
+  }
 
   /** Arrow IPC end-of-stream marker: 0xFFFFFFFF followed by length 0. */
   private def endsWithEos(b: Array[Byte]): Boolean = {
@@ -193,16 +212,8 @@ final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sq
     var i = 0
     while (i < valuesPart.length) {
       valuesPart.charAt(i) match {
-        case '\'' => // skip string literal ('' escapes a quote)
-          i += 1
-          var done = false
-          while (i < valuesPart.length && !done) {
-            if (valuesPart.charAt(i) == '\'') {
-              if (i + 1 < valuesPart.length && valuesPart.charAt(i + 1) == '\'') i += 2
-              else { done = true; i += 1 }
-            } else i += 1
-          }
-          i -= 1 // outer loop advances
+        case '\'' => // skip string literal (shared literal-aware scanner)
+          i = graft.dialect.SqlText.literalEnd(valuesPart, i) - 1
         case '(' => depth += 1; if (depth == 1) colIdx = 0
         case ')' => depth -= 1
         case ',' if depth == 1 => colIdx += 1

@@ -72,9 +72,20 @@ final class FileRegistry {
   def registerFileText(name: String, text: String): Unit =
     registerFileBuffer(name, text.getBytes("UTF-8"))
 
-  /** Register a URL (http(s)://...) or local path under a file name. */
-  def registerFileURL(name: String, url: String): Unit =
-    entries.put(name, url)
+  /** Register a URL (http(s)://...) or local path under a file name.
+    * Query strings (presigned S3/GCS-style links) survive the trip through
+    * Hadoop `Path` — which has no query component and treats `?` as a glob
+    * metachar — by encoding them into a `!q=<base64url>` path suffix that
+    * [[graft.io.HttpFileSystem]] decodes back before issuing requests. */
+  def registerFileURL(name: String, url: String): Unit = {
+    val qIdx = url.indexOf('?')
+    val stored =
+      if (qIdx >= 0 && url.matches("(?i)https?://.*"))
+        url.substring(0, qIdx) + "!q=" + java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(url.substring(qIdx + 1).getBytes("UTF-8"))
+      else url
+    entries.put(name, stored)
+  }
 
   /** Register a native filesystem path under a file name. */
   def registerFilePath(name: String, path: String): Unit =

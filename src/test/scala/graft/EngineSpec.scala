@@ -171,6 +171,17 @@ class EngineSpec extends AnyFunSuite {
     conn.closePrepared(id)
   }
 
+  test("single-call Arrow ingest propagates genuine save failures") {
+    val src = conn.queryDF("SELECT id FROM range(0, 5)")
+    val ipc = ArrowBridge.toIpcStream(src)
+    // complete, parseable stream in ONE call; the save target is invalid →
+    // the error must surface, not be mistaken for an incomplete stream
+    intercept[Exception] {
+      conn.insertArrowFromIPCStream(ipc,
+        IngestOptions(schema = "no such schema!", name = "bad"))
+    }
+  }
+
   test("Arrow IPC ingest handles an EOS marker split across chunks") {
     val src = conn.queryDF("SELECT id FROM range(0, 50)")
     val ipc = ArrowBridge.toIpcStream(src)

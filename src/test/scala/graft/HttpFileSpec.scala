@@ -7,6 +7,7 @@ import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicInteger
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** URL-registered files read over real HTTP with ranged requests (reference
   * runtime_browser.ts:142-177,224-258: registered HTTP files are fetched
@@ -79,6 +80,33 @@ class HttpFileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangedRequests.get() > 0, "no Range requests reached the server")
     assert(nonZeroOffsetRanges.get() > 0,
       "no non-zero-offset Range request (footer seek should not read from 0)")
+  }
+
+  test("URLs with query strings (presigned-style) keep their query intact") {
+    val seenQueries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/signed.parquet", exchange => {
+      val q = exchange.getRequestURI.getQuery
+      if (q != null) seenQueries.add(q)
+      val headers = exchange.getResponseHeaders
+      headers.set("Accept-Ranges", "bytes")
+      if (q == null || !q.contains("token=sekrit")) {
+        exchange.sendResponseHeaders(403, -1); exchange.close()
+      } else if (exchange.getRequestMethod == "HEAD") {
+        headers.set("Content-Length", parquetBytes.length.toString)
+        exchange.sendResponseHeaders(200, -1); exchange.close()
+      } else {
+        exchange.sendResponseHeaders(200, parquetBytes.length.toLong)
+        exchange.getResponseBody.write(parquetBytes)
+        exchange.close()
+      }
+    })
+    engine.files.registerFileURL("signed.parquet",
+      s"http://127.0.0.1:$port/signed.parquet?token=sekrit&expires=999")
+    val n = conn.queryDF("SELECT count(*) AS n FROM parquet_scan('signed.parquet')")
+      .collect().head.getLong(0)
+    assert(n === 1000L)
+    assert(seenQueries.asScala.exists(_.contains("token=sekrit")),
+      "query string did not reach the server")
   }
 
   test("predicate query over the same URL re-reads via ranges, not a download") {
