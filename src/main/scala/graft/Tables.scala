@@ -70,10 +70,10 @@ object Tables {
   /** Column names with TIMESTAMP(NANOS) logical type, from the footer of the
     * first parquet file under `path`. */
   private def nanosColumns(spark: SparkSession, path: String): Seq[String] = {
-    import org.apache.parquet.format.converter.ParquetMetadataConverter
     import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     try {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new HPath(path)
@@ -84,10 +84,12 @@ object Tables {
             .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
             .getOrElse(return Nil)
         else p
-      val footer = ParquetFileReader.readFooter(conf, file,
-        ParquetMetadataConverter.SKIP_ROW_GROUPS)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val schema =
+        try reader.getFooter.getFileMetaData.getSchema
+        finally reader.close()
       import scala.jdk.CollectionConverters._
-      footer.getFileMetaData.getSchema.getFields.asScala.toSeq.flatMap { f =>
+      schema.getFields.asScala.toSeq.flatMap { f =>
         Option(f.getLogicalTypeAnnotation).collect {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => f.getName

@@ -72,6 +72,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("edit-distance pairs: similarity in [0,1], ordered, candidates only") {
+    val df = run("p22_edit_distance_pairs").cache()
+    try {
+      assert(df.filter(col("edit_sim") < 0.0 || col("edit_sim") > 1.0).count() === 0)
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0)
+      // pairs must be a subset of the MinHash-LSH candidate set
+      val cand = run("p06_minhash_lsh_pairs")
+      assert(df.select("doc_a", "doc_b").exceptAll(cand).count() === 0)
+    } finally df.unpersist()
+  }
+
   test("ann ivf: 5 neighbors per query from the query's own cell") {
     val df = run("p21_ann_ivf_topk").cache()
     try {
