@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks of the correctness-critical kernels: the portable
+  * hash (the foundation of every dedup/multimodal oracle) and the PPJoin
+  * prefix-filter bound (the losslessness claim behind p08's rewrite). */
+class PropertySpec extends AnyFunSuite {
+
+  /** scalatest↔scalacheck bridge (the scalatestplus artifact is not in the
+    * offline cache): run the prop with 300 cases, fail the suite on any
+    * counterexample. */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val P = graft.pipeline.PortableHash.P
+
+  /** Independent reference implementation of the poly hash (BigInt fold —
+    * no overflow concerns at all, unlike the production kernel). */
+  private def referencePolyHash(s: String, mult: Long, mod: Long): Long = {
+    var acc = BigInt(0)
+    s.codePoints().toArray.foreach { cp =>
+      acc = (acc * mult + cp).mod(BigInt(mod))
+    }
+    acc.toLong
+  }
+
+  test("PolyHash kernel equals a BigInt reference fold on arbitrary unicode") {
+    val unicodePiece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("é", "ß", "中", "🙂" /* 🙂 non-BMP */, " ", "\t"))
+    val gen = for {
+      s <- Gen.oneOf(
+        Gen.asciiPrintableStr,
+        Gen.listOf(unicodePiece).map(_.mkString))
+      mult <- Gen.oneOf(31L, 37L, 131L)
+    } yield (s, mult)
+    check(Prop.forAll(gen) { case (s, mult) =>
+      graft.functions.HashKernels.polyHash(UTF8String.fromString(s), mult, P) ==
+        referencePolyHash(s, mult, P)
+    })
+  }
+
+  test("PPJoin prefix bound is lossless: J >= 0.8 pairs always share a prefix token") {
+    // the production rule: prefix length = n - ceil(0.8 n) + 1 under a
+    // shared total token order (here: natural Long order standing in for
+    // the doc-frequency order; losslessness holds for ANY fixed order)
+    def prefixLen(n: Int): Int = n - ((4 * n + 4) / 5) + 1
+    val setGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 40L)).map(_.toSet))
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val inter = a.intersect(b).size.toDouble
+      val j = inter / (a.size + b.size - inter)
+      if (a.nonEmpty && b.nonEmpty && j >= 0.8) {
+        val pa = a.toSeq.sorted.take(prefixLen(a.size)).toSet
+        val pb = b.toSeq.sorted.take(prefixLen(b.size)).toSet
+        pa.intersect(pb).nonEmpty
+      } else true
+    })
+  }
+
+  test("integer ceil (4n+4) div 5 satisfies the ceiling definition of 4n/5") {
+    // the float form ceil(0.8 * n) is WRONG for multiples of 5 (0.8 is not
+    // exact binary: 0.8 * 65 = 52.000000000000004 → 53) — which is exactly
+    // why the production prefix length uses the integer form
+    check(Prop.forAll(Gen.chooseNum(1, 1000000)) { n =>
+      val k = (4 * n + 4) / 5
+      5L * k >= 4L * n && 5L * (k - 1) < 4L * n
+    })
+  }
+
+  test("glob translation: '*' absorbs arbitrary runs, '?' exactly one char") {
+    val lit = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('.', '-', '_'))).map(_.mkString)
+    val filler = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    check(Prop.forAll(lit, lit, filler) { (a, b, f) =>
+      val star = graft.session.GlobToRegex(a + "*" + b)
+      val q = graft.session.GlobToRegex(a + "?" + b)
+      star.matches(a + f + b) &&
+        q.matches(a + "x" + b) &&
+        !q.matches(a + b) &&
+        !q.matches(a + "xy" + b)
+    })
+  }
+}
