@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Standard Spark extension entry point: make the engine's native
+  * expressions available in ANY session via
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions           // spark-submit conf
+  * SparkSession.builder().withExtensions(new GraftExtensions) // programmatic
+  * }}}
+  *
+  * This is the idiomatic packaging for cluster deployments (the imperative
+  * `graft.functions.registerAll` path remains for driver-side sessions the
+  * engine builds itself). Injected functions are resolved by Catalyst like
+  * built-ins — usable from SQL text on every executor with codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
+    es
+  }
+
+  private def constLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
+      es => { arity("vec_dot", 2)(es); functions.VecDot(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a numeric array"),
+      es => { arity("vec_norm", 1)(es); functions.VecNorm(es.head) }))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two numeric arrays"),
+      es => { arity("vec_cosine", 2)(es); functions.VecCosine(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of an ARRAY<BIGINT>"),
+      es => { arity("simhash64", 1)(es); functions.SimHash64(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "graft_polyhash(s, mult, mod) - portable polynomial code-point hash"),
+      es => {
+        arity("graft_polyhash", 3)(es)
+        functions.PolyHash(es.head, constLong(es(1), "mult"), constLong(es(2), "mod"))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(a) - element-wise vector sum aggregate"),
+      es => { arity("vec_sum", 1)(es); functions.VecSumAgg(es.head) }))
+  }
+}
