@@ -176,6 +176,46 @@ object Multimodal {
        |FROM f ORDER BY asset_id""".stripMargin
   }
 
+  // ---------------------------------------------- pluggable codec plumbing
+  /** Decoded-asset record: the schema contract a real codec stage fills. */
+  final case class DecodedAsset(
+      asset_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int)
+
+  /** The deterministic stub kernel (same arithmetic as the SQL decode
+    * path, so the two implementations are testably equal). */
+  private[graft] def stubKernel(payload: Array[Byte], mime: String): (Int, Int, Int) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromBytes(payload)
+    val w = (graft.functions.HashKernels.polyHash(s, PH.TokMult, PH.P) % 1920 + 1).toInt
+    val h = (graft.functions.HashKernels.polyHash(s, PH.TokMult2, PH.P) % 1080 + 1).toInt
+    (w, h, 3)
+  }
+
+  /** Partition-parallel decode with a PLUGGABLE kernel — the exact shape a
+    * real image/audio codec drops into (the kernel runs inside
+    * `mapPartitions` on the executors; per-partition it could hold a codec
+    * context/library handle, amortized across its rows). The default
+    * kernel is the deterministic stub (this container ships no codecs);
+    * MultimodalSpec pins `decodePartitioned(stub) ≡ the SQL decode query`,
+    * so swapping in a real codec is exactly one function. */
+  def decodePartitioned(s: SparkSession, dir: String,
+      kernel: (Array[Byte], String) => (Int, Int, Int) = stubKernel)
+      : org.apache.spark.sql.Dataset[DecodedAsset] = {
+    import s.implicits._
+    assets(s, dir)
+      .select(col("asset_id"), col("payload"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        // per-partition kernel setup would go here (codec init, buffers)
+        it.map { case (id, payload, mime, nBytes) =>
+          val (w, h, c) = kernel(payload, mime)
+          DecodedAsset(id, mime, nBytes, w, h, c)
+        }
+      }
+  }
+
   val all: Seq[Q] = Seq(
     Q("p14_multimodal_decode", decode, Some(decodeSql)),
     Q("p15_multimodal_resize", resizePlan, Some(resizePlanSql)),

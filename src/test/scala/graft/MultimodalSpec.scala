@@ -51,6 +51,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flat.filter(col("v") < -1.0 || col("v") > 1.0).count() === 0)
   }
 
+  test("pluggable mapPartitions decode equals the SQL decode path") {
+    val viaKernel = graft.pipeline.Multimodal.decodePartitioned(spark, sfDir)
+      .toDF().select("asset_id", "mime", "n_bytes", "width", "height", "channels")
+    val viaSql = run("p14_multimodal_decode")
+    assert(viaKernel.exceptAll(viaSql).count() === 0)
+    assert(viaSql.exceptAll(viaKernel).count() === 0)
+    // and a swapped kernel flows through the same plumbing
+    val fixed = graft.pipeline.Multimodal
+      .decodePartitioned(spark, sfDir, (_, _) => (640, 480, 1)).collect()
+    assert(fixed.forall(d => d.width === 640 && d.height === 480 && d.channels === 1))
+  }
+
   test("declared frame/feature queries emit scalar digests, no arrays") {
     Seq("p16_multimodal_frames", "p17_multimodal_features").foreach { n =>
       val schema = run(n).schema
