@@ -76,6 +76,18 @@ class AsyncEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     await(async.disconnect(id))
   }
 
+  test("a second sendQuery replaces the connection's active stream") {
+    val id = await(async.connect())
+    await(async.sendQuery(id, "SELECT id FROM range(0, 100)"))
+    // replace before fetching anything
+    await(async.sendQuery(id, "SELECT 42 AS v"))
+    var rows = 0
+    var batch = await(async.fetchQueryResults(id))
+    while (batch.nonEmpty) { rows += 1; batch = await(async.fetchQueryResults(id)) }
+    assert(rows === 1) // one batch: the SECOND query's single row, not 100
+    await(async.disconnect(id))
+  }
+
   test("async prepared statements round-trip") {
     val id = await(async.connect())
     val stmt = await(async.createPrepared(id, "SELECT v * ? AS r FROM (SELECT 21 AS v)"))
