@@ -39,11 +39,14 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length / whitespace / vowel / uniqueness ratios.
-    * Only IEEE-exact arithmetic (single divisions) for oracle bit-parity. */
+    * Only IEEE-exact arithmetic (single divisions) for oracle bit-parity.
+    * Character-class counts use `translate`/`replace` (plain char scans)
+    * instead of regexp_replace — same counts, no regex engine in the hot
+    * loop (the oracle keeps its regexp form; outputs are equal). */
   private def quality(s: SparkSession, dir: String): DataFrame = {
     val len = length(col("text")).cast("double")
-    val spaces = (length(col("text")) - length(regexp_replace(col("text"), "[ ]", ""))).cast("long")
-    val vowels = (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long")
+    val spaces = (length(col("text")) - length(expr("replace(text, ' ', '')"))).cast("long")
+    val vowels = (length(col("text")) - length(translate(col("text"), "aeiou", ""))).cast("long")
     val tokens = split(trim(col("text")), ws)
     docs(s, dir)
       .select(
