@@ -263,6 +263,93 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ------------------------------------------------------ dedup clustering
+  /** Duplicate CLUSTERS from the pairwise LSH candidates: connected
+    * components by min-label propagation (each doc starts labeled with its
+    * own id; every round takes the min over neighbors). Pairs alone
+    * under-count duplicates — A~B and B~C must collapse to ONE keeper —
+    * and at corpus scale this is the canonical iterative join: per round
+    * one shuffle on the edge key, state one label per doc, no driver
+    * collect. The declared query runs a FIXED 4 rounds so the DuckDB
+    * oracle (the same 4 rounds unrolled as CTEs) is equal by construction;
+    * [[dedupClustersConverged]] iterates to fixpoint for callers (the
+    * candidate graph's components here have tiny diameters — PipelineSpec
+    * asserts 4 rounds already reach it). */
+  private[graft] def clusterLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val cand = {
+      val bands = bandRows(signatures(docs(s, dir)))
+      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+        col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
+    }
+    labels
+  }
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir, rounds = 4)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("cluster_id"))
+
+  /** Fixpoint variant: propagate until no label changes (per round, one
+    * scalar count to the driver — the loop condition, not the data). */
+  def dedupClustersConverged(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
+    var labels = clusterLabels(s, dir, rounds = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var r = 1
+    while (!converged && r < maxRounds) {
+      val next = clusterLabels(s, dir, rounds = r + 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      r += 1
+    }
+    labels
+  }
+
+  private val dedupClustersSql = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc_id, least(d.label, coalesce(m.mnl, d.label)) AS label
+         |  FROM $prev d LEFT JOIN (
+         |    SELECT e.src AS doc_id, min(l.label) AS mnl
+         |    FROM edges e JOIN $prev l ON l.doc_id = e.dst GROUP BY 1) m
+         |  USING (doc_id))""".stripMargin
+    s"""WITH ${PH.duckLshCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")},
+       |${round("l3", "l4")}
+       |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc
+       |FROM l4 GROUP BY 1 ORDER BY cluster_id""".stripMargin
+  }
+
   // -------------------------------------------- edit-distance verification
   /** Character-level verification of the MinHash-LSH candidates: exact
     * Levenshtein distance + normalized similarity per candidate pair. The
@@ -346,7 +433,8 @@ object DedupQueries {
     Q("p09_simhash64", simhash, Some(simhashSql)),
     Q("p10_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     Q("p22_edit_distance_pairs", editDistancePairs, Some(editDistancePairsSql)),
-    Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("p24_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */

@@ -72,6 +72,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("dedup clusters: labels are component minima; 4 rounds reach fixpoint here") {
+    val four = graft.pipeline.DedupQueries.clusterLabels(spark, sfDir, rounds = 4)
+    val five = graft.pipeline.DedupQueries.clusterLabels(spark, sfDir, rounds = 5)
+    // converged at the declared round count (tiny component diameters)
+    assert(four.join(five.withColumnRenamed("label", "l5"), "doc_id")
+      .filter(col("label") =!= col("l5")).isEmpty)
+    // every label is a member of its own cluster and <= all members
+    val bad = four.join(four.select(col("label").as("other_label"),
+        col("doc_id").as("other_doc")), col("label") === col("other_label"))
+      .filter(col("label") > col("other_doc"))
+    assert(bad.isEmpty)
+  }
+
   test("edit-distance pairs: similarity in [0,1], ordered, candidates only") {
     val df = run("p22_edit_distance_pairs").cache()
     try {
