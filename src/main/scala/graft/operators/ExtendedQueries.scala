@@ -135,8 +135,13 @@ object ExtendedQueries {
       .orderBy(col("l_returnflag"))
 
   /** Exact DECIMAL aggregation — TPC-H money semantics (SURVEY §7.3 risk 1):
-    * decimal sums are exact integers-scaled arithmetic, so the oracle hash
-    * matches bit for bit with no float tolerance at any scale. (avg is
+    * decimal sums are exact integer-scaled arithmetic, so the oracle matches
+    * bit for bit with no float tolerance at any scale. The aggregation runs
+    * in DECIMAL; the *presentation* is the engines' canonical decimal string
+    * ('506627.00', scale preserved), which both format identically. Raw
+    * decimal output is driver-ambiguous: pandas reads parquet DECIMAL(38,2)
+    * as Decimal('506627.00') while DuckDB's .df() yields float 506627.0 —
+    * value-equal, representation-unequal (the r1/r2 q45 hash fails). (avg is
     * excluded: DuckDB returns DOUBLE for decimal avg, Spark a wider
     * decimal.) */
   private def q45(s: SparkSession, dir: String): DataFrame =
@@ -147,20 +152,20 @@ object ExtendedQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         // DuckDB's sum(DECIMAL(15,2)) widens to DECIMAL(38,2); Spark widens to
-        // DECIMAL(25,2) — cast so the result schema is bit-identical.
-        sum(col("price_dec")).cast("decimal(38,2)").as("sum_price"),
-        sum(col("qty_dec")).cast("decimal(38,2)").as("sum_qty"),
-        max(col("price_dec")).as("max_price"),
-        min(col("price_dec")).as("min_price"),
+        // DECIMAL(25,2) — cast so the decimal-string forms are identical.
+        sum(col("price_dec")).cast("decimal(38,2)").cast("string").as("sum_price"),
+        sum(col("qty_dec")).cast("decimal(38,2)").cast("string").as("sum_qty"),
+        max(col("price_dec")).cast("string").as("max_price"),
+        min(col("price_dec")).cast("string").as("min_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
   private val q45Sql =
     """SELECT l_returnflag,
-      | sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS sum_price,
-      | sum(CAST(l_quantity AS DECIMAL(15,2))) AS sum_qty,
-      | max(CAST(l_extendedprice AS DECIMAL(15,2))) AS max_price,
-      | min(CAST(l_extendedprice AS DECIMAL(15,2))) AS min_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS sum_price,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS sum_qty,
+      | CAST(max(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS max_price,
+      | CAST(min(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS min_price,
       | count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
