@@ -41,16 +41,20 @@ object WindowExtras {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** RANGE (value-based) window frame — distinct from ROWS frames. */
-  private def q47(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_orderkey")).rangeBetween(-5, 0)
-    t(s, dir)("orders")
-      .withColumn("n_in_range", count(lit(1)).over(w))
-      .withColumn("sum_in_range",
-        sum(floor(col("o_totalprice")).cast("long")).over(w))
+  /** RANGE (value-based) window frame — distinct from ROWS frames. The
+    * frame is GLOBAL (no partition key), which Spark would plan as a
+    * single-task WindowExec; [[graft.scale.Scale.bandedRangeFrame]] computes
+    * the identical result with the window partitioned by key bucket
+    * (context rows duplicated across the bucket boundary), so the plan has
+    * no SinglePartition stage at any scale (asserted in ScaleSpec). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Scale.bandedRangeFrame(
+      t(s, dir)("orders"), "o_orderkey", width = 5,
+      w => Seq(
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(floor(col("o_totalprice")).cast("long")).over(w).as("sum_in_range")))
       .select(col("o_orderkey"), col("n_in_range"), col("sum_in_range"))
       .orderBy(col("o_orderkey"))
-  }
 
   private val q47Sql =
     """SELECT o_orderkey,

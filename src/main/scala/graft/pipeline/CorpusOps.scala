@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import graft.functions.vec_dot
+import graft.pipeline.{PortableHash => PH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a large-scale training-data pipeline runs after
+  * dedup and before training: benchmark decontamination, repetition-based
+  * quality signals (Gopher/RefinedWeb-style), deterministic shard layout,
+  * and random-projection dimensionality reduction.
+  *
+  * Like the rest of the pipeline suite, every kernel is arithmetic both
+  * engines can express exactly ([[PortableHash]] fragments, integer ratios,
+  * ordered double dot products) so each query carries a full bit-exact
+  * DuckDB oracle.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination: flag corpus documents sharing 3-token
+    * shingles with a held-out eval set (here the deterministic slice
+    * doc_id % 17 = 0 — in production the broadcast side is the actual
+    * benchmark suite). The join is an inverted-index equi-join on shingle
+    * hash with the eval side broadcast: at 100 TB the corpus side streams
+    * map-side against the (always small) benchmark shingle set — no
+    * shuffle of the corpus at all. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
+      .distinct()
+    val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("shingle")).distinct()
+      .withColumn("is_eval", lit(1))
+    pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .join(broadcast(eval), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("is_eval")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
+       |sh AS (SELECT doc_id, ${PH.duckShingles("th")} AS sh FROM th),
+       |pairs AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+       |eval AS (SELECT DISTINCT shingle, 1 AS is_eval FROM pairs WHERE doc_id % 17 = 0)
+       |SELECT p.doc_id,
+       |  count(*) AS n_shingles,
+       |  count(e.is_eval) AS n_contaminated,
+       |  CAST(count(e.is_eval) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contam_ratio
+       |FROM (SELECT * FROM pairs WHERE doc_id % 17 <> 0) p
+       |LEFT JOIN eval e USING (shingle)
+       |GROUP BY p.doc_id HAVING count(e.is_eval) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- repetition signals
+  /** Gopher/RefinedWeb-style repetition + shape signals, all narrow
+    * projection (zero shuffle at any scale): duplicate-sentence counts and
+    * the fraction of characters inside duplicated sentences, mean/max word
+    * length, symbol-to-token ratio. The duplicate scan is O(sentences²) per
+    * document via nested array lambdas — documents are bounded, and the
+    * whole thing stays inside whole-stage codegen. */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val sents = split(col("text"), "\\.\\s+")
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs(s, dir)
+      .withColumn("sents", sents)
+      .withColumn("toks", toks)
+    val nSents = size(col("sents")).cast("long")
+    val nDistinct = size(array_distinct(col("sents"))).cast("long")
+    // characters inside sentences that occur more than once in the document
+    val dupChars = expr(
+      """aggregate(filter(sents, x -> size(filter(sents, y -> y = x)) > 1),
+        |          0L, (acc, x) -> acc + length(x))""".stripMargin)
+    val totChars = expr("aggregate(sents, 0L, (acc, x) -> acc + length(x))")
+    val symbols = (length(col("text"))
+      - length(translate(col("text"), "#*%@", ""))).cast("long")
+    base.select(
+      col("doc_id"),
+      nSents.as("n_sents"),
+      (nSents - nDistinct).as("n_dup_sents"),
+      ((nSents - nDistinct).cast("double") / nSents.cast("double"))
+        .as("dup_sent_ratio"),
+      (dupChars.cast("double") / totChars.cast("double")).as("dup_char_ratio"),
+      (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double")
+        / size(col("toks")).cast("double")).as("mean_word_len"),
+      expr("array_max(transform(toks, t -> length(t)))").cast("long")
+        .as("max_word_len"),
+      (symbols.cast("double") / size(col("toks")).cast("double"))
+        .as("symbol_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(text, '\.\s+') AS sents,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(sents) AS BIGINT) AS n_sents,
+      |  CAST(len(sents) - len(list_distinct(sents)) AS BIGINT) AS n_dup_sents,
+      |  CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+      |    / CAST(len(sents) AS DOUBLE) AS dup_sent_ratio,
+      |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |         list_filter(sents, x -> len(list_filter(sents, y -> y = x)) > 1),
+      |         x -> CAST(length(x) AS BIGINT)))) AS DOUBLE)
+      |    / CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(sents, x -> CAST(length(x) AS BIGINT)))) AS DOUBLE)
+      |    AS dup_char_ratio,
+      |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(toks, t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+      |    AS max_word_len,
+      |  CAST(length(text) - length(regexp_replace(text, '[#*%@]', '', 'g')) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS symbol_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ shard assignment
+  /** Deterministic training-shard layout: a portable affine hash gives a
+    * reproducible global shuffle order, shard = hash mod N, and the
+    * within-shard position comes from a window partitioned BY SHARD — never
+    * a global single-partition rank. At 100 TB, N scales with the corpus so
+    * each shard (≈ window partition) stays bounded; the output order is
+    * stable across engines, runs, and cluster sizes, which is exactly the
+    * reproducibility property a training dataloader needs. */
+  private val ShardCount = 16
+  private def shardAssignment(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = (1103515245L, 12345L)
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * a + b, lit(PH.P)).as("h"))
+      .withColumn("shard_id", pmod(col("h"), lit(ShardCount.toLong)))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shardAssignmentSql =
+    s"""WITH h AS (
+       |  SELECT doc_id, (doc_id * 1103515245 + 12345) % ${PH.P} AS h
+       |  FROM documents),
+       |sh AS (SELECT doc_id, h, h % $ShardCount AS shard_id FROM h)
+       |SELECT doc_id, h, shard_id,
+       |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
+       |       AS BIGINT) AS pos_in_shard
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- random-projection reduce
+  /** Johnson–Lindenstrauss-style dimensionality reduction: project the
+    * 64-dim embeddings onto 8 fixed-seed hyperplanes. Pure narrow map — the
+    * projection matrix is a compile-time constant folded into the scan
+    * projection (at 100 TB: zero shuffle, one pass). Kernel is the native
+    * codegen'd [[graft.functions.VecDot]]; ordered left-to-right double
+    * accumulation matches DuckDB's list_dot_product bit for bit. */
+  private def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val ps = PH.planes(8, 64, seed = 11)
+    val projCols: Seq[Column] = ps.zipWithIndex.map { case (p, i) =>
+      vec_dot(col("embedding"), array(p.map(lit).toSeq: _*)).as(s"proj_$i")
+    }
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id") +: projCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private val randomProjectionSql = {
+    val ps = PH.planes(8, 64, seed = 11)
+    val projExprs = ps.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_dot_product(v, CAST($lit AS DOUBLE[])) AS proj_$i"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, ${projExprs.mkString(",\n  ")}
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("p25_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("p26_repetition_signals", repetition, Some(repetitionSql)),
+    Q("p27_shard_assignment", shardAssignment, Some(shardAssignmentSql)),
+    Q("p28_random_projection", randomProjection, Some(randomProjectionSql)))
+}

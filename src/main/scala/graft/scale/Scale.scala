@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row}
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale join/layout utilities — the techniques the 100 TB
@@ -98,6 +98,36 @@ object Scale {
       .withColumn("__match", coalesce(col("__lm"), col("__carry.__payload")))
       .withColumn("__match_t", coalesce(col("__lmt"), col("__carry.__rt")))
       .select(col(key), col("__t"), col("__match"), col("__match_t"))
+  }
+
+  /** Distributed RANGE-frame window (frame = [key − width, key]): a bare
+    * `Window.orderBy(key).rangeBetween(-width, 0)` funnels the ENTIRE table
+    * through one task (Spark plans an unpartitioned WindowExec behind a
+    * SinglePartition exchange) — the same scale-killer class as a global
+    * row_number. This variant buckets rows by `floor(key / bucketSize)` and
+    * runs the window partitioned BY BUCKET, with each row duplicated once
+    * into the next bucket as context: because `bucketSize > width`, every
+    * value in a row's frame lives either in its own bucket or the previous
+    * one, so each real row sees exactly the rows of its frame — results are
+    * identical to the global form at any parallelism (ScaleSpec pins
+    * equality), cost is one shuffle of 2× the rows.
+    *
+    * `aggs` builds the frame aggregates from the prepared WindowSpec
+    * (e.g. `w => Seq(count(lit(1)).over(w).as("n"))`). */
+  def bandedRangeFrame(df: DataFrame, key: String, width: Long,
+      aggs: org.apache.spark.sql.expressions.WindowSpec => Seq[Column],
+      bucketSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize > width, s"bucketSize $bucketSize must exceed frame width $width")
+    val g = floor(col(key).cast("double") / bucketSize).cast("long")
+    val real = df.withColumn("__g", g).withColumn("__ctx", lit(false))
+    val ctx = df.withColumn("__g", g + 1).withColumn("__ctx", lit(true))
+    val w = Window.partitionBy(col("__g")).orderBy(col(key))
+      .rangeBetween(-width, 0)
+    real.unionByName(ctx)
+      .select(col("*") +: aggs(w): _*)
+      .filter(!col("__ctx"))
+      .drop("__g", "__ctx")
   }
 
   /** Top skewed keys of a column — the observability half of skew handling

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-hygiene suite (p25–p28): decontamination,
+  * repetition signals, shard layout, random projection. The exact-value
+  * check is the DuckDB oracle (local_check / driver); here we assert the
+  * structural properties that must hold at any scale. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("p25 decontaminate: ratios in (0,1], no eval docs in output") {
+    val df = run("p25_decontaminate").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("contam_ratio") <= 0 || col("contam_ratio") > 1).count() === 0)
+    assert(df.filter(pmod(col("doc_id"), lit(17)) === 0).count() === 0)
+    assert(df.filter(col("n_contaminated") > col("n_shingles")).count() === 0)
+    df.unpersist()
+  }
+
+  test("p25 decontaminate: eval docs flag themselves via shared shingles") {
+    // every doc whose text equals an eval doc's text must be flagged ~100%
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalTexts = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("text")).distinct()
+    val dupOfEval = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .join(evalTexts, "text").select("doc_id")
+    val flagged = run("p25_decontaminate")
+      .filter(col("contam_ratio") === 1.0).select("doc_id")
+    assert(dupOfEval.exceptAll(flagged).count() === 0)
+  }
+
+  test("p26 repetition: one row per doc, ratios bounded, exact-dup text has dup_char_ratio 1") {
+    val df = run("p26_repetition_signals").cache()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(df.count() === nDocs)
+    assert(df.filter(col("dup_sent_ratio") < 0 || col("dup_sent_ratio") >= 1).count() === 0)
+    assert(df.filter(col("dup_char_ratio") < 0 || col("dup_char_ratio") > 1).count() === 0)
+    assert(df.filter(col("max_word_len") < 1 || col("mean_word_len") < 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("p27 shard assignment: total preserved, shards balanced, positions dense") {
+    val df = run("p27_shard_assignment").cache()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(df.count() === nDocs)
+    assert(df.select("shard_id").distinct().count() <= 16)
+    // positions within each shard are exactly 0..n-1
+    val bad = df.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), max("pos_in_shard").as("mx"), min("pos_in_shard").as("mn"),
+        countDistinct("pos_in_shard").as("nd"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 || col("nd") =!= col("n"))
+    assert(bad.count() === 0)
+    // deterministic across runs
+    val again = run("p27_shard_assignment")
+    assert(df.exceptAll(again).count() === 0)
+    df.unpersist()
+  }
+
+  test("p27 shard assignment plan has no single-partition global window") {
+    val plan = run("p27_shard_assignment").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window bottleneck in plan:\n$plan")
+  }
+
+  test("p28 random projection: one row per vector, projections finite and non-degenerate") {
+    val df = run("p28_random_projection").cache()
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(df.count() === nVecs)
+    val projCols = (0 until 8).map(i => col(s"proj_$i"))
+    assert(df.filter(projCols.map(c => isnan(c) || c.isNull).reduce(_ || _)).count() === 0)
+    // non-degenerate: each projected dimension has spread
+    val devs = projCols.zipWithIndex.map { case (c, i) => stddev(c).as(s"s_$i") }
+    val stats = df.agg(devs.head, devs.tail: _*).head()
+    (0 until 8).foreach(i => assert(stats.getDouble(i) > 0))
+    df.unpersist()
+  }
+}

@@ -83,6 +83,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(seg.count() === left.count())
   }
 
+  test("banded range frame equals the global window and avoids SinglePartition") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, sfDir, "orders")
+    val gw = Window.orderBy(col("o_orderkey")).rangeBetween(-5, 0)
+    val global = orders
+      .withColumn("n_in_range", count(lit(1)).over(gw))
+      .withColumn("sum_in_range",
+        sum(floor(col("o_totalprice")).cast("long")).over(gw))
+      .select(col("o_orderkey"), col("n_in_range"), col("sum_in_range"))
+    val banded = Scale.bandedRangeFrame(orders, "o_orderkey", width = 5,
+      w => Seq(
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(floor(col("o_totalprice")).cast("long")).over(w).as("sum_in_range")),
+      bucketSize = 64) // small buckets → many boundary crossings exercised
+      .select(col("o_orderkey"), col("n_in_range"), col("sum_in_range"))
+    assert(banded.exceptAll(global).count() === 0)
+    assert(global.exceptAll(banded).count() === 0)
+    val plan = banded
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"banded range frame still has a single-partition stage:\n$plan")
+  }
+
   test("key skew histogram finds the heaviest keys") {
     val skew = Scale.keySkew(Tables.load(spark, sfDir, "lineitem"), "l_suppkey", 5)
     val rows = skew.collect()
