@@ -141,8 +141,10 @@ object CorpusOps {
     val (a, b) = (1103515245L, 12345L)
     val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
     docs(s, dir)
+      // reduce mod P BEFORE multiplying: (P−1)·a + b < 2^62, ANSI-safe for
+      // any doc_id (a raw doc_id·a overflows long past doc_id ≈ 8×10^9)
       .select(col("doc_id"),
-        pmod(col("doc_id") * a + b, lit(PH.P)).as("h"))
+        pmod(pmod(col("doc_id"), lit(PH.P)) * a + b, lit(PH.P)).as("h"))
       .withColumn("shard_id", pmod(col("h"), lit(ShardCount.toLong)))
       .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
       .orderBy(col("doc_id"))
@@ -150,13 +152,78 @@ object CorpusOps {
 
   private val shardAssignmentSql =
     s"""WITH h AS (
-       |  SELECT doc_id, (doc_id * 1103515245 + 12345) % ${PH.P} AS h
+       |  SELECT doc_id, ((doc_id % ${PH.P}) * 1103515245 + 12345) % ${PH.P} AS h
        |  FROM documents),
        |sh AS (SELECT doc_id, h, h % $ShardCount AS shard_id FROM h)
        |SELECT doc_id, h, shard_id,
        |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
        |       AS BIGINT) AS pos_in_shard
        |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- domain-mix resample
+  /** Temperature-based domain mixing (α = 0.5): per-source sampling targets
+    * ∝ n_s^α flatten the source distribution the way multilingual/domain
+    * mixes are built, then each source contributes its `n_target` docs with
+    * the smallest portable hash (deterministic, engine-independent).
+    * Weights use floor(sqrt(n)) so the whole computation is INTEGER
+    * arithmetic — no cross-engine float summation order to disagree on.
+    * The global weight-sum window runs over one row PER SOURCE (aggregate
+    * stats, never corpus rows). The per-source selection is a TWO-PHASE
+    * top-k (the TakeOrderedAndProject trick): phase 1 ranks per
+    * (source, input partition) — parallel across a huge source's splits —
+    * and keeps ≤ MixTotal rows each; phase 2 ranks the ≤ MixTotal ×
+    * nPartitions survivors per source. A single `Window.partitionBy(source)`
+    * over the raw corpus would funnel a 100 TB source through ONE task;
+    * here the final window sees a bounded candidate set. Both phases agree
+    * with the naive global rank because the global top-k of a source is
+    * contained in the union of its per-partition top-k's. */
+  private val MixTotal = 200L
+  private def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val targets = docs(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+      .withColumn("n_target",
+        expr(s"($MixTotal * weight) div sum(weight) over ()"))
+    val hashed = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(pmod(col("doc_id"), lit(PH.P)) * 1103515245L + 12345L, lit(PH.P))
+          .as("h"))
+    val wLocal = Window.partitionBy(col("source"), col("__pid"))
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = hashed
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .withColumn("__lrk", row_number().over(wLocal))
+      .filter(col("__lrk") <= MixTotal)
+    val wGlobal = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .join(targets, "source")
+      .filter(col("rk") <= col("n_target"))
+      .select(col("source"), col("doc_id"), col("rk"),
+        col("n_docs"), col("weight"), col("n_target"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val domainMixSql =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |targets AS (
+       |  SELECT source, n_docs,
+       |    CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight,
+       |    CAST(($MixTotal * CAST(floor(sqrt(n_docs)) AS BIGINT))
+       |      // CAST(sum(CAST(floor(sqrt(n_docs)) AS BIGINT)) OVER () AS BIGINT)
+       |      AS BIGINT) AS n_target
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % ${PH.P}) * 1103515245 + 12345) % ${PH.P}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, r.rk, t.n_docs, t.weight, t.n_target
+       |FROM ranked r JOIN targets t USING (source)
+       |WHERE r.rk <= t.n_target
+       |ORDER BY r.source, r.rk""".stripMargin
 
   // -------------------------------------------- random-projection reduce
   /** Johnson–Lindenstrauss-style dimensionality reduction: project the
@@ -190,5 +257,6 @@ object CorpusOps {
     Q("p25_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("p26_repetition_signals", repetition, Some(repetitionSql)),
     Q("p27_shard_assignment", shardAssignment, Some(shardAssignmentSql)),
-    Q("p28_random_projection", randomProjection, Some(randomProjectionSql)))
+    Q("p28_random_projection", randomProjection, Some(randomProjectionSql)),
+    Q("p29_domain_mix", domainMix, Some(domainMixSql)))
 }

@@ -86,6 +86,52 @@ final class TrainingPipeline private (val result: DataFrame) {
         .filter(col("__rnk") <= k).drop("__rnk"))
   }
 
+  /** Drop documents sharing ≥ `maxRatio` of their 3-token shingles with a
+    * benchmark/eval set (decontamination, the p25 kernel): the eval side is
+    * small by nature → broadcast inverted index, the corpus is never
+    * shuffled on the shingle key. */
+  def decontaminate(evalDocs: DataFrame, maxRatio: Double = 0.1): TrainingPipeline = {
+    val shingled = (df: DataFrame) => df
+      .withColumn("__th", expr(PortableHash.sparkTokenHashes("text")))
+      .select(col("doc_id"), explode(expr(PortableHash.sparkShingles("__th"))).as("__sh"))
+      .distinct()
+    val evalSh = shingled(evalDocs).select(col("__sh")).distinct()
+      .withColumn("__hit", lit(1))
+    val contaminated = shingled(result)
+      .join(broadcast(evalSh), Seq("__sh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg((count(col("__hit")).cast("double") / count(lit(1)).cast("double"))
+        .as("__ratio"))
+      .filter(col("__ratio") >= maxRatio)
+      .select(col("doc_id"))
+    new TrainingPipeline(result.join(contaminated, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Repetition gate (the p26 kernel): drop documents whose duplicate-
+    * sentence ratio exceeds `maxDupSentRatio` — pure narrow filter. */
+  def filterRepetition(maxDupSentRatio: Double): TrainingPipeline = {
+    val sents = org.apache.spark.sql.functions.split(col("text"), "\\.\\s+")
+    val ratio = (size(sents) - size(array_distinct(sents))).cast("double") /
+      size(sents).cast("double")
+    new TrainingPipeline(result.filter(ratio <= maxDupSentRatio))
+  }
+
+  /** Deterministic shard layout (the p27 kernel): adds shard_id /
+    * pos_in_shard; positions come from per-shard windows, never a global
+    * rank. Write with `.result.write.partitionBy("shard_id")` for a
+    * reproducible training layout. */
+  def shardBy(nShards: Int): TrainingPipeline = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("__h"), col("doc_id"))
+    new TrainingPipeline(result
+      .withColumn("__h",
+        pmod(pmod(col("doc_id"), lit(PortableHash.P)) * 1103515245L + 12345L,
+          lit(PortableHash.P)))
+      .withColumn("shard_id", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .drop("__h"))
+  }
+
   /** Deterministic train/valid/test assignment by id modulus. */
   def split(train: Double, valid: Double): TrainingPipeline = {
     val trainMax = (train * 10).toInt

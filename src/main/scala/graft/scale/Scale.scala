@@ -119,7 +119,12 @@ object Scale {
       bucketSize: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketSize > width, s"bucketSize $bucketSize must exceed frame width $width")
-    val g = floor(col(key).cast("double") / bucketSize).cast("long")
+    // exact floor division over longs (a double floor() loses precision for
+    // keys beyond 2^53; subtracting the positive pmod first makes the
+    // numerator exactly divisible, so integral `div` equals true floor for
+    // negative keys too, and `/` — which returns DOUBLE on longs — is
+    // avoided entirely)
+    val g = expr(s"(`$key` - pmod(`$key`, ${bucketSize}L)) div ${bucketSize}L")
     val real = df.withColumn("__g", g).withColumn("__ctx", lit(false))
     val ctx = df.withColumn("__g", g + 1).withColumn("__ctx", lit(true))
     val w = Window.partitionBy(col("__g")).orderBy(col(key))

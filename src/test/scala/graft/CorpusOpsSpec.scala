@@ -66,6 +66,58 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"global-window bottleneck in plan:\n$plan")
   }
 
+  test("TrainingPipeline.decontaminate drops exactly the docs p25 flags at the threshold") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+    val kept = graft.pipeline.TrainingPipeline(corpus)
+      .decontaminate(evalDocs, maxRatio = 0.5).result
+    val flagged = run("p25_decontaminate").filter(col("contam_ratio") >= 0.5)
+    assert(kept.count() === corpus.count() - flagged.count())
+    assert(kept.select("doc_id").intersect(flagged.select("doc_id")).count() === 0)
+  }
+
+  test("TrainingPipeline.filterRepetition agrees with p26's dup_sent_ratio") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = graft.pipeline.TrainingPipeline(docs).filterRepetition(0.0).result
+    val expected = run("p26_repetition_signals")
+      .filter(col("dup_sent_ratio") === 0.0).count()
+    assert(kept.count() === expected)
+    // threshold 1.0 is a no-op gate (ratio is always < 1)
+    assert(graft.pipeline.TrainingPipeline(docs).filterRepetition(1.0)
+      .result.count() === docs.count())
+  }
+
+  test("TrainingPipeline.shardBy(16) reproduces the p27 assignment") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val piped = graft.pipeline.TrainingPipeline(docs).shardBy(16)
+      .result.select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+    val declared = run("p27_shard_assignment")
+      .select(col("doc_id"), col("shard_id"), col("pos_in_shard"))
+    assert(piped.exceptAll(declared).count() === 0)
+    assert(declared.exceptAll(piped).count() === 0)
+  }
+
+  test("p29 domain mix: per-source quota met exactly, ranks dense, flatter than input") {
+    val df = run("p29_domain_mix").cache()
+    // each source contributes exactly n_target docs with ranks 1..n_target
+    val bad = df.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"),
+        first("n_target").as("t"))
+      .filter(col("n") =!= col("t") || col("mx") =!= col("t") || col("mn") =!= 1)
+    assert(bad.count() === 0)
+    // α = 0.5 flattens: the biggest source's sampled share never exceeds
+    // its corpus share (equality when sources are uniform, as in sf0.x)
+    val top = df.groupBy("source")
+      .agg(first("n_docs").as("n_docs"), first("n_target").as("n_target"))
+      .orderBy(col("n_docs").desc).head()
+    val totDocs = Tables.load(spark, sfDir, "documents").count().toDouble
+    val totSampled = df.count().toDouble
+    assert(top.getAs[Long]("n_target") / totSampled <=
+      top.getAs[Long]("n_docs") / totDocs + 1e-12)
+    df.unpersist()
+  }
+
   test("p28 random projection: one row per vector, projections finite and non-degenerate") {
     val df = run("p28_random_projection").cache()
     val nVecs = Tables.load(spark, sfDir, "embeddings").count()
