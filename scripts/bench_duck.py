@@ -21,7 +21,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 out = {}
 for name in sorted(oracle):
     times = []
-    for _ in range(runs):
+    for i in range(runs):
         t0 = time.time()
         try:
             con.sql(oracle[name]).fetchall()  # materialize fully
@@ -29,10 +29,15 @@ for name in sorted(oracle):
         except Exception as e:
             times.append(-1.0)
             break
+        # queries dominated by compute don't need repeat sampling — the
+        # fixed-cost noise repeat runs guard against is negligible there
+        if times[-1] > 10.0:
+            break
     ok = [t for t in times if t >= 0]
     # min over runs, matching graft.Bench's sampling (co-tenant noise is
     # additive; same estimator on both sides keeps the ratio fair)
     out[name] = min(ok) if ok else -1.0
+    print(f"[duck] {name}: {out[name]:.3f}s", file=sys.stderr, flush=True)
 total = sum(v for v in out.values() if v >= 0)
 print(json.dumps({"total": round(total, 3), "sf": sf_dir,
                   "queries": {k: round(v, 4) for k, v in out.items()}}))

@@ -83,6 +83,9 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
       o = """(?i)\bBLOB\b""".r.replaceAllIn(o, "BINARY")
       o
     }
+    // DuckDB query sugar Spark lacks: QUALIFY / GROUP BY ALL / ORDER BY
+    // ALL / star-EXCLUDE (see DialectSugar)
+    out = DialectSugar.rewrite(out)
     out
   }
 

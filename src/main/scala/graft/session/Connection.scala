@@ -26,9 +26,15 @@ final class Connection(val engine: Engine) {
   /** Run SQL, return the DataFrame (the engine-native form). */
   def queryDF(sql: String): DataFrame = {
     val trimmed = sql.trim.stripSuffix(";")
-    Commands.dispatch(this, trimmed).getOrElse(
-      org.apache.spark.sql.graftbridge.CasePreserve.fix(
-        spark.sql(rewriter.rewrite(trimmed))))
+    Commands.dispatch(this, trimmed).getOrElse {
+      val df = org.apache.spark.sql.graftbridge.CasePreserve.fix(
+        spark.sql(rewriter.rewrite(trimmed)))
+      // QUALIFY rewrites compute the predicate as a marker column of a
+      // wrapping subquery (DialectSugar) — drop it from the visible result
+      if (df.columns.contains(graft.dialect.DialectSugar.QualMarker))
+        df.drop(graft.dialect.DialectSugar.QualMarker)
+      else df
+    }
   }
 
   /** Run SQL, materialize as an Arrow IPC file buffer (reference
@@ -180,7 +186,10 @@ final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sq
     require(params.length == paramCount,
       s"expected $paramCount parameters, got ${params.length}")
     validateStrict(params)
-    spark.sql(rewriter.rewrite(sql.trim.stripSuffix(";")), params.toArray)
+    val df = spark.sql(rewriter.rewrite(sql.trim.stripSuffix(";")), params.toArray)
+    if (df.columns.contains(graft.dialect.DialectSugar.QualMarker))
+      df.drop(graft.dialect.DialectSugar.QualMarker)
+    else df
   }
 
   /** Reference semantics: reject out-of-range numerics against the target

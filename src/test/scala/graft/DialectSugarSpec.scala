@@ -1,0 +1,116 @@
+package graft
+
+import graft.session.{Engine, EngineConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DuckDB query-sugar parity: QUALIFY, GROUP BY ALL, ORDER BY ALL,
+  * star-EXCLUDE — rewritten by DialectSugar, executed end-to-end through
+  * the engine Connection against the shared test tables. Each case is
+  * checked against the equivalent hand-expanded Spark SQL. */
+class DialectSugarSpec extends AnyFunSuite {
+
+  private lazy val engine =
+    new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark)))
+  private lazy val conn = engine.connect()
+
+  private def prepare(): Unit =
+    Tables.registerAll(SparkTestSession.spark, SparkTestSession.sfDir)
+
+  test("QUALIFY filters on a window predicate and hides the marker column") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT * FROM nation
+        |QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2
+        |ORDER BY n_nationkey""".stripMargin)
+    val expected = conn.queryDF(
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+        |  FROM nation) WHERE rk <= 2 ORDER BY n_nationkey""".stripMargin)
+    assert(!df.columns.contains(graft.dialect.DialectSugar.QualMarker))
+    assert(df.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(df.collect().map(_.toSeq).toSeq === expected.collect().map(_.toSeq).toSeq)
+  }
+
+  test("QUALIFY inside a subquery and a CTE body") {
+    prepare()
+    val sub = conn.queryDF(
+      """SELECT count(*) AS n FROM (
+        |  SELECT * FROM nation
+        |  QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1)""".stripMargin)
+    assert(sub.collect().head.getLong(0) === 5)
+    val cte = conn.queryDF(
+      """WITH firsts AS (
+        |  SELECT * FROM nation
+        |  QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1)
+        |SELECT count(*) AS n FROM firsts""".stripMargin)
+    assert(cte.collect().head.getLong(0) === 5)
+  }
+
+  test("GROUP BY ALL groups by the non-aggregate select items") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY ALL ORDER BY n_regionkey""".stripMargin)
+    val expected = conn.queryDF(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY n_regionkey""".stripMargin)
+    assert(df.collect().map(_.toSeq).toSeq === expected.collect().map(_.toSeq).toSeq)
+  }
+
+  test("GROUP BY ALL with only aggregates collapses to a global aggregate") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT count(*) AS n, sum(n_regionkey) AS s FROM nation GROUP BY ALL")
+    assert(df.count() === 1)
+    assert(df.collect().head.getLong(0) === 25)
+  }
+
+  test("ORDER BY ALL orders by every column left to right, with direction") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY ALL")
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows === rows.sorted)
+    val desc = conn.queryDF(
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY ALL DESC")
+    val drows = desc.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(drows === rows.sorted.reverse)
+  }
+
+  test("star EXCLUDE drops the named columns") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey")
+    assert(df.columns.toSeq === Seq("n_nationkey", "n_regionkey"))
+    assert(df.count() === 25)
+  }
+
+  test("sugar composes: GROUP BY ALL + QUALIFY + ORDER BY ALL in one query") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |GROUP BY ALL
+        |QUALIFY row_number() OVER (ORDER BY n DESC, n_regionkey) <= 3
+        |ORDER BY ALL""".stripMargin)
+    assert(df.count() === 3)
+    assert(df.columns.toSeq === Seq("n_regionkey", "n"))
+  }
+
+  test("set-operation branches rewrite independently") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_regionkey FROM nation GROUP BY ALL
+        |UNION ALL
+        |SELECT n_regionkey FROM nation GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+    assert(df.count() === 10)
+  }
+
+  test("keywords inside string literals are untouched") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT 'GROUP BY ALL QUALIFY x' AS s, n_regionkey FROM nation GROUP BY ALL ORDER BY 2")
+    assert(df.count() === 5)
+    assert(df.collect().head.getString(0) === "GROUP BY ALL QUALIFY x")
+  }
+}
