@@ -41,9 +41,14 @@ object DialectSugar {
         case _ =>
           if (depth == 0) {
             // try to match the keyword starting exactly here
+            // manual left boundary: \b sees the substring start as a word
+            // boundary, so also reject a preceding identifier char
+            // (including '_', which isLetterOrDigit misses)
+            val prevOk = i == 0 || {
+              val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
+            }
             pattern.findPrefixOf(sql.substring(i)) match {
-              case Some(_) if i == 0 || !sql.charAt(i - 1).isLetterOrDigit =>
-                return i
+              case Some(_) if prevOk => return i
               case _ => i += 1
             }
           } else i += 1
@@ -120,8 +125,8 @@ object DialectSugar {
     // split keyword to be followed by SELECT/( eventually. Simplest robust
     // rule: a set-op keyword NOT immediately followed by '(' after optional
     // whitespace is still ambiguous, so instead protect star-EXCEPT first.
-    val protectedSql = excludeRewrite(sql)
-      .replaceAll("(?i)\\*\\s*EXCEPT\\s*\\(", "* __STAR_EXCEPT__(")
+    val protectedSql = SqlText.mapOutsideLiterals(excludeRewrite(sql))(
+      _.replaceAll("(?i)\\*\\s*EXCEPT\\s*\\(", "* __STAR_EXCEPT__("))
     val parts = Seq.newBuilder[(String, String)] // (branch, trailing set-op)
     var rest = protectedSql
     var done = false

@@ -106,6 +106,21 @@ class DialectSugarSpec extends AnyFunSuite {
     assert(df.count() === 10)
   }
 
+  test("identifiers containing keyword substrings are not mangled") {
+    prepare()
+    // columns/aliases like `all_union` must not trigger keyword rewrites
+    val df = conn.queryDF(
+      "SELECT n_regionkey AS union_all, count(*) AS n FROM nation GROUP BY ALL ORDER BY 1")
+    assert(df.columns.toSeq === Seq("union_all", "n"))
+    assert(df.count() === 5)
+  }
+
+  test("star-EXCEPT-looking text inside literals survives byte-identically") {
+    prepare()
+    val df = conn.queryDF("SELECT '*  EXCEPT (x)' AS s FROM region ORDER BY r_regionkey LIMIT 1")
+    assert(df.collect().head.getString(0) === "*  EXCEPT (x)")
+  }
+
   test("keywords inside string literals are untouched") {
     prepare()
     val df = conn.queryDF(
