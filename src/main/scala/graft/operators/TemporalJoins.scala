@@ -102,7 +102,60 @@ object TemporalJoins {
       |  AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 300
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
 
+  /** Time-series resample with gap-fill + forward-fill: per user, an
+    * hourly grid from first to last active hour, missing hours filled with
+    * zero counts and the last seen hourly value carried forward (the shape
+    * every metrics/feature pipeline needs before ML ingestion). Hours are
+    * integer epoch buckets (ns-vs-µs-proof). The grid explode is bounded
+    * by each user's active span; the forward-fill window partitions by
+    * user — at 100 TB the same query runs segmented by (user, day) via
+    * [[graft.scale.Scale.segmentedAsofJoin]]-style carry-over if a single
+    * user's history outgrows a task. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 3600").as("hr"), col("value"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"), explode(expr("sequence(mn, mx)")).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left_outer")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"))
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", (col("n_events") === 0).cast("int"))
+      .drop("sum_value")
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  private val q56Sql =
+    """WITH hourly AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+      |         count(*) AS n_events, sum(value) AS sum_value
+      |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(range(mn, mx + 1)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+      |        FROM hourly GROUP BY user_id) s),
+      |j AS (
+      |  SELECT g.user_id, g.hr,
+      |         CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+      |         h.sum_value
+      |  FROM grid g LEFT JOIN hourly h USING (user_id, hr))
+      |SELECT user_id, hr, n_events,
+      |  last_value(sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  CAST(n_events = 0 AS INTEGER) AS is_gap
+      |FROM j ORDER BY user_id, hr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q53_asof_join", q53, Some(q53Sql)),
-    Q("q54_range_join_banded", q54, Some(q54Sql)))
+    Q("q54_range_join_banded", q54, Some(q54Sql)),
+    Q("q56_resample_gapfill", q56, Some(q56Sql)))
 }
