@@ -337,6 +337,21 @@ object DedupQueries {
     labels
   }
 
+  /** O(log n)-round variant of [[dedupClustersConverged]]: the LSH
+    * candidate graph through [[graft.scale.Scale.connectedComponents]]
+    * (alternating star rounds). Same labels (component = min doc_id);
+    * preferable when near-dup chains are long — round count no longer
+    * scales with chain length (ScaleSpec pins equality on both the real
+    * candidate graph and a pathological 200-link chain). */
+  def dedupClustersStar(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
+    val comps = graft.scale.Scale.connectedComponents(
+      candidateEdges(s, dir), maxRounds)
+    docs(s, dir)
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("label"))
+  }
+
   private val dedupClustersSql = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (

@@ -135,6 +135,86 @@ object Scale {
       .drop("__g", "__ctx")
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds on ANY graph, where min-label
+    * propagation ([[graft.pipeline.DedupQueries.dedupClustersConverged]])
+    * needs O(diameter) — a 1000-link duplicate chain costs ~10 rounds here
+    * vs ~1000 there. Each round is two shuffles (neighborhood min + edge
+    * re-emit); state is the edge list itself, halving toward a star per
+    * component; no driver collect (the convergence probe reads one count).
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (keeps the graph connected, strictly reduces
+    *    large-edge potential);
+    *  - small-star: every node links its smaller-or-equal neighbors and
+    *    itself to that minimum (flattens chains into stars).
+    *
+    * `edges` needs columns (src, dst); undirectedness is handled here.
+    * Returns (node, component) with component = the node's minimum
+    * reachable id. ScaleSpec pins equality against min-label fixpoint on
+    * both a pathological chain and the real LSH candidate graph. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    def symmetrize(e: DataFrame): DataFrame =
+      e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+
+    // one star round: link the selected side of every neighborhood to
+    // min(neighborhood ∪ self); `large` selects dst > src, small the rest
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val joined = e.join(m, "src")
+      val side =
+        if (large) joined.filter(col("dst") > col("src"))
+        else joined.filter(col("dst") <= col("src"))
+      val linked = side.select(col("dst").as("src"), col("m").as("dst"))
+      val self =
+        if (large) linked
+        else linked.unionByName(m.select(col("src"), col("m").as("dst")))
+      // no distinct here: every star output flows into symmetrize, whose
+      // trailing distinct dedupes once instead of twice per half-round
+      self.filter(col("src") =!= col("dst"))
+    }
+
+    val nodes = symmetrize(edges).select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, NOT persist: persist caches the data but the
+    // LOGICAL PLAN still doubles every round (each round references the
+    // previous twice), and by ~10 rounds plan stringification alone OOMs
+    // the driver. The checkpoint truncates lineage to the materialized
+    // RDD — the iterate-and-checkpoint shape iterative graph algorithms
+    // need on any cluster. (Old checkpoint blocks are released by the
+    // ContextCleaner once unreferenced.)
+    var cur = symmetrize(edges).localCheckpoint(true)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = symmetrize(star(symmetrize(star(cur, large = true)), large = false))
+        .localCheckpoint(true)
+      // converged when the round was a no-op (same edge set); both sides
+      // are distinct, so symmetric-difference emptiness == set equality,
+      // probed with ONE action
+      converged = next.exceptAll(cur)
+        .unionByName(cur.exceptAll(next)).isEmpty
+      cur = next
+      r += 1
+    }
+    // at the fixpoint every component is a star around its minimum: each
+    // node's component is min(neighbors ∪ self); isolated inputs keep
+    // their own id (they never appear — callers join on the result)
+    val labels = cur.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
+    val out = nodes.join(labels, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    nodes.unpersist()
+    out
+  }
+
   /** Top skewed keys of a column — the observability half of skew handling
     * (decide salting factors from real key histograms, not guesses). */
   def keySkew(df: DataFrame, key: String, topN: Int = 20): DataFrame =

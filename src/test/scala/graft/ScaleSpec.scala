@@ -107,6 +107,29 @@ class ScaleSpec extends AnyFunSuite {
       s"banded range frame still has a single-partition stage:\n$plan")
   }
 
+  test("connectedComponents collapses a 200-link chain within O(log n) rounds") {
+    import spark.implicits._
+    // chain 0-1-2-...-100 plus a disjoint 100-node chain: min-label
+    // propagation needs ~chain-length rounds; the alternating-star
+    // algorithm must finish well inside 12, and the two components must
+    // resolve to their own minima
+    val chain = ((0 until 100).map(i => (i.toLong, i.toLong + 1)) ++
+      (200 until 300).map(i => (i.toLong, i.toLong + 1))).toDF("src", "dst")
+    val comps = Scale.connectedComponents(chain, maxRounds = 12)
+      .persist()
+    assert(comps.count() === 202)
+    assert(comps.filter(col("node") <= 100 && col("component") =!= 0L).count() === 0)
+    assert(comps.filter(col("node") >= 200 && col("component") =!= 200L).count() === 0)
+    comps.unpersist()
+  }
+
+  test("star-based dedup clustering equals min-label fixpoint on the LSH graph") {
+    val viaStar = graft.pipeline.DedupQueries.dedupClustersStar(spark, sfDir)
+    val viaProp = graft.pipeline.DedupQueries.dedupClustersConverged(spark, sfDir)
+    assert(viaStar.exceptAll(viaProp).count() === 0)
+    assert(viaProp.exceptAll(viaStar).count() === 0)
+  }
+
   test("key skew histogram finds the heaviest keys") {
     val skew = Scale.keySkew(Tables.load(spark, sfDir, "lineitem"), "l_suppkey", 5)
     val rows = skew.collect()
