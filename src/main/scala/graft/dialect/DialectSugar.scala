@@ -27,14 +27,27 @@ object DialectSugar {
   def rewrite(sql: String): String = process(sql)
 
   // ---------------------------------------------------------------- scan
-  /** Index of the first depth-0, non-literal, word-boundary occurrence of
-    * `word` (case-insensitive; `word` may contain spaces meaning \s+). */
+  /** End index (exclusive) of a comment starting at `i`, or `i` if none:
+    * `-- …\n` and `/* … */` must not contribute keywords or parens. */
+  private def commentEnd(sql: String, i: Int): Int =
+    if (sql.startsWith("--", i)) {
+      val nl = sql.indexOf('\n', i)
+      if (nl < 0) sql.length else nl + 1
+    } else if (sql.startsWith("/*", i)) {
+      val end = sql.indexOf("*/", i + 2)
+      if (end < 0) sql.length else end + 2
+    } else i
+
+  /** Index of the first depth-0, non-literal, non-comment, word-boundary
+    * occurrence of `word` (case-insensitive; spaces in `word` mean \s+). */
   private def topLevelIndex(sql: String, word: String, from: Int = 0): Int = {
     val pattern = ("(?i)\\b" + word.replace(" ", "\\s+") + "\\b").r
     var i = from
     var depth = 0
     while (i < sql.length) {
-      sql.charAt(i) match {
+      val ce = commentEnd(sql, i)
+      if (ce > i) { i = ce }
+      else sql.charAt(i) match {
         case '\'' => i = SqlText.literalEnd(sql, i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
@@ -70,7 +83,9 @@ object DialectSugar {
     var i = 0
     var depth = 0
     while (i < s.length) {
-      s.charAt(i) match {
+      val ce = commentEnd(s, i)
+      if (ce > i) { i = ce }
+      else s.charAt(i) match {
         case '\'' => i = SqlText.literalEnd(s, i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
@@ -91,19 +106,24 @@ object DialectSugar {
     var i = 0
     var segStart = 0
     while (i < sql.length) {
-      sql.charAt(i) match {
+      val ce = commentEnd(sql, i)
+      if (ce > i) { i = ce }
+      else sql.charAt(i) match {
         case '\'' => i = SqlText.literalEnd(sql, i)
         case '(' =>
           var depth = 1
           var j = i + 1
           while (j < sql.length && depth > 0) {
-            sql.charAt(j) match {
-              case '\'' => j = SqlText.literalEnd(sql, j) - 1
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case _ =>
+            val jc = commentEnd(sql, j)
+            if (jc > j) j = jc
+            else {
+              sql.charAt(j) match {
+                case '\'' => j = SqlText.literalEnd(sql, j)
+                case '(' => depth += 1; j += 1
+                case ')' => depth -= 1; j += 1
+                case _ => j += 1
+              }
             }
-            j += 1
           }
           sb.append(sql.substring(segStart, i + 1))
           sb.append(process(sql.substring(i + 1, j - 1)))

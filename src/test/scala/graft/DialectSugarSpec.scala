@@ -121,6 +121,16 @@ class DialectSugarSpec extends AnyFunSuite {
     assert(df.collect().head.getString(0) === "*  EXCEPT (x)")
   }
 
+  test("keywords inside SQL comments are ignored") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_regionkey -- QUALIFY GROUP BY ALL (not real)
+        |FROM nation /* ORDER BY ALL inside a block comment
+        |   spanning lines ( unbalanced */ WHERE n_regionkey = 0
+        |ORDER BY n_nationkey""".stripMargin)
+    assert(df.count() === 5)
+  }
+
   test("keywords inside string literals are untouched") {
     prepare()
     val df = conn.queryDF(
