@@ -6,14 +6,18 @@ package graft.dialect
   *  - `QUALIFY <pred>` — post-window filtering
   *    (duckdb docs/sql/query_syntax/qualify): the query is wrapped so the
   *    predicate becomes a computed column of a subquery and the filter an
-  *    ordinary WHERE; the `__graft_qual` marker column is dropped by
-  *    Connection after execution. The predicate may reference any column
-  *    the SELECT list projects (the overwhelmingly common form —
+  *    ordinary WHERE; the `__graft_qual` marker column is removed inside
+  *    the rewrite itself via star-EXCEPT. The predicate may reference any
+  *    column the SELECT list projects (the overwhelmingly common form —
   *    `QUALIFY row_number() OVER (...) <= k` over `SELECT *`).
   *  - `GROUP BY ALL` — group by every select item that contains no
   *    aggregate function, referenced positionally (Spark's groupByOrdinal).
   *  - `ORDER BY ALL [ASC|DESC]` — order by every select item left to
   *    right, positionally.
+  *  - Star select items (`*`, `t.*`) make the positional forms
+  *    unknowable at the string level: GROUP BY ALL / ORDER BY ALL are
+  *    then left untouched so Spark rejects them loudly instead of this
+  *    shim guessing a silently-wrong ordinal list.
   *  - `* EXCLUDE (...)` — Spark spells it `* EXCEPT (...)`.
   *
   * Set-operation branches are processed independently; parenthesized
@@ -220,9 +224,20 @@ object DialectSugar {
     splitTopLevel(afterSel.substring(0, fIdx), ',').map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The item with its string literals BLANKED (not preserved), so
+    * aggregate-looking text inside a constant can't count. */
+  private def stripLiterals(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') i = SqlText.literalEnd(s, i)
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private def isAggregate(item: String): Boolean = {
-    // literal-free copy so 'sum(' inside a string constant doesn't count
-    val bare = SqlText.mapOutsideLiterals(item)(identity)
+    val bare = stripLiterals(item)
     AggFn.findFirstIn(bare).isDefined &&
       !"(?i)\\bOVER\\b".r.findFirstIn(bare).isDefined
   }
@@ -232,7 +247,9 @@ object DialectSugar {
     if (gIdx < 0) return sql
     val gLen = matchLen(sql, gIdx, "GROUP BY ALL")
     val items = selectItems(sql)
-    if (items.isEmpty) return sql
+    // star items make positional grouping unknowable — leave the query
+    // for Spark to reject loudly instead of emitting a wrong GROUP BY
+    if (items.isEmpty || items.exists(isStarItem)) return sql
     val keys = items.zipWithIndex.collect {
       case (item, i) if !isAggregate(item) => (i + 1).toString
     }
@@ -241,20 +258,38 @@ object DialectSugar {
   }
 
   // -------------------------------------------------------- ORDER BY ALL
+  // one regex instance for both the suffix text and its consumed length:
+  // ASC/DESC and/or NULLS FIRST/LAST, each optionally present
+  private val OrderSfx = "(?i)^(\\s*(ASC|DESC))?(\\s*NULLS\\s+(FIRST|LAST))?".r
+
   private def orderByAll(sql: String): String = {
     val oIdx = topLevelIndex(sql, "ORDER BY ALL")
     if (oIdx < 0) return sql
     val oLen = matchLen(sql, oIdx, "ORDER BY ALL")
-    val n = selectItems(sql).size
-    if (n == 0) return sql
-    // optional direction/null-ordering suffix distributes over every key
-    val after = sql.substring(oIdx + oLen)
-    val sfx = "(?i)^\\s*(ASC|DESC)?(\\s+NULLS\\s+(FIRST|LAST))?".r
-      .findFirstIn(after).getOrElse("").trim
-    val sfxLen = "(?i)^\\s*(ASC|DESC)?(\\s+NULLS\\s+(FIRST|LAST))?".r
-      .findFirstIn(after).map(_.length).getOrElse(0)
-    val keys = (1 to n).map(i => if (sfx.isEmpty) i.toString else s"$i $sfx")
+    val items = selectItems(sql)
+    // a star item hides the real column count — bail out loudly rather
+    // than rewrite to a silently-wrong single-ordinal ORDER BY (Spark
+    // then rejects the bare ALL, which is an error, not wrong data)
+    if (items.isEmpty || items.exists(isStarItem)) return sql
+    val n = items.size
+    // optional direction/null-ordering suffix distributes over EVERY key
+    val m = OrderSfx.findFirstMatchIn(sql.substring(oIdx + oLen))
+    val sfx = m.map(_.matched.trim).getOrElse("")
+    val sfxLen = m.map(_.matched.length).getOrElse(0)
+    val rest = sql.substring(oIdx + oLen + sfxLen)
+    val keys = (1 to n).map(i =>
+      if (sfx.isEmpty) i.toString else s"$i ${sfx.replaceAll("\\s+", " ")}")
+    // explicit separator: `rest` may start with LIMIT/OFFSET with its
+    // leading whitespace already consumed by the suffix matcher
     sql.substring(0, oIdx) + s"ORDER BY ${keys.mkString(", ")}" +
-      after.substring(sfxLen)
+      (if (rest.isEmpty || rest.head.isWhitespace) rest else " " + rest)
+  }
+
+  /** `*`, `t.*`, or a star with modifiers — the item count is unknowable
+    * at the string level. */
+  private def isStarItem(item: String): Boolean = {
+    val t = item.trim
+    t == "*" || t.endsWith(".*") || t.startsWith("*") ||
+      "(?i)^\\S*\\.\\*\\s".r.findFirstIn(t + " ").isDefined
   }
 }

@@ -155,9 +155,6 @@ object Scale {
     * reachable id. ScaleSpec pins equality against min-label fixpoint on
     * both a pathological chain and the real LSH candidate graph. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    import org.apache.spark.storage.StorageLevel
-
     def symmetrize(e: DataFrame): DataFrame =
       e.select(col("src"), col("dst"))
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -182,7 +179,6 @@ object Scale {
     }
 
     val nodes = symmetrize(edges).select(col("src").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint, NOT persist: persist caches the data but the
     // LOGICAL PLAN still doubles every round (each round references the
     // previous twice), and by ~10 rounds plan stringification alone OOMs
@@ -204,15 +200,18 @@ object Scale {
       cur = next
       r += 1
     }
+    // a non-fixpoint edge set yields plausible-looking but WRONG labels
+    // (components are not yet stars) — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(the alternating-star algorithm needs O(log n); raise maxRounds)")
     // at the fixpoint every component is a star around its minimum: each
     // node's component is min(neighbors ∪ self); isolated inputs keep
     // their own id (they never appear — callers join on the result)
     val labels = cur.groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), col("src")).as("component"))
-    val out = nodes.join(labels, Seq("node"), "left_outer")
+    nodes.join(labels, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
-    nodes.unpersist()
-    out
   }
 
   /** Top skewed keys of a column — the observability half of skew handling

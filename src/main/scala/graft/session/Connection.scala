@@ -26,15 +26,9 @@ final class Connection(val engine: Engine) {
   /** Run SQL, return the DataFrame (the engine-native form). */
   def queryDF(sql: String): DataFrame = {
     val trimmed = sql.trim.stripSuffix(";")
-    Commands.dispatch(this, trimmed).getOrElse {
-      val df = org.apache.spark.sql.graftbridge.CasePreserve.fix(
-        spark.sql(rewriter.rewrite(trimmed)))
-      // QUALIFY rewrites compute the predicate as a marker column of a
-      // wrapping subquery (DialectSugar) — drop it from the visible result
-      if (df.columns.contains(graft.dialect.DialectSugar.QualMarker))
-        df.drop(graft.dialect.DialectSugar.QualMarker)
-      else df
-    }
+    Commands.dispatch(this, trimmed).getOrElse(
+      org.apache.spark.sql.graftbridge.CasePreserve.fix(
+        spark.sql(rewriter.rewrite(trimmed))))
   }
 
   /** Run SQL, materialize as an Arrow IPC file buffer (reference
@@ -186,10 +180,7 @@ final class PreparedStatement(spark: SparkSession, rewriter: DialectRewriter, sq
     require(params.length == paramCount,
       s"expected $paramCount parameters, got ${params.length}")
     validateStrict(params)
-    val df = spark.sql(rewriter.rewrite(sql.trim.stripSuffix(";")), params.toArray)
-    if (df.columns.contains(graft.dialect.DialectSugar.QualMarker))
-      df.drop(graft.dialect.DialectSugar.QualMarker)
-    else df
+    spark.sql(rewriter.rewrite(sql.trim.stripSuffix(";")), params.toArray)
   }
 
   /** Reference semantics: reject out-of-range numerics against the target

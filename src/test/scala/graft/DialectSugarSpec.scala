@@ -121,6 +121,28 @@ class DialectSugarSpec extends AnyFunSuite {
     assert(df.collect().head.getString(0) === "*  EXCEPT (x)")
   }
 
+  test("ORDER BY ALL composes with LIMIT and bare NULLS ordering") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY ALL LIMIT 7")
+    assert(df.count() === 7)
+    val nf = conn.queryDF(
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY ALL NULLS FIRST LIMIT 3")
+    assert(nf.count() === 3)
+    val dn = conn.queryDF(
+      "SELECT n_regionkey, n_nationkey FROM nation ORDER BY ALL DESC NULLS LAST LIMIT 3")
+    assert(dn.collect().head.getInt(1) === 24)
+  }
+
+  test("GROUP BY ALL ignores aggregate-looking text inside string literals") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT concat('sum(', n_name) AS tag, count(*) AS n
+        |FROM nation GROUP BY ALL ORDER BY tag LIMIT 5""".stripMargin)
+    assert(df.count() === 5)
+    assert(df.collect().head.getString(0).startsWith("sum("))
+  }
+
   test("keywords inside SQL comments are ignored") {
     prepare()
     val df = conn.queryDF(
