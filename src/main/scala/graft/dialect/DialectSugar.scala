@@ -42,10 +42,21 @@ object DialectSugar {
       if (end < 0) sql.length else end + 2
     } else i
 
+  // compiled keyword patterns, cached — topLevelIndex runs per keyword per
+  // nesting level on every query, so per-call compilation (and worse,
+  // per-position substring copies) would be O(n²) on multi-KB generated SQL
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def cachedPattern(key: String, regex: => String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(key, _ => java.util.regex.Pattern.compile(regex))
+
   /** Index of the first depth-0, non-literal, non-comment, word-boundary
-    * occurrence of `word` (case-insensitive; spaces in `word` mean \s+). */
+    * occurrence of `word` (case-insensitive; spaces in `word` mean \s+).
+    * Matching uses one Matcher re-regioned over the ORIGINAL string —
+    * never a per-position substring copy. */
   private def topLevelIndex(sql: String, word: String, from: Int = 0): Int = {
-    val pattern = ("(?i)\\b" + word.replace(" ", "\\s+") + "\\b").r
+    val m = cachedPattern("b:" + word,
+      "(?i)\\b" + word.replace(" ", "\\s+") + "\\b").matcher(sql)
     var i = from
     var depth = 0
     while (i < sql.length) {
@@ -57,17 +68,17 @@ object DialectSugar {
         case ')' => depth -= 1; i += 1
         case _ =>
           if (depth == 0) {
-            // try to match the keyword starting exactly here
-            // manual left boundary: \b sees the substring start as a word
+            // manual left boundary: \b sees the region start as a word
             // boundary, so also reject a preceding identifier char
             // (including '_', which isLetterOrDigit misses)
             val prevOk = i == 0 || {
               val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
             }
-            pattern.findPrefixOf(sql.substring(i)) match {
-              case Some(_) if prevOk => return i
-              case _ => i += 1
+            if (prevOk) {
+              m.region(i, sql.length)
+              if (m.lookingAt()) return i
             }
+            i += 1
           } else i += 1
       }
     }
@@ -76,8 +87,10 @@ object DialectSugar {
 
   /** Length of the keyword match at `idx` (handles internal \s+). */
   private def matchLen(sql: String, idx: Int, word: String): Int = {
-    val pattern = ("(?i)" + word.replace(" ", "\\s+")).r
-    pattern.findPrefixOf(sql.substring(idx)).map(_.length).getOrElse(word.length)
+    val m = cachedPattern("p:" + word,
+      "(?i)" + word.replace(" ", "\\s+")).matcher(sql)
+    m.region(idx, sql.length)
+    if (m.lookingAt()) m.end - m.start else word.length
   }
 
   /** Split `s` at depth-0, non-literal occurrences of `sep`. */
@@ -149,7 +162,7 @@ object DialectSugar {
     // split keyword to be followed by SELECT/( eventually. Simplest robust
     // rule: a set-op keyword NOT immediately followed by '(' after optional
     // whitespace is still ambiguous, so instead protect star-EXCEPT first.
-    val protectedSql = SqlText.mapOutsideLiterals(excludeRewrite(sql))(
+    val protectedSql = SqlText.mapOutsideLiterals(excludeRewrite(replaceRewrite(sql)))(
       _.replaceAll("(?i)\\*\\s*EXCEPT\\s*\\(", "* __STAR_EXCEPT__("))
     val parts = Seq.newBuilder[(String, String)] // (branch, trailing set-op)
     var rest = protectedSql
@@ -178,6 +191,149 @@ object DialectSugar {
     SqlText.mapOutsideLiterals(sql)(
       _.replaceAll("(?i)(\\*\\s*)EXCLUDE(\\s*\\()", "$1EXCEPT$2"))
 
+  // ------------------------------------------------------- star REPLACE
+  /** `* REPLACE (expr AS col, …)` — optionally qualified (`t.*`),
+    * optionally after an `EXCLUDE`/`EXCEPT` group — has no Spark spelling,
+    * so it becomes `* EXCEPT (col, …), expr AS col, …` (the EXCLUDE list,
+    * if present, is merged into the EXCEPT). One deliberate deviation:
+    * replaced columns move to the END of the star expansion — a
+    * string-level rewrite cannot know the star's column order. Name-based
+    * consumers (and the driver compare, which sorts columns by name) are
+    * unaffected. */
+  private def replaceRewrite(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var found = true
+    while (found && guard < 64) {
+      found = false
+      guard += 1
+      findStarReplace(s) match {
+        case Some((start, end, qual, excludes, specs)) =>
+          val exceptList = (excludes ++ specs.map(_._2)).mkString(", ")
+          val items = specs.map { case (e, c) => s"$e AS $c" }.mkString(", ")
+          s = s.substring(0, start) + s"$qual* EXCEPT ($exceptList), $items" +
+            s.substring(end)
+          found = true
+        case None =>
+      }
+    }
+    s
+  }
+
+  /** Exclusive end of the balanced paren group opening at `open`. */
+  private def groupEnd(sql: String, open: Int): Int = {
+    var depth = 1
+    var j = open + 1
+    while (j < sql.length && depth > 0) {
+      val ce = commentEnd(sql, j)
+      if (ce > j) j = ce
+      else sql.charAt(j) match {
+        case '\'' => j = SqlText.literalEnd(sql, j)
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case _ => j += 1
+      }
+    }
+    j
+  }
+
+  /** First depth-0 star item carrying a REPLACE modifier:
+    * (start, endExclusive, starQualifier, excludeCols, (expr, col) specs). */
+  private def findStarReplace(sql: String)
+      : Option[(Int, Int, String, Seq[String], Seq[(String, String)])] = {
+    var i = 0
+    var depth = 0
+    while (i < sql.length) {
+      val ce = commentEnd(sql, i)
+      if (ce > i) { i = ce }
+      else sql.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(sql, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '*' if depth == 0 =>
+          val r = parseStarMods(sql, i)
+          if (r.isDefined) return r
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Parse the star item at `starIdx` and its modifier groups; Some only
+    * when a REPLACE group with well-formed `expr AS ident` specs exists
+    * (anything malformed is left for Spark to reject loudly). */
+  private def parseStarMods(sql: String, starIdx: Int)
+      : Option[(Int, Int, String, Seq[String], Seq[(String, String)])] = {
+    // `ident.` qualifier directly before the star
+    var qs = starIdx
+    if (qs > 0 && sql.charAt(qs - 1) == '.') {
+      var k = qs - 2
+      while (k >= 0 && (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k -= 1
+      if (k == qs - 2) return None // lone dot, not an identifier
+      qs = k + 1
+    }
+    // a star ITEM is preceded by start-of-text, ',', '(' or SELECT/DISTINCT
+    // — anything else (identifier, ')', literal) is multiplication
+    var p = qs - 1
+    while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+    val prefixOk =
+      if (p < 0) true
+      else sql.charAt(p) match {
+        case ',' | '(' => true
+        case c if c.isLetterOrDigit || c == '_' =>
+          var w = p
+          while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_')) w -= 1
+          val word = sql.substring(w + 1, p + 1).toLowerCase
+          word == "select" || word == "distinct"
+        case _ => false
+      }
+    if (!prefixOk) return None
+    val qual = sql.substring(qs, starIdx)
+    var j = starIdx + 1
+    var excludes = Seq.empty[String]
+    var specs = Seq.empty[(String, String)]
+    var end = -1
+    var done = false
+    while (!done) {
+      var k = j
+      var moved = true
+      while (moved) {
+        val ce = commentEnd(sql, k)
+        if (ce > k) k = ce
+        else if (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        else moved = false
+      }
+      val m = cachedPattern("starmod", "(?i)(EXCLUDE|EXCEPT|REPLACE)\\s*\\(").matcher(sql)
+      m.region(k, sql.length)
+      if (m.lookingAt()) {
+        val kw = m.group(1).toLowerCase
+        val open = m.end - 1
+        val close = groupEnd(sql, open)
+        val content = sql.substring(open + 1, close - 1)
+        if (kw == "replace") {
+          val parsed = splitTopLevel(content, ',').map(_.trim).filter(_.nonEmpty).map { spec =>
+            val asIdx = topLevelIndex(spec, "AS")
+            if (asIdx < 0) None
+            else {
+              val col = spec.substring(asIdx + matchLen(spec, asIdx, "AS")).trim
+              if (IdentTok.pattern.matcher(col).matches())
+                Some((spec.substring(0, asIdx).trim, col))
+              else None
+            }
+          }
+          if (parsed.isEmpty || parsed.exists(_.isEmpty)) return None
+          specs = specs ++ parsed.flatten
+        } else {
+          excludes = excludes ++ splitTopLevel(content, ',').map(_.trim).filter(_.nonEmpty)
+        }
+        j = close
+        end = close
+      } else done = true
+    }
+    if (specs.isEmpty) None else Some((qs, end, qual, excludes, specs))
+  }
+
   // ------------------------------------------------------------- QUALIFY
   private def qualify(sql: String): String = {
     val qIdx = topLevelIndex(sql, "QUALIFY")
@@ -191,13 +347,105 @@ object DialectSugar {
     val (pred, tail) =
       if (tIdx < 0) (afterQ.trim, "")
       else (afterQ.substring(0, tIdx).trim, " " + afterQ.substring(tIdx).trim)
+    // DuckDB lets QUALIFY reference columns the SELECT list does not
+    // project; those are injected into the base projection here and
+    // stripped again by the outer star-EXCEPT together with the marker
+    // (only for ungrouped, non-DISTINCT, non-star bases — elsewhere the
+    // injection would change grouping/distinct semantics, and DuckDB
+    // itself restricts the predicate there)
+    val extras = unprojectedPredColumns(base, pred)
+    val innerBase = if (extras.isEmpty) base else injectColumns(base, extras)
+    val strip = (QualMarker +: extras).mkString(", ")
     // star-EXCEPT removes the marker inside the rewrite itself, so a
     // QUALIFY in a subquery doesn't leak the marker into the outer query's
     // star expansion (the emitted EXCEPT is below this level's set-op
     // split, and nested rewriteLevel protection round-trips it untouched)
-    s"SELECT * EXCEPT ($QualMarker) FROM " +
-      s"(SELECT *, ($pred) AS $QualMarker FROM ($base) __gq_in) __gq " +
+    s"SELECT * EXCEPT ($strip) FROM " +
+      s"(SELECT *, ($pred) AS $QualMarker FROM ($innerBase) __gq_in) __gq " +
       s"WHERE $QualMarker$tail"
+  }
+
+  // SQL words that can appear bare inside a QUALIFY predicate but are never
+  // column references: window/frame syntax, boolean/compare syntax, CAST
+  // target types, EXTRACT date parts
+  private val PredNonColumns: Set[String] = Set(
+    "over", "partition", "order", "by", "rows", "range", "groups", "between",
+    "and", "or", "not", "asc", "desc", "nulls", "first", "last", "preceding",
+    "following", "unbounded", "current", "row", "case", "when", "then", "else",
+    "end", "is", "null", "in", "like", "ilike", "rlike", "escape", "true",
+    "false", "distinct", "as", "cast", "interval", "exists", "all", "any",
+    "some", "filter", "where", "ignore", "respect", "from", "select",
+    "int", "integer", "bigint", "smallint", "tinyint", "float", "real",
+    "double", "decimal", "numeric", "varchar", "char", "string", "boolean",
+    "date", "timestamp", "binary",
+    "year", "month", "day", "hour", "minute", "second", "quarter", "week",
+    "epoch", "millisecond", "microsecond")
+
+  private val IdentTok = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Output name of a select item, if knowable at the string level: the
+    * trailing `AS alias`, a bare identifier, or the last segment of a
+    * dotted identifier. Complex unaliased items return None. */
+  private def outputName(item: String): Option[String] = {
+    val t = item.trim
+    val asIdx = topLevelIndex(t, "AS")
+    if (asIdx >= 0) {
+      val alias = t.substring(asIdx + 2).trim
+      if (IdentTok.pattern.matcher(alias).matches()) Some(alias.toLowerCase) else None
+    } else if (IdentTok.pattern.matcher(t).matches()) Some(t.toLowerCase)
+    else if (t.matches("[A-Za-z_][A-Za-z0-9_]*\\.[A-Za-z_][A-Za-z0-9_]*"))
+      Some(t.substring(t.indexOf('.') + 1).toLowerCase)
+    else None
+  }
+
+  /** Identifier tokens the predicate references that the base query's
+    * SELECT list does not project — the columns to inject. Empty when
+    * injection is unsafe (grouped/DISTINCT/star base) or nothing is
+    * missing. A false positive here (a token that is not really a column)
+    * yields a loud unresolved-column error, never wrong data — the same
+    * query failed loudly before the injection existed. */
+  private def unprojectedPredColumns(base: String, pred: String): Seq[String] = {
+    val items = selectItems(base)
+    if (items.isEmpty || items.exists(isStarItem)) return Nil
+    if (topLevelIndex(base, "GROUP BY") >= 0) return Nil
+    val sIdx = topLevelIndex(base, "SELECT")
+    if (sIdx >= 0 &&
+      "(?i)^\\s*DISTINCT\\b".r
+        .findFirstIn(base.substring(sIdx + matchLen(base, sIdx, "SELECT"))).isDefined)
+      return Nil
+    val projected = items.flatMap(outputName).toSet
+    val bare = stripLiterals(pred)
+    val found = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (m <- IdentTok.findAllMatchIn(bare)) {
+      val tok = m.matched
+      val lower = tok.toLowerCase
+      def nextNonWs(from: Int): Char = {
+        var j = from; while (j < bare.length && bare.charAt(j).isWhitespace) j += 1
+        if (j < bare.length) bare.charAt(j) else ' '
+      }
+      def prevNonWs(until: Int): Char = {
+        var j = until - 1; while (j >= 0 && bare.charAt(j).isWhitespace) j -= 1
+        if (j >= 0) bare.charAt(j) else ' '
+      }
+      val isFunction = nextNonWs(m.end) == '('
+      val isDotted = prevNonWs(m.start) == '.' || nextNonWs(m.end) == '.'
+      if (!isFunction && !isDotted && !PredNonColumns(lower) && !projected(lower))
+        found += tok
+    }
+    found.toSeq
+  }
+
+  /** Append `extras` to the base query's SELECT list (before its depth-0
+    * FROM), leaving every original item — and therefore every ordinal
+    * reference — in place. */
+  private def injectColumns(base: String, extras: Seq[String]): String = {
+    val sIdx = topLevelIndex(base, "SELECT")
+    if (sIdx < 0) return base
+    val selEnd = sIdx + matchLen(base, sIdx, "SELECT")
+    val fIdx = topLevelIndex(base.substring(selEnd), "FROM")
+    if (fIdx < 0) return base
+    val at = selEnd + fIdx
+    base.substring(0, at) + ", " + extras.mkString(", ") + " " + base.substring(at)
   }
 
   // -------------------------------------------------------- GROUP BY ALL
@@ -238,9 +486,15 @@ object DialectSugar {
 
   private def isAggregate(item: String): Boolean = {
     val bare = stripLiterals(item)
-    AggFn.findFirstIn(bare).isDefined &&
-      !"(?i)\\bOVER\\b".r.findFirstIn(bare).isDefined
+    AggFn.findFirstIn(bare).isDefined && !isWindowed(item)
   }
+
+  /** Any OVER outside literals — a window item. DuckDB evaluates windows
+    * AFTER grouping, so GROUP BY ALL must not emit a window item's ordinal
+    * as a group key (`sum(sum(b)) OVER ()` is a valid ratio-to-report item,
+    * never a grouping expression). */
+  private def isWindowed(item: String): Boolean =
+    "(?i)\\bOVER\\b".r.findFirstIn(stripLiterals(item)).isDefined
 
   private def groupByAll(sql: String): String = {
     val gIdx = topLevelIndex(sql, "GROUP BY ALL")
@@ -251,7 +505,7 @@ object DialectSugar {
     // for Spark to reject loudly instead of emitting a wrong GROUP BY
     if (items.isEmpty || items.exists(isStarItem)) return sql
     val keys = items.zipWithIndex.collect {
-      case (item, i) if !isAggregate(item) => (i + 1).toString
+      case (item, i) if !isAggregate(item) && !isWindowed(item) => (i + 1).toString
     }
     val replacement = if (keys.isEmpty) "" else s"GROUP BY ${keys.mkString(", ")}"
     sql.substring(0, gIdx) + replacement + sql.substring(gIdx + gLen)

@@ -291,19 +291,42 @@ object DedupQueries {
   }
 
   /** One propagation round, materialized: each round references the
-    * previous round TWICE (neighbor lookup + outer join) — without
-    * persisting per round the lineage doubles every iteration
-    * (2^rounds copies of the base plan; measured 2× query time at 4
-    * rounds). At cluster scale this is the standard
-    * iterate-and-checkpoint shape. */
-  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    * previous round TWICE (neighbor lookup + outer join), so the logical
+    * plan would DOUBLE per round (2^rounds copies of the base plan) if the
+    * lineage were left attached. `localCheckpoint(true)`, NOT `persist`:
+    * persist caches the data but keeps the full plan, and by ~10 rounds
+    * plan stringification alone OOMs the driver (same failure
+    * [[graft.scale.Scale.connectedComponents]] documents). The eager
+    * checkpoint truncates lineage to the materialized RDD; superseded
+    * rounds' blocks are released by the ContextCleaner once unreferenced.
+    * At cluster scale this is the standard iterate-and-checkpoint shape. */
+  private[graft] def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
     val nbrMin = edges
       .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
       .groupBy(col("src").as("doc_id")).agg(min(col("nl")).as("mnl"))
     labels.join(nbrMin, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         least(col("label"), coalesce(col("mnl"), col("label"))).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+  }
+
+  /** Min-label rounds until no label changes (or maxRounds). Per round the
+    * driver sees ONE boolean — the loop condition — never the data; plan
+    * size stays flat across rounds because [[propagate]] checkpoints
+    * (PlanBoundSpec asserts this on a 200-link chain for 30+ rounds). */
+  private[graft] def propagateToFixpoint(
+      edges: DataFrame, init: DataFrame, maxRounds: Int): DataFrame = {
+    var labels = init
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = propagate(edges, labels)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      r += 1
+    }
+    labels
   }
 
   private[graft] def clusterLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
@@ -322,20 +345,11 @@ object DedupQueries {
   /** Fixpoint variant: propagate until no label changes, re-using each
     * round's materialized labels (per round the driver sees one boolean —
     * the loop condition, never the data). */
-  def dedupClustersConverged(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
-    val edges = candidateEdges(s, dir)
-    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
-    var converged = false
-    var r = 0
-    while (!converged && r < maxRounds) {
-      val next = propagate(edges, labels)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
-      r += 1
-    }
-    labels
-  }
+  def dedupClustersConverged(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame =
+    propagateToFixpoint(
+      candidateEdges(s, dir),
+      docs(s, dir).select(col("doc_id"), col("doc_id").as("label")),
+      maxRounds)
 
   /** O(log n)-round variant of [[dedupClustersConverged]]: the LSH
     * candidate graph through [[graft.scale.Scale.connectedComponents]]
@@ -351,6 +365,19 @@ object DedupQueries {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("label"))
   }
+
+  /** p30: the SCALE-PATH clustering in the oracle gate — same
+    * (cluster_id, n_docs, max_doc) output as p24, but labels come from the
+    * O(log n) alternating-star components rather than O(diameter) min-label
+    * rounds. The oracle stays the min-label CTE: component = min reachable
+    * doc_id on both paths, and ScaleSpec pins the label equality, so the
+    * variant you would actually run at 100 TB is the one carrying the green
+    * CORRECTNESS row. */
+  private def dedupClustersStarAgg(s: SparkSession, dir: String): DataFrame =
+    dedupClustersStar(s, dir)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("cluster_id"))
 
   private val dedupClustersSql = {
     def round(prev: String, cur: String): String =
@@ -460,7 +487,8 @@ object DedupQueries {
     Q("p10_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     Q("p22_edit_distance_pairs", editDistancePairs, Some(editDistancePairsSql)),
     Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("p24_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    Q("p24_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("p30_dedup_clusters_star", dedupClustersStarAgg, Some(dedupClustersSql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */

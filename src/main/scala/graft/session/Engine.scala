@@ -56,6 +56,12 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
   }
 
   private def initCatalog(): Unit = {
+    // DialectSugar's GROUP BY ALL / ORDER BY ALL rewrites emit ordinal
+    // references; with ordinal resolution off (possible on a caller-supplied
+    // existingSession) an ORDER BY ordinal silently becomes a constant
+    // expression — pin both confs so the rewrites always mean positions
+    _spark.conf.set("spark.sql.groupByOrdinal", "true")
+    _spark.conf.set("spark.sql.orderByOrdinal", "true")
     _spark.sql("CREATE DATABASE IF NOT EXISTS main")
     _spark.catalog.setCurrentDatabase("main")
     graft.functions.registerAll(_spark) // vec_dot / vec_cosine / simhash64 in SQL

@@ -130,6 +130,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaProp.exceptAll(viaStar).count() === 0)
   }
 
+  test("min-label propagation keeps a flat plan across 30+ rounds") {
+    import spark.implicits._
+    // a 32-node chain forces ~31 min-label rounds; with `persist` instead
+    // of `localCheckpoint` the logical plan doubles per round (2^31 copies
+    // of the base plan — stringification alone OOMs the driver), so this
+    // test both converging AND returning a tiny plan is the regression
+    // gate for the lineage fix
+    val n = 32
+    val half = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    val init = (0 until n).map(_.toLong).toDF("doc_id")
+      .withColumn("label", col("doc_id"))
+    val result = graft.pipeline.DedupQueries.propagateToFixpoint(edges, init, maxRounds = 40)
+    assert(result.collect().map(_.getLong(1)).toSet === Set(0L),
+      "chain did not converge to its minimum label")
+    val planNodes = result
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.logical.collect { case p => p }.size
+    assert(planNodes <= 5,
+      s"lineage not truncated: final plan has $planNodes nodes after 30+ rounds")
+  }
+
   test("key skew histogram finds the heaviest keys") {
     val skew = Scale.keySkew(Tables.load(spark, sfDir, "lineitem"), "l_suppkey", 5)
     val rows = skew.collect()
