@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries, ScalarExtras, TemporalJoins, WindowExtras}
+import graft.operators.{DialectQueries, ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries, ScalarExtras, TemporalJoins, WindowExtras}
 import graft.pipeline.{CorpusOps, DedupQueries, Multimodal, Similarity, TextQueries, TrainingPipeline}
 import graft.streaming.StreamingQueries
 
@@ -16,7 +16,7 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
 
   val allQueries: Seq[Q] =
-    RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++ WindowExtras.all ++ ScalarExtras.all ++ TemporalJoins.all ++
+    RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++ WindowExtras.all ++ ScalarExtras.all ++ TemporalJoins.all ++ DialectQueries.all ++
       MicroQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       Similarity.all ++ Multimodal.all ++ TrainingPipeline.all ++
       CorpusOps.all ++ StreamingQueries.all

@@ -160,4 +160,135 @@ class DialectSugarSpec extends AnyFunSuite {
     assert(df.count() === 5)
     assert(df.collect().head.getString(0) === "GROUP BY ALL QUALIFY x")
   }
+
+  // ------------------------------------------------------- star REPLACE
+
+  test("star REPLACE substitutes the expression under the original name") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT * REPLACE (n_regionkey + 100 AS n_regionkey) FROM nation ORDER BY n_nationkey")
+    val expected = conn.queryDF(
+      "SELECT n_nationkey, n_name, n_regionkey + 100 AS n_regionkey FROM nation ORDER BY n_nationkey")
+    assert(df.columns.sorted.toSeq === Seq("n_name", "n_nationkey", "n_regionkey"))
+    val key = (r: org.apache.spark.sql.Row) => df.columns.sorted.map(c => r.getAs[Any](c)).toSeq
+    assert(df.collect().map(key).toSeq === expected.collect().map(key).toSeq)
+  }
+
+  test("qualified star t.* REPLACE resolves against the alias") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n.* REPLACE (upper(n_name) AS n_name)
+        |FROM nation n ORDER BY n_nationkey""".stripMargin)
+    assert(df.columns.sorted.toSeq === Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(df.select("n_name").collect().forall(r => r.getString(0) == r.getString(0).toUpperCase))
+    assert(df.count() === 25)
+  }
+
+  test("EXCLUDE merges into the REPLACE-emitted EXCEPT list") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT * EXCLUDE (n_name) REPLACE (n_regionkey * 2 AS n_regionkey)
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
+    assert(df.columns.sorted.toSeq === Seq("n_nationkey", "n_regionkey"))
+    assert(df.collect().head.getInt(df.columns.indexOf("n_regionkey")) % 2 === 0)
+  }
+
+  test("REPLACE spec expressions may contain commas and nested parens") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT * REPLACE (concat(n_name, ',', 'x') AS n_name) FROM nation
+        |ORDER BY n_nationkey LIMIT 1""".stripMargin)
+    assert(df.collect().head.getAs[String]("n_name").endsWith(",x"))
+  }
+
+  test("multiplication before replace(...) is not a star REPLACE item") {
+    // `a * replace(x,y,z)` — the star is arithmetic; the rewrite must not touch it
+    val sql = "SELECT n_regionkey * replace(n_name, 'a', 'b') AS x FROM nation"
+    assert(graft.dialect.DialectSugar.rewrite(sql) === sql)
+    val sql2 = "SELECT 2 * replace('3', 'q', 'z') AS x FROM region"
+    assert(graft.dialect.DialectSugar.rewrite(sql2) === sql2)
+  }
+
+  test("star REPLACE text inside literals and comments is untouched") {
+    prepare()
+    val lit = conn.queryDF(
+      "SELECT '* REPLACE (x AS y)' AS s FROM region ORDER BY r_regionkey LIMIT 1")
+    assert(lit.collect().head.getString(0) === "* REPLACE (x AS y)")
+    val commented = conn.queryDF(
+      """SELECT n_regionkey -- * REPLACE (a AS b) not real
+        |FROM nation WHERE n_regionkey = 0""".stripMargin)
+    assert(commented.count() === 5)
+  }
+
+  test("star REPLACE rewrites each set-operation branch independently") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT * REPLACE (n_regionkey + 1 AS n_regionkey) FROM nation
+        |UNION ALL
+        |SELECT * REPLACE (n_regionkey + 2 AS n_regionkey) FROM nation""".stripMargin)
+    assert(df.count() === 50)
+    val sums = df.groupBy().sum("n_regionkey").collect().head.getLong(0)
+    // base sum(n_regionkey) over nation = 50; +1 and +2 per 25 rows
+    assert(sums === 50 * 2 + 25 + 50)
+  }
+
+  test("star REPLACE inside a subquery is rewritten; count(*) is untouched") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT count(*) AS n FROM (
+        |  SELECT * REPLACE (n_regionkey + 1 AS n_regionkey) FROM nation
+        |  WHERE n_regionkey < 2)""".stripMargin)
+    assert(df.collect().head.getLong(0) === 10)
+  }
+
+  // ------------------------------------- QUALIFY over unprojected columns
+
+  test("QUALIFY may reference unprojected columns: injected then stripped") {
+    prepare()
+    val rewritten = graft.dialect.DialectSugar.rewrite(
+      "SELECT n_name FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1")
+    // both unprojected predicate columns join the strip list with the marker
+    assert(rewritten.contains(
+      s"EXCEPT (${graft.dialect.DialectSugar.QualMarker}, n_regionkey, n_nationkey)"))
+    val df = conn.queryDF(
+      """SELECT n_name FROM nation
+        |QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1
+        |ORDER BY n_name""".stripMargin)
+    assert(df.columns.toSeq === Seq("n_name"))
+    assert(df.count() === 5)
+  }
+
+  test("QUALIFY injection bails out on grouped and DISTINCT bases") {
+    // grouped base: injecting a column would change grouping semantics —
+    // the unknown column must NOT appear in the projection (loud error
+    // downstream is acceptable; silent regrouping is not)
+    val grouped = graft.dialect.DialectSugar.rewrite(
+      "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1 QUALIFY row_number() OVER (ORDER BY mystery_col) = 1")
+    assert(!grouped.contains(", mystery_col"))
+    assert(grouped.contains(s"EXCEPT (${graft.dialect.DialectSugar.QualMarker})"))
+    val distinct = graft.dialect.DialectSugar.rewrite(
+      "SELECT DISTINCT n_regionkey FROM nation QUALIFY rank() OVER (ORDER BY other_col) = 1")
+    assert(!distinct.contains(", other_col"))
+  }
+
+  test("QUALIFY on a grouped base still works over projected columns") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1
+        |QUALIFY row_number() OVER (ORDER BY n DESC, n_regionkey) <= 2
+        |ORDER BY n_regionkey""".stripMargin)
+    assert(df.count() === 2)
+    assert(df.columns.toSeq === Seq("n_regionkey", "n"))
+  }
+
+  test("GROUP BY ALL excludes window items from the grouping keys") {
+    prepare()
+    // ratio-to-report: the windowed sum-of-sums is evaluated AFTER grouping
+    // (DuckDB semantics) and must not be emitted as a group key
+    val df = conn.queryDF(
+      """SELECT n_regionkey, sum(n_nationkey) AS s, sum(sum(n_nationkey)) OVER () AS tot
+        |FROM nation GROUP BY ALL ORDER BY 1""".stripMargin)
+    assert(df.count() === 5)
+    assert(df.collect().forall(_.getLong(2) === 300L))
+  }
 }
