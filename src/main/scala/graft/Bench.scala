@@ -1,19 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark harness. Methodology (round-1 verdict item 4):
+/** Per-round benchmark harness. Methodology (round-1 verdict item 4, round-4
+  * verdict item 2):
   *  - every query executes through a **materializing** noop write — all
   *    result rows are produced and serialized into the sink interface, so a
   *    final ORDER BY is not eliminated the way it is under `count()` and the
   *    timing matches the reference harness, which materializes full Arrow
   *    results (packages/benchmarks/src/system/duckdb_sync_benchmarks.ts).
+  *  - an untimed warm-up pass runs a representative multi-way join and a
+  *    window query over the actual tables BEFORE any timing, so the first
+  *    timed queries don't absorb JVM/codegen warm-up and cold file I/O
+  *    (rounds 3 and 4 both showed a phantom "regression" set that was just
+  *    whichever join-heavy queries ran first).
   *  - each query is sampled SPARK_GRAFT_SAMPLES times (default 3, like
   *    buffalo-bench's multi-cycle runs) and the **min** is reported (see
-  *    the sampling comment below — co-tenant noise is additive).
+  *    the sampling comment below — co-tenant noise is additive). Queries
+  *    whose first sample exceeds 10 s take that single sample — the same
+  *    early-break scripts/bench_duck.py applies, so both sides of the ratio
+  *    use the same estimator on heavy queries.
+  *  - per-query sample SPREAD (max-min over the samples actually taken) is
+  *    emitted alongside the minima, so measurement noise is visible in the
+  *    artifact instead of reading as regression.
   *  - pinned caches are cleared between queries so timings are independent.
-  * Emits ONE JSON line: {"metric":"total",...,"queries":{name:sec,...}}.
+  * Emits ONE JSON line: {"metric":"total",...,"queries":{name:sec,...},
+  * "spread":{name:sec,...}}.
   */
 object Bench {
+  private val HeavyCutoffSec = 10.0 // matches scripts/bench_duck.py
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,24 +57,56 @@ object Bench {
       if (ok) elapsed else -1.0
     }
 
-    // Warmup outside the timed loop: session/codegen/JIT init plus one pass
-    // over the first query so measurements reflect steady-state throughput.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    // Untimed warm-up: exercise the code paths the timed queries use —
+    // whole-stage codegen JIT, shuffle machinery, broadcast exchange,
+    // window exec, and the parquet footers/page cache of the big tables.
+    // A trivial range-sum (the old warm-up) warms none of the join path,
+    // which is why the first join-heavy queries looked "regressed" in
+    // rounds 3 and 4.
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val ord = Tables.load(spark, sfDir, "orders")
+      val cust = Tables.load(spark, sfDir, "customer")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(cust("c_custkey")).agg(sum(li("l_quantity")).as("q"))
+        .write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.expressions.Window
+      ord.withColumn("rk",
+          row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+        .filter(col("rk") <= 2)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+    }
+    spark.catalog.clearCache()
+
     // optional comma-separated prefix filter for local iteration
     // (driver never sets it → full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     if (names.isEmpty) {
-      println(s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},"sf":"$sfDir","samples":$samples}""")
+      println(s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},"spread":{},"sf":"$sfDir","samples":$samples}""")
       spark.stop()
       return
     }
-    runOnce(names.head)
 
     val results = names.map { name =>
-      val times = Seq.fill(samples)(runOnce(name))
-      val ok = times.filter(_ >= 0)
+      // Early-break on heavy queries (first clean sample > 10 s): compute-
+      // dominated runs don't need repeat sampling, and the break mirrors
+      // bench_duck.py so min-over-k is taken over the SAME k on both sides.
+      val times = Seq.newBuilder[Double]
+      var taken = 0
+      var break_ = false
+      while (taken < samples && !break_) {
+        val t = runOnce(name)
+        times += t
+        taken += 1
+        if (t >= HeavyCutoffSec) break_ = true
+      }
+      val ok = times.result().filter(_ >= 0)
       // Min over samples, not median: on a shared box, co-tenant load / GC
       // pauses are strictly ADDITIVE noise, so the smallest observation is
       // the least-contaminated estimate of the query's true cost (r1 + r2
@@ -67,12 +114,15 @@ object Bench {
       // isolated re-run; the min is robust to one loaded sample, the
       // median is not when two of three samples land under load).
       val best = if (ok.isEmpty) -1.0 else ok.min
-      name -> best
+      val spread = if (ok.size < 2) 0.0 else ok.max - ok.min
+      (name, best, spread)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","samples":$samples}""")
+    val qs = fmt(results.map(r => (r._1, r._2)))
+    val sp = fmt(results.map(r => (r._1, BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }
