@@ -91,6 +91,40 @@ final class FileRegistry {
   def registerFilePath(name: String, path: String): Unit =
     entries.put(name, path)
 
+  /** Register an open byte-source handle (reference registerFileHandle,
+    * packages/duckdb-wasm/src/bindings/bindings_interface.ts:32; the
+    * implementation at bindings_base.ts:346-368 keeps the handle in a
+    * name→handle map and registers the name as an ordinary file). The JVM
+    * handle types: a `Path`/`File` registers in place, an `InputStream` is
+    * drained to the spill dir (executors need a re-readable source, not a
+    * one-shot stream), a byte array behaves like registerFileBuffer, a
+    * `URL` like registerFileURL. */
+  def registerFileHandle(name: String, handle: Any): Unit = handle match {
+    case p: Path => registerFilePath(name, p.toString)
+    case f: java.io.File => registerFilePath(name, f.getPath)
+    case in: java.io.InputStream => registerFileBuffer(name, in.readAllBytes())
+    case bytes: Array[Byte] => registerFileBuffer(name, bytes)
+    case url: java.net.URL => registerFileURL(name, url.toString)
+    case other => throw new IllegalArgumentException(
+      s"unsupported file handle type: ${if (other == null) "null" else other.getClass.getName}")
+  }
+
+  /** Flush all registered files to durable storage (reference flushFiles,
+    * bindings_interface.ts:36 — flushes the wasm paged filesystem's dirty
+    * pages). The JVM registry writes spilled buffers eagerly, so flushing
+    * reduces to an fsync of every registered local file; remote URLs have
+    * nothing to flush. */
+  def flushFiles(): Unit =
+    entries.values.asScala.foreach { stored =>
+      try {
+        val p = Paths.get(stored)
+        if (Files.isRegularFile(p)) {
+          val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.WRITE)
+          try ch.force(true) finally ch.close()
+        }
+      } catch { case _: Exception => () } // URL-backed entries: nothing local
+    }
+
   def dropFile(name: String): Boolean = entries.remove(name) != null
 
   def dropFiles(): Unit = entries.clear()

@@ -326,6 +326,33 @@ class EngineSpec extends AnyFunSuite {
     assert(!engine.files.isRegistered("other.txt"))
   }
 
+  test("registerFileHandle + flushFiles (bindings_interface.ts:32,36)") {
+    // Path / File / InputStream / byte-array handles all register and read back
+    val tmp = java.nio.file.Files.createTempFile("graft-handle-", ".csv")
+    java.nio.file.Files.writeString(tmp, "x\n42\n")
+    engine.files.registerFileHandle("h_path.csv", tmp)
+    engine.files.registerFileHandle("h_file.csv", tmp.toFile)
+    engine.files.registerFileHandle("h_stream.csv",
+      new java.io.ByteArrayInputStream("x\n7\n".getBytes("UTF-8")))
+    engine.files.registerFileHandle("h_bytes.csv", "x\n9\n".getBytes("UTF-8"))
+    assert(new String(engine.files.copyFileToBuffer("h_path.csv"), "UTF-8") === "x\n42\n")
+    assert(new String(engine.files.copyFileToBuffer("h_file.csv"), "UTF-8") === "x\n42\n")
+    assert(new String(engine.files.copyFileToBuffer("h_stream.csv"), "UTF-8") === "x\n7\n")
+    assert(new String(engine.files.copyFileToBuffer("h_bytes.csv"), "UTF-8") === "x\n9\n")
+    val df = conn.queryDF("SELECT * FROM read_csv('h_stream.csv', header=true)")
+    assert(df.collect().map(_.get(0).toString).toSeq === Seq("7"))
+    intercept[IllegalArgumentException] {
+      engine.files.registerFileHandle("bad", new Object)
+    }
+    // flush is a durability fsync over registered local files: a no-op
+    // observable only as "does not throw", incl. with a URL entry present
+    engine.files.registerFileURL("h_url", "http://localhost:1/never-fetched")
+    engine.files.flushFiles()
+    Seq("h_path.csv", "h_file.csv", "h_stream.csv", "h_bytes.csv", "h_url")
+      .foreach(engine.files.dropFile)
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("file statistics: scan + read counters (webdb.cc:703-714)") {
     engine.files.registerFilePath("stats.parquet", s"$sf/region.parquet")
     engine.files.collectFileStatistics("stats.parquet", enable = true)
