@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object MicroQueries {
 
+  /** Scale multiplier for the generated sizes (and key spaces, so join
+    * fan-out keeps its shape). Default 1 = the reference suite's maximum
+    * sizes. Set SPARK_GRAFT_MICRO_SCALE=10 for the sf10-style measurement
+    * that shows the per-job scheduling floor amortizing — the oracle SQL
+    * is built from the same constant, so the correctness gate follows the
+    * knob automatically. */
+  private val Scale: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MICRO_SCALE", "1").toLong.max(1L)
+
   /** Deterministic (v0, v1) integer table of n rows. */
   private def series(s: SparkSession, n: Long): DataFrame =
     s.range(n).select(
@@ -29,6 +38,11 @@ object MicroQueries {
 
   private def seriesSql(n: Long): String =
     s"(SELECT i AS id, (i * 48271) % 65536 AS v0, (i * 16807) % 32768 AS v1 FROM range(0, $n) t(i))"
+
+  // suite sizes, scaled: 1e6 / 1e5 / 1e4 at Scale=1 (the reference maxima)
+  private val N1e6 = 1000000L * Scale
+  private val N1e5 = 100000L * Scale
+  private val N1e4 = 10000L * Scale
 
   // sort-int: packages/benchmarks/src/suite_system_sort_int.ts:49-54
   // Two-phase distributed rank (a global row_number() window would funnel
@@ -45,7 +59,7 @@ object MicroQueries {
   // global-window form at any partition count.
   private def sort(s: SparkSession, dir: String): DataFrame = {
     val parts = 32
-    val keyed = series(s, 1000000L)
+    val keyed = series(s, N1e6)
       .repartitionByRange(parts, col("v0"), col("v1"), col("id"))
       .withColumn("pid", spark_partition_id())
     val counts = keyed.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
@@ -66,34 +80,34 @@ object MicroQueries {
   private val sortSql =
     s"""SELECT rn, v0, v1
        |FROM (SELECT v0, v1, row_number() OVER (ORDER BY v0, v1, id) AS rn
-       |      FROM ${seriesSql(1000000L)} g) t
+       |      FROM ${seriesSql(N1e6)} g) t
        |WHERE rn % 10000 = 0""".stripMargin
 
   // top-k: duckdb_sync_benchmarks.ts:286
   private def topk(s: SparkSession, dir: String): DataFrame =
-    series(s, 1000000L)
+    series(s, N1e6)
       .select(col("v0"), col("v1"), col("id"))
       .orderBy(col("v0"), col("v1"), col("id"))
       .limit(100)
 
   private val topkSql =
-    s"""SELECT v0, v1, id FROM ${seriesSql(1000000L)} g
+    s"""SELECT v0, v1, id FROM ${seriesSql(N1e6)} g
        |ORDER BY v0, v1, id LIMIT 100""".stripMargin
 
   // grouped sum: duckdb_sync_benchmarks.ts:343 (10 groups)
   private def groupSum(s: SparkSession, dir: String): DataFrame =
-    series(s, 1000000L)
+    series(s, N1e6)
       .groupBy((col("v0") % 10).as("g"))
       .agg(sum(col("v1")).as("sum_v1"), count(lit(1)).as("n"))
       .orderBy(col("g"))
 
   private val groupSumSql =
     s"""SELECT v0 % 10 AS g, CAST(sum(v1) AS BIGINT) AS sum_v1, count(*) AS n
-       |FROM ${seriesSql(1000000L)} g GROUP BY 1 ORDER BY g""".stripMargin
+       |FROM ${seriesSql(N1e6)} g GROUP BY 1 ORDER BY g""".stripMargin
 
   // LIKE filter: duckdb_sync_benchmarks.ts:459 (pattern '_#%')
   private def like(s: SparkSession, dir: String): DataFrame =
-    series(s, 100000L)
+    series(s, N1e5)
       .select(concat(lit("x"),
         when(col("id") % 7 === 0, "#").otherwise("y"),
         col("v0").cast("string")).as("s"))
@@ -105,13 +119,13 @@ object MicroQueries {
     s"""SELECT count(*) AS n_match, min(s) AS first_s
        |FROM (SELECT 'x' || (CASE WHEN id % 7 = 0 THEN '#' ELSE 'y' END)
        |             || CAST(v0 AS STRING) AS s
-       |      FROM ${seriesSql(100000L)} g) t
+       |      FROM ${seriesSql(N1e5)} g) t
        |WHERE s LIKE '_#%'""".stripMargin
 
   // join-2: duckdb_sync_benchmarks.ts:525-530 (A 1e5 ⋈ B 1e6, filter a.v0 < n)
   private def join2(s: SparkSession, dir: String): DataFrame = {
-    val a = series(s, 100000L).select(col("id").as("ak"), col("v0").as("av0"))
-    val b = series(s, 1000000L).select((col("id") % 100000L).as("bk"), col("v1").as("bv1"))
+    val a = series(s, N1e5).select(col("id").as("ak"), col("v0").as("av0"))
+    val b = series(s, N1e6).select((col("id") % N1e5).as("bk"), col("v1").as("bv1"))
     a.filter(col("av0") < 1000)
       .join(b, col("ak") === col("bk"))
       .agg(count(lit(1)).as("n"), sum(col("bv1")).as("sum_bv1"))
@@ -119,15 +133,15 @@ object MicroQueries {
 
   private val join2Sql =
     s"""SELECT count(*) AS n, CAST(sum(bv1) AS BIGINT) AS sum_bv1
-       |FROM (SELECT id AS ak, v0 AS av0 FROM ${seriesSql(100000L)} g) a
-       |JOIN (SELECT id % 100000 AS bk, v1 AS bv1 FROM ${seriesSql(1000000L)} g) b
+       |FROM (SELECT id AS ak, v0 AS av0 FROM ${seriesSql(N1e5)} g) a
+       |JOIN (SELECT id % $N1e5 AS bk, v1 AS bv1 FROM ${seriesSql(N1e6)} g) b
        |  ON ak = bk WHERE av0 < 1000""".stripMargin
 
   // join-3: duckdb_sync_benchmarks.ts:615-621 (1e4 ⋈ 1e5 ⋈ 1e6 chain)
   private def join3(s: SparkSession, dir: String): DataFrame = {
-    val a = series(s, 10000L).select(col("id").as("ak"), col("v0").as("av0"))
-    val b = series(s, 100000L).select((col("id") % 10000L).as("bk"), col("id").as("bid"))
-    val c = series(s, 1000000L).select((col("id") % 100000L).as("ck"), col("v1").as("cv1"))
+    val a = series(s, N1e4).select(col("id").as("ak"), col("v0").as("av0"))
+    val b = series(s, N1e5).select((col("id") % N1e4).as("bk"), col("id").as("bid"))
+    val c = series(s, N1e6).select((col("id") % N1e5).as("ck"), col("v1").as("cv1"))
     a.filter(col("av0") < 500)
       .join(b, col("ak") === col("bk"))
       .join(c, col("bid") === col("ck"))
@@ -136,10 +150,10 @@ object MicroQueries {
 
   private val join3Sql =
     s"""SELECT count(*) AS n, CAST(sum(cv1) AS BIGINT) AS sum_cv1
-       |FROM (SELECT id AS ak, v0 AS av0 FROM ${seriesSql(10000L)} g) a
-       |JOIN (SELECT id % 10000 AS bk, id AS bid FROM ${seriesSql(100000L)} g) b
+       |FROM (SELECT id AS ak, v0 AS av0 FROM ${seriesSql(N1e4)} g) a
+       |JOIN (SELECT id % $N1e4 AS bk, id AS bid FROM ${seriesSql(N1e5)} g) b
        |  ON ak = bk
-       |JOIN (SELECT id % 100000 AS ck, v1 AS cv1 FROM ${seriesSql(1000000L)} g) c
+       |JOIN (SELECT id % $N1e5 AS ck, v1 AS cv1 FROM ${seriesSql(N1e6)} g) c
        |  ON bid = ck
        |WHERE av0 < 500""".stripMargin
 
