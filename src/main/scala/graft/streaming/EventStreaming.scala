@@ -44,6 +44,63 @@ object EventStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  // ------------------------------------------------ streaming near-dedup
+  /** Streaming NEAR-duplicate dedup over documents (doc_id, text, ts) —
+    * the incremental counterpart of the p06 MinHash/LSH batch dedup, using
+    * the SAME signature kernel and band keys (graft.pipeline.PortableHash),
+    * so batch and stream agree key-for-key.
+    *
+    * Two watermark-bounded stateful stages:
+    *  1. per-band dedup — each (band, band_sig) bucket keeps its first
+    *     arrival (`dropDuplicatesWithinWatermark`, state evicted at the
+    *     late-arrival horizon);
+    *  2. per-document verdict — a document survives iff ALL its bands were
+    *     first-seen (an LSH candidate shares ≥1 band, so sharing any band
+    *     with an earlier doc marks a near-duplicate).
+    * Emits (doc_id, ts) of survivors once the watermark passes their event
+    * time. State is O(buckets within the watermark), never O(corpus) — the
+    * property that matters at 100 TB/day. */
+  def nearDedupeStream(docs: DataFrame): DataFrame = {
+    val bands = docBandRows(docs.withWatermark("ts", "1 hour"))
+    bands
+      .dropDuplicatesWithinWatermark("band", "band_sig")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("fresh_bands"))
+      .filter(col("fresh_bands") === graft.pipeline.PortableHash.Bands)
+      .select(col("doc_id"), col("ts"))
+  }
+
+  /** Batch oracle for [[nearDedupeStream]]: a document survives iff it is
+    * the (ts, doc_id)-first in EVERY one of its LSH buckets. Matches the
+    * stream when arrival order follows event time (buckets keep their
+    * first arrival in both worlds, and a dropped document's fresh buckets
+    * still block later documents — same as stream state). */
+  def nearDedupeBatch(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig")).orderBy(col("ts"), col("doc_id"))
+    docBandRows(docs)
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("fresh_bands"))
+      .filter(col("fresh_bands") === graft.pipeline.PortableHash.Bands)
+      .select(col("doc_id"), col("ts"))
+  }
+
+  /** (doc_id, ts, band, band_sig) LSH band rows via the shared MinHash
+    * kernel — batch/stream-agnostic (all narrow, codegen'd work). */
+  private def docBandRows(docs: DataFrame): DataFrame = {
+    val PH = graft.pipeline.PortableHash
+    val sig = graft.pipeline.DedupQueries.shingleHashes(docs)
+      .withColumn("sig", graft.functions.minhash_sig(
+        col("sh"), PH.perms.map(_._1), PH.perms.map(_._2), PH.P))
+    val bandStructs = (0 until PH.Bands).map { bnd =>
+      struct(lit(bnd).as("band"), expr(PH.sparkBandSig("sig", bnd)).as("band_sig"))
+    }
+    sig.select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("ts"),
+        col("b.band").as("band"), col("b.band_sig").as("band_sig"))
+  }
+
   // ------------------------------------------------- stateful sessionization
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
