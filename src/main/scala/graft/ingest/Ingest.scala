@@ -43,17 +43,61 @@ object CsvIngest {
     }
     val df = opts.skip.filter(_ > 0) match {
       case Some(n) =>
-        // Spark's CSV reader has no skip-N option — drop the first N
-        // physical lines via a global line index (zipWithIndex preserves
-        // file order across splits), then parse the remainder.
+        // Spark's CSV reader has no skip-N option. Single-pass plan: the
+        // driver streams the file HEAD until the n-th newline (a few bytes,
+        // never a file pass) to prove the skipped lines sit inside the
+        // first input split; then partition 0 — which for a Hadoop text
+        // RDD over one file is always the offset-0 split — drops them
+        // in place. No counting job, no second read of the file.
+        // If the proof fails (n-th newline beyond the first block — a
+        // pathological header), fall back to the exact two-pass global
+        // index rather than risk a wrong drop.
         import spark.implicits._
-        val lines = spark.read.textFile(path).rdd.zipWithIndex()
-          .filter(_._2 >= n).map(_._1)
+        val lines = nthNewlineWithinFirstBlock(spark, path, n) match {
+          case true =>
+            spark.sparkContext.textFile(path, 1)
+              .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(n) else it)
+          case false =>
+            spark.read.textFile(path).rdd.zipWithIndex()
+              .filter(_._2 >= n).map(_._1)
+        }
         r.csv(spark.createDataset(lines))
       case None => r.csv(path)
     }
     if (!hasHeader && opts.columns.isEmpty)
       df.toDF(df.columns.indices.map(i => s"column$i"): _*)
     else df
+  }
+
+  /** True iff the n-th newline of `path` lies strictly inside the file's
+    * first block (split size is never below the FS block size when the RDD
+    * is built with minPartitions=1, so "inside block 0" ⇒ "inside split 0").
+    * Reads at most one block from the head. */
+  private def nthNewlineWithinFirstBlock(spark: SparkSession, path: String, n: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: Exception => return false }
+    if (st.isDirectory) return false // glob/dir input: line order is per-file
+    val blockSize = math.max(st.getBlockSize, 1L)
+    if (st.getLen <= blockSize) return true // single split: always safe
+    val in = fs.open(p)
+    try {
+      var seen = 0
+      var off = 0L
+      val buf = new Array[Byte](64 * 1024)
+      while (seen < n && off < blockSize) {
+        val r = in.read(buf, 0, math.min(buf.length.toLong, blockSize - off).toInt)
+        if (r < 0) return true // fewer than n lines in the whole file
+        var i = 0
+        while (i < r && seen < n) {
+          if (buf(i) == '\n') seen += 1
+          i += 1
+        }
+        off += i
+      }
+      seen >= n && off < blockSize
+    } finally in.close()
   }
 }
