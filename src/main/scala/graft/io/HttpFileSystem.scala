@@ -60,7 +60,12 @@ class HttpFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val url = toURL(f)
-    new FSDataInputStream(new HttpRangeInputStream(url, contentLength(url)))
+    val len = contentLength(url)
+    // block-level read statistics, when enabled for this file via
+    // FileRegistry.collectFileStatistics (keyed by the stored raw form)
+    val stats = ReadStatsHub.collectorFor(f.toUri.toString, len)
+      .orElse(ReadStatsHub.collectorFor(url.toString, len))
+    new FSDataInputStream(new HttpRangeInputStream(url, len, stats))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -93,16 +98,22 @@ class HttpsFileSystem extends HttpFileSystem {
   * `Range: bytes=<pos>-` header, so a parquet reader's footer/row-group
   * seeks become genuine ranged requests (positioned reads come through
   * FSInputStream's seek+read default). */
-private[io] final class HttpRangeInputStream(url: URL, length: Long)
+private[io] final class HttpRangeInputStream(url: URL, length: Long,
+    stats: Option[FileStatsCollector] = None)
     extends FSInputStream {
 
   private var pos = 0L
   private var in: InputStream = _
   private var conn: HttpURLConnection = _
+  // true until the first read after a (re)open consumes it — distinguishes
+  // a COLD read (fresh Range request) from sequential read-AHEAD on the
+  // same open response body
+  private var freshRequest = false
 
   private def ensureOpen(): InputStream = {
     if (in == null) {
       if (pos >= length) throw new EOFException(s"$url: read past end ($pos >= $length)")
+      freshRequest = true
       conn = url.openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestProperty("Range", s"bytes=$pos-")
       val code = conn.getResponseCode
@@ -136,14 +147,22 @@ private[io] final class HttpRangeInputStream(url: URL, length: Long)
   override def read(): Int = {
     if (pos >= length) return -1
     val b = ensureOpen().read()
-    if (b >= 0) pos += 1 else closeCurrent()
+    if (b >= 0) {
+      stats.foreach(_.registerRead(pos, 1, continuation = !freshRequest))
+      freshRequest = false
+      pos += 1
+    } else closeCurrent()
     b
   }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {
     if (pos >= length) return -1
     val n = ensureOpen().read(buf, off, len)
-    if (n > 0) pos += n else closeCurrent()
+    if (n > 0) {
+      stats.foreach(_.registerRead(pos, n, continuation = !freshRequest))
+      freshRequest = false
+      pos += n
+    } else closeCurrent()
     n
   }
 

@@ -17,16 +17,23 @@ import scala.jdk.CollectionConverters._
   */
 /** Per-file I/O statistics (reference collectFileStatistics /
   * exportFileStatistics — webdb.cc:703-714, counters file_stats.h:24-120).
-  * The reference counts page-level cold/ahead/cached reads inside its own
-  * buffer manager; Spark I/O goes through Hadoop FS + OS cache, so the
-  * engine-observable equivalents are exposed: file size, scan resolutions,
-  * and API-level byte reads. */
+  * Coarse counters (size, scan resolutions, API byte reads) are always
+  * collected; BLOCK-level counters — the reference's per-block
+  * cold/ahead/cached read histogram over ≤1000 power-of-two blocks — are
+  * populated for reads the engine itself issues (ranged HTTP scans,
+  * copyFileToBuffer). Local parquet scans go through the OS page cache,
+  * which Spark cannot introspect, so their block rows stay zero. */
 final case class FileStatistics(
     fileName: String,
     sizeBytes: Long,
     scanResolutions: Long,
     apiReads: Long,
-    apiBytesRead: Long)
+    apiBytesRead: Long,
+    blockShift: Int = 0,
+    blocks: Seq[graft.io.BlockStatistics] = Nil,
+    bytesReadCold: Long = 0L,
+    bytesReadAhead: Long = 0L,
+    bytesReadCached: Long = 0L)
 
 final class FileRegistry {
   private val entries = new ConcurrentHashMap[String, String]()
@@ -39,17 +46,38 @@ final class FileRegistry {
       name: String) =
     m.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
 
-  /** Enable/disable statistics collection for a registered file. */
+  /** Enable/disable statistics collection for a registered file — both the
+    * coarse counters and the per-block collector behind the read path. */
   def collectFileStatistics(name: String, enable: Boolean): Unit =
-    if (enable) statsEnabled.add(name) else statsEnabled.remove(name)
+    if (enable) {
+      statsEnabled.add(name)
+      val stored = resolve(name)
+      graft.io.ReadStatsHub.arm(stored)
+      // local files know their size now; HTTP files materialize their
+      // collector at open time (size comes from the HEAD request)
+      try {
+        val p = Paths.get(stored)
+        if (Files.isRegularFile(p))
+          graft.io.ReadStatsHub.collectorFor(stored, Files.size(p))
+      } catch { case _: Exception => () }
+    } else {
+      statsEnabled.remove(name)
+      graft.io.ReadStatsHub.disarm(resolve(name))
+    }
 
   def exportFileStatistics(name: String): FileStatistics = {
     val p = Paths.get(resolve(name))
     val size = if (Files.exists(p) && !Files.isDirectory(p)) Files.size(p) else 0L
+    val blocks = graft.io.ReadStatsHub.get(resolve(name))
     FileStatistics(name, size,
       counter(scanCounts, name).get(),
       counter(readCounts, name).get(),
-      counter(readBytes, name).get())
+      counter(readBytes, name).get(),
+      blockShift = blocks.map(_.blockShift).getOrElse(0),
+      blocks = blocks.map(_.export).getOrElse(Nil),
+      bytesReadCold = blocks.map(_.bytesCold.get()).getOrElse(0L),
+      bytesReadAhead = blocks.map(_.bytesAhead.get()).getOrElse(0L),
+      bytesReadCached = blocks.map(_.bytesCached.get()).getOrElse(0L))
   }
 
   private[graft] def recordScan(name: String): Unit =
@@ -151,6 +179,8 @@ final class FileRegistry {
     if (statsEnabled.contains(name)) {
       counter(readCounts, name).incrementAndGet()
       counter(readBytes, name).addAndGet(out.length.toLong)
+      graft.io.ReadStatsHub.get(resolve(name))
+        .foreach(_.registerRead(0L, out.length.toLong, continuation = false))
     }
     out
   }

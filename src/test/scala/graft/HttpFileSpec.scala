@@ -118,5 +118,23 @@ class HttpFileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangedRequests.get() > before)
   }
 
+  test("block-level statistics for a ranged HTTP parquet scan (file_stats.h:24-120)") {
+    engine.files.registerFileURL("stats_remote.parquet", s"http://127.0.0.1:$port/data.parquet")
+    engine.files.collectFileStatistics("stats_remote.parquet", enable = true)
+    conn.queryDF("SELECT count(*) AS n FROM parquet_scan('stats_remote.parquet')").collect()
+    val st = engine.files.exportFileStatistics("stats_remote.parquet")
+    assert(st.blockShift >= graft.io.FileStatsCollector.MinRangeShift)
+    assert(st.blocks.nonEmpty && st.blocks.size <= graft.io.FileStatsCollector.MaxRangeCount)
+    assert(st.blocks.map(_.coldReads).sum > 0, "no cold block reads recorded")
+    assert(st.bytesReadCold > 0)
+    // a second scan touches blocks already seen → cached block reads
+    conn.queryDF("SELECT count(*) AS n FROM parquet_scan('stats_remote.parquet')").collect()
+    val st2 = engine.files.exportFileStatistics("stats_remote.parquet")
+    assert(st2.blocks.map(_.cachedReads).sum > 0, "re-scan recorded no cached block reads")
+    // disable drops the collector; export falls back to coarse counters only
+    engine.files.collectFileStatistics("stats_remote.parquet", enable = false)
+    assert(engine.files.exportFileStatistics("stats_remote.parquet").blocks.isEmpty)
+  }
+
   override def afterAll(): Unit = if (server != null) server.stop(0)
 }
