@@ -94,6 +94,10 @@ final class FileRegistry {
     Files.createDirectories(p.getParent)
     Files.write(p, bytes)
     entries.put(name, p.toString)
+    // re-registration of a stats-enabled name is a file write (the wasm
+    // analogue: writing a registered buffer's pages)
+    graft.io.ReadStatsHub.get(p.toString)
+      .foreach(_.registerWrite(0L, bytes.length.toLong))
   }
 
   /** Register UTF-8 text under a file name. */
