@@ -34,7 +34,10 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
   private val GenSeries = """(?i)generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
 
   def rewrite(sql: String): String = {
-    var out = sql
+    // DuckDB literals are standard-SQL (backslash = plain char); Spark's
+    // parser applies C-style escapes — translate so both mean the same
+    // string (fixes '\s+' silently splitting on "s+").
+    var out = SqlText.escapeLiteralsForSpark(sql)
     out = ParquetScan.replaceAllIn(out, m => {
       files.recordScan(m.group(2))
       val v = tempView(graft.Tables.readParquetAuto(spark, files.resolve(m.group(2))))
@@ -83,6 +86,9 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
       o = """(?i)\bBLOB\b""".r.replaceAllIn(o, "BINARY")
       o
     }
+    // DuckDB function spellings Spark names differently: unnest/list_*/
+    // regexp_split_to_array/string_split/range (see DialectFunctions)
+    out = DialectFunctions.rewrite(out)
     // DuckDB query sugar Spark lacks: QUALIFY / GROUP BY ALL / ORDER BY
     // ALL / star-EXCLUDE (see DialectSugar)
     out = DialectSugar.rewrite(out)

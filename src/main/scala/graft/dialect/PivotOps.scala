@@ -1,0 +1,131 @@
+package graft.dialect
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** DuckDB's simplified PIVOT / UNPIVOT statements (duckdb
+  * docs/sql/statements/pivot + unpivot), executed through the native Spark
+  * relational operators:
+  *
+  *  - `PIVOT tbl ON c USING agg(x) [AS alias][, ...] [GROUP BY g, ...]`
+  *    → `df.groupBy(g...).pivot(c).agg(...)` — RelationalGroupedDataset
+  *    .pivot IS Spark's dynamic pivot: it collects the DISTINCT values of
+  *    the ON column first (one small job, bounded by the output width —
+  *    exactly what DuckDB's binder does internally) and then runs a single
+  *    partial-aggregated shuffle keyed on the group columns. Output column
+  *    naming matches DuckDB: bare value for a single unaliased aggregate,
+  *    `value_alias` per aggregate otherwise.
+  *  - omitted GROUP BY follows DuckDB's implicit rule: every column not
+  *    pivoted ON and not consumed by a USING aggregate groups.
+  *  - `UNPIVOT tbl ON c1, c2, ... INTO NAME n VALUE v`
+  *    → `df.unpivot(ids, values, n, v)` (Spark's native melt) with NULL
+  *    value rows dropped, matching DuckDB's default.
+  *
+  * At scale: pivot is one hash-aggregate shuffle on the group keys (the
+  * pivoted width is a constant), unpivot is a narrow flatMap — neither adds
+  * a driver-side loop beyond the bounded distinct-value collect.
+  */
+object PivotOps {
+
+  private val PivotRe =
+    """(?is)\s*PIVOT\s+([\w.`"]+)\s+ON\s+([\w`"]+)\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*""".r
+  private val UnpivotRe =
+    """(?is)\s*UNPIVOT\s+([\w.`"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w`"]+)\s+VALUE\s+([\w`"]+)\s*""".r
+
+  /** Some(result) when the statement is a PIVOT/UNPIVOT handled here. */
+  def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    case PivotRe(table, on, using, groupBy) =>
+      Some(pivot(spark, table, unquote(on), using, Option(groupBy)))
+    case UnpivotRe(table, on, name, value) =>
+      Some(unpivot(spark, table, on, unquote(name), unquote(value)))
+    case _ => None
+  }
+
+  def pivot(spark: SparkSession, table: String, on: String, usingText: String,
+      groupByText: Option[String]): DataFrame = {
+    val df = spark.table(unquote(table))
+    val aggs = splitTopLevel(usingText).map(parseAgg)
+    val groupCols: Seq[String] = groupByText match {
+      case Some(g) => splitTopLevel(g).map(unquote)
+      case None =>
+        // implicit grouping: all columns neither pivoted ON nor mentioned
+        // inside a USING aggregate (DuckDB's rule)
+        val usedInAgg = (c: String) =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+            .findFirstIn(usingText).isDefined
+        df.columns.toSeq.filterNot(c => c.equalsIgnoreCase(on) || usedInAgg(c))
+    }
+    val grouped = df.groupBy(groupCols.map(col): _*).pivot(on)
+    aggs match {
+      case Seq((e, None)) => grouped.agg(expr(e)) // bare value column names
+      case Seq((e, Some(alias))) =>
+        // Spark names single-agg pivot columns by bare value even when the
+        // aggregate is aliased; DuckDB emits `value_alias` — rename to match.
+        val out = grouped.agg(expr(e))
+        groupCols.foldLeft(out.columns.toSeq)((cs, g) => cs.filterNot(_ == g))
+          .foldLeft(out)((d, c) => d.withColumnRenamed(c, s"${c}_$alias"))
+      case _ =>
+        val cols: Seq[Column] = aggs.zipWithIndex.map { case ((e, alias), i) =>
+          expr(e).as(alias.getOrElse(s"agg_$i"))
+        }
+        grouped.agg(cols.head, cols.tail: _*)
+    }
+  }
+
+  def unpivot(spark: SparkSession, table: String, onText: String,
+      name: String, value: String): DataFrame = {
+    val df = spark.table(unquote(table))
+    val values = splitTopLevel(onText).map(unquote)
+    val ids = df.columns.toSeq.filterNot(c => values.exists(_.equalsIgnoreCase(c)))
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, name, value)
+      .filter(col(value).isNotNull) // DuckDB UNPIVOT drops NULL cells
+  }
+
+  /** `agg_expr [AS alias]` — the alias split is on the LAST top-level AS. */
+  private def parseAgg(item: String): (String, Option[String]) = {
+    val m = """(?is)(.+?)\s+AS\s+([\w`"]+)\s*$""".r
+    item.trim match {
+      case m(e, alias) if balanced(e) => (e.trim, Some(unquote(alias)))
+      case other => (other, None)
+    }
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    depth == 0
+  }
+
+  private def unquote(id: String): String =
+    id.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.filter(_.nonEmpty).toSeq
+  }
+}

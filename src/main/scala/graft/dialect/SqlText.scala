@@ -37,6 +37,24 @@ object SqlText {
     sb.toString
   }
 
+  /** Rewrite string-literal CONTENTS so a DuckDB-dialect literal (backslash
+    * is a plain character, per the SQL standard) denotes the same string
+    * under Spark's C-style escape processing: every backslash doubles.
+    * Without this, `split(x, '\s+')` silently becomes a split on `s+`. */
+  def escapeLiteralsForSpark(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val end = literalEnd(sql, i)
+        sb.append(sql.substring(i, end).replace("\\", "\\\\"))
+        i = end
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Count occurrences of `c` outside single-quoted literals. */
   def countOutsideLiterals(sql: String, c: Char): Int = {
     var n = 0

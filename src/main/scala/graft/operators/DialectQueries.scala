@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.dialect.DialectSugar
+import graft.dialect.{DialectFunctions, DialectSugar}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Oracled coverage for the DuckDB star-modifier / QUALIFY sugar that has
@@ -24,6 +24,15 @@ object DialectQueries {
   private def sugar(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(DialectSugar.rewrite(sql))
+  }
+
+  /** Function-spelling path: the DuckDB text runs through
+    * [[DialectFunctions]] (then DialectSugar, as in the engine's rewrite
+    * chain) on the Spark side and verbatim on the DuckDB side. */
+  private def fns(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(DialectSugar.rewrite(DialectFunctions.rewrite(
+      graft.dialect.SqlText.escapeLiteralsForSpark(sql))))
   }
 
   // star EXCLUDE + REPLACE on one star item: the EXCLUDE list must merge
@@ -49,7 +58,93 @@ object DialectQueries {
       |                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
       |ORDER BY o_orderkey""".stripMargin
 
+  // DuckDB list-function spellings over a split-to-array column: extraction
+  // (1-based in both engines), length (cast — DuckDB's array_length is
+  // BIGINT, Spark's size is INT), membership, and sort+distinct composition.
+  private val q59Sql =
+    """SELECT doc_id,
+      |  list_extract(toks, 1) AS first_tok,
+      |  CAST(array_length(toks) AS BIGINT) AS n_toks,
+      |  list_contains(toks, 'the') AS has_the,
+      |  list_extract(list_sort(list_distinct(toks)), 1) AS min_tok
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |      FROM documents)
+      |WHERE doc_id % 20 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // unnest in the SELECT list (DuckDB's row-expanding form → Spark explode):
+  // the non-generator column repeats per produced row in both engines.
+  private val q60Sql =
+    """SELECT doc_id,
+      |  unnest(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+')))) AS tok
+      |FROM documents
+      |WHERE doc_id % 100 = 0
+      |ORDER BY doc_id, tok""".stripMargin
+
+  // DuckDB's simplified PIVOT statement: the engine side feeds the SAME
+  // DuckDB text through PivotOps (the parser + Spark dynamic pivot are the
+  // unit under oracle); column-per-status sums over a dynamic value set.
+  private val q61Pivot =
+    "PIVOT orders ON o_orderstatus USING sum(o_totalprice) GROUP BY o_orderpriority"
+  private val q61Oracle =
+    s"SELECT * FROM ($q61Pivot) ORDER BY o_orderpriority"
+
+  private def pivotQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    graft.dialect.PivotOps.dispatch(spark, q61Pivot).get
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+  }
+
+  // UNPIVOT back to long form, NULL cells dropped (both engines' default).
+  private val wideSql =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END) AS f_total,
+      |  sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END) AS o_total,
+      |  sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END) AS p_total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+  private val q62Unpivot =
+    "UNPIVOT __graft_wide ON f_total, o_total, p_total INTO NAME status VALUE total"
+  private val q62Oracle =
+    s"""WITH wide AS ($wideSql)
+       |SELECT * FROM (${q62Unpivot.replace("__graft_wide", "wide")})
+       |ORDER BY o_orderpriority, status""".stripMargin
+
+  private def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(wideSql).createOrReplaceTempView("__graft_wide")
+    graft.dialect.PivotOps.dispatch(spark, q62Unpivot).get
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("status"))
+  }
+
+  // DESCRIBE in DuckDB's result shape with DuckDB type spellings — BIGINT /
+  // TIMESTAMP / VARCHAR / DOUBLE on orders, FLOAT[] / INTEGER on embeddings
+  // (the array spelling exercises the recursive type mapping).
+  private val q63Oracle =
+    """SELECT 'orders' AS tbl, column_name, column_type, "null" AS is_null
+      |FROM (DESCRIBE orders)
+      |UNION ALL
+      |SELECT 'embeddings', column_name, column_type, "null"
+      |FROM (DESCRIBE embeddings)
+      |ORDER BY tbl, column_name""".stripMargin
+
+  private def describeQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Tables.registerAll(spark, dir)
+    graft.session.Commands.describe(spark, "orders").withColumn("tbl", lit("orders"))
+      .unionByName(graft.session.Commands.describe(spark, "embeddings")
+        .withColumn("tbl", lit("embeddings")))
+      .select(col("tbl"), col("column_name"), col("column_type"),
+        col("null").as("is_null"))
+      .orderBy(col("tbl"), col("column_name"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
-    Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)))
+    Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
+    Q("q59_list_functions", fns(q59Sql), Some(q59Sql)),
+    Q("q60_unnest_tokens", fns(q60Sql), Some(q60Sql)),
+    Q("q61_pivot", pivotQ, Some(q61Oracle)),
+    Q("q62_unpivot", unpivotQ, Some(q62Oracle)),
+    Q("q63_describe", describeQ, Some(q63Oracle)))
 }

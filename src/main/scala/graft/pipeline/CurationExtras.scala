@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import graft.pipeline.{PortableHash => PH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation operators: PII redaction, corpus-wide sentence-level
+  * dedup (the "exact substring dedup" a pretraining pipeline runs after
+  * document-level dedup), token-budget sequence packing for training
+  * dataloaders, and int8 embedding quantization.
+  *
+  * Every kernel is arithmetic both engines express exactly (regex rewrites
+  * with identical RE2/Java-compatible patterns, [[PortableHash]] fragments,
+  * integer window sums, IEEE double ops in fixed order), so each query
+  * carries a bit-exact DuckDB oracle.
+  */
+object CurationExtras {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** SQL string literal for a regex under Spark's C-style escape parser. */
+  private def sparkLit(re: String): String = "'" + re.replace("\\", "\\\\") + "'"
+  /** Same regex as a standard-SQL (DuckDB) literal. */
+  private def duckLit(re: String): String = "'" + re + "'"
+
+  // --------------------------------------------------------- PII redaction
+  /** Email + IPv4 scrub: count and redact. The patterns stay in the
+    * RE2 ∩ java.util.regex common subset so both engines match identically.
+    * The synthetic corpus has no PII, so a deterministic contact line is
+    * appended to a doc_id slice first — the operator under test is the
+    * count + redact pass, which is a narrow projection (zero shuffle,
+    * whole-stage codegen) at any scale. Emails redact before IPs so an
+    * address inside a redacted email is not double-counted. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val text2 =
+      """concat(text,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com')
+        |       ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0
+        |       THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.7')
+        |       ELSE '' END)""".stripMargin
+    docs(s, dir)
+      .withColumn("t", expr(text2))
+      .withColumn("n_emails",
+        expr(s"CAST(size(regexp_extract_all(t, ${sparkLit(EmailRe)}, 0)) AS BIGINT)"))
+      .withColumn("t1", expr(s"regexp_replace(t, ${sparkLit(EmailRe)}, '<EMAIL>')"))
+      .withColumn("n_ips",
+        expr(s"CAST(size(regexp_extract_all(t1, ${sparkLit(IpRe)}, 0)) AS BIGINT)"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        expr(s"regexp_replace(t1, ${sparkLit(IpRe)}, '<IP>')").as("redacted"))
+      .filter(col("n_emails") > 0 || col("n_ips") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    concat(text,
+       |      CASE WHEN doc_id % 7 = 0
+       |           THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+       |           ELSE '' END,
+       |      CASE WHEN doc_id % 11 = 0
+       |           THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
+       |           ELSE '' END) AS t
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, ${duckLit(EmailRe)})) AS BIGINT) AS n_emails,
+       |    regexp_replace(t, ${duckLit(EmailRe)}, '<EMAIL>', 'g') AS t1
+       |  FROM t)
+       |SELECT doc_id, n_emails,
+       |  CAST(len(regexp_extract_all(t1, ${duckLit(IpRe)})) AS BIGINT) AS n_ips,
+       |  regexp_replace(t1, ${duckLit(IpRe)}, '<IP>', 'g') AS redacted
+       |FROM e
+       |WHERE n_emails > 0
+       |   OR CAST(len(regexp_extract_all(t1, ${duckLit(IpRe)})) AS BIGINT) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- corpus-wide sentence dedup
+  /** Exact substring (sentence-level) dedup across the whole corpus: split
+    * every document into sentences, keep only the FIRST occurrence of each
+    * sentence corpus-wide (first = smallest (doc_id, position)), and
+    * reassemble the surviving sentences in original order.
+    *
+    * Scale shape: explode → one shuffle keyed on the sentence hash (the
+    * window partitions by hash, so dedup state is per-key and bounded by
+    * the duplicate count, never the corpus) → per-document re-aggregation.
+    * This is how paragraph/line dedup runs over a 100 TB crawl: no sorted
+    * global state, no driver materialization. */
+  private def sentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val split = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.functions.split(col("text"), "\\.\\s+"))
+          .as(Seq("pos0", "sent")))
+      .filter(length(trim(col("sent"))) > 0)
+      .withColumn("pos", col("pos0").cast("long") + 1L)
+      .withColumn("h", expr(PH.sparkCharHash("sent")))
+    val firstOcc = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    split
+      .withColumn("rn", row_number().over(firstOcc))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, sent))), x -> x.sent), '. ')")
+          .as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sentenceDedupSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS sents
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(range(1, len(sents) + 1)) AS pos, sents
+       |  FROM d),
+       |sen AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, sents[pos] AS sent
+       |  FROM p WHERE len(trim(sents[pos])) > 0),
+       |h AS (
+       |  SELECT doc_id, pos, sent, ${PH.duckCharHash("sent")} AS h FROM sen),
+       |k AS (
+       |  SELECT doc_id, pos, sent,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM h)
+       |SELECT doc_id,
+       |  count(*) AS n_kept,
+       |  string_agg(sent, '. ' ORDER BY pos) AS text_dedup
+       |FROM k WHERE rn = 1
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+  /** Token-budget sequence packing (the concat-then-chunk layout a training
+    * dataloader consumes): documents are laid out in the deterministic
+    * shard order of p27, the running token count within each shard assigns
+    * every document a pack id and byte offset — `pack = ⌊cum_before /
+    * budget⌋`. Windows partition BY SHARD, so at 100 TB each window is
+    * corpus/N-bounded and shards pack in parallel; the layout is
+    * reproducible across engines, runs and cluster sizes. */
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
+  private def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = (1103515245L, 12345L)
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      pmod(pmod(col("doc_id"), lit(PH.P)) * a + b, lit(PH.P)).as("h"),
+      expr(s"CAST(size(split(trim(text), ${sparkLit("\\s+")})) AS BIGINT)").as("n_tok"))
+      .withColumn("shard_id", pmod(col("h"), lit(PackShards)))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard_id"), col("n_tok"), col("cum_tok"),
+        expr(s"(cum_tok - n_tok) div $PackBudget").as("pack_id"),
+        expr(s"(cum_tok - n_tok) % $PackBudget").as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sequencePackingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ((doc_id % ${PH.P}) * 1103515245 + 12345) % ${PH.P} AS h,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |sh AS (SELECT doc_id, h, n_tok, h % $PackShards AS shard_id FROM t),
+       |c AS (
+       |  SELECT doc_id, shard_id, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY shard_id ORDER BY h, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM sh)
+       |SELECT doc_id, shard_id, n_tok, cum_tok,
+       |  (cum_tok - n_tok) // $PackBudget AS pack_id,
+       |  (cum_tok - n_tok) % $PackBudget AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ embedding quantization
+  /** Symmetric int8 quantization per vector: scale = 127 / max|x|, q_i =
+    * ⌊x_i·scale + 0.5⌋ (floor-plus-half instead of round() — the two
+    * engines agree on floor bit-for-bit, round() ties differ). Pure narrow
+    * map over the embedding column (zero shuffle at any scale); the
+    * per-vector checksums keep the compared output scalar-typed. */
+  private def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(1.0)))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))").as("q_l1"),
+        expr("CAST(array_min(q) AS BIGINT)").as("q_min"),
+        expr("CAST(array_max(q) AS BIGINT)").as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingQuantizeSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+      |s AS (SELECT vec_id, v,
+      |        CASE WHEN amax > 0 THEN CAST(127 AS DOUBLE) / amax
+      |             ELSE CAST(1 AS DOUBLE) END AS scale
+      |      FROM m),
+      |q AS (SELECT vec_id, scale,
+      |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+      |      FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), q)) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(q, x -> abs(x)))) AS BIGINT) AS q_l1,
+      |  list_min(q) AS q_min,
+      |  list_max(q) AS q_max
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("p31_pii_redact", piiRedact, Some(piiRedactSql)),
+    Q("p32_sentence_dedup", sentenceDedup, Some(sentenceDedupSql)),
+    Q("p33_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    Q("p34_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
+}

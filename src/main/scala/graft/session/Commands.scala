@@ -20,6 +20,8 @@ import scala.jdk.CollectionConverters._
 object Commands {
 
   private val ShowTables = """(?i)\s*PRAGMA\s+show_tables\s*""".r
+  private val Describe = """(?is)\s*DESCRIBE\s+([\w.`"]+)\s*""".r
+  private val Summarize = """(?is)\s*SUMMARIZE\s+([\w.`"]+)\s*""".r
   // source = lazy up to the LAST " TO '...'" clause so subqueries with
   // nested parens (COPY (SELECT count(*) ...) TO ...) parse correctly
   private val CopyTo =
@@ -29,9 +31,95 @@ object Commands {
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
     case ShowTables() => Some(showTables(conn))
+    case Describe(table) => Some(describe(conn.engine.spark, table))
+    case Summarize(table) => Some(summarize(conn.engine.spark, table))
     case ExportDb(dir, fmt) => Some(exportDatabase(conn, dir, Option(fmt)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
-    case _ => None
+    case _ => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
+  }
+
+  /** `DESCRIBE t` in DuckDB's result shape (column_name, column_type,
+    * null, key, default, extra) with DuckDB type spellings — Spark's own
+    * DESCRIBE emits (col_name, data_type, comment) with Spark names, so a
+    * reference client parsing the output would break without this. */
+  def describe(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(table.replace("`", "").replace("\"", "")).schema.fields.toSeq
+      .map(f => (f.name, duckTypeName(f.dataType),
+        if (f.nullable) "YES" else "NO",
+        null: String, null: String, null: String))
+      .toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
+
+  /** Spark type → DuckDB type spelling (SURVEY §1.3 mapping, inverted). */
+  def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case _: TimestampNTZType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+      case StructType(fs) =>
+        fs.map(f => s"${f.name} ${duckTypeName(f.dataType)}").mkString("STRUCT(", ", ", ")")
+      case other => other.sql
+    }
+  }
+
+  /** `SUMMARIZE t` — per-column statistics in DuckDB's column shape. All
+    * statistics come from ONE aggregate pass over the table (a single job,
+    * map-side partial at any scale); only the per-COLUMN reshape of that
+    * one result row happens on the driver. Quantiles are approximate, like
+    * the reference's. */
+  def summarize(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.table(table.replace("`", "").replace("\"", ""))
+    val numeric = (dt: DataType) => dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val num = numeric(f.dataType)
+      def opt(e: org.apache.spark.sql.Column) =
+        if (num) e.cast("string") else lit(null: String)
+      Seq(
+        min(c).cast("string").as(s"min_$i"),
+        max(c).cast("string").as(s"max_$i"),
+        approx_count_distinct(c).as(s"uniq_$i"),
+        opt(avg(if (num) c else lit(null))).as(s"avg_$i"),
+        opt(stddev(if (num) c else lit(null))).as(s"std_$i"),
+        opt(percentile_approx(if (num) c else lit(null), lit(0.25), lit(1000))).as(s"q25_$i"),
+        opt(percentile_approx(if (num) c else lit(null), lit(0.50), lit(1000))).as(s"q50_$i"),
+        opt(percentile_approx(if (num) c else lit(null), lit(0.75), lit(1000))).as(s"q75_$i"),
+        count(c).as(s"cnt_$i"))
+    } :+ count(lit(1)).as("cnt_all")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("cnt_all")
+    import spark.implicits._
+    df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = row.getAs[Long](s"cnt_$i")
+      (f.name, duckTypeName(f.dataType),
+        row.getAs[String](s"min_$i"), row.getAs[String](s"max_$i"),
+        row.getAs[Long](s"uniq_$i"),
+        row.getAs[String](s"avg_$i"), row.getAs[String](s"std_$i"),
+        row.getAs[String](s"q25_$i"), row.getAs[String](s"q50_$i"),
+        row.getAs[String](s"q75_$i"),
+        total,
+        if (total == 0) 0.0 else (total - nonNull) * 100.0 / total)
+    }.toSeq.toDF("column_name", "column_type", "min", "max", "approx_unique",
+      "avg", "std", "q25", "q50", "q75", "count", "null_percentage")
   }
 
   private def showTables(conn: Connection): DataFrame = {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-5 curation operators (the driver oracle
+  * pins cross-engine equality; these pin the properties that make the
+  * results CORRECT, not just reproducible). */
+class CurationExtrasSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("p31: redacted text contains no matchable email or bare IPv4") {
+    val rows = q("p31_pii_redact").collect()
+    assert(rows.nonEmpty)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(email.findFirstIn(red).isEmpty, s"doc ${r.getLong(0)} leaks an email")
+      assert(red.contains("<EMAIL>") || red.contains("<IP>"))
+    }
+  }
+
+  test("p32: every surviving sentence is globally unique, firsts kept") {
+    val out = q("p32_sentence_dedup")
+    // re-split the deduped texts: a sentence may appear at most once corpus-wide
+    val resplit = out
+      .select(col("doc_id"), explode(split(col("text_dedup"), "\\.\\s+")).as("sent"))
+      .filter(length(trim(col("sent"))) > 0)
+    val dupes = resplit.groupBy("sent").count().filter(col("count") > 1).count()
+    assert(dupes === 0L)
+    // doc 0 keeps all its sentences that appear nowhere earlier — its own
+    // first sentence must survive (nothing precedes (0, 1))
+    val d0 = out.filter(col("doc_id") === 0).collect()
+    assert(d0.nonEmpty && d0.head.getAs[Long]("n_kept") >= 1L)
+  }
+
+  test("p33: packing is gap-free and budget-aligned within each shard") {
+    val rows = q("p33_sequence_packing").collect()
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+    byShard.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("cum_tok"))
+      // running sum is gap-free: each cum = previous cum + own n_tok
+      sorted.foldLeft(0L) { (prev, r) =>
+        assert(r.getAs[Long]("cum_tok") === prev + r.getAs[Long]("n_tok"))
+        r.getAs[Long]("cum_tok")
+      }
+      rs.foreach { r =>
+        val before = r.getAs[Long]("cum_tok") - r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("pack_id") === before / 2048)
+        assert(r.getAs[Long]("pack_offset") === before % 2048)
+      }
+    }
+  }
+
+  test("p34: quantized values bounded by ±127 and scale positive") {
+    val rows = q("p34_embedding_quantize").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("scale") > 0.0)
+      assert(r.getAs[Long]("q_min") >= -127L)
+      // floor(x·scale + .5) can reach exactly 127 at the max-|x| element
+      assert(r.getAs[Long]("q_max") <= 127L)
+      assert(r.getAs[Long]("q_l1") >= math.abs(r.getAs[Long]("q_sum")))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dialect.DialectFunctions
+import graft.session.{Engine, EngineConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DuckDB function-spelling parity (DialectFunctions) plus the dialect's
+  * literal-escape translation, end-to-end through the engine Connection. */
+class DialectFunctionsSpec extends AnyFunSuite {
+
+  private lazy val engine =
+    new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark)))
+  private lazy val conn = engine.connect()
+
+  private def prepare(): Unit =
+    Tables.registerAll(SparkTestSession.spark, SparkTestSession.sfDir)
+
+  // ------------------------------------------------------- pure rewrites
+  test("name map rewrites list functions and unnest") {
+    val out = DialectFunctions.rewrite(
+      "SELECT unnest(list_distinct(xs)), list_contains(xs, 'a'), LIST_EXTRACT(xs, 1)")
+    assert(out ===
+      "SELECT explode(array_distinct(xs)), array_contains(xs, 'a'), element_at(xs, 1)")
+  }
+
+  test("function names inside string literals are untouched") {
+    val out = DialectFunctions.rewrite("SELECT 'call unnest(x) and list_sort(y)' AS s")
+    assert(out === "SELECT 'call unnest(x) and list_sort(y)' AS s")
+  }
+
+  test("string_split quotes a literal separator for Spark's regex split") {
+    val out = DialectFunctions.rewrite("SELECT string_split(col, '.')")
+    assert(out === """SELECT split(col, '\\Q.\\E')""")
+    // non-literal separator: no safe quoting — call left unchanged
+    val dynamic = DialectFunctions.rewrite("SELECT string_split(a, b)")
+    assert(dynamic === "SELECT string_split(a, b)")
+  }
+
+  test("range maps to a guarded sequence (end-exclusive, empty-safe)") {
+    prepare()
+    val rows = conn.queryDF(
+      "SELECT unnest(range(2, 5)) AS v").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(2L, 3L, 4L))
+    val empty = conn.queryDF(
+      "SELECT size(range(5, 2)) AS n").collect().head.getInt(0)
+    assert(empty === 0)
+  }
+
+  // ----------------------------------------------- end-to-end via engine
+  test("split on a backslash regex survives the literal-escape translation") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT CAST(array_length(regexp_split_to_array(trim(n_name), '\s+')) AS BIGINT) AS n
+        |FROM nation WHERE n_nationkey = 0""".stripMargin)
+    assert(df.collect().head.getLong(0) >= 1L)
+  }
+
+  test("list pipeline end-to-end: sort, distinct, extract on a real column") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT list_extract(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), 1) AS tok
+        |FROM documents WHERE doc_id = 0""".stripMargin)
+    val tok = df.collect().head.getString(0)
+    assert(tok != null && tok.nonEmpty && !tok.contains(" "))
+  }
+}
