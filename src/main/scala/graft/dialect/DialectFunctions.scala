@@ -66,6 +66,28 @@ object DialectFunctions {
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
       case _ => None
     }
+    // strftime/strptime carry C strftime patterns (reference surface:
+    // insert_csv.test.ts:151-177 uses the same pattern family for CSV
+    // options) — translate a literal format to the Java pattern Spark's
+    // date_format/to_timestamp expect. Non-literal formats pass through.
+    out = rewriteCalls(out, "strftime") {
+      case Seq(e, fmt) if isLiteral(fmt) =>
+        Some(s"date_format($e, ${javaPatternLit(fmt)})")
+      case _ => None
+    }
+    // DuckDB epoch_ms(ts) ≡ Spark unix_millis, but parquet naive timestamps
+    // surface as TIMESTAMP_NTZ which unix_millis rejects — the cast is
+    // meaning-preserving because the engine session is pinned to UTC, the
+    // same wall-clock interpretation DuckDB gives its (naive) TIMESTAMP.
+    out = rewriteCalls(out, "epoch_ms") {
+      case Seq(e) => Some(s"unix_millis(CAST($e AS TIMESTAMP))")
+      case _ => None
+    }
+    out = rewriteCalls(out, "strptime") {
+      case Seq(e, fmt) if isLiteral(fmt) =>
+        Some(s"to_timestamp($e, ${javaPatternLit(fmt)})")
+      case _ => None
+    }
     // LIST form only: `FROM range(...)` is a table-valued function in both
     // dialects, and Spark's native range TVF already has DuckDB's
     // end-exclusive semantics — leave it alone.
@@ -91,6 +113,14 @@ object DialectFunctions {
   private def rangeSql(a: String, b: String): String =
     s"slice(sequence($a, greatest($a, $b - 1)), 1, " +
       s"CAST(greatest(0L, $b - $a) AS INT))"
+
+  /** strftime-pattern literal → Java DateTimeFormatter-pattern literal.
+    * Java patterns single-quote literal letters (`'T'`), which must
+    * re-escape as `''` inside the emitted SQL literal. */
+  private def javaPatternLit(lit: String): String = {
+    val t = lit.trim
+    "'" + Strftime.toJavaPattern(t.substring(1, t.length - 1)).replace("'", "''") + "'"
+  }
 
   private def isLiteral(arg: String): Boolean = {
     val t = arg.trim

@@ -139,6 +139,17 @@ object DialectQueries {
       .orderBy(col("tbl"), col("column_name"))
   }
 
+  // Datetime function spellings: strftime (C pattern → Java pattern),
+  // epoch_ms ≡ unix_millis, date_part (same name+order in both engines).
+  private val q64Sql =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%dT%H:%M') AS d_str,
+      |  epoch_ms(o_orderdate) AS ms,
+      |  CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+      |  CAST(date_part('month', o_orderdate) AS BIGINT) AS mo
+      |FROM orders WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -146,5 +157,6 @@ object DialectQueries {
     Q("q60_unnest_tokens", fns(q60Sql), Some(q60Sql)),
     Q("q61_pivot", pivotQ, Some(q61Oracle)),
     Q("q62_unpivot", unpivotQ, Some(q62Oracle)),
-    Q("q63_describe", describeQ, Some(q63Oracle)))
+    Q("q63_describe", describeQ, Some(q63Oracle)),
+    Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)))
 }

@@ -20,8 +20,9 @@ import scala.jdk.CollectionConverters._
 object Commands {
 
   private val ShowTables = """(?i)\s*PRAGMA\s+show_tables\s*""".r
-  private val Describe = """(?is)\s*DESCRIBE\s+([\w.`"]+)\s*""".r
-  private val Summarize = """(?is)\s*SUMMARIZE\s+([\w.`"]+)\s*""".r
+  // target = a table name, or (like DuckDB) a full SELECT/subquery
+  private val Describe = """(?is)\s*DESCRIBE\s+(?:TABLE\s+)?(.+?)\s*""".r
+  private val Summarize = """(?is)\s*SUMMARIZE\s+(?:TABLE\s+)?(.+?)\s*""".r
   // source = lazy up to the LAST " TO '...'" clause so subqueries with
   // nested parens (COPY (SELECT count(*) ...) TO ...) parse correctly
   private val CopyTo =
@@ -31,8 +32,8 @@ object Commands {
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
     case ShowTables() => Some(showTables(conn))
-    case Describe(table) => Some(describe(conn.engine.spark, table))
-    case Summarize(table) => Some(summarize(conn.engine.spark, table))
+    case Describe(target) => Some(describeFrame(conn.engine.spark, relation(conn, target)))
+    case Summarize(target) => Some(summarizeFrame(conn.engine.spark, relation(conn, target)))
     case ExportDb(dir, fmt) => Some(exportDatabase(conn, dir, Option(fmt)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
     case _ => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
@@ -42,9 +43,22 @@ object Commands {
     * null, key, default, extra) with DuckDB type spellings — Spark's own
     * DESCRIBE emits (col_name, data_type, comment) with Spark names, so a
     * reference client parsing the output would break without this. */
-  def describe(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+  def describe(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    describeFrame(spark, spark.table(table.replace("`", "").replace("\"", "")))
+
+  /** A DESCRIBE/SUMMARIZE target: a table/view name, or (DuckDB-style) a
+    * whole SELECT/CTE/subquery, which runs through the normal query path. */
+  private def relation(conn: Connection, target: String): DataFrame = {
+    val t = target.trim
+    if (t.startsWith("(")) conn.queryDF(t.stripPrefix("(").stripSuffix(")"))
+    else if (t.matches("(?is)^(SELECT|WITH|FROM|VALUES)\\b.*")) conn.queryDF(t)
+    else conn.engine.spark.table(t.replace("`", "").replace("\"", ""))
+  }
+
+  private def describeFrame(spark: org.apache.spark.sql.SparkSession,
+      rel: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.table(table.replace("`", "").replace("\"", "")).schema.fields.toSeq
+    rel.schema.fields.toSeq
       .map(f => (f.name, duckTypeName(f.dataType),
         if (f.nullable) "YES" else "NO",
         null: String, null: String, null: String))
@@ -81,10 +95,13 @@ object Commands {
     * map-side partial at any scale); only the per-COLUMN reshape of that
     * one result row happens on the driver. Quantiles are approximate, like
     * the reference's. */
-  def summarize(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+  def summarize(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    summarizeFrame(spark, spark.table(table.replace("`", "").replace("\"", "")))
+
+  private def summarizeFrame(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.table(table.replace("`", "").replace("\"", ""))
     val numeric = (dt: DataType) => dt match {
       case _: NumericType => true
       case _ => false

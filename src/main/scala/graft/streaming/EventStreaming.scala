@@ -101,6 +101,34 @@ object EventStreaming {
         col("b.band").as("band"), col("b.band_sig").as("band_sig"))
   }
 
+  // ---------------------------------------------- stream-stream interval join
+  /** Watermarked stream-stream interval join (click→purchase attribution):
+    * every purchase pairs with the same user's clicks from the preceding
+    * 30 minutes. One definition serves batch AND stream — as a streaming
+    * query, Spark derives the state bound from the watermarks plus the
+    * interval condition (clicks are droppable once the purchase-side
+    * watermark passes c_ts + 30 min), so join state is O(events within the
+    * horizon), never O(stream) — the property that matters at 100 TB/day.
+    * In batch the same plan is one shuffle on user_id with the range
+    * predicate evaluated post-join. */
+  val AttributionWindowMin = 30
+
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $AttributionWindowMin MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_s"))
+  }
+
   // ------------------------------------------------- stateful sessionization
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
@@ -187,7 +215,23 @@ object StreamingQueries {
       | event_type, count(*) AS n, sum(value) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  private def attributionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    EventStreaming.attributionJoin(ev, ev)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  private val attributionSql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_s
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_sessionize_gapwindow", sessionizeQ, Some(sessionizeSql)),
-    Q("q37_event_time_window", hourlyAggQ, Some(hourlyAggSql)))
+    Q("q37_event_time_window", hourlyAggQ, Some(hourlyAggSql)),
+    Q("q65_stream_interval_join", attributionQ, Some(attributionSql)))
 }

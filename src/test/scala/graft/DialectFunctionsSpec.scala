@@ -55,6 +55,26 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) >= 1L)
   }
 
+  test("strftime maps C patterns to date_format incl. quoted literal letters") {
+    val out = DialectFunctions.rewrite("SELECT strftime(ts, '%Y-%m-%dT%H:%M')")
+    assert(out === "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm')")
+    prepare()
+    val v = conn.queryDF(
+      "SELECT strftime(o_orderdate, '%Y-%m') AS m FROM orders WHERE o_orderkey = 1")
+      .collect().head.getString(0)
+    assert(v.matches("\\d{4}-\\d{2}"))
+  }
+
+  test("strptime maps to to_timestamp and epoch_ms to unix_millis") {
+    assert(DialectFunctions.rewrite("SELECT strptime(s, '%m/%d/%Y')") ===
+      "SELECT to_timestamp(s, 'MM/dd/yyyy')")
+    prepare()
+    val ms = conn.queryDF(
+      "SELECT epoch_ms(strptime('01/02/1970', '%m/%d/%Y')) AS ms")
+      .collect().head.getLong(0)
+    assert(ms === 86400000L)
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(

@@ -89,6 +89,19 @@ class PivotCommandSpec extends AnyFunSuite {
     assert(name.getAs[String]("avg") == null)
   }
 
+  test("DESCRIBE and SUMMARIZE accept a SELECT target like DuckDB") {
+    prepare()
+    val d = conn.queryDF("DESCRIBE SELECT n_nationkey, n_name FROM nation")
+    assert(d.collect().map(_.getString(0)).toSeq === Seq("n_nationkey", "n_name"))
+    val s = conn.queryDF("SUMMARIZE SELECT n_nationkey FROM nation WHERE n_nationkey < 5")
+    val row = s.collect().head
+    assert(row.getString(0) === "n_nationkey")
+    assert(row.getAs[Long]("count") === 5L)
+    assert(row.getAs[String]("max") === "4")
+    // DESCRIBE TABLE keyword form
+    assert(conn.queryDF("DESCRIBE TABLE nation").count() === 3L)
+  }
+
   test("duckTypeName maps nested and decimal types") {
     import org.apache.spark.sql.types._
     assert(Commands.duckTypeName(ArrayType(ArrayType(DoubleType))) === "DOUBLE[][]")

@@ -60,6 +60,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select(col("event_id")).distinct().count() === eventsBatch.count())
   }
 
+  test("stream-stream interval join: streaming result equals batch result") {
+    val schema = eventsBatch.schema
+    // two independent readers of the same source = two genuine streams
+    val pStream = spark.readStream.schema(schema).parquet(streamDir)
+    val cStream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreaming.attributionJoin(pStream, cStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_out")
+    val batch = EventStreaming.attributionJoin(eventsBatch, eventsBatch)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streaming emitted a pair the batch join doesn't have")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch window equivalent") {
     import spark.implicits._
     val ds = eventsBatch
