@@ -222,9 +222,68 @@ object CurationExtras {
       |  list_max(q) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------- quality gate
+  /** Composite quality gate with REASON CODES (RefinedWeb/Gopher-style
+    * filtering with an audit trail): each document gets the first failing
+    * rule — too_short / word_length / symbolic / repetitive — or 'ok'.
+    * Reason codes are what make a 100 TB filter debuggable: aggregate the
+    * reason column to see what each rule removes. All signals are integer
+    * ratios (single division each), so both engines agree bit-for-bit;
+    * the whole gate is one narrow codegen'd projection. */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", org.apache.spark.sql.functions.split(trim(col("text")), "\\s+"))
+      .withColumn("sents", org.apache.spark.sql.functions.split(col("text"), "\\.\\s+"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("mean_wl",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+          / col("n_toks").cast("double"))
+      .withColumn("sym_ratio",
+        (length(col("text")) - length(translate(col("text"), "#*%@", ""))).cast("double")
+          / col("n_toks").cast("double"))
+      .withColumn("dup_ratio",
+        (size(col("sents")) - size(array_distinct(col("sents")))).cast("double")
+          / size(col("sents")).cast("double"))
+    d.withColumn("reason",
+        when(col("n_toks") < 20, "too_short")
+          .when(col("mean_wl") < 2.0 || col("mean_wl") > 12.0, "word_length")
+          .when(col("sym_ratio") > 0.05, "symbolic")
+          .when(col("dup_ratio") > 0.3, "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_toks"), col("reason"),
+        (col("reason") === "ok").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityGateSql =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+      |    CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |             t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_wl,
+      |    CAST(length(text) - length(translate(text, '#*%@', '')) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS sym_ratio,
+      |    CAST(len(regexp_split_to_array(text, '\.\s+'))
+      |         - len(list_distinct(regexp_split_to_array(text, '\.\s+'))) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(text, '\.\s+')) AS DOUBLE) AS dup_ratio
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_toks,
+      |    CASE WHEN n_toks < 20 THEN 'too_short'
+      |         WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'word_length'
+      |         WHEN sym_ratio > 0.05 THEN 'symbolic'
+      |         WHEN dup_ratio > 0.3 THEN 'repetitive'
+      |         ELSE 'ok' END AS reason
+      |  FROM sig)
+      |SELECT doc_id, n_toks, reason, reason = 'ok' AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p31_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("p32_sentence_dedup", sentenceDedup, Some(sentenceDedupSql)),
     Q("p33_sequence_packing", sequencePacking, Some(sequencePackingSql)),
-    Q("p34_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
+    Q("p34_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
+    Q("p35_quality_gate", qualityGate, Some(qualityGateSql)))
 }

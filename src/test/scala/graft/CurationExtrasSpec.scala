@@ -57,6 +57,18 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("p35: keep is exactly reason == ok, and every reason is a known code") {
+    val rows = q("p35_quality_gate").collect()
+    assert(rows.nonEmpty)
+    val codes = Set("ok", "too_short", "word_length", "symbolic", "repetitive")
+    rows.foreach { r =>
+      val reason = r.getAs[String]("reason")
+      assert(codes.contains(reason), s"unknown reason $reason")
+      assert(r.getAs[Boolean]("keep") === (reason == "ok"))
+      if (r.getAs[Long]("n_toks") < 20) assert(reason === "too_short")
+    }
+  }
+
   test("p34: quantized values bounded by ±127 and scale positive") {
     val rows = q("p34_embedding_quantize").collect()
     assert(rows.length > 0)

@@ -71,6 +71,39 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"unexpected shuffles:\n$narrow")
   }
 
+  test("p31 PII redaction and p34 quantization are narrow (one sort exchange max)") {
+    Seq("p31_pii_redact", "p34_embedding_quantize").foreach { name =>
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$name has unexpected shuffles:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$name funnels to one partition")
+    }
+  }
+
+  test("p32 sentence dedup: hash-keyed window, no single-partition stage") {
+    val p = plan("p32_sentence_dedup")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sentence dedup funnels through one partition:\n$p")
+    // the first-occurrence filter must partition by the sentence hash
+    assert(p.contains("hashpartitioning"), "window not hash-partitioned")
+  }
+
+  test("p33 sequence packing: windows partition by shard, never globally") {
+    val p = plan("p33_sequence_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing funnels through one partition:\n$p")
+    assert(p.contains("shard_id"), "running sum not partitioned by shard")
+  }
+
+  test("q65 interval join: equi-join on user with pushed type filters") {
+    val p = plan("q65_stream_interval_join")
+    assert(p.contains("PushedFilters"), "no pushed filters section")
+    assert(p.contains("EqualTo(event_type,purchase)") ||
+      p.contains("IsNotNull(event_type)"), "event_type filter not pushed to scan")
+    assert(!p.toLowerCase.contains("cartesian"),
+      "interval join degenerated to a cartesian product")
+  }
+
   test("micro_sort two-phase rank: no single-partition full-data window") {
     val p = plan("micro_sort_int")
     // every Window in the plan must be partitioned (a global rank window
