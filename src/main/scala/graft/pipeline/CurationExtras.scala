@@ -280,10 +280,44 @@ object CurationExtras {
       |SELECT doc_id, n_toks, reason, reason = 'ok' AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- incremental snapshot dedup
+  /** Incremental dedup: flag documents of a NEW snapshot (doc_id % 10 = 7)
+    * that near-duplicate the EXISTING corpus, without re-deduping the
+    * corpus — the shape a daily crawl refresh runs at 100 TB. Both sides
+    * share the MinHash band kernel (graft.pipeline.PortableHash, identical
+    * to p06); candidates come from the (band, band_sig) equi-join, with
+    * the (small) new-snapshot side broadcast so the corpus's layout is
+    * untouched. In production the corpus band rows are a precomputed,
+    * bucketed table — only the new batch is hashed per run. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bands = DedupQueries.bandRows(DedupQueries.signatures(docs(s, dir)))
+    val newB = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id").as("new_doc_id"), col("band"), col("band_sig"))
+    val corpusB = bands.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    corpusB.join(broadcast(newB), Seq("band", "band_sig"))
+      .groupBy(col("new_doc_id"))
+      .agg(countDistinct(col("band")).as("n_hit_bands"),
+        min(col("doc_id")).as("match_min"))
+      .orderBy(col("new_doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH ${PH.duckLshCtes("documents")},
+       |nb AS (SELECT doc_id AS new_doc_id, band, band_sig
+       |       FROM bands WHERE doc_id % 10 = 7),
+       |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 7)
+       |SELECT nb.new_doc_id,
+       |  CAST(count(DISTINCT nb.band) AS BIGINT) AS n_hit_bands,
+       |  min(cb.doc_id) AS match_min
+       |FROM nb JOIN cb ON nb.band = cb.band AND nb.band_sig = cb.band_sig
+       |GROUP BY nb.new_doc_id
+       |ORDER BY new_doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p31_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("p32_sentence_dedup", sentenceDedup, Some(sentenceDedupSql)),
     Q("p33_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("p34_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
-    Q("p35_quality_gate", qualityGate, Some(qualityGateSql)))
+    Q("p35_quality_gate", qualityGate, Some(qualityGateSql)),
+    Q("p37_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
 }

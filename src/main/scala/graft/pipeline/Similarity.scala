@@ -193,9 +193,68 @@ object Similarity {
       |SELECT label, CAST(sum(cv * cv) AS DOUBLE) AS centroid_sqnorm, count(*) AS dim
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest cells
+    * instead of one — the standard recall knob of an IVF index. Corpus
+    * vectors still live in exactly one cell, so probing two distinct cells
+    * can't duplicate a candidate; the search stays a cell equi-join whose
+    * cost is nprobe/ncells of a full scan. The query side fans out to one
+    * row per probed cell and is broadcast — the corpus side's partitioning
+    * is untouched at any scale. */
+  private def annIvfProbe2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("cc", vec_cosine(col("embedding"), col("cv")))
+      .withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val qprobes = ranked.filter(col("vec_id") < 5 && col("crk") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cent_id").as("qcell"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(qprobes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cell"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val annIvfProbe2Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cents.cent_id,
+       |         ${PH.duckCosine("e.v", "cents.cv")} AS cc
+       |  FROM e, cents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cc DESC, cent_id) AS crk
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM ranked WHERE crk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcell
+       |      FROM ranked WHERE vec_id < 5 AND crk <= 2),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id, a.cell,
+       |         ${PH.duckCosine("a.v", "q.qv")} AS cosine
+       |  FROM assigned a, q
+       |  WHERE a.cell = q.qcell AND a.vec_id <> q.query_id),
+       |topk AS (
+       |  SELECT query_id, vec_id, cell,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM cand)
+       |SELECT query_id, rk, vec_id AS neighbor_id, cell
+       |FROM topk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p11_ann_brute_topk", annBrute, Some(annBruteSql)),
     Q("p12_ann_lsh_topk", annLsh, Some(annLshSql)),
     Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)),
-    Q("p21_ann_ivf_topk", annIvf, Some(annIvfSql)))
+    Q("p21_ann_ivf_topk", annIvf, Some(annIvfSql)),
+    Q("p36_ann_ivf_nprobe2", annIvfProbe2, Some(annIvfProbe2Sql)))
 }

@@ -69,6 +69,26 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("p36: every query probes at most 2 cells and returns a full top-5") {
+    val rows = q("p36_ann_ivf_nprobe2").collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length <= 2)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("p37: flags only new-snapshot docs, attributes only corpus docs") {
+    val rows = q("p37_incremental_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_doc_id") % 10 === 7L)
+      assert(r.getAs[Long]("match_min") % 10 !== 7L)
+      val hits = r.getAs[Long]("n_hit_bands")
+      assert(hits >= 1L && hits <= graft.pipeline.PortableHash.Bands.toLong)
+    }
+  }
+
   test("p34: quantized values bounded by ±127 and scale positive") {
     val rows = q("p34_embedding_quantize").collect()
     assert(rows.length > 0)
