@@ -46,6 +46,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dialect rewrites never alter string-literal contents") {
+    // literal containing function-ish text, quotes (SQL-doubled), operators
+    val inner = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.replace("'", "''").take(30)),
+      Gen.const("unnest(x), list_sort(y)"),
+      Gen.const("range(1, 5) from join"),
+      Gen.const("it''s strftime(ts, ''%Y'')"))
+    val gen = for {
+      pre <- Gen.oneOf("SELECT ", "SELECT list_sort(a), ", "SELECT unnest(xs), ")
+      lit <- inner
+      post <- Gen.oneOf(" AS s", " AS s FROM t WHERE list_contains(xs, 'k')")
+    } yield (s"$pre'$lit'$post", s"'$lit'")
+    check(Prop.forAll(gen) { case (sql, lit) =>
+      graft.dialect.DialectFunctions.rewrite(sql).contains(lit)
+    })
+  }
+
+  test("literal escape translation: Spark evaluates the DuckDB meaning") {
+    // for any backslash-bearing content, escapeLiteralsForSpark('c') must
+    // make Spark's parser produce exactly c (DuckDB literal semantics)
+    val content = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("\\"), Gen.const("\\s"),
+      Gen.const("."), Gen.const("\\d+"))).map(_.mkString.take(40))
+    val spark = SparkTestSession.spark
+    check(Prop.forAll(content) { c =>
+      val sql = graft.dialect.SqlText.escapeLiteralsForSpark(
+        "SELECT '" + c.replace("'", "") + "' AS s")
+      spark.sql(sql).collect().head.getString(0) == c.replace("'", "")
+    })
+  }
+
   test("PPJoin prefix bound is lossless: J >= 0.8 pairs always share a prefix token") {
     // the production rule: prefix length = n - ceil(0.8 n) + 1 under a
     // shared total token order (here: natural Long order standing in for
