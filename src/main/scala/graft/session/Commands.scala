@@ -27,7 +27,10 @@ object Commands {
   // nested parens (COPY (SELECT count(*) ...) TO ...) parse correctly
   private val CopyTo =
     """(?is)\s*COPY\s+(.+)\s+TO\s+'([^']+)'\s*(?:\(?\s*(?:WITH\s*\()?(.*?)\)?\s*)?""".r
+  private val CopyFrom =
+    """(?is)\s*COPY\s+([\w.`"]+)\s+FROM\s+'([^']+)'\s*(?:\(?\s*(?:WITH\s*\()?(.*?)\)?\s*)?""".r
   private val ExportDb = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*""".r
+  private val ImportDb = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
 
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
@@ -35,6 +38,8 @@ object Commands {
     case Describe(target) => Some(describeFrame(conn.engine.spark, relation(conn, target)))
     case Summarize(target) => Some(summarizeFrame(conn.engine.spark, relation(conn, target)))
     case ExportDb(dir, fmt) => Some(exportDatabase(conn, dir, Option(fmt)))
+    case ImportDb(dir) => Some(importDatabase(conn, dir))
+    case CopyFrom(table, path, opts) => Some(copyFrom(conn, table, path, Option(opts)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
     case _ => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
   }
@@ -206,6 +211,76 @@ object Commands {
     Files.move(part, out, StandardCopyOption.REPLACE_EXISTING)
     if (!conn.engine.files.isRegistered(target))
       conn.engine.files.registerFilePath(target, out.toString)
+  }
+
+  /** `COPY t FROM 'f' (FORMAT ..., HEADER, DELIMITER ...)` — the ingest
+    * direction of COPY (DuckDB docs/sql/statements/copy; the statements the
+    * engine's own EXPORT DATABASE writes into load.sql). The target table's
+    * schema drives the CSV read when it exists (so a schema.sql + load.sql
+    * replay restores exact types); otherwise CSV types are inferred.
+    * Appends, like DuckDB. */
+  private def copyFrom(conn: Connection, table: String, path: String,
+      rawOpts: Option[String]): DataFrame = {
+    val spark = conn.engine.spark
+    val t = table.replace("`", "").replace("\"", "")
+    val opts = parseOpts(rawOpts)
+    val resolved = conn.engine.files.resolve(path)
+    val fmt = opts.get("FORMAT").map(_.replace("'", "").toUpperCase).getOrElse(
+      if (resolved.toLowerCase.endsWith(".parquet")) "PARQUET" else "CSV")
+    val existing =
+      try Some(spark.table(t).schema)
+      catch { case _: Exception => None }
+    val df = fmt match {
+      case "PARQUET" => graft.Tables.readParquetAuto(spark, resolved)
+      case _ =>
+        val header = opts.get("HEADER").forall(v =>
+          v == "1" || v.isEmpty || v.equalsIgnoreCase("true"))
+        val reader = spark.read
+          .option("header", header)
+          .option("sep", opts.get("DELIMITER").filter(_.nonEmpty).getOrElse(","))
+        existing.map(reader.schema).getOrElse(reader.option("inferSchema", "true"))
+          .csv(resolved)
+    }
+    if (existing.isDefined) df.write.mode(SaveMode.Append).insertInto(t)
+    else df.write.saveAsTable(t)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(df.count()).toDF("count")
+  }
+
+  /** `IMPORT DATABASE 'dir'` — replay schema.sql then load.sql, the
+    * round-trip counterpart of EXPORT DATABASE. Statements run through the
+    * normal dispatch, so the load.sql COPY FROM lines land here too. */
+  private def importDatabase(conn: Connection, dir: String): DataFrame = {
+    val spark = conn.engine.spark
+    val statements = Seq("schema.sql", "load.sql").flatMap { f =>
+      val p = Paths.get(dir, f)
+      if (Files.exists(p)) splitStatements(Files.readString(p)) else Nil
+    }
+    statements.foreach(conn.queryDF(_))
+    import spark.implicits._
+    statements.toDF("executed")
+  }
+
+  /** Split a SQL script on ';' outside string literals. */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i < script.length) {
+      script.charAt(i) match {
+        case '\'' => i = graft.dialect.SqlText.literalEnd(script, i) - 1
+        case ';' =>
+          val s = script.substring(start, i).trim
+          if (s.nonEmpty) out += s
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    val last = script.substring(start).trim
+    if (last.nonEmpty) out += last
+    out.toSeq
   }
 
   /** EXPORT DATABASE: every table as csv/parquet + schema.sql + load.sql,

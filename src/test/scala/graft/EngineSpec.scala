@@ -307,6 +307,31 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.exp_t")
   }
 
+  test("EXPORT → DROP → IMPORT DATABASE round-trips tables (csv incl. COPY FROM)") {
+    conn.queryDF("CREATE TABLE main.rt_t AS SELECT 3 AS a, 'x''y' AS b UNION ALL SELECT 4, 'z'")
+    val dir = Files.createTempDirectory("graft-import-test")
+    conn.queryDF(s"EXPORT DATABASE '$dir'") // csv form → load.sql uses COPY FROM
+    conn.queryDF("DROP TABLE main.rt_t")
+    conn.queryDF(s"IMPORT DATABASE '$dir'")
+    val back = conn.queryDF("SELECT a, b FROM main.rt_t ORDER BY a")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back === Seq((3, "x'y"), (4, "z")))
+    conn.queryDF("DROP TABLE main.rt_t")
+  }
+
+  test("COPY t FROM appends with the target table's schema") {
+    conn.queryDF("DROP TABLE IF EXISTS main.cf_t")
+    conn.queryDF(
+      "CREATE TABLE main.cf_t AS SELECT CAST(1 AS BIGINT) AS id, CAST(2.5 AS DOUBLE) AS v")
+    val f = Files.createTempDirectory("graft-copyfrom-test").resolve("in.csv")
+    Files.writeString(f, "id,v\n9,3.5\n")
+    conn.queryDF(s"COPY main.cf_t FROM '$f' (FORMAT 'csv', header 1)")
+    val rows = conn.queryDF("SELECT id, v FROM main.cf_t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 9L)) // schema-driven: id stays BIGINT
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(2.5, 3.5))
+    conn.queryDF("DROP TABLE main.cf_t")
+  }
+
   test("emitBigInt=false patches INT64 → FLOAT64 recursively (bindings.test.ts:176-198)") {
     val e2 = new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark),
       emitBigInt = false))
