@@ -48,7 +48,12 @@ object DialectFunctions {
     "list_max" -> "array_max",
     "list_min" -> "array_min",
     "array_length" -> "size",
-    "unnest" -> "explode")
+    "unnest" -> "explode",
+    // string predicates/joins: same argument shapes and semantics
+    "regexp_matches" -> "regexp_like",
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
+    "array_to_string" -> "array_join")
 
   private val namePatterns: Seq[(java.util.regex.Pattern, String)] =
     NameMap.map { case (from, to) =>

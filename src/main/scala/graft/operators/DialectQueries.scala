@@ -150,6 +150,18 @@ object DialectQueries {
       |FROM orders WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  // String-function spellings: regexp_matches → regexp_like, starts_with /
+  // ends_with → startswith/endswith, array_to_string → array_join.
+  private val q66Sql =
+    """SELECT doc_id,
+      |  regexp_matches(text, '^[A-Z]') AS caps_start,
+      |  starts_with(trim(text), 'The') AS starts_the,
+      |  ends_with(trim(text), '.') AS ends_dot,
+      |  array_to_string(list_sort(list_distinct(
+      |    regexp_split_to_array(lower(source), '-'))), '|') AS src_key
+      |FROM documents WHERE doc_id % 25 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -158,5 +170,6 @@ object DialectQueries {
     Q("q61_pivot", pivotQ, Some(q61Oracle)),
     Q("q62_unpivot", unpivotQ, Some(q62Oracle)),
     Q("q63_describe", describeQ, Some(q63Oracle)),
-    Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)))
+    Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)),
+    Q("q66_string_predicates", fns(q66Sql), Some(q66Sql)))
 }

@@ -55,6 +55,17 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) >= 1L)
   }
 
+  test("string predicate spellings map to Spark names") {
+    assert(DialectFunctions.rewrite(
+      "SELECT regexp_matches(s, '^a'), starts_with(s, 'a'), ends_with(s, 'z'), array_to_string(xs, ',')") ===
+      "SELECT regexp_like(s, '^a'), startswith(s, 'a'), endswith(s, 'z'), array_join(xs, ',')")
+    prepare()
+    val r = conn.queryDF(
+      "SELECT regexp_matches('Widget', '^W') AS a, starts_with('abc', 'ab') AS b, ends_with('abc', 'bc') AS c")
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("strftime maps C patterns to date_format incl. quoted literal letters") {
     val out = DialectFunctions.rewrite("SELECT strftime(ts, '%Y-%m-%dT%H:%M')")
     assert(out === "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm')")
