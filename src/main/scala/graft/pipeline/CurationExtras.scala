@@ -37,6 +37,15 @@ object CurationExtras {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** One regex pass per pattern: redact FIRST, then count the injected
+    * markers with plain substring arithmetic ((len(before) − len(after)) /
+    * marker length) — counting via regexp_extract_all would be a second
+    * full regex scan per pattern, and at sf1 Java's regex engine made that
+    * the whole query cost (19× single-thread DuckDB's RE2; 4 passes → 2
+    * halves it, the '@' guard skips the email pass for the ~6/7 of
+    * documents with no '@' at all). Both engines compute the counts from
+    * the same marker definition, so the oracle stays bit-exact (the
+    * corpus contains no pre-existing '<EMAIL>'/'<IP>' markers). */
   private def piiRedact(s: SparkSession, dir: String): DataFrame = {
     val text2 =
       """concat(text,
@@ -48,13 +57,24 @@ object CurationExtras {
         |       ELSE '' END)""".stripMargin
     docs(s, dir)
       .withColumn("t", expr(text2))
-      .withColumn("n_emails",
-        expr(s"CAST(size(regexp_extract_all(t, ${sparkLit(EmailRe)}, 0)) AS BIGINT)"))
-      .withColumn("t1", expr(s"regexp_replace(t, ${sparkLit(EmailRe)}, '<EMAIL>')"))
-      .withColumn("n_ips",
-        expr(s"CAST(size(regexp_extract_all(t1, ${sparkLit(IpRe)}, 0)) AS BIGINT)"))
-      .select(col("doc_id"), col("n_emails"), col("n_ips"),
-        expr(s"regexp_replace(t1, ${sparkLit(IpRe)}, '<IP>')").as("redacted"))
+      .withColumn("t1", expr(
+        s"IF(contains(t, '@'), regexp_replace(t, ${sparkLit(EmailRe)}, '<EMAIL>'), t)"))
+      .withColumn("n_emails", expr(
+        "CAST((length(t1) - length(replace(t1, '<EMAIL>', ''))) div 7 AS BIGINT)"))
+      // no digit-prefilter on the IP pass: profiled at sf1, the IPv4
+      // pattern fails fast on this corpus (digits are rare) at 0.38 s while
+      // a translate()-based guard costs 0.79 s building the scratch string
+      .withColumn("redacted", expr(s"regexp_replace(t1, ${sparkLit(IpRe)}, '<IP>')"))
+      .withColumn("n_ips", expr(
+        "CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) div 4 AS BIGINT)"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("redacted"))
+      // persist before filtering: Catalyst pushes the count predicate down
+      // THROUGH the projection by inlining the whole regex chain into the
+      // filter, so without a materialization point every row pays the
+      // redaction twice (filter + output) — profiled 3.6 s → 1.0 s at sf1.
+      // The pinned entry is released by the harness clearCache like the
+      // LSH signature stage.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(col("n_emails") > 0 || col("n_ips") > 0)
       .orderBy(col("doc_id"))
   }
@@ -72,15 +92,21 @@ object CurationExtras {
        |  FROM documents),
        |e AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(t, ${duckLit(EmailRe)})) AS BIGINT) AS n_emails,
-       |    regexp_replace(t, ${duckLit(EmailRe)}, '<EMAIL>', 'g') AS t1
-       |  FROM t)
+       |    CASE WHEN contains(t, '@')
+       |         THEN regexp_replace(t, ${duckLit(EmailRe)}, '<EMAIL>', 'g')
+       |         ELSE t END AS t1
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST((length(t1) - length(replace(t1, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+       |    regexp_replace(t1, ${duckLit(IpRe)}, '<IP>', 'g') AS redacted
+       |  FROM e)
        |SELECT doc_id, n_emails,
-       |  CAST(len(regexp_extract_all(t1, ${duckLit(IpRe)})) AS BIGINT) AS n_ips,
-       |  regexp_replace(t1, ${duckLit(IpRe)}, '<IP>', 'g') AS redacted
-       |FROM e
+       |  CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) // 4 AS BIGINT) AS n_ips,
+       |  redacted
+       |FROM r
        |WHERE n_emails > 0
-       |   OR CAST(len(regexp_extract_all(t1, ${duckLit(IpRe)})) AS BIGINT) > 0
+       |   OR CAST((length(redacted) - length(replace(redacted, '<IP>', ''))) // 4 AS BIGINT) > 0
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------- corpus-wide sentence dedup
