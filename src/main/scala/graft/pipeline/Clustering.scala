@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means over int8-QUANTIZED embeddings — the clustering
+  * primitive behind semantic dedup and diversity-balanced sampling in a
+  * training-data pipeline.
+  *
+  * Floating-point k-means cannot be oracled bit-exactly (parallel double
+  * summation has no fixed order), so the kernel runs entirely in INTEGER
+  * arithmetic: vectors quantize to BIGINT (p34's floor-plus-half), L2
+  * distances are exact integer sums, and the centroid update is an
+  * integer truncated mean (`div` toward zero in both engines). Two Lloyd
+  * iterations from a seeded init (cells = the first k quantized vectors).
+  *
+  * Scale shape: assignment is a broadcast nested loop (k codegen'd integer
+  * distance folds per row, map-side — the corpus never shuffles for it);
+  * the update aggregates (cell, pos) partial sums map-side, so one shuffle
+  * carries k × dim scalar rows per iteration, not the corpus. The argmin
+  * window partitions by vec_id. At 100 TB, k and dim are constants —
+  * per-iteration cost is one scan + one k×dim-sized shuffle.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Dim = 64
+
+  /** (vec_id, q: array<bigint>) — shared quantization stage, persisted
+    * because both Lloyd iterations re-read it (same pattern as the LSH
+    * signature stage; the harness releases pinned caches per query). */
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(1.0)))
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Nearest centroid per vector (exact integer L2, ties → smallest cell). */
+  private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, d) -> a + d)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("cell"), col("dist"))
+  }
+
+  /** Integer truncated-mean centroid update: (cell, pos) partial sums →
+    * `sx div n` (toward zero, like Java) → re-assembled in pos order. */
+  private[graft] def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("sx div n"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("c"))
+
+  private def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val cents0 = q.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val a1 = assign(q, cents0)
+    val cents1 = update(a1)
+    val a2 = assign(q, cents1)
+    a2.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(cents1.select(col("cell"),
+        expr("aggregate(c, CAST(0 AS BIGINT), (a, x) -> a + x)").as("centroid_sum")), "cell")
+      .select(col("cell"), col("n_members"), col("inertia"), col("centroid_sum"))
+      .orderBy(col("cell"))
+  }
+
+  // DuckDB mirror: identical integer kernel. `sx div n` (trunc toward
+  // zero) is spelled with the sign-split `//` (floor) so no float
+  // division enters the chain; list indexing is 1-based so positions
+  // shift by one against Spark's 0-based posexplode — only pos ORDER
+  // matters, and both sort ascending.
+  private val kmeansSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+       |sc AS (SELECT vec_id, v,
+       |         CASE WHEN amax > 0 THEN CAST(127 AS DOUBLE) / amax
+       |              ELSE CAST(1 AS DOUBLE) END AS scale FROM m),
+       |qv AS (SELECT vec_id,
+       |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+       |       FROM sc),
+       |c0 AS (SELECT vec_id AS cell, q AS c FROM qv WHERE vec_id < $K),
+       |d1 AS (
+       |  SELECT qv.vec_id, qv.q, c0.cell,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (qv.q[i] - c0.c[i]) * (qv.q[i] - c0.c[i]))) AS BIGINT) AS dist
+       |  FROM qv, c0),
+       |a1 AS (
+       |  SELECT vec_id, q, cell, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cell) AS rk FROM d1) t
+       |  WHERE rk = 1),
+       |u0 AS (SELECT cell, unnest(range(1, ${Dim + 1})) AS pos, q FROM a1),
+       |u1 AS (SELECT cell, pos, q[pos] AS x FROM u0),
+       |u2 AS (SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+       |       FROM u1 GROUP BY 1, 2),
+       |u3 AS (SELECT cell, pos,
+       |         CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS cx
+       |       FROM u2),
+       |c1 AS (SELECT cell, list(cx ORDER BY pos) AS c FROM u3 GROUP BY cell),
+       |d2 AS (
+       |  SELECT qv.vec_id, c1.cell,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (qv.q[i] - c1.c[i]) * (qv.q[i] - c1.c[i]))) AS BIGINT) AS dist
+       |  FROM qv, c1),
+       |a2 AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cell) AS rk FROM d2) t
+       |  WHERE rk = 1)
+       |SELECT a2.cell,
+       |  count(*) AS n_members,
+       |  CAST(sum(a2.dist) AS BIGINT) AS inertia,
+       |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT), any_value(c1.c))) AS BIGINT)
+       |    AS centroid_sum
+       |FROM a2 JOIN c1 ON a2.cell = c1.cell
+       |GROUP BY a2.cell
+       |ORDER BY a2.cell""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("p38_kmeans_quantized", kmeans, Some(kmeansSql)))
+}

@@ -89,6 +89,25 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("p38: partitions the corpus, and a Lloyd step never raises inertia") {
+    import graft.pipeline.Clustering
+    val rows = q("p38_kmeans_quantized").collect()
+    assert(rows.length <= 8)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === corpus)
+    rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+    // Lloyd monotonicity on the quantized objective: inertia after the
+    // centroid update (measured against the NEW centroids) is <= the
+    // first assignment's inertia
+    val qz = Clustering.quantized(spark, dir)
+    val c0 = qz.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val a1 = Clustering.assign(qz, c0)
+    val i1 = a1.agg(sum("dist")).collect().head.getLong(0)
+    val i2 = rows.map(_.getAs[Long]("inertia")).sum
+    assert(i2 <= i1, s"inertia rose after a Lloyd step: $i1 -> $i2")
+  }
+
   test("p34: quantized values bounded by ±127 and scale positive") {
     val rows = q("p34_embedding_quantize").collect()
     assert(rows.length > 0)
