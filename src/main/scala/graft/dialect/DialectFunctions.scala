@@ -71,6 +71,11 @@ object DialectFunctions {
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
       case _ => None
     }
+    // DuckDB's JSON arrow operator `expr ->> 'path'` (VARCHAR extraction)
+    // → get_json_object; a bare key normalizes to a '$.key' path like
+    // DuckDB's binder does. `->` (JSON-typed result, quotes strings) has
+    // no Spark twin and is left alone.
+    out = rewriteArrow(out)
     // strftime/strptime carry C strftime patterns (reference surface:
     // insert_csv.test.ts:151-177 uses the same pattern family for CSV
     // options) — translate a literal format to the Java pattern Spark's
@@ -102,6 +107,27 @@ object DialectFunctions {
       case _ => None
     }
     out
+  }
+
+  private val ArrowRe = java.util.regex.Pattern.compile(
+    """([\w.`"]+)\s*->>\s*'((?:[^']|'')*)'""")
+
+  private def rewriteArrow(sql: String): String = {
+    val m = ArrowRe.matcher(sql)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      if (insideLiteral(sql, m.start())) {
+        sb.append(sql.substring(last, m.end()))
+      } else {
+        val path = m.group(2)
+        val norm = if (path.startsWith("$")) path else "$." + path
+        sb.append(sql.substring(last, m.start()))
+          .append(s"get_json_object(${m.group(1)}, '$norm')")
+      }
+      last = m.end()
+    }
+    sb.append(sql.substring(last)).toString
   }
 
   /** Word (identifier/keyword) immediately before `pos`, lowercased. */

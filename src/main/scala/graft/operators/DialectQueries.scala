@@ -162,6 +162,14 @@ object DialectQueries {
       |FROM documents WHERE doc_id % 25 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // JSON arrow operator: '$.path' and bare-key forms both normalize to
+  // get_json_object; DuckDB runs ->> natively as the oracle.
+  private val q67Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -171,5 +179,6 @@ object DialectQueries {
     Q("q62_unpivot", unpivotQ, Some(q62Oracle)),
     Q("q63_describe", describeQ, Some(q63Oracle)),
     Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)),
-    Q("q66_string_predicates", fns(q66Sql), Some(q66Sql)))
+    Q("q66_string_predicates", fns(q66Sql), Some(q66Sql)),
+    Q("q67_json_arrow", fns(q67Sql), Some(q67Sql)))
 }

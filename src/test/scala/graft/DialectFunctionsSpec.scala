@@ -66,6 +66,21 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
 
+  test("JSON ->> maps to get_json_object with path normalization") {
+    assert(DialectFunctions.rewrite("SELECT j ->> '$.a.b' FROM t") ===
+      "SELECT get_json_object(j, '$.a.b') FROM t")
+    assert(DialectFunctions.rewrite("SELECT j ->> 'key' FROM t") ===
+      "SELECT get_json_object(j, '$.key') FROM t")
+    // inside a literal: untouched
+    assert(DialectFunctions.rewrite("SELECT 'a ->> ''b''' AS s") ===
+      "SELECT 'a ->> ''b''' AS s")
+    prepare()
+    val v = conn.queryDF(
+      "SELECT CAST(props ->> 'k' AS BIGINT) AS k FROM events WHERE event_id = 0")
+      .collect().head.getLong(0)
+    assert(v >= 0L)
+  }
+
   test("strftime maps C patterns to date_format incl. quoted literal letters") {
     val out = DialectFunctions.rewrite("SELECT strftime(ts, '%Y-%m-%dT%H:%M')")
     assert(out === "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm')")
