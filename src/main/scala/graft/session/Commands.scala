@@ -35,8 +35,13 @@ object Commands {
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
     case ShowTables() => Some(showTables(conn))
-    case Describe(target) => Some(describeFrame(conn.engine.spark, relation(conn, target)))
-    case Summarize(target) => Some(summarizeFrame(conn.engine.spark, relation(conn, target)))
+    // toOption fallback: a target this handler can't resolve (e.g. Spark's
+    // own `DESCRIBE EXTENDED t` / `DESCRIBE FUNCTION f`) drops through to
+    // the plain spark.sql path instead of erroring here
+    case Describe(target) =>
+      scala.util.Try(describeFrame(conn.engine.spark, relation(conn, target))).toOption
+    case Summarize(target) =>
+      Some(summarizeFrame(conn.engine.spark, relation(conn, target)))
     case ExportDb(dir, fmt) => Some(exportDatabase(conn, dir, Option(fmt)))
     case ImportDb(dir) => Some(importDatabase(conn, dir))
     case CopyFrom(table, path, opts) => Some(copyFrom(conn, table, path, Option(opts)))

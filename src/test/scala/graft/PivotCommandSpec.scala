@@ -102,6 +102,14 @@ class PivotCommandSpec extends AnyFunSuite {
     assert(conn.queryDF("DESCRIBE TABLE nation").count() === 3L)
   }
 
+  test("Spark-native DESCRIBE forms fall through to spark.sql") {
+    prepare()
+    // DESCRIBE EXTENDED isn't a DuckDB form — the command layer must not
+    // swallow it; Spark's own handler returns (col_name, data_type, comment)
+    val df = conn.queryDF("DESCRIBE EXTENDED nation")
+    assert(df.columns.toSeq === Seq("col_name", "data_type", "comment"))
+  }
+
   test("duckTypeName maps nested and decimal types") {
     import org.apache.spark.sql.types._
     assert(Commands.duckTypeName(ArrayType(ArrayType(DoubleType))) === "DOUBLE[][]")
