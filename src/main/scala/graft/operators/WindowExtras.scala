@@ -129,8 +129,37 @@ object WindowExtras {
       |    (SELECT l_suppkey AS k FROM lineitem UNION SELECT s_suppkey FROM supplier) c) u
       |ORDER BY tag""".stripMargin
 
+  /** nth_value + IGNORE NULLS positional window forms (the last §2.5
+    * spellings without an oracle row) over a synthesized null-bearing
+    * column; the (ts, event_id) ordering is unique so the default RANGE
+    * frame behaves identically in both engines. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    t(s, dir)("events")
+      .withColumn("v",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .select(col("event_id"), col("event_type"),
+        nth_value(col("event_id"), 3).over(w).as("nth3"),
+        first(col("v"), ignoreNulls = true).over(w).as("first_nn"),
+        last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q68Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, ts,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, event_type,
+      |  nth_value(event_id, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nth3,
+      |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS first_nn,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS last_nn
+      |FROM e ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q46_window_distribution", q46, Some(q46Sql)),
+    Q("q68_window_nth_ignore_nulls", q68, Some(q68Sql)),
     Q("q47_range_frame", q47, Some(q47Sql)),
     Q("q48_ordered_agg_percentile", q48, Some(q48Sql)),
     Q("q51_grouping_sets", q51, Some(q51Sql)),
