@@ -181,9 +181,43 @@ object DialectSugar {
     // positions stay valid through the wrap because the marker column is
     // appended after `*`.
     parts.result().map { case (branch, op) =>
-      val rewritten = qualify(orderByAll(groupByAll(branch)))
+      val rewritten = qualify(orderByAll(groupByAll(distinctOn(branch))))
       rewritten + (if (op.nonEmpty) " " + op + " " else "")
     }.mkString("").replace("__STAR_EXCEPT__(", "EXCEPT (")
+  }
+
+  // ------------------------------------------------------- DISTINCT ON
+  /** `SELECT DISTINCT ON (keys) ...` (duckdb docs/sql/query_syntax/select)
+    * — keep the first row per key group, "first" per the query's ORDER BY
+    * (arbitrary-but-deterministic key order when there is none). No Spark
+    * spelling exists, so it compiles to the QUALIFY form this pass already
+    * supports: `QUALIFY row_number() OVER (PARTITION BY keys ORDER BY
+    * <order list or keys>) = 1`, inserted before the ORDER BY/LIMIT tail.
+    * Runs before groupByAll/orderByAll so an `ORDER BY ALL` tail (spelled
+    * literally) falls back to key order inside the window. */
+  private def distinctOn(sql: String): String = {
+    val kw = "SELECT DISTINCT ON"
+    val idx = topLevelIndex(sql, kw)
+    if (idx < 0) return sql
+    val kwEnd = idx + matchLen(sql, idx, kw)
+    val open = sql.indexOf('(', kwEnd)
+    if (open < 0) return sql
+    val end = groupEnd(sql, open)
+    val keys = sql.substring(open + 1, end - 1).trim
+    if (keys.isEmpty) return sql
+    val base = sql.substring(0, idx) + "SELECT " + sql.substring(end)
+    val obIdx = topLevelIndex(base, "ORDER BY")
+    val limIdx = topLevelIndex(base, "LIMIT")
+    val (orderText, insertAt) =
+      if (obIdx >= 0) {
+        val obEnd = if (limIdx > obIdx) limIdx else base.length
+        (base.substring(obIdx + matchLen(base, obIdx, "ORDER BY"), obEnd).trim, obIdx)
+      } else (keys, if (limIdx >= 0) limIdx else base.length)
+    val ord = if (orderText.isEmpty || orderText.equalsIgnoreCase("ALL")) keys
+      else orderText
+    base.substring(0, insertAt) +
+      s" QUALIFY row_number() OVER (PARTITION BY $keys ORDER BY $ord) = 1 " +
+      base.substring(insertAt)
   }
 
   /** `* EXCLUDE (a, b)` → `* EXCEPT (a, b)` (Spark's spelling). */

@@ -170,6 +170,14 @@ object DialectQueries {
       |  CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // DISTINCT ON — DuckDB's first-row-per-group idiom, compiled through the
+  // QUALIFY machinery (q58's path): highest-price order per customer.
+  private val q69Sql =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -180,5 +188,6 @@ object DialectQueries {
     Q("q63_describe", describeQ, Some(q63Oracle)),
     Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)),
     Q("q66_string_predicates", fns(q66Sql), Some(q66Sql)),
-    Q("q67_json_arrow", fns(q67Sql), Some(q67Sql)))
+    Q("q67_json_arrow", fns(q67Sql), Some(q67Sql)),
+    Q("q69_distinct_on", sugar(q69Sql), Some(q69Sql)))
 }

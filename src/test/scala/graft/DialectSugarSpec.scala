@@ -16,6 +16,39 @@ class DialectSugarSpec extends AnyFunSuite {
   private def prepare(): Unit =
     Tables.registerAll(SparkTestSession.spark, SparkTestSession.sfDir)
 
+  test("DISTINCT ON keeps the first row per group by the query's ORDER BY") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_nationkey, n_name
+        |FROM nation
+        |ORDER BY n_regionkey, n_nationkey DESC""".stripMargin)
+    val expected = conn.queryDF(
+      """SELECT n_regionkey, n_nationkey, n_name FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY n_regionkey
+        |                               ORDER BY n_nationkey DESC) AS rk
+        |  FROM nation) WHERE rk = 1 ORDER BY n_regionkey, n_nationkey DESC""".stripMargin)
+    assert(df.columns.toSeq === Seq("n_regionkey", "n_nationkey", "n_name"))
+    assert(df.collect().map(_.toSeq).toSeq === expected.collect().map(_.toSeq).toSeq)
+  }
+
+  test("DISTINCT ON without ORDER BY yields one row per key") {
+    prepare()
+    val df = conn.queryDF(
+      "SELECT DISTINCT ON (n_regionkey, n_nationkey % 2) n_regionkey FROM nation")
+    assert(df.count() === 10) // 5 regions × 2 parities
+  }
+
+  test("DISTINCT ON in a subquery; literal text untouched") {
+    prepare()
+    val sub = conn.queryDF(
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
+        |  FROM nation ORDER BY n_regionkey, n_name)""".stripMargin)
+    assert(sub.collect().head.getLong(0) === 5)
+    val lit = conn.queryDF("SELECT 'SELECT DISTINCT ON (x) y' AS s")
+    assert(lit.collect().head.getString(0) === "SELECT DISTINCT ON (x) y")
+  }
+
   test("QUALIFY filters on a window predicate and hides the marker column") {
     prepare()
     val df = conn.queryDF(
