@@ -20,6 +20,8 @@ import scala.jdk.CollectionConverters._
 object Commands {
 
   private val ShowTables = """(?i)\s*PRAGMA\s+show_tables\s*""".r
+  private val TableInfo =
+    """(?i)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
   // target = a table name, or (like DuckDB) a full SELECT/subquery
   private val Describe = """(?is)\s*DESCRIBE\s+(?:TABLE\s+)?(.+?)\s*""".r
   private val Summarize = """(?is)\s*SUMMARIZE\s+(?:TABLE\s+)?(.+?)\s*""".r
@@ -35,6 +37,7 @@ object Commands {
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
     case ShowTables() => Some(showTables(conn))
+    case TableInfo(table) => Some(tableInfo(conn.engine.spark, table))
     // toOption fallback: a target this handler can't resolve (e.g. Spark's
     // own `DESCRIBE EXTENDED t` / `DESCRIBE FUNCTION f`) drops through to
     // the plain spark.sql path instead of erroring here
@@ -73,6 +76,17 @@ object Commands {
         if (f.nullable) "YES" else "NO",
         null: String, null: String, null: String))
       .toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
+
+  /** `PRAGMA table_info('t')` — DuckDB's SQLite-shaped column listing
+    * (cid, name, type, notnull, dflt_value, pk). */
+  def tableInfo(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(table).schema.fields.zipWithIndex.toSeq
+      .map { case (f, i) =>
+        (i, f.name, duckTypeName(f.dataType), !f.nullable, null: String, false)
+      }
+      .toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
   }
 
   /** Spark type → DuckDB type spelling (SURVEY §1.3 mapping, inverted). */

@@ -110,6 +110,17 @@ class PivotCommandSpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("col_name", "data_type", "comment"))
   }
 
+  test("PRAGMA table_info emits the SQLite-shaped listing") {
+    prepare()
+    val df = conn.queryDF("PRAGMA table_info('orders')")
+    assert(df.columns.toSeq === Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq === rows.indices.toSeq)
+    val byName = rows.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(byName("o_orderkey") === "BIGINT")
+    assert(byName("o_orderstatus") === "VARCHAR")
+  }
+
   test("duckTypeName maps nested and decimal types") {
     import org.apache.spark.sql.types._
     assert(Commands.duckTypeName(ArrayType(ArrayType(DoubleType))) === "DOUBLE[][]")
