@@ -339,11 +339,88 @@ object CurationExtras {
        |GROUP BY nb.new_doc_id
        |ORDER BY new_doc_id""".stripMargin
 
+  // --------------------------------------------------- URL canonicalization
+  /** URL canonicalization + first-occurrence dedup — the normalization a
+    * crawl pipeline applies before URL-level dedup: strip the fragment,
+    * drop tracking parameters (utm_*, fbclid) while PRESERVING real ones,
+    * lowercase the host, drop default ports, drop a trailing slash, then
+    * keep the first document per canonical URL. Query-param filtering is
+    * spelled as split → filter → rejoin (identical list semantics in both
+    * engines) rather than a fragile separator-rewriting regex. Narrow
+    * projection + one hash-keyed window — the p32 shape. The corpus has no
+    * URL column, so a deterministic synthetic URL exercises the kernel. */
+  private def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val synth =
+      """concat('https://',
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'WWW.Example.COM:443' WHEN 1 THEN 'cdn.Example.com'
+        |    ELSE 'blog.example.org' END,
+        |  '/p/', CAST(doc_id % 40 AS STRING),
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '/?utm_source=x&id=7#frag'
+        |    WHEN 1 THEN '?a=1&utm_campaign=y&fbclid=z'
+        |    WHEN 2 THEN '/' ELSE '' END)""".stripMargin
+    val firstOcc = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .withColumn("url", expr(synth))
+      .withColumn("nofrag", expr(s"regexp_replace(url, ${sparkLit("#.*$")}, '')"))
+      .withColumn("base", expr("split(nofrag, '\\\\?')[0]"))
+      .withColumn("qs", expr(
+        s"""array_join(filter(split(substring(nofrag, length(base) + 2), '&'),
+           |  p -> NOT p rlike ${sparkLit("^(utm_[A-Za-z]+|fbclid)=")}), '&')""".stripMargin))
+      .withColumn("host", expr(
+        s"regexp_replace(lower(regexp_extract(base, ${sparkLit("^https?://([^/?#]+)")}, 1)), ${sparkLit(":(443|80)$")}, '')"))
+      .withColumn("path", expr(
+        s"regexp_replace(regexp_replace(base, ${sparkLit("^https?://[^/?#]+")}, ''), ${sparkLit("/$")}, '')"))
+      .withColumn("canon", expr(
+        "concat('https://', host, path, IF(qs = '', '', concat('?', qs)))"))
+      .withColumn("rn", row_number().over(firstOcc))
+      .select(col("doc_id"), col("url"), col("canon"), col("host"),
+        (col("rn") === 1).as("is_first"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val urlCanonicalSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    concat('https://',
+      |      CASE CAST(doc_id % 3 AS INT)
+      |        WHEN 0 THEN 'WWW.Example.COM:443' WHEN 1 THEN 'cdn.Example.com'
+      |        ELSE 'blog.example.org' END,
+      |      '/p/', CAST(doc_id % 40 AS VARCHAR),
+      |      CASE CAST(doc_id % 4 AS INT)
+      |        WHEN 0 THEN '/?utm_source=x&id=7#frag'
+      |        WHEN 1 THEN '?a=1&utm_campaign=y&fbclid=z'
+      |        WHEN 2 THEN '/' ELSE '' END) AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |sp AS (SELECT doc_id, url, nofrag,
+      |         string_split(nofrag, '?')[1] AS base FROM nf),
+      |qp AS (SELECT doc_id, url, base,
+      |         array_to_string(list_filter(
+      |           string_split(substring(nofrag, length(base) + 2), '&'),
+      |           p -> NOT regexp_matches(p, '^(utm_[A-Za-z]+|fbclid)=')), '&') AS qs
+      |       FROM sp),
+      |hn AS (SELECT doc_id, url, qs,
+      |         regexp_replace(lower(regexp_extract(base, '^https?://([^/?#]+)', 1)),
+      |                        ':(443|80)$', '') AS host,
+      |         regexp_replace(regexp_replace(base, '^https?://[^/?#]+', ''),
+      |                        '/$', '') AS path
+      |       FROM qp),
+      |c AS (SELECT doc_id, url, host,
+      |        concat('https://', host, path,
+      |               CASE WHEN qs = '' THEN '' ELSE concat('?', qs) END) AS canon
+      |      FROM hn)
+      |SELECT doc_id, url, canon, host,
+      |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1 AS is_first
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p31_pii_redact", piiRedact, Some(piiRedactSql)),
     Q("p32_sentence_dedup", sentenceDedup, Some(sentenceDedupSql)),
     Q("p33_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     Q("p34_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Q("p35_quality_gate", qualityGate, Some(qualityGateSql)),
-    Q("p37_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)))
+    Q("p37_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("p39_url_canonical", urlCanonical, Some(urlCanonicalSql)))
 }

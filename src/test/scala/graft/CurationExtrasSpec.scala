@@ -108,6 +108,25 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(i2 <= i1, s"inertia rose after a Lloyd step: $i1 -> $i2")
   }
 
+  test("p39: canonical URLs have no fragments/tracking params, firsts unique") {
+    val rows = q("p39_url_canonical").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val canon = r.getAs[String]("canon")
+      assert(!canon.contains("#"))
+      assert(!canon.contains("utm_") && !canon.contains("fbclid"))
+      assert(!canon.contains(":443") && !canon.contains(":80"))
+      assert(r.getAs[String]("host") === r.getAs[String]("host").toLowerCase)
+      // real params survive the tracking filter
+      if (r.getAs[String]("url").contains("a=1")) assert(canon.contains("a=1"))
+    }
+    // exactly one is_first per canonical URL
+    val firsts = rows.filter(_.getAs[Boolean]("is_first"))
+      .map(_.getAs[String]("canon"))
+    assert(firsts.length === rows.map(_.getAs[String]("canon")).distinct.length)
+    assert(firsts.distinct.length === firsts.length)
+  }
+
   test("p34: quantized values bounded by ±127 and scale positive") {
     val rows = q("p34_embedding_quantize").collect()
     assert(rows.length > 0)
