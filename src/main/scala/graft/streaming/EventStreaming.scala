@@ -230,8 +230,30 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  private def slidingQ(s: SparkSession, dir: String): DataFrame =
+    EventStreaming.slidingRates(Tables.load(s, dir, "events"))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm").as("w_end"), col("n"))
+      .orderBy(col("w_start"))
+
+  // Sliding windows emulated relationally: an event belongs to the 4
+  // epoch-aligned 15-min-stepped hour windows covering it, so the fan-out
+  // is a constant-range cross join; [start, end) boundary semantics match
+  // Spark's window() exactly on the integer slot arithmetic.
+  private val slidingSql =
+    """WITH s AS (
+      |  SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot FROM events),
+      |x AS (
+      |  SELECT (slot - k.i) * 900 AS ws
+      |  FROM s, (SELECT unnest(range(4)) AS i) k)
+      |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS w_start,
+      |       strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%d %H:%M') AS w_end,
+      |       count(*) AS n
+      |FROM x GROUP BY ws ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_sessionize_gapwindow", sessionizeQ, Some(sessionizeSql)),
     Q("q37_event_time_window", hourlyAggQ, Some(hourlyAggSql)),
-    Q("q65_stream_interval_join", attributionQ, Some(attributionSql)))
+    Q("q65_stream_interval_join", attributionQ, Some(attributionSql)),
+    Q("q70_sliding_window", slidingQ, Some(slidingSql)))
 }
