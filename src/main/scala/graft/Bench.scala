@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   *    emitted alongside the minima, so measurement noise is visible in the
   *    artifact instead of reading as regression.
   *  - pinned caches are cleared between queries so timings are independent.
-  * Emits ONE JSON line: {"metric":"total",...,"queries":{name:sec,...},
-  * "spread":{name:sec,...}}.
+  * Emits ONE JSON line with the load-bearing dicts LAST:
+  * {"metric":"total","unit":"sec","sf":...,"samples":k,
+  *  "spread":{name:sec,...},"queries":{name:sec,...},"value":total}.
+  * Field order matters: the driver keeps only the TAIL of long output, so
+  * the per-query minima ("queries") and the total ("value") must come after
+  * the diagnostic spread dict — round 5's artifact had the order reversed
+  * and the truncated file preserved only noise spreads.
   */
 object Bench {
   private val HeavyCutoffSec = 10.0 // matches scripts/bench_duck.py
@@ -88,7 +93,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     if (names.isEmpty) {
-      println(s"""{"metric":"total","value":0.0,"unit":"sec","queries":{},"spread":{},"sf":"$sfDir","samples":$samples}""")
+      println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"spread":{},"queries":{},"value":0.0}""")
       spark.stop()
       return
     }
@@ -122,7 +127,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val qs = fmt(results.map(r => (r._1, r._2)))
     val sp = fmt(results.map(r => (r._1, BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"sf":"$sfDir","samples":$samples}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"spread":$sp,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

@@ -71,10 +71,14 @@ object DialectFunctions {
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
       case _ => None
     }
-    // DuckDB's JSON arrow operator `expr ->> 'path'` (VARCHAR extraction)
-    // → get_json_object; a bare key normalizes to a '$.key' path like
-    // DuckDB's binder does. `->` (JSON-typed result, quotes strings) has
-    // no Spark twin and is left alone.
+    // DuckDB's JSON arrow operators: `expr ->> 'path'` (VARCHAR extraction)
+    // and `expr -> 'path'` (JSON-typed result), both → get_json_object; a
+    // bare key normalizes to a '$.key' path and a bare integer to '$[i]'
+    // like DuckDB's binder does. Chains (`j -> 'a' -> 0 ->> 'b'`) fold into
+    // nested calls — sound because get_json_object returns JSON text for
+    // object/array results. Documented deviation: `->` on a JSON *string*
+    // value yields the unquoted text (DuckDB keeps the quotes); every
+    // chainable (object/array) case matches.
     out = rewriteArrow(out)
     // strftime/strptime carry C strftime patterns (reference surface:
     // insert_csv.test.ts:151-177 uses the same pattern family for CSV
@@ -85,11 +89,16 @@ object DialectFunctions {
         Some(s"date_format($e, ${javaPatternLit(fmt)})")
       case _ => None
     }
-    // DuckDB epoch_ms(ts) ≡ Spark unix_millis, but parquet naive timestamps
-    // surface as TIMESTAMP_NTZ which unix_millis rejects — the cast is
-    // meaning-preserving because the engine session is pinned to UTC, the
-    // same wall-clock interpretation DuckDB gives its (naive) TIMESTAMP.
+    // DuckDB overloads epoch_ms: epoch_ms(BIGINT ms) → TIMESTAMP, while
+    // epoch_ms(TIMESTAMP) → BIGINT ms. An integer-shaped argument (bare
+    // integer literal or an explicit integer cast) takes the first overload
+    // (Spark timestamp_millis); everything else takes the second, where the
+    // TIMESTAMP cast is needed because parquet naive timestamps surface as
+    // TIMESTAMP_NTZ which unix_millis rejects — meaning-preserving since the
+    // engine session is pinned to UTC, the same wall-clock interpretation
+    // DuckDB gives its (naive) TIMESTAMP.
     out = rewriteCalls(out, "epoch_ms") {
+      case Seq(e) if isIntegerShaped(e) => Some(s"timestamp_millis(CAST($e AS BIGINT))")
       case Seq(e) => Some(s"unix_millis(CAST($e AS TIMESTAMP))")
       case _ => None
     }
@@ -100,8 +109,10 @@ object DialectFunctions {
     }
     // LIST form only: `FROM range(...)` is a table-valued function in both
     // dialects, and Spark's native range TVF already has DuckDB's
-    // end-exclusive semantics — leave it alone.
-    out = rewriteCalls(out, "range", skipAfterWords = Set("from", "join")) {
+    // end-exclusive semantics — leave it alone. FROM-position detection is
+    // clause-based (not preceding-word) so comma cross-joins
+    // (`FROM t, range(5) r`) are also left as TVFs.
+    out = rewriteCalls(out, "range", skipInFromClause = true) {
       case Seq(n) => Some(rangeSql("CAST(0 AS BIGINT)", s"CAST($n AS BIGINT)"))
       case Seq(a, b) => Some(rangeSql(s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)"))
       case _ => None
@@ -109,35 +120,112 @@ object DialectFunctions {
     out
   }
 
+  // lhs: identifier/column chain OR a complete string literal (DuckDB docs
+  // write `'{"a":1}' -> 'a'` constantly); literal-interior false matches are
+  // rejected by the literalStartsAt check in rewriteArrow.
   private val ArrowRe = java.util.regex.Pattern.compile(
-    """([\w.`"]+)\s*->>\s*'((?:[^']|'')*)'""")
+    """('(?:[^']|'')*'|[\w.`"]+)((?:\s*->>?\s*(?:'(?:[^']|'')*'|\d+))+)""")
+  private val ArrowSegRe = java.util.regex.Pattern.compile(
+    """\s*(->>?)\s*(?:'((?:[^']|'')*)'|(\d+))""")
 
   private def rewriteArrow(sql: String): String = {
     val m = ArrowRe.matcher(sql)
     val sb = new StringBuilder
     var last = 0
     while (m.find()) {
-      if (insideLiteral(sql, m.start())) {
+      // Lambda guard: `x -> 'const'` / `x -> 0` inside a higher-order
+      // function is lambda syntax, not JSON extraction. `->>` never appears
+      // in lambdas, so only pure single-arrow chains need the check.
+      val lambdaLike = !m.group(2).contains("->>") &&
+        HofNames.contains(enclosingCallName(sql, m.start()))
+      // a literal LHS is fine iff the match begins exactly at the literal's
+      // opening quote; a match that begins mid-literal is literal content
+      val literalSafe =
+        if (m.group(1).startsWith("'")) literalStartsAt(sql, m.start())
+        else !insideLiteral(sql, m.start())
+      if (!literalSafe || lambdaLike) {
         sb.append(sql.substring(last, m.end()))
       } else {
-        val path = m.group(2)
-        val norm = if (path.startsWith("$")) path else "$." + path
-        sb.append(sql.substring(last, m.start()))
-          .append(s"get_json_object(${m.group(1)}, '$norm')")
+        // fold the arrow chain left-to-right into nested get_json_object
+        var acc = m.group(1)
+        val seg = ArrowSegRe.matcher(m.group(2))
+        while (seg.find()) {
+          val norm =
+            if (seg.group(3) != null) "$[" + seg.group(3) + "]"
+            else if (seg.group(2).startsWith("$")) seg.group(2)
+            else "$." + seg.group(2)
+          acc = s"get_json_object($acc, '$norm')"
+        }
+        sb.append(sql.substring(last, m.start())).append(acc)
       }
       last = m.end()
     }
     sb.append(sql.substring(last)).toString
   }
 
-  /** Word (identifier/keyword) immediately before `pos`, lowercased. */
-  private def precedingWord(sql: String, pos: Int): String = {
-    var end = pos
-    while (end > 0 && sql.charAt(end - 1).isWhitespace) end -= 1
-    var start = end
-    while (start > 0 && (sql.charAt(start - 1).isLetterOrDigit || sql.charAt(start - 1) == '_'))
-      start -= 1
-    sql.substring(start, end).toLowerCase
+  /** Functions whose arguments may be `param -> body` lambdas (Spark names,
+    * post-NameMap, plus the DuckDB spellings in case the map is bypassed). */
+  private val HofNames = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "array_sort",
+    "list_transform", "list_filter", "list_reduce")
+
+  /** Name of the innermost call enclosing `pos` (lowercased), or "". */
+  private def enclosingCallName(sql: String, pos: Int): String = {
+    var depth = 0
+    var i = pos - 1
+    while (i >= 0) {
+      if (!insideLiteral(sql, i)) {
+        sql.charAt(i) match {
+          case ')' => depth += 1
+          case '(' if depth > 0 => depth -= 1
+          case '(' =>
+            var end = i
+            while (end > 0 && sql.charAt(end - 1).isWhitespace) end -= 1
+            var start = end
+            while (start > 0 && (sql.charAt(start - 1).isLetterOrDigit ||
+                sql.charAt(start - 1) == '_')) start -= 1
+            return sql.substring(start, end).toLowerCase
+          case _ => ()
+        }
+      }
+      i -= 1
+    }
+    ""
+  }
+
+  /** SQL clause keywords that re-anchor what clause a position belongs to. */
+  private val ClauseWords = Set(
+    "select", "from", "join", "where", "group", "having", "order",
+    "limit", "on", "using", "values", "set")
+
+  /** The clause keyword controlling `pos`: a literal-aware forward scan that
+    * keeps, per paren-depth level, the last clause keyword seen at that
+    * level; a position inherits its enclosing level's clause when its own
+    * level has none (function arguments). `FROM t, range(5) r` resolves to
+    * "from" even though the token before the call is ',' — the case the old
+    * preceding-word check got wrong. */
+  private def controllingClause(sql: String, pos: Int): String = {
+    val stack = scala.collection.mutable.ArrayBuffer[String]("")
+    var i = 0
+    while (i < pos) {
+      sql.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(sql, i) - 1
+        case '(' => stack += ""
+        case ')' => if (stack.length > 1) stack.remove(stack.length - 1)
+        case c if c.isLetter || c == '_' =>
+          var end = i
+          while (end < sql.length &&
+              (sql.charAt(end).isLetterOrDigit || sql.charAt(end) == '_')) end += 1
+          val w = sql.substring(i, end).toLowerCase
+          if (ClauseWords.contains(w)) stack(stack.length - 1) = w
+          i = end - 1
+        case _ => ()
+      }
+      i += 1
+    }
+    // inherit from the nearest enclosing level that has a clause
+    stack.reverseIterator.find(_.nonEmpty).getOrElse("")
   }
 
   /** `[a, b)` as a Spark sequence with DuckDB's empty-range behavior. */
@@ -151,6 +239,17 @@ object DialectFunctions {
   private def javaPatternLit(lit: String): String = {
     val t = lit.trim
     "'" + Strftime.toJavaPattern(t.substring(1, t.length - 1)).replace("'", "''") + "'"
+  }
+
+  /** Argument that is statically integer-typed: a bare integer literal, or
+    * an explicit integer cast (`x::BIGINT`, `CAST(x AS INT)`). Used to pick
+    * DuckDB's epoch_ms(BIGINT) overload; anything ambiguous falls through to
+    * the timestamp overload (the common case in analytical text). */
+  private def isIntegerShaped(arg: String): Boolean = {
+    val t = arg.trim
+    t.matches("[+-]?\\d+") ||
+      t.matches("(?is).*::\\s*(?:tinyint|smallint|int|integer|bigint|hugeint|u?int\\d*)\\s*") ||
+      t.matches("(?is)cast\\s*\\(.*\\bas\\s+(?:tinyint|smallint|int|integer|bigint|hugeint)\\s*\\)\\s*")
   }
 
   private def isLiteral(arg: String): Boolean = {
@@ -171,7 +270,7 @@ object DialectFunctions {
     * and returns the replacement text (None = leave the call unchanged).
     * Nested calls are handled by re-scanning until no rewrite fires. */
   private def rewriteCalls(sql: String, namePattern: String,
-      skipAfterWords: Set[String] = Set.empty)(
+      skipInFromClause: Boolean = false)(
       f: Seq[String] => Option[String]): String = {
     val re = java.util.regex.Pattern.compile("(?i)\\b(?:" + namePattern + ")\\s*\\(")
     var cur = sql
@@ -185,7 +284,8 @@ object DialectFunctions {
       var done = false
       while (!done && m.find(search)) {
         if (insideLiteral(cur, m.start()) ||
-            skipAfterWords.contains(precedingWord(cur, m.start()))) search = m.end()
+            (skipInFromClause &&
+              Set("from", "join").contains(controllingClause(cur, m.start())))) search = m.end()
         else {
           val argsStart = m.end()
           val close = matchingParen(cur, argsStart - 1)
@@ -204,6 +304,22 @@ object DialectFunctions {
       }
     }
     cur
+  }
+
+  /** True iff `pos` is the OPENING quote of a string literal under the same
+    * forward scan insideLiteral uses (i.e. not the interior of an earlier
+    * literal that happens to contain a quote). */
+  private def literalStartsAt(sql: String, pos: Int): Boolean = {
+    var i = 0
+    while (i < sql.length && i <= pos) {
+      if (sql.charAt(i) == '\'') {
+        if (i == pos) return true
+        val end = SqlText.literalEnd(sql, i)
+        if (pos < end) return false
+        i = end
+      } else i += 1
+    }
+    false
   }
 
   private def insideLiteral(sql: String, pos: Int): Boolean = {

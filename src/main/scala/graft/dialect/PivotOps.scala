@@ -28,34 +28,43 @@ import org.apache.spark.sql.functions.{col, expr}
 object PivotOps {
 
   private val PivotRe =
-    """(?is)\s*PIVOT\s+([\w.`"]+)\s+ON\s+([\w`"]+)\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*""".r
+    """(?is)\s*PIVOT\s+([\w.`"]+)\s+ON\s+([\w`"]+)(?:\s+IN\s*\((.+?)\))?\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*""".r
   private val UnpivotRe =
     """(?is)\s*UNPIVOT\s+([\w.`"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w`"]+)\s+VALUE\s+([\w`"]+)\s*""".r
 
   /** Some(result) when the statement is a PIVOT/UNPIVOT handled here. */
   def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
-    case PivotRe(table, on, using, groupBy) =>
-      Some(pivot(spark, table, unquote(on), using, Option(groupBy)))
+    case PivotRe(table, on, inList, using, groupBy) =>
+      Some(pivot(spark, table, unquote(on), using, Option(groupBy), Option(inList)))
     case UnpivotRe(table, on, name, value) =>
       Some(unpivot(spark, table, on, unquote(name), unquote(value)))
     case _ => None
   }
 
   def pivot(spark: SparkSession, table: String, on: String, usingText: String,
-      groupByText: Option[String]): DataFrame = {
+      groupByText: Option[String], inListText: Option[String] = None): DataFrame = {
     val df = spark.table(unquote(table))
     val aggs = splitTopLevel(usingText).map(parseAgg)
     val groupCols: Seq[String] = groupByText match {
       case Some(g) => splitTopLevel(g).map(unquote)
       case None =>
-        // implicit grouping: all columns neither pivoted ON nor mentioned
-        // inside a USING aggregate (DuckDB's rule)
-        val usedInAgg = (c: String) =>
-          ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
-            .findFirstIn(usingText).isDefined
-        df.columns.toSeq.filterNot(c => c.equalsIgnoreCase(on) || usedInAgg(c))
+        // implicit grouping: all columns neither pivoted ON nor *referenced
+        // by* a USING aggregate (DuckDB's binder rule). References come from
+        // parsing each aggregate and walking its attribute nodes, so a
+        // column whose name collides with a function name or a word inside
+        // a string literal is NOT excluded (the old word-regex was).
+        val referenced = aggs.flatMap { case (e, _) => exprRefs(spark, e, usingText) }
+          .map(_.toLowerCase).toSet
+        df.columns.toSeq.filterNot(c =>
+          c.equalsIgnoreCase(on) || referenced.contains(c.toLowerCase))
     }
-    val grouped = df.groupBy(groupCols.map(col): _*).pivot(on)
+    // A pinned IN-list skips Spark's distinct-values job entirely — one
+    // fewer Spark job and stable column order, same as DuckDB's bound form.
+    val grouped = inListText match {
+      case Some(vals) =>
+        df.groupBy(groupCols.map(col): _*).pivot(on, splitTopLevel(vals).map(parseValue))
+      case None => df.groupBy(groupCols.map(col): _*).pivot(on)
+    }
     aggs match {
       case Seq((e, None)) => grouped.agg(expr(e)) // bare value column names
       case Seq((e, Some(alias))) =>
@@ -79,6 +88,31 @@ object PivotOps {
     val ids = df.columns.toSeq.filterNot(c => values.exists(_.equalsIgnoreCase(c)))
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, name, value)
       .filter(col(value).isNotNull) // DuckDB UNPIVOT drops NULL cells
+  }
+
+  /** Column names an aggregate expression actually references, via Spark's
+    * parser (UnresolvedAttribute walk). Falls back to the word-regex over
+    * the USING text only if the expression doesn't parse. */
+  private def exprRefs(spark: SparkSession, aggExpr: String,
+      usingText: String): Seq[String] =
+    try spark.sessionState.sqlParser.parseExpression(aggExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+    } catch {
+      case _: Exception =>
+        """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(usingText).toSeq
+    }
+
+  /** A literal from a PIVOT IN-list: number, boolean, or string ('' unescaped). */
+  private def parseValue(item: String): Any = {
+    val t = item.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
+    else if (t.matches("[+-]?\\d+")) t.toLong
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) t.toDouble
+    else unquote(t)
   }
 
   /** `agg_expr [AS alias]` — the alias split is on the LAST top-level AS. */

@@ -170,6 +170,34 @@ object DialectQueries {
       |  CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // JSON `->` operator (JSON-typed extraction) chained into `->>`:
+  // each `->` folds to get_json_object, sound for the chainable
+  // (object/array) results; integer segments address arrays 0-based in both
+  // engines. The JSON is built from row data so values vary per row.
+  private val q71Sql =
+    """SELECT o_orderkey,
+      |  CAST(j -> 'a' ->> 'b' AS BIGINT) AS b_val,
+      |  j -> 'a' -> 'arr' ->> 1 AS arr_1,
+      |  j ->> '$.a.b' AS b_path
+      |FROM (SELECT o_orderkey,
+      |        '{"a": {"b": ' || CAST(o_orderkey AS STRING) || ', "arr": [10,20,30]}}' AS j
+      |      FROM orders WHERE o_orderkey <= 200)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // PIVOT with a pinned IN-list: the value set is bound at parse time (no
+  // distinct-values job on either engine) and the column order is the
+  // declared one.
+  private val q72Pivot =
+    "PIVOT orders ON o_orderstatus IN ('O', 'F') USING sum(o_totalprice) GROUP BY o_orderpriority"
+  private val q72Oracle =
+    s"SELECT * FROM ($q72Pivot) ORDER BY o_orderpriority"
+
+  private def pivotInQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    graft.dialect.PivotOps.dispatch(spark, q72Pivot).get
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+  }
+
   // DISTINCT ON — DuckDB's first-row-per-group idiom, compiled through the
   // QUALIFY machinery (q58's path): highest-price order per customer.
   private val q69Sql =
@@ -189,5 +217,7 @@ object DialectQueries {
     Q("q64_datetime_functions", fns(q64Sql), Some(q64Sql)),
     Q("q66_string_predicates", fns(q66Sql), Some(q66Sql)),
     Q("q67_json_arrow", fns(q67Sql), Some(q67Sql)),
-    Q("q69_distinct_on", sugar(q69Sql), Some(q69Sql)))
+    Q("q69_distinct_on", sugar(q69Sql), Some(q69Sql)),
+    Q("q71_json_arrow_chain", fns(q71Sql), Some(q71Sql)),
+    Q("q72_pivot_in", pivotInQ, Some(q72Oracle)))
 }

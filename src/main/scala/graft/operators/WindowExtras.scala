@@ -132,17 +132,29 @@ object WindowExtras {
   /** nth_value + IGNORE NULLS positional window forms (the last §2.5
     * spellings without an oracle row) over a synthesized null-bearing
     * column; the (ts, event_id) ordering is unique so the default RANGE
-    * frame behaves identically in both engines. */
+    * frame behaves identically in both engines.
+    *
+    * Scale shape: `event_type` has 5 values, so a window partitioned on it
+    * alone is 5 single-task sorts of 20% of the table each at any scale —
+    * the running state is instead computed per (event_type, event-day) via
+    * [[graft.scale.Scale.bandedRunningPositional]], with boundary state
+    * carried across day buckets through a summary table bounded by the day
+    * count, never the row count (ScaleSpec pins equality with the
+    * single-window form and asserts no full-table window keys on
+    * event_type alone). */
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    t(s, dir)("events")
+    val e = t(s, dir)("events")
       .withColumn("v",
         when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
           .otherwise(col("value")))
-      .select(col("event_id"), col("event_type"),
-        nth_value(col("event_id"), 3).over(w).as("nth3"),
-        first(col("v"), ignoreNulls = true).over(w).as("first_nn"),
-        last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
+    // event-day bucket: monotone in ts, key space grows with the time span
+    val day = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L)) div 86400000000L")
+    graft.scale.Scale.bandedRunningPositional(e, "event_type", day,
+        Seq(col("ts"), col("event_id")), valCol = "v", nthCol = "event_id",
+        n = 3, firstName = "first_nn", lastName = "last_nn", nthName = "nth3")
+      .select(col("event_id"), col("event_type"), col("nth3"),
+        col("first_nn"), col("last_nn"))
       .orderBy(col("event_id"))
   }
 

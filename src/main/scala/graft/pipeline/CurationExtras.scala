@@ -311,16 +311,20 @@ object CurationExtras {
     * that near-duplicate the EXISTING corpus, without re-deduping the
     * corpus — the shape a daily crawl refresh runs at 100 TB. Both sides
     * share the MinHash band kernel (graft.pipeline.PortableHash, identical
-    * to p06); candidates come from the (band, band_sig) equi-join, with
-    * the (small) new-snapshot side broadcast so the corpus's layout is
-    * untouched. In production the corpus band rows are a precomputed,
+    * to p06); candidates come from the (band, band_sig) equi-join. The
+    * new-snapshot side is deliberately NOT hint-broadcast: a typical daily
+    * batch is small and AQE broadcasts it from its measured runtime size,
+    * but a large refresh must degrade to a shuffle join instead of OOMing
+    * the driver the way a forced `broadcast()` would (the choice is driven
+    * by spark.sql.autoBroadcastJoinThreshold; CurationExtrasSpec asserts
+    * both regimes). In production the corpus band rows are a precomputed,
     * bucketed table — only the new batch is hashed per run. */
   private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val bands = DedupQueries.bandRows(DedupQueries.signatures(docs(s, dir)))
     val newB = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
       .select(col("doc_id").as("new_doc_id"), col("band"), col("band_sig"))
     val corpusB = bands.filter(pmod(col("doc_id"), lit(10)) =!= 7)
-    corpusB.join(broadcast(newB), Seq("band", "band_sig"))
+    corpusB.join(newB, Seq("band", "band_sig"))
       .groupBy(col("new_doc_id"))
       .agg(countDistinct(col("band")).as("n_hit_bands"),
         min(col("doc_id")).as("match_min"))

@@ -135,6 +135,74 @@ object Scale {
       .drop("__g", "__ctx")
   }
 
+  /** Running positional window state (first_value/last_value IGNORE NULLS +
+    * nth_value over the unbounded-preceding frame) partitioned by a
+    * LOW-CARDINALITY key, with NO window over the full table keyed on that
+    * key alone. A bare `Window.partitionBy(lowCardKey)` plans one task per
+    * key value — 5 event types ⇒ 5 single-task sorts of 20% of the table
+    * each at any scale (the q68 shape round-5 flagged). Instead:
+    *
+    *  1. rows bucket by an order-aligned coarse id (e.g. event day), and the
+    *     running state is computed per (key, bucket) — parallelism grows
+    *     with the data;
+    *  2. per (key, bucket), ONE summary row (row count, bucket's first/last
+    *     non-null) is extracted, and the tiny summary table — one row per
+    *     touched bucket, never per event — carries state across buckets
+    *     with a per-key window (bounded by bucket count, the same
+    *     boundary-carry shape as [[segmentedAsofJoin]]);
+    *  3. the global nth row sits in whichever bucket the prefix counts say;
+    *     its value is recovered from the ≤ n local head rows of each bucket
+    *     and joined back per key.
+    *
+    * `bucket` must be monotone in `ord` (rows of an earlier bucket all sort
+    * before rows of a later one) and `ord` must be a total order within the
+    * key. Results are identical to the single-window form at any
+    * parallelism (ScaleSpec pins equality). */
+  def bandedRunningPositional(df: DataFrame, partKey: String, bucket: Column,
+      ord: Seq[Column], valCol: String, nthCol: String, n: Int,
+      firstName: String, lastName: String, nthName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__b", bucket)
+    val wRn = Window.partitionBy(col(partKey), col("__b")).orderBy(ord: _*)
+    val wLoc = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b
+      .withColumn("__rn", row_number().over(wRn))
+      .withColumn("__locF", first(col(valCol), ignoreNulls = true).over(wLoc))
+      .withColumn("__locL", last(col(valCol), ignoreNulls = true).over(wLoc))
+    // one row per (key, bucket): the bucket's LAST row's running state is
+    // the whole-bucket first/last non-null
+    val summary = local.groupBy(col(partKey), col("__b"))
+      .agg(count(lit(1)).as("__cnt"),
+        max_by(col("__locF"), col("__rn")).as("__bF"),
+        max_by(col("__locL"), col("__rn")).as("__bL"))
+    // per-key carry over STRICTLY earlier buckets — a window keyed by the
+    // low-card key, but over the summary table (O(buckets) rows)
+    val wCarry = Window.partitionBy(col(partKey)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary
+      .withColumn("__prevCnt", coalesce(sum(col("__cnt")).over(wCarry), lit(0L)))
+      .withColumn("__carryF", first(col("__bF"), ignoreNulls = true).over(wCarry))
+      .withColumn("__carryL", last(col("__bL"), ignoreNulls = true).over(wCarry))
+      .select(col(partKey), col("__b"), col("__prevCnt"), col("__carryF"),
+        col("__carryL"))
+    // global nth row per key: among the ≤ n head rows of each bucket, the
+    // one whose global row number is exactly n
+    val nthMap = local.filter(col("__rn") <= n)
+      .select(col(partKey), col("__b"), col("__rn"), col(nthCol).as("__nthVal"))
+      .join(carry.select(col(partKey), col("__b"), col("__prevCnt")),
+        Seq(partKey, "__b"))
+      .filter(col("__rn") + col("__prevCnt") === n)
+      .select(col(partKey), col("__nthVal"))
+    local.join(carry, Seq(partKey, "__b"))
+      .join(nthMap, Seq(partKey), "left")
+      .withColumn(firstName, coalesce(col("__carryF"), col("__locF")))
+      .withColumn(lastName, coalesce(col("__locL"), col("__carryL")))
+      .withColumn(nthName,
+        when(col("__rn") + col("__prevCnt") >= n, col("__nthVal")))
+      .drop("__b", "__rn", "__locF", "__locL", "__prevCnt", "__carryF",
+        "__carryL", "__nthVal")
+  }
+
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): converges in O(log n) rounds on ANY graph, where min-label

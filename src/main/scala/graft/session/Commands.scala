@@ -252,7 +252,11 @@ object Commands {
     val df = fmt match {
       case "PARQUET" => graft.Tables.readParquetAuto(spark, resolved)
       case _ =>
-        val header = opts.get("HEADER").forall(v =>
+        // DuckDB's COPY ... FROM does NOT assume a header line unless the
+        // option is present (bare `HEADER` means true) — defaulting true
+        // here would silently drop the first data row of a headerless CSV.
+        // The engine's own load.sql always writes `header 1` explicitly.
+        val header = opts.get("HEADER").exists(v =>
           v == "1" || v.isEmpty || v.equalsIgnoreCase("true"))
         val reader = spark.read
           .option("header", header)

@@ -62,6 +62,11 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
     // expression — pin both confs so the rewrites always mean positions
     _spark.conf.set("spark.sql.groupByOrdinal", "true")
     _spark.conf.set("spark.sql.orderByOrdinal", "true")
+    // DuckDB's array_length(NULL) / cardinality(NULL) is NULL; Spark's
+    // size() returns -1 under the legacy default. The dialect rewrite maps
+    // array_length → size, so pin the conf to DuckDB's (and standard SQL's)
+    // null semantics.
+    _spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     _spark.sql("CREATE DATABASE IF NOT EXISTS main")
     _spark.catalog.setCurrentDatabase("main")
     graft.functions.registerAll(_spark) // vec_dot / vec_cosine / simhash64 in SQL

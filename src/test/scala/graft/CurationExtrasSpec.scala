@@ -89,6 +89,29 @@ class CurationExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("p37: broadcasts under the threshold, degrades to shuffle above it") {
+    // the snapshot side carries no broadcast hint — the join strategy must
+    // follow spark.sql.autoBroadcastJoinThreshold so a large refresh can't
+    // OOM the driver the way a forced broadcast() would
+    def executedPlan(): String = {
+      val df = q("p37_incremental_dedup")
+      df.collect() // finalize AQE so the runtime join choice is visible
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert(executedPlan().contains("BroadcastHashJoin"),
+        "small snapshot side should broadcast under the default threshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = executedPlan()
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        s"join must degrade to a shuffle when broadcast is off:\n$shuffled")
+      assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("p38: partitions the corpus, and a Lloyd step never raises inertia") {
     import graft.pipeline.Clustering
     val rows = q("p38_kmeans_quantized").collect()

@@ -101,6 +101,58 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(ms === 86400000L)
   }
 
+  test("epoch_ms integer overload converts ms to TIMESTAMP (DuckDB parity)") {
+    // integer-shaped argument → epoch_ms(BIGINT) overload
+    assert(DialectFunctions.rewrite("SELECT epoch_ms(86400000)") ===
+      "SELECT timestamp_millis(CAST(86400000 AS BIGINT))")
+    assert(DialectFunctions.rewrite("SELECT epoch_ms(x::BIGINT)") ===
+      "SELECT timestamp_millis(CAST(x::BIGINT AS BIGINT))")
+    // everything else stays on the timestamp → ms overload
+    assert(DialectFunctions.rewrite("SELECT epoch_ms(ts)") ===
+      "SELECT unix_millis(CAST(ts AS TIMESTAMP))")
+    prepare()
+    val d = conn.queryDF("SELECT CAST(epoch_ms(86400000) AS DATE) AS d")
+      .collect().head.getDate(0).toString
+    assert(d === "1970-01-02")
+  }
+
+  test("array_length(NULL) is NULL, not -1 (sizeOfNull pinned)") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT array_length(CAST(NULL AS ARRAY<INT>)) AS n, array_length(array(1,2)) AS m")
+      .collect().head
+    assert(r.isNullAt(0) && r.getInt(1) === 2)
+  }
+
+  test("range in FROM position is a TVF even after a comma cross-join") {
+    // comma cross-join: the token before the call is ',', not FROM — the
+    // clause tracker must still classify it as FROM position
+    val crossJoin = "SELECT n_name, r.id FROM nation, range(3) r"
+    assert(DialectFunctions.rewrite(crossJoin) === crossJoin)
+    // select-list position after a comma IS the list form → rewritten
+    assert(DialectFunctions.rewrite("SELECT a, range(3) FROM t").contains("sequence("))
+    prepare()
+    val n = conn.queryDF("SELECT count(*) AS c FROM nation, range(3) r")
+      .collect().head.getLong(0)
+    assert(n === 75L) // 25 nations × 3
+  }
+
+  test("JSON -> chains fold into nested get_json_object") {
+    assert(DialectFunctions.rewrite("SELECT j -> 'a' ->> 'b' FROM t") ===
+      "SELECT get_json_object(get_json_object(j, '$.a'), '$.b') FROM t")
+    assert(DialectFunctions.rewrite("SELECT j -> 'a' -> 0 ->> 'b' FROM t") ===
+      "SELECT get_json_object(get_json_object(get_json_object(j, '$.a'), '$[0]'), '$.b') FROM t")
+    // lambda bodies inside higher-order functions are NOT json arrows
+    val lambda = "SELECT transform(xs, x -> 'a') FROM t"
+    assert(DialectFunctions.rewrite(lambda) === lambda)
+    val lambdaInt = "SELECT filter(xs, x -> 1) FROM t"
+    assert(DialectFunctions.rewrite(lambdaInt) === lambdaInt)
+    prepare()
+    val v = conn.queryDF(
+      """SELECT '{"a": {"b": 7}}' -> 'a' ->> 'b' AS v""").collect().head.getString(0)
+    assert(v === "7")
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(

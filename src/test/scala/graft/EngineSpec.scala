@@ -332,6 +332,20 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.cf_t")
   }
 
+  test("COPY t FROM a headerless CSV keeps the first data row (DuckDB default)") {
+    conn.queryDF("DROP TABLE IF EXISTS main.cfh_t")
+    conn.queryDF(
+      "CREATE TABLE main.cfh_t AS SELECT CAST(1 AS BIGINT) AS id, CAST(2.5 AS DOUBLE) AS v")
+    val f = Files.createTempDirectory("graft-copyfrom-nohdr").resolve("in.csv")
+    // no header line: with HEADER absent, DuckDB reads BOTH rows
+    Files.writeString(f, "9,3.5\n10,4.5\n")
+    conn.queryDF(s"COPY main.cfh_t FROM '$f' (FORMAT 'csv')")
+    val ids = conn.queryDF("SELECT id FROM main.cfh_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 9L, 10L))
+    conn.queryDF("DROP TABLE main.cfh_t")
+  }
+
   test("emitBigInt=false patches INT64 → FLOAT64 recursively (bindings.test.ts:176-198)") {
     val e2 = new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark),
       emitBigInt = false))

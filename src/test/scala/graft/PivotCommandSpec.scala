@@ -38,6 +38,33 @@ class PivotCommandSpec extends AnyFunSuite {
       explicit.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq)
   }
 
+  test("PIVOT implicit GROUP BY keeps columns whose names collide with USING tokens") {
+    prepare()
+    import spark.implicits._
+    // a grouping column literally named `sum` and one colliding with a word
+    // inside a string literal — both must still group (binder-rule parity;
+    // the old word-regex over the USING text excluded them)
+    Seq(("a", "x", 1.0), ("a", "x", 2.0), ("b", "y", 3.0))
+      .toDF("sum", "lit", "price").createOrReplaceTempView("__pvt_collide")
+    val df = conn.queryDF(
+      "PIVOT __pvt_collide ON lit USING sum(price + length('sum lit') * 0)")
+    assert(df.columns.contains("sum"))
+    assert(df.count() === 2L) // grouped by the `sum` column: 'a' and 'b'
+  }
+
+  test("PIVOT ON ... IN pins columns and skips the distinct job") {
+    prepare()
+    val df = conn.queryDF(
+      "PIVOT orders ON o_orderstatus IN ('O', 'F') USING sum(o_totalprice) GROUP BY o_orderpriority")
+    // exactly the pinned values become columns, in the pinned order
+    assert(df.columns.toSeq === Seq("o_orderpriority", "O", "F"))
+    val dynamic = conn.queryDF(
+      "PIVOT orders ON o_orderstatus USING sum(o_totalprice) GROUP BY o_orderpriority")
+    val fromDyn = dynamic.select("o_orderpriority", "O", "F")
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(df.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq === fromDyn)
+  }
+
   test("PIVOT aliased aggregates name columns value_alias like DuckDB") {
     prepare()
     val one = conn.queryDF(

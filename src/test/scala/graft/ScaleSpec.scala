@@ -107,6 +107,44 @@ class ScaleSpec extends AnyFunSuite {
       s"banded range frame still has a single-partition stage:\n$plan")
   }
 
+  test("banded running positional state equals the single window; no full-table window on the low-card key") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sfDir, "events")
+      .withColumn("v",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val single = e.select(col("event_id"),
+      nth_value(col("event_id"), 3).over(w).as("nth3"),
+      first(col("v"), ignoreNulls = true).over(w).as("first_nn"),
+      last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
+    // hour buckets (not day) → many boundary crossings exercised
+    val hour = expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) div 3600000000L")
+    val banded = Scale.bandedRunningPositional(e, "event_type", hour,
+        Seq(col("ts"), col("event_id")), valCol = "v", nthCol = "event_id",
+        n = 3, firstName = "first_nn", lastName = "last_nn", nthName = "nth3")
+      .select(col("event_id"), col("nth3"), col("first_nn"), col("last_nn"))
+    assert(banded.exceptAll(single).count() === 0)
+    assert(single.exceptAll(banded).count() === 0)
+    // no Window over the FULL events table may key on event_type alone:
+    // every such window must sit above an Aggregate (the bucket-summary
+    // carry), so its input is O(buckets), not O(rows)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val plan = banded
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan
+    def hasAggBelow(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => () }.isDefined
+    plan.foreach {
+      case lw: LWindow if lw.partitionSpec.length == 1 &&
+          lw.partitionSpec.head.references.map(_.name).toSeq == Seq("event_type") =>
+        assert(hasAggBelow(lw.child),
+          s"window keyed on event_type alone reads the full table:\n$lw")
+      case _ => ()
+    }
+  }
+
   test("connectedComponents collapses a 200-link chain within O(log n) rounds") {
     import spark.implicits._
     // chain 0-1-2-...-100 plus a disjoint 100-node chain: min-label
