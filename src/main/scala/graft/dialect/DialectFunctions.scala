@@ -49,6 +49,17 @@ object DialectFunctions {
     "list_min" -> "array_min",
     "array_length" -> "size",
     "unnest" -> "explode",
+    "list_value" -> "array",
+    // aggregates: same argument order and semantics (arg_max/min return the
+    // first argument at the extremum of the second; quantile_cont is the
+    // exact interpolated quantile, like Spark's percentile)
+    "arg_max" -> "max_by",
+    "argmax" -> "max_by",
+    "arg_min" -> "min_by",
+    "argmin" -> "min_by",
+    "quantile_cont" -> "percentile",
+    // string position: both 1-based, same argument order
+    "strpos" -> "instr",
     // string predicates/joins: same argument shapes and semantics
     "regexp_matches" -> "regexp_like",
     "starts_with" -> "startswith",
@@ -105,6 +116,23 @@ object DialectFunctions {
     out = rewriteCalls(out, "strptime") {
       case Seq(e, fmt) if isLiteral(fmt) =>
         Some(s"to_timestamp($e, ${javaPatternLit(fmt)})")
+      case _ => None
+    }
+    // struct_pack(k := v, ...) → named_struct('k', v, ...); struct_extract
+    // (s, 'k') → (s)['k'] (Spark's UnresolvedExtractValue resolves string
+    // keys against structs)
+    out = rewriteCalls(out, "struct_pack") { args =>
+      val NamedArg = """(?s)^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+      val pairs = args.map {
+        case NamedArg(k, v) => Some(s"'$k', ${v.trim}")
+        case _ => None
+      }
+      if (pairs.forall(_.isDefined) && pairs.nonEmpty)
+        Some(s"named_struct(${pairs.flatten.mkString(", ")})")
+      else None
+    }
+    out = rewriteCalls(out, "struct_extract") {
+      case Seq(e, k) => Some(s"($e)[$k]")
       case _ => None
     }
     // LIST form only: `FROM range(...)` is a table-valued function in both

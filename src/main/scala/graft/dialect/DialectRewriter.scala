@@ -26,7 +26,8 @@ object DialectRewriter {
   private val viewCounter = new AtomicLong()
 }
 
-final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
+final class DialectRewriter(spark: SparkSession, files: FileRegistry,
+    macros: MacroRegistry = new MacroRegistry) {
 
   private val ParquetScan = """(?i)(parquet_scan|read_parquet)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadCsv = """(?i)read_csv(?:_auto)?\s*\(\s*'([^']+)'([^)]*)\)""".r
@@ -37,7 +38,10 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
     // DuckDB literals are standard-SQL (backslash = plain char); Spark's
     // parser applies C-style escapes — translate so both mean the same
     // string (fixes '\s+' silently splitting on "s+").
-    var out = SqlText.escapeLiteralsForSpark(sql)
+    // macros expand FIRST, before literal escaping: stored bodies are raw
+    // DuckDB text (captured at CREATE MACRO), so the expanded literals must
+    // flow through the same standard-SQL → Spark escape translation
+    var out = SqlText.escapeLiteralsForSpark(macros.expand(sql))
     out = ParquetScan.replaceAllIn(out, m => {
       files.recordScan(m.group(2))
       val v = tempView(graft.Tables.readParquetAuto(spark, files.resolve(m.group(2))))
@@ -86,6 +90,9 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry) {
       o = """(?i)\bBLOB\b""".r.replaceAllIn(o, "BINARY")
       o
     }
+    // COLUMNS(...) star expressions expand against the (now-registered)
+    // relation schemas before any function-name rewriting
+    out = ColumnsExpansion.rewrite(spark, out)
     // DuckDB function spellings Spark names differently: unnest/list_*/
     // regexp_split_to_array/string_split/range (see DialectFunctions)
     out = DialectFunctions.rewrite(out)

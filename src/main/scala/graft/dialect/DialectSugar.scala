@@ -28,7 +28,9 @@ object DialectSugar {
 
   val QualMarker = "__graft_qual"
 
-  def rewrite(sql: String): String = process(sql)
+  // ASOF JOIN first: its output is plain JOIN + window SQL, which the
+  // sugar passes (QUALIFY etc.) then treat like any other text
+  def rewrite(sql: String): String = process(AsofJoinSql.rewrite(sql))
 
   // ---------------------------------------------------------------- scan
   /** End index (exclusive) of a comment starting at `i`, or `i` if none:

@@ -22,6 +22,10 @@ package object functions {
   def simhash64(tokenHashes: Column): Column =
     ExprBridge.column(SimHash64(ExprBridge.expression(tokenHashes)))
 
+  /** [scale, q_sum, q_l1, q_min, q_max] of one-pass int8 quantization. */
+  def quant_stats(a: Column): Column =
+    ExprBridge.column(QuantStats(ExprBridge.expression(a)))
+
   def minhash_sig(elementHashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExprBridge.column(MinHashSignature(ExprBridge.expression(elementHashes), a, b, p))
 
@@ -48,6 +52,8 @@ package object functions {
       es => { arity("vec_cosine", 2)(es); VecCosine(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "simhash64",
       es => { arity("simhash64", 1)(es); SimHash64(es.head) })
+    ExprBridge.registerFunction(spark, "quant_stats",
+      es => { arity("quant_stats", 1)(es); QuantStats(es.head) })
     ExprBridge.registerFunction(spark, "vec_sum",
       es => { arity("vec_sum", 1)(es); VecSumAgg(es.head) })
     ExprBridge.registerFunction(spark, "graft_polyhash",

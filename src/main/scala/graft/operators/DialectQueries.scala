@@ -198,6 +198,19 @@ object DialectQueries {
       .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"))
   }
 
+  // ASOF JOIN in SQL (AsofJoinSql: equi-join + per-key lead() validity
+  // window; DuckDB runs the text natively). The right side dedups per
+  // (user, ts) first — equal-time ties are resolved arbitrarily by BOTH
+  // engines, so the oracle pins them away.
+  private val q73Sql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1) c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   // DISTINCT ON — DuckDB's first-row-per-group idiom, compiled through the
   // QUALIFY machinery (q58's path): highest-price order per customer.
   private val q69Sql =
@@ -205,6 +218,65 @@ object DialectQueries {
       |FROM orders
       |WHERE o_custkey <= 200
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  // SQL macro expansion (MacroRegistry): the engine side defines the macro
+  // and runs the sugared text; the oracle is the hand-expanded equivalent
+  // (the driver's oracle runs one statement, so DuckDB's own CREATE MACRO
+  // can't be exercised — the unit under oracle is OUR expansion).
+  private val q74Macro =
+    "CREATE MACRO graft_disc(p, pct := 0.1) AS p * (1 - pct)"
+  private val q74Use =
+    """SELECT o_orderpriority,
+      |  CAST(sum(graft_disc(o_totalprice)) AS DOUBLE) AS total_disc,
+      |  CAST(sum(graft_disc(o_totalprice, pct := 0.25)) AS DOUBLE) AS total_disc25
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  private val q74Oracle =
+    """SELECT o_orderpriority,
+      |  CAST(sum(o_totalprice * (1 - 0.1)) AS DOUBLE) AS total_disc,
+      |  CAST(sum(o_totalprice * (1 - 0.25)) AS DOUBLE) AS total_disc25
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def macroQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val reg = new graft.dialect.MacroRegistry
+    reg.dispatch(q74Macro)
+    spark.sql(DialectSugar.rewrite(DialectFunctions.rewrite(
+      graft.dialect.SqlText.escapeLiteralsForSpark(reg.expand(q74Use)))))
+  }
+
+  // COLUMNS('regex') star expression — the bare form's output names are the
+  // column names in both engines, so the SAME text runs on both sides
+  // (DuckDB expands natively, Spark through ColumnsExpansion).
+  private val q75Sql =
+    """SELECT COLUMNS('l_(orderkey|partkey|quantity)')
+      |FROM lineitem
+      |WHERE l_orderkey <= 100
+      |ORDER BY l_orderkey, l_partkey""".stripMargin
+
+  private def columnsQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(DialectSugar.rewrite(DialectFunctions.rewrite(
+      graft.dialect.ColumnsExpansion.rewrite(spark,
+        graft.dialect.SqlText.escapeLiteralsForSpark(q75Sql)))))
+  }
+
+  // aggregate spellings: arg_max/arg_min (value at extremum of the second
+  // argument — keyed by the UNIQUE o_orderkey so ties can't differ),
+  // quantile_cont (exact interpolated ≡ Spark percentile), strpos (1-based).
+  private val q76Sql =
+    """SELECT o_orderpriority,
+      |  arg_max(o_totalprice, o_orderkey) AS price_at_max_key,
+      |  arg_min(o_totalprice, o_orderkey) AS price_at_min_key,
+      |  CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med_price,
+      |  CAST(strpos(min(o_orderpriority), '-') AS BIGINT) AS dash_pos
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // constructor spellings: struct_pack(k := v) / struct_extract / list_value.
+  private val q77Sql =
+    """SELECT o_orderkey,
+      |  struct_extract(struct_pack(k := o_orderkey, p := o_totalprice), 'p') AS packed_p,
+      |  list_extract(list_value(o_orderkey, o_orderkey + 1, o_orderkey + 2), 2) AS second
+      |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
@@ -219,5 +291,10 @@ object DialectQueries {
     Q("q67_json_arrow", fns(q67Sql), Some(q67Sql)),
     Q("q69_distinct_on", sugar(q69Sql), Some(q69Sql)),
     Q("q71_json_arrow_chain", fns(q71Sql), Some(q71Sql)),
-    Q("q72_pivot_in", pivotInQ, Some(q72Oracle)))
+    Q("q72_pivot_in", pivotInQ, Some(q72Oracle)),
+    Q("q73_asof_join_sql", fns(q73Sql), Some(q73Sql)),
+    Q("q74_macro_expansion", macroQ, Some(q74Oracle)),
+    Q("q75_columns_regex", columnsQ, Some(q75Sql)),
+    Q("q76_agg_spellings", fns(q76Sql), Some(q76Sql)),
+    Q("q77_constructor_spellings", fns(q77Sql), Some(q77Sql)))
 }

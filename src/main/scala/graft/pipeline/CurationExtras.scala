@@ -213,19 +213,22 @@ object CurationExtras {
     * ⌊x_i·scale + 0.5⌋ (floor-plus-half instead of round() — the two
     * engines agree on floor bit-for-bit, round() ties differ). Pure narrow
     * map over the embedding column (zero shuffle at any scale); the
-    * per-vector checksums keep the compared output scalar-typed. */
+    * per-vector checksums keep the compared output scalar-typed.
+    *
+    * The whole kernel is ONE codegen'd expression
+    * ([[graft.functions.QuantStats]]): the original five-step
+    * transform/aggregate HOF chain ran interpreted (HOFs don't codegen)
+    * and boxed every element — 4.8× native single-thread at sf10; the
+    * primitive loop is well under 1×. */
   private def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("scale",
-        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(1.0)))
-      .withColumn("q", expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
-      .select(col("vec_id"), col("scale"),
-        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
-        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))").as("q_l1"),
-        expr("CAST(array_min(q) AS BIGINT)").as("q_min"),
-        expr("CAST(array_max(q) AS BIGINT)").as("q_max"))
+      .withColumn("st", graft.functions.quant_stats(col("embedding")))
+      .select(col("vec_id"),
+        expr("st[0]").as("scale"),
+        expr("CAST(st[1] AS BIGINT)").as("q_sum"),
+        expr("CAST(st[2] AS BIGINT)").as("q_l1"),
+        expr("CAST(st[3] AS BIGINT)").as("q_min"),
+        expr("CAST(st[4] AS BIGINT)").as("q_max"))
       .orderBy(col("vec_id"))
   }
 
@@ -261,8 +264,12 @@ object CurationExtras {
       .withColumn("toks", org.apache.spark.sql.functions.split(trim(col("text")), "\\s+"))
       .withColumn("sents", org.apache.spark.sql.functions.split(col("text"), "\\.\\s+"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
+      // mean token length WITHOUT the interpreted aggregate() lambda: the
+      // tokens partition the trimmed text's non-whitespace characters, so
+      // Σ length(token) ≡ length(text with all whitespace removed) — one
+      // codegen'd regexp_replace instead of a boxed per-token fold
       .withColumn("mean_wl",
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+        length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
           / col("n_toks").cast("double"))
       .withColumn("sym_ratio",
         (length(col("text")) - length(translate(col("text"), "#*%@", ""))).cast("double")

@@ -49,7 +49,14 @@ object Commands {
     case ImportDb(dir) => Some(importDatabase(conn, dir))
     case CopyFrom(table, path, opts) => Some(copyFrom(conn, table, path, Option(opts)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
-    case _ => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
+    case _ =>
+      conn.engine.macros.dispatch(sql) match {
+        case Some(name) =>
+          val spark = conn.engine.spark
+          import spark.implicits._
+          Some(Seq(name).toDF("macro"))
+        case None => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
+      }
   }
 
   /** `DESCRIBE t` in DuckDB's result shape (column_name, column_type,

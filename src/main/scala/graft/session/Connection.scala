@@ -16,7 +16,7 @@ import scala.collection.mutable
 final class Connection(val engine: Engine) {
 
   private def spark: SparkSession = engine.spark
-  private lazy val rewriter = new DialectRewriter(spark, engine.files)
+  private lazy val rewriter = new DialectRewriter(spark, engine.files, engine.macros)
 
   private val stmtCounter = new AtomicLong()
   private val statements = mutable.Map[Long, PreparedStatement]()

@@ -31,6 +31,10 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
 
   val files = new FileRegistry
 
+  /** SQL macros, engine-scoped like DuckDB's catalog (CREATE MACRO /
+    * DROP MACRO dispatch in Commands; expansion in DialectRewriter). */
+  val macros = new graft.dialect.MacroRegistry
+
   private def buildSession(): SparkSession = config.existingSession.getOrElse {
     val n = if (config.maximumThreads > 0) config.maximumThreads.toString else "*"
     val warehouse = Files.createTempDirectory("graft-warehouse-")

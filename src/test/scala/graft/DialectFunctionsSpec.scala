@@ -153,6 +153,21 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(v === "7")
   }
 
+  test("aggregate and constructor spellings map to Spark names") {
+    assert(DialectFunctions.rewrite("SELECT arg_max(a, b), arg_min(a, b), quantile_cont(x, 0.5), strpos(s, '-')") ===
+      "SELECT max_by(a, b), min_by(a, b), percentile(x, 0.5), instr(s, '-')")
+    assert(DialectFunctions.rewrite("SELECT struct_pack(k := a, p := b * 2)") ===
+      "SELECT named_struct('k', a, 'p', b * 2)")
+    assert(DialectFunctions.rewrite("SELECT struct_extract(s, 'k')") ===
+      "SELECT (s)['k']")
+    assert(DialectFunctions.rewrite("SELECT list_extract(list_value(1, 2, 3), 2)") ===
+      "SELECT element_at(array(1, 2, 3), 2)")
+    prepare()
+    val r = conn.queryDF(
+      "SELECT struct_extract(struct_pack(a := 7, b := 'x'), 'a') AS v").collect().head
+    assert(r.getInt(0) === 7)
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(
