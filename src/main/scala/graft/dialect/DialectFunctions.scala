@@ -135,6 +135,13 @@ object DialectFunctions {
       case Seq(e, k) => Some(s"($e)[$k]")
       case _ => None
     }
+    // SIMILAR TO with DuckDB's semantics — the pattern is a RAW regex,
+    // full-anchored, where % and _ are literal characters (DuckDB
+    // deliberately deviates from the SQL standard here; docs/sql/functions/
+    // pattern_matching) — and DuckDB's GLOB operator (*, ?, [...]); both →
+    // anchored regexp_like
+    out = rewriteMatchOp(out, "SIMILAR\\s+TO", identity)
+    out = rewriteMatchOp(out, "GLOB", globToRegex)
     // LIST form only: `FROM range(...)` is a table-valued function in both
     // dialects, and Spark's native range TVF already has DuckDB's
     // end-exclusive semantics — leave it alone. FROM-position detection is
@@ -189,6 +196,49 @@ object DialectFunctions {
       last = m.end()
     }
     sb.append(sql.substring(last)).toString
+  }
+
+  /** `<ident> [NOT] <OP> '<literal>'` → `[NOT] regexp_like(ident,
+    * '^pattern$')`, for the pattern operators Spark lacks (SIMILAR TO,
+    * GLOB). Literal patterns only; non-literal patterns pass through and
+    * surface Spark's own parse error. */
+  private def rewriteMatchOp(sql: String, opPattern: String,
+      translate: String => String): String = {
+    val re = java.util.regex.Pattern.compile(
+      "(?i)" + """([\w.`"]+)\s+(NOT\s+)?""" + "(?:" + opPattern + ")" +
+        """\s+'((?:[^']|'')*)'""")
+    val m = re.matcher(sql)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      if (insideLiteral(sql, m.start())) sb.append(sql.substring(last, m.end()))
+      else {
+        val neg = if (m.group(2) != null) "NOT " else ""
+        // the pattern text arrives ALREADY literal-escaped for Spark (the
+        // escape pass runs first), so translators must emit any NEW
+        // backslashes pre-doubled and never re-escape existing content
+        val pat = translate(m.group(3))
+        sb.append(sql.substring(last, m.start()))
+          .append(s"${neg}regexp_like(${m.group(1)}, '^(?:$pat)$$')")
+      }
+      last = m.end()
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
+  /** Glob pattern → Java regex body: * → .*, ? → . , [...] kept, regex
+    * specials escaped (pre-doubled — the emitted text is a Spark string
+    * literal under C-style escaping). */
+  private def globToRegex(pat: String): String = {
+    val sb = new StringBuilder
+    pat.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c @ ('[' | ']' | '^' | '-') => sb.append(c)
+      case c if ".+()|{}$".indexOf(c) >= 0 => sb.append("\\\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   /** Functions whose arguments may be `param -> body` lambdas (Spark names,

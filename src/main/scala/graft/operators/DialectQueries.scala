@@ -278,6 +278,35 @@ object DialectQueries {
       |  list_extract(list_value(o_orderkey, o_orderkey + 1, o_orderkey + 2), 2) AS second
       |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin
 
+  // WITH RECURSIVE — Spark 4 executes recursive CTEs natively (UnionLoop),
+  // so the SAME text runs on both engines: a halving-ancestry walk per
+  // seeded document (≈log₂(doc_id) levels; the recursion carries one row
+  // per (seed, level) — state is O(seeds·log n), never corpus-sized).
+  // Integer `/` yields DOUBLE in both dialects; the halving goes through
+  // floor() because the bare double→int CAST diverges (Spark truncates,
+  // DuckDB rounds half-even — 3/2 would step to 1 vs 2).
+  private val q78Sql =
+    """WITH RECURSIVE up(doc_id, anc, depth) AS (
+      |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(anc / 2) AS BIGINT), depth + 1 FROM up WHERE anc > 0
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS chain_len,
+      |  CAST(max(depth) AS BIGINT) AS max_depth
+      |FROM up GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // Pattern-match operators Spark lacks: SIMILAR TO with DuckDB's raw-regex
+  // full-match semantics (% and _ are LITERAL there — pinned by the last
+  // disjunct, which matches nothing) and DuckDB GLOB (*, ?, [...]), both →
+  // anchored regexp_like; same text runs natively on DuckDB.
+  private val q79Sql =
+    """SELECT doc_id, source, lang
+      |FROM documents
+      |WHERE (source SIMILAR TO 'src1[0-5]' AND lang SIMILAR TO '(en|de)')
+      |   OR source GLOB 'src?'
+      |   OR (lang SIMILAR TO '%(en|de|fr)%' AND source GLOB 'src1*')
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -296,5 +325,7 @@ object DialectQueries {
     Q("q74_macro_expansion", macroQ, Some(q74Oracle)),
     Q("q75_columns_regex", columnsQ, Some(q75Sql)),
     Q("q76_agg_spellings", fns(q76Sql), Some(q76Sql)),
-    Q("q77_constructor_spellings", fns(q77Sql), Some(q77Sql)))
+    Q("q77_constructor_spellings", fns(q77Sql), Some(q77Sql)),
+    Q("q78_recursive_cte", fns(q78Sql), Some(q78Sql)),
+    Q("q79_pattern_operators", fns(q79Sql), Some(q79Sql)))
 }

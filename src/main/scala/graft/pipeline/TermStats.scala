@@ -101,7 +101,88 @@ object TermStats {
       |ORDER BY n DESC, tri
       |LIMIT 50""".stripMargin
 
+  // ------------------------------------------------- p42 unigram surprisal
+  /** Mean unigram surprisal per document: −ln p(token) averaged over the
+    * document's tokens, p from the corpus unigram distribution — the
+    * cheapest perplexity proxy (low = boilerplate/repetitive, high =
+    * noise/rare-token soup; both tails get filtered in practice). Shapes:
+    * explode → vocabulary-sized count join → per-doc average. */
+  private def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
+    val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = terms.agg(count(lit(1)).as("tot"))
+    terms.join(cnt, Seq("term"))
+      .crossJoin(tot) // one-row aggregate
+      .groupBy(col("doc_id"))
+      .agg(
+        avg(-log(col("c").cast("double") / col("tot").cast("double")))
+          .as("mean_surprisal"),
+        count(lit(1)).as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+      |tot AS (SELECT count(*) AS tot FROM toks)
+      |SELECT doc_id,
+      |  avg(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))) AS mean_surprisal,
+      |  CAST(count(*) AS BIGINT) AS n_tok
+      |FROM toks JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- p43 context-window chunks
+  private val ChunkSize = 64
+  private val ChunkStride = 48 // = size − overlap(16)
+
+  /** Context-window chunking with overlap — how documents become training
+    * sequences: tile each token array with windows of `ChunkSize` every
+    * `ChunkStride` tokens (16-token overlap carries context across chunk
+    * boundaries). Pure narrow explode over in-array slices: no shuffle
+    * until the deterministic output sort, chunk count ∝ document length. */
+  private def contextChunks(s: SparkSession, dir: String): DataFrame = {
+    val st = ChunkStride
+    toks(s, dir)
+      .withColumn("n", size(col("t")))
+      .withColumn("k",
+        expr(s"1 + CAST(floor((greatest(n, 1) - 1) / $st) AS INT)"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(0, k - 1)")).as("ci"))
+      .withColumn("start_pos", lit(1) + col("ci") * st)
+      .withColumn("chunk_len",
+        least(lit(ChunkSize), col("n") - col("start_pos") + 1))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        col("start_pos").cast("long").as("start_pos_l"),
+        col("chunk_len").cast("long").as("chunk_len_l"),
+        element_at(col("t"), col("start_pos")).as("first_tok"),
+        element_at(col("t"), col("start_pos") + col("chunk_len") - 1).as("last_tok"))
+      .withColumnRenamed("start_pos_l", "start_pos")
+      .withColumnRenamed("chunk_len_l", "chunk_len")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunksSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    1 + CAST(floor((greatest(len(t), 1) - 1) / $ChunkStride) AS BIGINT) AS k
+       |  FROM toks),
+       |ch AS (SELECT doc_id, t, n, unnest(range(0, k)) AS ci FROM base)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(1 + ci * $ChunkStride AS BIGINT) AS start_pos,
+       |  CAST(least($ChunkSize, n - (1 + ci * $ChunkStride) + 1) AS BIGINT) AS chunk_len,
+       |  t[CAST(1 + ci * $ChunkStride AS INT)] AS first_tok,
+       |  t[CAST(ci * $ChunkStride + least($ChunkSize, n - (1 + ci * $ChunkStride) + 1) AS INT)] AS last_tok
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p40_tfidf_top_terms", tfidfTopTerms, Some(tfidfSql)),
-    Q("p41_trigram_counts", trigramCounts, Some(trigramSql)))
+    Q("p41_trigram_counts", trigramCounts, Some(trigramSql)),
+    Q("p42_unigram_logprob", unigramLogprob, Some(unigramSql)),
+    Q("p43_context_chunks", contextChunks, Some(chunksSql)))
 }

@@ -168,6 +168,26 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) === 7)
   }
 
+  test("SIMILAR TO is a raw anchored regex (DuckDB semantics); GLOB translates") {
+    // DuckDB's SIMILAR TO: full regex match, % and _ LITERAL
+    assert(DialectFunctions.rewrite("SELECT * FROM t WHERE s SIMILAR TO '(a|b)c*'") ===
+      "SELECT * FROM t WHERE regexp_like(s, '^(?:(a|b)c*)$')")
+    assert(DialectFunctions.rewrite("SELECT * FROM t WHERE s NOT SIMILAR TO 'x'") ===
+      "SELECT * FROM t WHERE NOT regexp_like(s, '^(?:x)$')")
+    // GLOB: * → .*, ? → ., regex specials escaped (pre-doubled for the
+    // C-style literal), brackets preserved
+    assert(DialectFunctions.rewrite("SELECT * FROM t WHERE s GLOB 'a*.c?[0-9]'") ===
+      """SELECT * FROM t WHERE regexp_like(s, '^(?:a.*\\.c.[0-9])$')""")
+    // inside a string literal: untouched
+    val lit = "SELECT 'x SIMILAR TO y' AS s"
+    assert(DialectFunctions.rewrite(lit) === lit)
+    prepare()
+    val n = conn.queryDF(
+      "SELECT count(*) AS n FROM documents WHERE source GLOB 'src?' AND lang SIMILAR TO '(en|de)'")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(

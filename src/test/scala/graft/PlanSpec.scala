@@ -104,6 +104,26 @@ class PlanSpec extends AnyFunSuite {
       "interval join degenerated to a cartesian product")
   }
 
+  test("q75 COLUMNS expansion: pruning reaches the scan (3 columns, not 16)") {
+    // the whole point of expanding COLUMNS('regex') pre-planning: the scan
+    // must read exactly the matched columns
+    val p = plan("q75_columns_regex")
+    assert(p.contains("ReadSchema"), "no ReadSchema section")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_partkey") &&
+      read.contains("l_quantity"), s"expanded columns missing from scan: $read")
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"COLUMNS expansion failed to prune the scan: $read")
+  }
+
+  test("q73 ASOF SQL join: equi-join on the key, no cartesian product") {
+    val p = plan("q73_asof_join_sql")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ASOF rewrite produced a non-equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "no hash/merge equi-join in the ASOF plan")
+  }
+
   test("micro_sort two-phase rank: no single-partition full-data window") {
     val p = plan("micro_sort_int")
     // every Window in the plan must be partitioned (a global rank window
