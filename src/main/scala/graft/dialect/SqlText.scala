@@ -55,6 +55,29 @@ object SqlText {
     sb.toString
   }
 
+  /** Split on top-level occurrences of `sep` (outside literals, parens and
+    * brackets). */
+  def splitTopLevel(text: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' => i = literalEnd(text, i) - 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += text.substring(start, i)
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.filter(_.trim.nonEmpty).map(_.trim).toSeq
+  }
+
   /** Count occurrences of `c` outside single-quoted literals. */
   def countOutsideLiterals(sql: String, c: Char): Int = {
     var n = 0

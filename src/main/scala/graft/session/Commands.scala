@@ -33,6 +33,12 @@ object Commands {
     """(?is)\s*COPY\s+([\w.`"]+)\s+FROM\s+'([^']+)'\s*(?:\(?\s*(?:WITH\s*\()?(.*?)\)?\s*)?""".r
   private val ExportDb = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*""".r
   private val ImportDb = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
+  private val DeleteFrom =
+    """(?is)\s*DELETE\s+FROM\s+([\w.`"]+)(?:\s+WHERE\s+(.+?))?\s*""".r
+  private val UpdateSet =
+    """(?is)\s*UPDATE\s+([\w.`"]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*""".r
+  private val InsertReturning =
+    """(?is)\s*INSERT\s+INTO\s+([\w.`"]+)\s*(\([^)]*\))?\s+(.+?)\s+RETURNING\s+(.+?)\s*""".r
 
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
@@ -49,6 +55,11 @@ object Commands {
     case ImportDb(dir) => Some(importDatabase(conn, dir))
     case CopyFrom(table, path, opts) => Some(copyFrom(conn, table, path, Option(opts)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
+    case DeleteFrom(table, cond) => Some(deleteFrom(conn, table, Option(cond)))
+    case UpdateSet(table, setList, cond) =>
+      Some(updateSet(conn, table, setList, Option(cond)))
+    case InsertReturning(table, colList, source, returning) =>
+      Some(insertReturning(conn, table, Option(colList), source, returning))
     case _ =>
       conn.engine.macros.dispatch(sql) match {
         case Some(name) =>
@@ -276,6 +287,113 @@ object Commands {
     val spark2 = spark
     import spark2.implicits._
     Seq(df.count()).toDF("count")
+  }
+
+  /** WHERE/SET/RETURNING expression text arrives in DuckDB dialect — run it
+    * through the same literal-escape + function-spelling passes the query
+    * path uses. */
+  private def translateExpr(text: String): String =
+    graft.dialect.DialectFunctions.rewrite(
+      graft.dialect.SqlText.escapeLiteralsForSpark(text))
+
+  private def cleanName(id: String): String =
+    id.replace("`", "").replace("\"", "")
+
+  /** Replace a table's (or temp view's) contents with `next`. Parquet has
+    * no in-place mutation, so DML is copy-on-write like every table format
+    * on object storage (Delta/Iceberg do the same under the hood): the new
+    * contents are materialized via localCheckpoint FIRST — truncating
+    * lineage so the overwrite never reads the table it is replacing — then
+    * swapped in. At 100 TB the same statement runs against a real table
+    * format; the semantics here match DuckDB's. */
+  private def replaceContents(conn: Connection, table: String,
+      next: DataFrame): Unit = {
+    val spark = conn.engine.spark
+    val mat = next.localCheckpoint(true)
+    val isTemp = scala.util.Try(
+      spark.sessionState.catalog.isTempView(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))).getOrElse(false)
+    if (isTemp) mat.createOrReplaceTempView(table.split('.').last)
+    else mat.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** `DELETE FROM t [WHERE cond]` → DuckDB's one-column Count result. */
+  private def deleteFrom(conn: Connection, table: String,
+      cond: Option[String]): DataFrame = {
+    val spark = conn.engine.spark
+    import org.apache.spark.sql.functions.expr
+    val t = cleanName(table)
+    val df = spark.table(t)
+    val total = df.count()
+    val remaining = cond match {
+      case Some(c) => df.filter(!expr(translateExpr(c)))
+      case None => df.limit(0)
+    }
+    replaceContents(conn, t, remaining)
+    val kept = spark.table(t).count()
+    import spark.implicits._
+    Seq(total - kept).toDF("Count")
+  }
+
+  /** `UPDATE t SET c = e, ... [WHERE cond]` — copy-on-write projection:
+    * assigned columns become `CASE WHEN cond THEN e ELSE c END` cast back
+    * to the column's type (DuckDB binds assignments to the column type). */
+  private def updateSet(conn: Connection, table: String, setList: String,
+      cond: Option[String]): DataFrame = {
+    val spark = conn.engine.spark
+    import org.apache.spark.sql.functions.{expr, when}
+    val t = cleanName(table)
+    val df = spark.table(t)
+    val schema = df.schema
+    val assigns = graft.dialect.SqlText.splitTopLevel(setList, ',').map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad SET item: $a")
+      (cleanName(a.substring(0, i).trim), a.substring(i + 1).trim)
+    }
+    val pred = cond.map(c => expr(translateExpr(c)))
+    // count the affected rows BEFORE the swap — the old files are gone after
+    val n = pred.map(p => df.filter(p).count()).getOrElse(df.count())
+    val updated = assigns.foldLeft(df) { case (d, (name, rhsText)) =>
+      val dt = schema(schema.fieldIndex(name)).dataType
+      val rhs = expr(translateExpr(rhsText)).cast(dt)
+      d.withColumn(name,
+        pred.map(p => when(p, rhs).otherwise(col(name))).getOrElse(rhs))
+    }
+    replaceContents(conn, t, updated)
+    import spark.implicits._
+    Seq(n).toDF("Count")
+  }
+
+  /** `INSERT INTO t [(cols)] VALUES ... / SELECT ... RETURNING list` —
+    * appends, then evaluates the RETURNING projection over exactly the
+    * inserted rows (DuckDB docs/sql/statements/insert#returning-clause). */
+  private def insertReturning(conn: Connection, table: String,
+      colList: Option[String], source: String, returning: String): DataFrame = {
+    val spark = conn.engine.spark
+    import org.apache.spark.sql.functions.lit
+    val t = cleanName(table)
+    val schema = spark.table(t).schema
+    val src0 = source.trim
+    val srcSql = if (src0.toLowerCase.startsWith("values")) s"SELECT * FROM ($src0)" else src0
+    val src = spark.sql(translateExpr(srcSql))
+    val aligned = colList.map(_.stripPrefix("(").stripSuffix(")")
+        .split(",").map(c => cleanName(c.trim)).toSeq) match {
+      case Some(cols) =>
+        val renamed = src.toDF(cols: _*)
+        renamed.select(schema.fields.map { f =>
+          cols.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+      case None =>
+        src.toDF(schema.fieldNames.toSeq: _*)
+          .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    }
+    val inserted = aligned.localCheckpoint(true)
+    inserted.write.mode(SaveMode.Append).insertInto(t)
+    inserted.createOrReplaceTempView("__graft_returning")
+    spark.sql(s"SELECT ${translateExpr(returning)} FROM __graft_returning")
   }
 
   /** `IMPORT DATABASE 'dir'` — replay schema.sql then load.sql, the
