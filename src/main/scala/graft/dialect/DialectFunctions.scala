@@ -47,6 +47,7 @@ object DialectFunctions {
     "list_prepend" -> "array_prepend",
     "list_max" -> "array_max",
     "list_min" -> "array_min",
+    "list_reverse" -> "reverse",
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
@@ -133,6 +134,44 @@ object DialectFunctions {
     }
     out = rewriteCalls(out, "struct_extract") {
       case Seq(e, k) => Some(s"($e)[$k]")
+      case _ => None
+    }
+    // list_slice: DuckDB's (list, begin, end) is 1-based INCLUSIVE on both
+    // ends; Spark's slice takes (start, LENGTH). Negative indices are not
+    // translated (pass through → Spark errors loudly).
+    out = rewriteCalls(out, "list_slice|array_slice") {
+      case Seq(l, b, e) => Some(s"slice($l, $b, ($e) - ($b) + 1)")
+      case _ => None
+    }
+    // list_position: DuckDB 1.0.0 (the reference baseline) returns 0 when
+    // the element is absent — exactly Spark's array_position contract, so a
+    // plain name substitution is the verified-correct mapping (newer DuckDB
+    // returns NULL; pinned by oracle q80's pos_none column).
+    out = rewriteCalls(out, "list_position|list_indexof") {
+      case Seq(l, x) => Some(s"array_position($l, $x)")
+      case _ => None
+    }
+    // list_unique = count of distinct elements
+    out = rewriteCalls(out, "list_unique") {
+      case Seq(l) => Some(s"size(array_distinct($l))")
+      case _ => None
+    }
+    out = rewriteCalls(out, "array_pop_back") {
+      case Seq(l) => Some(s"slice($l, 1, size($l) - 1)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "array_pop_front") {
+      case Seq(l) => Some(s"slice($l, 2, size($l) - 1)")
+      case _ => None
+    }
+    // date_diff counts PART BOUNDARIES CROSSED in DuckDB; Spark's
+    // timestampdiff counts complete intervals — truncating both ends to the
+    // part first makes them equal (boundaries between truncated points are
+    // exactly the complete parts between them). Literal part only.
+    out = rewriteCalls(out, "date_diff|datediff") {
+      case Seq(part, a, b) if isLiteral(part) =>
+        val p = part.trim.stripPrefix("'").stripSuffix("'").toUpperCase
+        Some(s"timestampdiff($p, date_trunc('$p', $a), date_trunc('$p', $b))")
       case _ => None
     }
     // SIMILAR TO with DuckDB's semantics — the pattern is a RAW regex,

@@ -307,6 +307,31 @@ object DialectQueries {
       |   OR (lang SIMILAR TO '%(en|de|fr)%' AND source GLOB 'src1*')
       |ORDER BY doc_id""".stripMargin
 
+  // Second list-function wave + boundary-exact date_diff: list_slice
+  // (1-based inclusive ends), list_position (NULL when absent), list_unique,
+  // array_pop_back/front, list_reverse, date_diff over day and month parts.
+  private val q80Sql =
+    """SELECT doc_id,
+      |  array_to_string(list_slice(toks, 2, 4), ' ') AS mid,
+      |  CAST(list_position(toks, 'the') AS BIGINT) AS pos_the,
+      |  CAST(list_position(toks, '__absent__') AS BIGINT) AS pos_none,
+      |  CAST(list_unique(toks) AS BIGINT) AS n_uniq,
+      |  list_extract(list_reverse(toks), 1) AS last_tok,
+      |  CAST(array_length(array_pop_back(toks)) AS BIGINT) AS n_m1,
+      |  CAST(array_length(array_pop_front(toks)) AS BIGINT) AS n_m2
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |      FROM documents)
+      |WHERE doc_id % 25 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  private val q81Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_days,
+      |  CAST(date_diff('month', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_months,
+      |  CAST(date_diff('year', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_years
+      |FROM orders WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -327,5 +352,7 @@ object DialectQueries {
     Q("q76_agg_spellings", fns(q76Sql), Some(q76Sql)),
     Q("q77_constructor_spellings", fns(q77Sql), Some(q77Sql)),
     Q("q78_recursive_cte", fns(q78Sql), Some(q78Sql)),
-    Q("q79_pattern_operators", fns(q79Sql), Some(q79Sql)))
+    Q("q79_pattern_operators", fns(q79Sql), Some(q79Sql)),
+    Q("q80_list_functions_2", fns(q80Sql), Some(q80Sql)),
+    Q("q81_date_diff", fns(q81Sql), Some(q81Sql)))
 }

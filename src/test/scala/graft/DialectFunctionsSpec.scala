@@ -188,6 +188,27 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("list_slice / list_position / list_unique / pops / date_diff rewrites") {
+    assert(DialectFunctions.rewrite("SELECT list_slice(l, 2, 4)") ===
+      "SELECT slice(l, 2, (4) - (2) + 1)")
+    // DuckDB 1.0.0 contract: 0 when absent (same as Spark array_position)
+    assert(DialectFunctions.rewrite("SELECT list_position(l, 'x')") ===
+      "SELECT array_position(l, 'x')")
+    assert(DialectFunctions.rewrite("SELECT list_unique(l)") ===
+      "SELECT size(array_distinct(l))")
+    assert(DialectFunctions.rewrite("SELECT array_pop_back(l), array_pop_front(l)") ===
+      "SELECT slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1)")
+    // boundary-exact date_diff: truncate both ends to the part first
+    assert(DialectFunctions.rewrite("SELECT date_diff('day', a, b)") ===
+      "SELECT timestampdiff(DAY, date_trunc('DAY', a), date_trunc('DAY', b))")
+    prepare()
+    // boundary semantics: 23:00 Dec31 → 01:00 Jan1 crosses ONE day boundary
+    val d = conn.queryDF(
+      "SELECT date_diff('day', TIMESTAMP '1994-12-31 23:00:00', TIMESTAMP '1995-01-01 01:00:00') AS d")
+      .collect().head.getLong(0)
+    assert(d === 1L)
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(
