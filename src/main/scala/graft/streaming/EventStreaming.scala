@@ -129,6 +129,21 @@ object EventStreaming {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_s"))
   }
 
+  // ------------------------------------------ stream-static decontamination
+  /** Stream-static decontamination: the streaming corpus left-anti joined
+    * against a STATIC blocklist of content fingerprints (held-out eval-set
+    * hashes, the p04 polynomial kernel) — the filter an ingest pipeline
+    * runs continuously. Stream-static anti joins carry ZERO streaming
+    * state (no watermark required; the static side is just a lookup that
+    * Spark broadcasts when it fits), so throughput is the map-side hash
+    * probe — the right shape at 100 TB/day. One definition serves batch
+    * and stream (StreamingSpec pins equality). */
+  def decontaminateStream(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    docs
+      .withColumn("content_poly",
+        expr(graft.pipeline.PortableHash.sparkCharHash("text")))
+      .join(blocklist, Seq("content_poly"), "left_anti")
+
   // ------------------------------------------------- stateful sessionization
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Double)
@@ -251,9 +266,32 @@ object StreamingQueries {
       |       count(*) AS n
       |FROM x GROUP BY ws ORDER BY 1""".stripMargin
 
+  // Batch form of the stream-static decontamination over the corpus: the
+  // blocklist is the fingerprints of the held-out slice (doc_id % 10 = 3).
+  private def streamDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val bl = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(expr(graft.pipeline.PortableHash.sparkCharHash("text"))
+        .as("content_poly"))
+      .distinct()
+    EventStreaming.decontaminateStream(d, bl)
+      .select(col("doc_id"), col("content_poly"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamDecontamSql = {
+    val h = graft.pipeline.PortableHash.duckCharHash("text")
+    s"""WITH fp AS (SELECT doc_id, $h AS content_poly FROM documents),
+       |bl AS (SELECT DISTINCT content_poly FROM fp WHERE doc_id % 10 = 3)
+       |SELECT doc_id, content_poly FROM fp
+       |WHERE content_poly NOT IN (SELECT content_poly FROM bl)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q36_sessionize_gapwindow", sessionizeQ, Some(sessionizeSql)),
     Q("q37_event_time_window", hourlyAggQ, Some(hourlyAggSql)),
     Q("q65_stream_interval_join", attributionQ, Some(attributionSql)),
-    Q("q70_sliding_window", slidingQ, Some(slidingSql)))
+    Q("q70_sliding_window", slidingQ, Some(slidingSql)),
+    Q("q82_stream_static_decontam", streamDecontamQ, Some(streamDecontamSql)))
 }

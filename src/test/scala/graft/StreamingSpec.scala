@@ -150,6 +150,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static decontamination: streaming equals batch, zero state") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val blocklist = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(expr(graft.pipeline.PortableHash.sparkCharHash("text"))
+        .as("content_poly"))
+      .distinct()
+    val d = Files.createTempDirectory("graft-stream-decontam")
+    docs.write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(d.toString)
+    val q = EventStreaming.decontaminateStream(stream, blocklist)
+      .select(col("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("decontam_out")
+    val batch = EventStreaming.decontaminateStream(docs, blocklist).select(col("doc_id"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    // every blocked doc really is gone
+    assert(streamed.filter(pmod(col("doc_id"), lit(10)) === 3).count() === 0)
+  }
+
   test("sliding windows emit overlapping windows") {
     val out = EventStreaming.slidingRates(eventsBatch)
     val total = eventsBatch.count()
