@@ -39,6 +39,7 @@ object Commands {
     """(?is)\s*UPDATE\s+([\w.`"]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val InsertReturning =
     """(?is)\s*INSERT\s+INTO\s+([\w.`"]+)\s*(\([^)]*\))?\s+(.+?)\s+RETURNING\s+(.+?)\s*""".r
+  private val Explain = """(?is)\s*EXPLAIN\s+(ANALYZE\s+)?(.+)""".r
 
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
@@ -55,6 +56,8 @@ object Commands {
     case ImportDb(dir) => Some(importDatabase(conn, dir))
     case CopyFrom(table, path, opts) => Some(copyFrom(conn, table, path, Option(opts)))
     case CopyTo(src, target, opts) => Some(copyTo(conn, src.trim, target, Option(opts)))
+    case Explain(analyze, query) =>
+      Some(explainQuery(conn, query, analyze != null))
     case DeleteFrom(table, cond) => Some(deleteFrom(conn, table, Option(cond)))
     case UpdateSet(table, setList, cond) =>
       Some(updateSet(conn, table, setList, Option(cond)))
@@ -287,6 +290,34 @@ object Commands {
     val spark2 = spark
     import spark2.implicits._
     Seq(df.count()).toDF("count")
+  }
+
+  /** `EXPLAIN [ANALYZE] <query>` in DuckDB's two-column shape
+    * (explain_key, explain_value): the inner query goes through the full
+    * dialect rewrite, then Spark's formatted plan (EXPLAIN) or the executed
+    * plan with runtime metrics (EXPLAIN ANALYZE — the query RUNS, like
+    * DuckDB's). */
+  private def explainQuery(conn: Connection, query: String,
+      analyze: Boolean): DataFrame = {
+    val spark = conn.engine.spark
+    // Spark's own EXPLAIN <mode> forms keep Spark's output shape, with the
+    // inner query still dialect-rewritten
+    val ModeRe = """(?is)^\s*(FORMATTED|EXTENDED|CODEGEN|COST|LOGICAL)\s+(.+)$""".r
+    query match {
+      case ModeRe(mode, rest) if !analyze =>
+        return spark.sql(s"EXPLAIN $mode ${conn.rewriteSql(rest.trim.stripSuffix(";"))}")
+      case _ => ()
+    }
+    val df = conn.queryDF(query)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val (key, text) =
+      if (analyze) {
+        df.write.format("noop").mode("overwrite").save()
+        ("analyzed_plan", df.queryExecution.executedPlan.toString)
+      } else ("physical_plan", df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    import spark.implicits._
+    Seq((key, text)).toDF("explain_key", "explain_value")
   }
 
   /** WHERE/SET/RETURNING expression text arrives in DuckDB dialect — run it

@@ -22,6 +22,9 @@ final class Connection(val engine: Engine) {
   private val statements = mutable.Map[Long, PreparedStatement]()
   @volatile private var activeStream: Option[ResultStream] = None
 
+  /** The dialect-rewritten form of `sql` (used by EXPLAIN dispatch). */
+  private[session] def rewriteSql(sql: String): String = rewriter.rewrite(sql)
+
   // ------------------------------------------------------------------ query
   /** Run SQL, return the DataFrame (the engine-native form). */
   def queryDF(sql: String): DataFrame = {

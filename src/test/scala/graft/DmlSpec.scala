@@ -71,6 +71,26 @@ class DmlSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.dml_i")
   }
 
+  test("EXPLAIN returns the plan; EXPLAIN ANALYZE runs the query") {
+    Tables.registerAll(SparkTestSession.spark, SparkTestSession.sfDir)
+    val plan = conn.queryDF(
+      "EXPLAIN SELECT n_name FROM nation WHERE n_nationkey < 5").collect().head
+    assert(plan.getString(0) === "physical_plan")
+    assert(plan.getString(1).contains("Scan parquet") ||
+      plan.getString(1).contains("Scan"))
+    val analyzed = conn.queryDF(
+      "EXPLAIN ANALYZE SELECT count(*) FROM nation").collect().head
+    assert(analyzed.getString(0) === "analyzed_plan")
+    // dialect text inside EXPLAIN still rewrites (list spelling)
+    val dialect = conn.queryDF(
+      "EXPLAIN SELECT list_extract(regexp_split_to_array(n_name, '\\s'), 1) FROM nation")
+      .collect().head.getString(1)
+    assert(dialect.contains("element_at") || dialect.contains("split"))
+    // Spark's own mode keyword keeps Spark's shape
+    val formatted = conn.queryDF("EXPLAIN FORMATTED SELECT 1 AS x")
+    assert(formatted.columns.toSeq === Seq("plan"))
+  }
+
   test("DML on a temp view rewrites the view in place") {
     val spark = SparkTestSession.spark
     import spark.implicits._
