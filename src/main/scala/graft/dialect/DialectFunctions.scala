@@ -51,13 +51,9 @@ object DialectFunctions {
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
-    // aggregates: same argument order and semantics (arg_max/min return the
-    // first argument at the extremum of the second; quantile_cont is the
-    // exact interpolated quantile, like Spark's percentile)
-    "arg_max" -> "max_by",
-    "argmax" -> "max_by",
-    "arg_min" -> "min_by",
-    "argmin" -> "min_by",
+    // quantile_cont is the exact interpolated quantile, like Spark's
+    // percentile (arg_max/arg_min live in rewriteCalls below — their
+    // 3-arg top-n form needs argument surgery, not a name swap)
     "quantile_cont" -> "percentile",
     // string position: both 1-based, same argument order
     "strpos" -> "instr",
@@ -134,6 +130,23 @@ object DialectFunctions {
     }
     out = rewriteCalls(out, "struct_extract") {
       case Seq(e, k) => Some(s"($e)[$k]")
+      case _ => None
+    }
+    // arg_max/arg_min: 2-arg → max_by/min_by; 3-arg top-n (DuckDB returns
+    // the n values of x at the n largest/smallest y) → collect (y, x)
+    // structs, sort by y (struct ordering is field-order), project x, take
+    // n. Ties in y follow the struct's x tie-break — oracle queries rank by
+    // a unique y.
+    out = rewriteCalls(out, "arg_max|argmax") {
+      case Seq(x, y) => Some(s"max_by($x, $y)")
+      case Seq(x, y, n) => Some(
+        s"slice(transform(sort_array(collect_list(named_struct('k', $y, 'v', $x)), false), s -> s.v), 1, $n)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "arg_min|argmin") {
+      case Seq(x, y) => Some(s"min_by($x, $y)")
+      case Seq(x, y, n) => Some(
+        s"slice(transform(sort_array(collect_list(named_struct('k', $y, 'v', $x)), true), s -> s.v), 1, $n)")
       case _ => None
     }
     // list_slice: DuckDB's (list, begin, end) is 1-based INCLUSIVE on both

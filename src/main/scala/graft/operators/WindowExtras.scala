@@ -147,9 +147,13 @@ object WindowExtras {
       .withColumn("v",
         when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
           .otherwise(col("value")))
-    // event-day bucket: monotone in ts, key space grows with the time span
+    // event-day bucket: monotone in ts, key space grows with the time span.
+    // The TIMESTAMP cast is NTZ-proof: µs-precision parquet surfaces as
+    // TIMESTAMP_NTZ (which unix_micros rejects), the ns testdata as
+    // TIMESTAMP — meaning-preserving under the session's pinned UTC.
     val day = expr(
-      "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L)) div 86400000000L")
+      "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 86400000000L)) div 86400000000L")
     graft.scale.Scale.bandedRunningPositional(e, "event_type", day,
         Seq(col("ts"), col("event_id")), valCol = "v", nthCol = "event_id",
         n = 3, firstName = "first_nn", lastName = "last_nn", nthName = "nth3")

@@ -209,6 +209,23 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(d === 1L)
   }
 
+  test("arg_max/arg_min: 2-arg maps to max_by/min_by, 3-arg builds top-n lists") {
+    assert(DialectFunctions.rewrite("SELECT arg_max(a, b), arg_min(a, b)") ===
+      "SELECT max_by(a, b), min_by(a, b)")
+    // 3-arg top-n (newer-DuckDB surface; the reference 1.0.0 binder lacks
+    // it, so this is spec-pinned rather than oracle-pinned)
+    prepare()
+    val r = conn.queryDF(
+      """SELECT array_to_string(arg_max(o_orderkey, o_orderkey, 3), ',') AS top3,
+        |       array_to_string(arg_min(o_orderkey, o_orderkey, 2), ',') AS bot2
+        |FROM orders""".stripMargin).collect().head
+    val expected = SparkTestSession.spark.table("orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getString(0) === expected.takeRight(3).reverse.mkString(","))
+    assert(r.getString(1) === expected.take(2).mkString(","))
+  }
+
   test("list pipeline end-to-end: sort, distinct, extract on a real column") {
     prepare()
     val df = conn.queryDF(

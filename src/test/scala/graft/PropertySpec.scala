@@ -63,6 +63,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("round-6 rewriters are literal-safe and total on arbitrary text") {
+    // AsofJoinSql / MacroRegistry / match-op rewrites must (a) never throw
+    // on arbitrary SQL-ish text, (b) never touch literal contents, and
+    // (c) leave text without their keywords byte-identical
+    val reg = new graft.dialect.MacroRegistry
+    reg.dispatch("CREATE MACRO fuzz_m(x) AS x + 1")
+    val lit = Gen.oneOf(
+      Gen.const("a ASOF JOIN b ON x >= y"),
+      Gen.const("fuzz_m(1) GLOB '*'"),
+      Gen.const("s SIMILAR TO '%x%'"),
+      Gen.asciiPrintableStr.map(_.replace("'", "''").take(30)))
+    val gen = for {
+      pre <- Gen.oneOf("SELECT ", "SELECT a, ", "SELECT fuzz_m(a), ")
+      l <- lit
+      post <- Gen.oneOf(" AS s FROM t", " AS s FROM l a ASOF JOIN r b ON a.k = b.k AND a.t >= b.t")
+    } yield (s"$pre'$l'$post", s"'$l'")
+    check(Prop.forAll(gen) { case (sql, quoted) =>
+      val a = graft.dialect.AsofJoinSql.rewrite(sql)
+      val m = reg.expand(sql)
+      val f = graft.dialect.DialectFunctions.rewrite(sql)
+      a.contains(quoted) && m.contains(quoted) && f.contains(quoted)
+    })
+  }
+
   test("literal escape translation: Spark evaluates the DuckDB meaning") {
     // for any backslash-bearing content, escapeLiteralsForSpark('c') must
     // make Spark's parser produce exactly c (DuckDB literal semantics)

@@ -120,7 +120,8 @@ class ScaleSpec extends AnyFunSuite {
       last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
     // hour buckets (not day) → many boundary crossings exercised
     val hour = expr(
-      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) div 3600000000L")
+      "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000L)) div 3600000000L")
     val banded = Scale.bandedRunningPositional(e, "event_type", hour,
         Seq(col("ts"), col("event_id")), valCol = "v", nthCol = "event_id",
         n = 3, firstName = "first_nn", lastName = "last_nn", nthName = "nth3")
