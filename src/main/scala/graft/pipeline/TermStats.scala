@@ -180,9 +180,66 @@ object TermStats {
        |  t[CAST(ci * $ChunkStride + least($ChunkSize, n - (1 + ci * $ChunkStride) + 1) AS INT)] AS last_tok
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------- p44 duplicated-span detection
+  private val GramLen = 20
+  private val GramStride = 8
+
+  /** Exact-substring duplication signal (the ExactSubstr statistic of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"):
+    * hash every `GramLen`-char gram at `GramStride` offsets, mark grams
+    * whose hash repeats corpus-wide, report the duplicated-gram fraction
+    * per document. The suffix-array construction of the paper is replaced
+    * by the hash-bucket shape that distributes: ONE shuffle keyed by gram
+    * hash (unbounded key space), the duplicate set is collision-bounded,
+    * and the rejoin is a semi-style left join on the hash — no all-pairs
+    * comparison exists. Gram volume is |corpus chars| / stride — the
+    * stride is the cost knob, exactly the sampling the paper's followups
+    * use at scale. Shares the portable polynomial kernel, so DuckDB
+    * reproduces every hash bit-for-bit. */
+  private def dupSpanGrams(s: SparkSession, dir: String): DataFrame = {
+    val PH = graft.pipeline.PortableHash
+    val grams = docs(s, dir).select(col("doc_id"),
+        explode(expr(
+          s"sequence(1, greatest(1, length(text) - ${GramLen - 1}), $GramStride)"))
+          .as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $GramLen)")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"), lit(1).as("isdup"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupSpanSql = {
+    val PH = graft.pipeline.PortableHash
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(1, length(text) - ${GramLen - 1}) + 1, $GramStride)) AS i
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |        ${PH.duckCharHash(s"substr(text, CAST(i AS INT), $GramLen)")} AS h
+       |      FROM pos),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT g.doc_id,
+       |        CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS isdup
+       |      FROM g LEFT JOIN dup ON g.h = dup.h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(isdup) AS BIGINT) AS n_dup,
+       |  CAST(sum(isdup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("p40_tfidf_top_terms", tfidfTopTerms, Some(tfidfSql)),
     Q("p41_trigram_counts", trigramCounts, Some(trigramSql)),
     Q("p42_unigram_logprob", unigramLogprob, Some(unigramSql)),
-    Q("p43_context_chunks", contextChunks, Some(chunksSql)))
+    Q("p43_context_chunks", contextChunks, Some(chunksSql)),
+    Q("p44_dup_span_grams", dupSpanGrams, Some(dupSpanSql)))
 }
