@@ -278,17 +278,22 @@ object DialectFunctions {
     sb.append(sql.substring(last)).toString
   }
 
-  /** Glob pattern → Java regex body: * → .*, ? → . , [...] kept, regex
-    * specials escaped (pre-doubled — the emitted text is a Spark string
-    * literal under C-style escaping). */
+  /** Glob pattern → Java regex body: * → .*, ? → . , [...] kept with
+    * `[!` negation becoming `[^`, regex specials escaped (pre-doubled —
+    * the emitted text is a Spark string literal under C-style escaping). */
   private def globToRegex(pat: String): String = {
     val sb = new StringBuilder
-    pat.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c @ ('[' | ']' | '^' | '-') => sb.append(c)
-      case c if ".+()|{}$".indexOf(c) >= 0 => sb.append("\\\\").append(c)
-      case c => sb.append(c)
+    var prev = ' '
+    pat.foreach { c =>
+      c match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '!' if prev == '[' => sb.append('^')
+        case '[' | ']' | '^' | '-' => sb.append(c)
+        case _ if ".+()|{}$!".indexOf(c) >= 0 => sb.append("\\\\").append(c)
+        case _ => sb.append(c)
+      }
+      prev = c
     }
     sb.toString
   }

@@ -178,6 +178,9 @@ class DialectFunctionsSpec extends AnyFunSuite {
     // C-style literal), brackets preserved
     assert(DialectFunctions.rewrite("SELECT * FROM t WHERE s GLOB 'a*.c?[0-9]'") ===
       """SELECT * FROM t WHERE regexp_like(s, '^(?:a.*\\.c.[0-9])$')""")
+    // glob bracket negation [!...] → regex [^...]
+    assert(DialectFunctions.rewrite("SELECT * FROM t WHERE s GLOB 'a[!xy]b'") ===
+      "SELECT * FROM t WHERE regexp_like(s, '^(?:a[^xy]b)$')")
     // inside a string literal: untouched
     val lit = "SELECT 'x SIMILAR TO y' AS s"
     assert(DialectFunctions.rewrite(lit) === lit)
