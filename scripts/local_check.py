@@ -14,9 +14,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def norm(v):
+    # Everything normalizes to str so mixed NULL/value columns still sort
+    # (tuple sort compares positionally; a "nan" str vs float crashed).
     if isinstance(v, float):
         if math.isnan(v): return "nan"
-        return round(v, 6)
+        return str(round(v, 6))
     return str(v)
 
 n_pass = n_fail = 0

@@ -183,9 +183,85 @@ object DialectSugar {
     // positions stay valid through the wrap because the marker column is
     // appended after `*`.
     parts.result().map { case (branch, op) =>
-      val rewritten = qualify(orderByAll(groupByAll(distinctOn(branch))))
+      val rewritten =
+        qualify(orderByAll(groupByAll(distinctOn(positionalJoin(branch)))))
       rewritten + (if (op.nonEmpty) " " + op + " " else "")
     }.mkString("").replace("__STAR_EXCEPT__(", "EXCEPT (")
+  }
+
+  // --------------------------------------------------- POSITIONAL JOIN
+  /** `FROM (sub ORDER BY k) a POSITIONAL JOIN (sub ORDER BY k) b` —
+    * DuckDB's row-position pairing with NULL padding on the shorter side
+    * (duckdb docs/sql/query_syntax/from). Compiled to a FULL OUTER join on
+    * per-side `row_number()` positions derived from each subquery's own
+    * ORDER BY — which must reference projected output columns, since the
+    * wrap re-sorts the subquery's OUTPUT. This is the SQL-expressible
+    * spelling (a global window, like DuckDB's own materialization); the
+    * scale path is [[graft.operators.PositionalJoin]] (range-partitioned
+    * two-pass positions), pinned equal in PositionalJoinSpec. Unsupported
+    * shapes — bare tables (storage order isn't a Spark notion) or
+    * unordered subqueries — are left untouched for Spark to reject
+    * loudly. */
+  private def positionalJoin(sql: String): String = {
+    val kw = "POSITIONAL JOIN"
+    val idx = topLevelIndex(sql, kw)
+    if (idx < 0) return sql
+    val fromIdx = topLevelIndex(sql, "FROM")
+    if (fromIdx < 0 || fromIdx > idx) return sql
+    val out = for {
+      (lSub, lAlias, lEnd) <- parseRel(sql, fromIdx + matchLen(sql, fromIdx, "FROM"))
+      if lEnd <= idx && sql.substring(lEnd, idx).trim.isEmpty
+      (rSub, rAlias, rEnd) <- parseRel(sql, idx + matchLen(sql, idx, kw))
+      (lText, lName) <- wrapOrdered(lSub, lAlias, "__graft_posl")
+      (rText, rName) <- wrapOrdered(rSub, rAlias, "__graft_posr")
+    } yield sql.substring(0, fromIdx) + "FROM " + lText +
+      " FULL OUTER JOIN " + rText +
+      s" ON $lName.__gpos = $rName.__gpos " + sql.substring(rEnd)
+    out.getOrElse(sql)
+  }
+
+  // words that can follow a parenthesized relation but are never an alias
+  private val relStopWords = Set("positional", "join", "full", "left",
+    "right", "inner", "cross", "natural", "asof", "on", "using", "where",
+    "group", "order", "limit", "union", "intersect", "except", "qualify",
+    "having", "offset", "window")
+
+  /** Parse `(subquery) [AS] alias` starting at `from` (whitespace-led).
+    * Returns (subquery text, alias or "", index after the relation). */
+  private def parseRel(sql: String, from: Int): Option[(String, String, Int)] = {
+    var i = from
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i >= sql.length || sql.charAt(i) != '(') return None
+    val close = groupEnd(sql, i)
+    val sub = sql.substring(i + 1, close - 1)
+    var j = close
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    val m = cachedPattern("rel:alias",
+      "(?i)(AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)").matcher(sql)
+    m.region(j, sql.length)
+    if (m.lookingAt() &&
+        (m.group(1) != null || !relStopWords.contains(m.group(2).toLowerCase))) {
+      Some((sub, m.group(2), m.end))
+    } else Some((sub, "", j))
+  }
+
+  /** Wrap an ordered subquery so `__gpos` carries its 1-based position:
+    * the trailing top-level ORDER BY moves into a `row_number()` window
+    * (and stays in place too when a LIMIT depends on it for row
+    * selection). None when the subquery has no ORDER BY. */
+  private def wrapOrdered(sub: String, alias: String,
+      fallback: String): Option[(String, String)] = {
+    val obIdx = topLevelIndex(sub, "ORDER BY")
+    if (obIdx < 0) return None
+    val obEnd = obIdx + matchLen(sub, obIdx, "ORDER BY")
+    val limIdx = topLevelIndex(sub, "LIMIT", obEnd)
+    val ord = (if (limIdx >= 0) sub.substring(obEnd, limIdx)
+               else sub.substring(obEnd)).trim
+    if (ord.isEmpty) return None
+    val inner = if (limIdx >= 0) sub else sub.substring(0, obIdx)
+    val name = if (alias.nonEmpty) alias else fallback
+    Some((s"(SELECT *, row_number() OVER (ORDER BY $ord) AS __gpos " +
+      s"FROM ($inner) ${name}__i) AS $name", name))
   }
 
   // ------------------------------------------------------- DISTINCT ON

@@ -324,6 +324,25 @@ object DialectQueries {
       |WHERE doc_id % 25 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // POSITIONAL JOIN — row-position pairing over ordered subqueries with
+  // NULL padding on the shorter side (FULL-outer-by-position). Each side
+  // projects its own row_number so the pairing is observable and the output
+  // deterministic; side lengths differ to exercise the padding. The engine
+  // side compiles through DialectSugar.positionalJoin (window spelling);
+  // the scale path — range-partitioned two-pass positions, no
+  // SinglePartition stage — is operators.PositionalJoin, pinned equal in
+  // PositionalJoinSpec.
+  private val q83Sql =
+    """SELECT coalesce(l.pos, r.pos) AS pos, l.lk, l.lprice, r.rk, r.rprio
+      |FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS pos,
+      |             o_orderkey AS lk, o_totalprice AS lprice
+      |      FROM orders WHERE o_orderkey <= 400 ORDER BY lk) AS l
+      |POSITIONAL JOIN
+      |     (SELECT row_number() OVER (ORDER BY o_orderkey) AS pos,
+      |             o_orderkey AS rk, o_orderpriority AS rprio
+      |      FROM orders WHERE o_orderkey BETWEEN 201 AND 800 ORDER BY rk) AS r
+      |ORDER BY pos""".stripMargin
+
   private val q81Sql =
     """SELECT o_orderkey,
       |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_days,
@@ -354,5 +373,6 @@ object DialectQueries {
     Q("q78_recursive_cte", fns(q78Sql), Some(q78Sql)),
     Q("q79_pattern_operators", fns(q79Sql), Some(q79Sql)),
     Q("q80_list_functions_2", fns(q80Sql), Some(q80Sql)),
-    Q("q81_date_diff", fns(q81Sql), Some(q81Sql)))
+    Q("q81_date_diff", fns(q81Sql), Some(q81Sql)),
+    Q("q83_positional_join", fns(q83Sql), Some(q83Sql)))
 }
