@@ -69,7 +69,9 @@ object DialectFunctions {
     }
 
   def rewrite(sql: String): String = {
-    var out = SqlText.mapOutsideLiterals(sql) { seg =>
+    // frame EXCLUDE clauses first: the expansion emits plain sum/count/...
+    // OVER text that the remaining passes treat like any other window call
+    var out = SqlText.mapOutsideLiterals(WindowExclude.rewrite(sql)) { seg =>
       namePatterns.foldLeft(seg) { case (s, (p, repl)) =>
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }
@@ -204,7 +206,116 @@ object DialectFunctions {
       case Seq(a, b) => Some(rangeSql(s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)"))
       case _ => None
     }
+    // Ordered aggregates (duckdb docs/sql/functions/aggregates — ORDER BY
+    // inside the aggregate): `list(x ORDER BY k [DESC])` / `array_agg`
+    // collect (key…, value) structs and sort them (struct comparison is
+    // field-order lexicographic, so multi-key orders work when all keys
+    // share one direction); `string_agg` additionally joins with the
+    // separator. Unordered forms map straight to collect_list/array_join.
+    // Deviations (documented, oracled around): NULL order keys sort first
+    // (DuckDB: last for ASC); string_agg of an all-empty group is '' not
+    // NULL; NULLS FIRST/LAST and mixed per-key directions pass through
+    // untouched for Spark to reject loudly.
+    out = rewriteCalls(out, "list|array_agg") {
+      case Seq(a) => parseOrdered(a) match {
+        case Ordered(v, keys, asc) => Some(orderedCollectExpr(v, keys, asc))
+        case NoOrder => Some(s"collect_list($a)")
+        case UnsupportedOrder => None
+      }
+      case _ => None
+    }
+    out = rewriteCalls(out, "string_agg") {
+      case Seq(a) => parseOrdered(a) match {
+        case Ordered(v, keys, asc) =>
+          Some(s"array_join(${orderedCollectExpr(v, keys, asc)}, ',')")
+        case NoOrder => Some(s"array_join(collect_list($a), ',')")
+        case UnsupportedOrder => None
+      }
+      case Seq(x, rest) => parseOrdered(rest) match {
+        case Ordered(sep, keys, asc) =>
+          Some(s"array_join(${orderedCollectExpr(x, keys, asc)}, $sep)")
+        case NoOrder => Some(s"array_join(collect_list($x), $rest)")
+        case UnsupportedOrder => None
+      }
+      case _ => None
+    }
+    // list_aggregate(l, 'name') applies the named aggregate to the list
+    // elements (NULLs skipped, like the aggregate itself would). sum/avg
+    // accumulate in DOUBLE (documented deviation: DuckDB keeps integer
+    // sums integral — callers cast, as the oracle does).
+    out = rewriteCalls(out, "list_aggregate|list_aggr") {
+      case Seq(l, f) if isLiteral(f) =>
+        val fn = f.trim.stripPrefix("'").stripSuffix("'").toLowerCase
+        def nn = s"filter($l, __la -> __la IS NOT NULL)"
+        def dsum = s"aggregate($nn, CAST(0 AS DOUBLE), " +
+          "(__a, __x) -> __a + CAST(__x AS DOUBLE))"
+        fn match {
+          case "min" => Some(s"array_min($l)")
+          case "max" => Some(s"array_max($l)")
+          case "count" => Some(s"CAST(size($nn) AS BIGINT)")
+          case "sum" =>
+            Some(s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $dsum END)")
+          case "avg" =>
+            Some(s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $dsum / size($nn) END)")
+          case _ => None
+        }
+      case _ => None
+    }
     out
+  }
+
+  // ---- ordered-aggregate argument parsing ------------------------------
+  private sealed trait OrderedArg
+  private case object NoOrder extends OrderedArg
+  private case object UnsupportedOrder extends OrderedArg
+  private case class Ordered(value: String, keys: Seq[String], asc: Boolean)
+    extends OrderedArg
+
+  private val OrderByRe = java.util.regex.Pattern.compile("(?i)ORDER\\s+BY\\b")
+  private val KeyDirRe = """(?is)^(.*?)\s+(ASC|DESC)$""".r
+
+  /** Parse `expr ORDER BY k1 [, k2 …] [ASC|DESC]` inside an aggregate's
+    * argument list (paren- and literal-aware). */
+  private def parseOrdered(arg: String): OrderedArg = {
+    var idx = -1
+    var i = 0
+    var depth = 0
+    while (i < arg.length && idx < 0) {
+      arg.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(arg, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c =>
+          if (depth == 0 && (i == 0 || {
+                val p = arg.charAt(i - 1); !p.isLetterOrDigit && p != '_'
+              })) {
+            val m = OrderByRe.matcher(arg)
+            m.region(i, arg.length)
+            if (m.lookingAt()) idx = i else i += 1
+          } else i += 1
+      }
+    }
+    if (idx < 0) return NoOrder
+    val value = arg.substring(0, idx).trim
+    val tail = arg.substring(idx).replaceFirst("(?i)^ORDER\\s+BY\\s+", "")
+    if (value.isEmpty || tail.matches("(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$"))
+      return UnsupportedOrder
+    val parsed = splitTopLevel(tail).map(_.trim).map {
+      case KeyDirRe(e, d) => (e.trim, d.equalsIgnoreCase("ASC"))
+      case e => (e, true)
+    }
+    if (parsed.isEmpty || parsed.exists(_._1.isEmpty)) return UnsupportedOrder
+    val dirs = parsed.map(_._2).distinct
+    if (dirs.size > 1) return UnsupportedOrder // mixed directions: no single sort_array
+    Ordered(value, parsed.map(_._1), dirs.head)
+  }
+
+  private def orderedCollectExpr(value: String, keys: Seq[String],
+      asc: Boolean): String = {
+    val fields = keys.zipWithIndex
+      .map { case (k, i) => s"'k$i', $k" }.mkString(", ")
+    s"transform(sort_array(collect_list(named_struct($fields, 'v', $value)), " +
+      s"$asc), __s -> __s.v)"
   }
 
   // lhs: identifier/column chain OR a complete string literal (DuckDB docs

@@ -44,7 +44,7 @@ object WindowExclude {
   private val Over = java.util.regex.Pattern.compile("(?i)\\s*OVER\\s*\\(")
 
   def rewrite(sql: String): String = {
-    var out = sql
+    var out = inlineNamed(sql)
     var changed = true
     while (changed) {
       changed = false
@@ -54,6 +54,64 @@ object WindowExclude {
       }
     }
     out
+  }
+
+  private val WindowClause =
+    java.util.regex.Pattern.compile("(?i)\\bWINDOW\\s+")
+  private val NamedDef =
+    java.util.regex.Pattern.compile("(?i)\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(")
+
+  /** Inline `WINDOW w AS (spec)` definitions when any spec carries an
+    * EXCLUDE clause: every `OVER w` becomes `OVER (spec)` and the WINDOW
+    * clause is dropped, so the per-aggregate expansion sees inline specs.
+    * WINDOW clauses without EXCLUDE are left for Spark's native named
+    * windows. Window specs that reference other window names are out of
+    * scope (left untouched). */
+  private def inlineNamed(sql: String): String = {
+    val wm = WindowClause.matcher(sql)
+    var from = 0
+    while (true) {
+      var start = -1
+      var i = from
+      while (i < sql.length && start < 0) {
+        sql.charAt(i) match {
+          case '\'' => i = SqlText.literalEnd(sql, i)
+          case _ =>
+            wm.region(i, sql.length)
+            if (wm.lookingAt()) start = i else i += 1
+        }
+      }
+      if (start < 0) return sql
+      // parse `name AS (spec) [, name AS (spec)]*`
+      var defs = List.empty[(String, String)]
+      var pos = wm.end
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        val dm = NamedDef.matcher(sql)
+        dm.region(pos, sql.length)
+        if (dm.lookingAt()) {
+          val close = groupEnd(sql, dm.end - 1)
+          defs ::= (dm.group(1), sql.substring(dm.end, close - 1))
+          var j = close
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          if (j < sql.length && sql.charAt(j) == ',') pos = j + 1
+          else { pos = close; done = true }
+        } else ok = false
+      }
+      if (ok && defs.exists(d =>
+          java.util.regex.Pattern.compile("(?i)\\bEXCLUDE\\b").matcher(d._2).find())) {
+        var out = sql.substring(0, start) + sql.substring(pos)
+        defs.foreach { case (name, spec) =>
+          out = out.replaceAll("(?i)\\bOVER\\s+" + name + "\\b",
+            java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
+        }
+        return inlineNamed(out)
+      }
+      from = if (ok) pos else start + 6
+      if (from >= sql.length) return sql
+    }
+    sql
   }
 
   /** Rewrite the first `agg(...) OVER (... EXCLUDE CURRENT ROW)` found

@@ -343,6 +343,45 @@ object DialectQueries {
       |      FROM orders WHERE o_orderkey BETWEEN 201 AND 800 ORDER BY rk) AS r
       |ORDER BY pos""".stripMargin
 
+  // Window frame EXCLUDE CURRENT ROW (SQL:2016 T620, DuckDB-native) over a
+  // named WINDOW clause: WindowExclude inlines the named spec and splits
+  // the ROWS frame around the current row ([a,-1] ⊕ [+1,b]); the trailing
+  // running-sum column exercises the empty-left-half edge (first row per
+  // partition → NULL). Partitioned by o_custkey — cardinality grows with
+  // the data, not a constant-key window.
+  private val q84Sql =
+    """SELECT o_orderkey,
+      |  CAST(sum(o_totalprice) OVER w AS DOUBLE) AS nb_sum,
+      |  CAST(count(*) OVER w AS BIGINT) AS nb_cnt,
+      |  CAST(avg(o_totalprice) OVER w AS DOUBLE) AS nb_avg,
+      |  CAST(min(o_totalprice) OVER w AS DOUBLE) AS nb_min,
+      |  CAST(max(o_totalprice) OVER w AS DOUBLE) AS nb_max,
+      |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+      |    AS DOUBLE) AS run_sum_ex
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // Ordered-aggregate spellings: list(x ORDER BY k DESC) keeps DuckDB's
+  // declared order (struct-sort expansion), string_agg with ORDER BY and
+  // separator, list_aggregate applied to the collected list (sum in DOUBLE
+  // — deviation documented at the rewrite; cast on both sides). Unique
+  // order key (o_orderkey) so tie order can't differ between engines.
+  private val q85Sql =
+    """SELECT o_orderpriority,
+      |  array_to_string(list(o_orderkey ORDER BY o_orderkey DESC), ',') AS keys_desc,
+      |  string_agg(o_orderstatus, '|' ORDER BY o_orderkey) AS statuses,
+      |  CAST(list_aggregate(list(o_totalprice ORDER BY o_orderkey), 'sum') AS DOUBLE) AS sum_via_list,
+      |  CAST(list_aggregate(list(o_orderkey ORDER BY o_orderkey), 'max') AS BIGINT) AS max_via_list,
+      |  CAST(list_aggregate(list(o_orderkey ORDER BY o_orderkey), 'count') AS BIGINT) AS cnt_via_list,
+      |  CAST(list_aggregate(list(o_totalprice ORDER BY o_orderkey), 'avg') AS DOUBLE) AS avg_via_list
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val q81Sql =
     """SELECT o_orderkey,
       |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_days,
@@ -374,5 +413,7 @@ object DialectQueries {
     Q("q79_pattern_operators", fns(q79Sql), Some(q79Sql)),
     Q("q80_list_functions_2", fns(q80Sql), Some(q80Sql)),
     Q("q81_date_diff", fns(q81Sql), Some(q81Sql)),
-    Q("q83_positional_join", fns(q83Sql), Some(q83Sql)))
+    Q("q83_positional_join", fns(q83Sql), Some(q83Sql)),
+    Q("q84_window_exclude", fns(q84Sql), Some(q84Sql)),
+    Q("q85_ordered_aggregates", fns(q85Sql), Some(q85Sql)))
 }

@@ -237,4 +237,42 @@ class DialectFunctionsSpec extends AnyFunSuite {
     val tok = df.collect().head.getString(0)
     assert(tok != null && tok.nonEmpty && !tok.contains(" "))
   }
+
+  test("ordered aggregates: list / string_agg with ORDER BY keep the order") {
+    prepare()
+    val spark = SparkTestSession.spark
+    val rows = spark.sql(DialectFunctions.rewrite(
+      """SELECT array_to_string(list(o_orderkey ORDER BY o_orderkey DESC), ',') AS ks,
+        |       string_agg(o_orderstatus, '|' ORDER BY o_orderkey) AS st
+        |FROM orders WHERE o_orderkey <= 7""".stripMargin)).collect()
+    val ks = rows.head.getString(0).split(',').map(_.toLong)
+    assert(ks.sameElements(ks.sorted.reverse), s"not DESC: ${ks.mkString(",")}")
+    assert(rows.head.getString(1).count(_ == '|') == ks.length - 1)
+    // plain (unordered) list still collects
+    val n = spark.sql(DialectFunctions.rewrite(
+      "SELECT size(list(o_orderkey)) AS n FROM orders WHERE o_orderkey <= 7"))
+      .collect().head.getInt(0)
+    assert(n == ks.length)
+  }
+
+  test("list_aggregate applies the named aggregate, NULLs skipped") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(DialectFunctions.rewrite(
+      """SELECT list_aggregate(array(1, 2, NULL, 4), 'sum') AS s,
+        |       list_aggregate(array(1, 2, NULL, 4), 'count') AS c,
+        |       list_aggregate(array(1, 2, NULL, 4), 'max') AS m,
+        |       list_aggregate(array(1, 2, NULL, 4), 'avg') AS a,
+        |       list_aggregate(array(CAST(NULL AS INT)), 'sum') AS empty_s""".stripMargin))
+      .collect().head
+    assert(r.getDouble(0) == 7.0 && r.getLong(1) == 3L && r.getInt(2) == 4 &&
+      math.abs(r.getDouble(3) - 7.0 / 3) < 1e-12 && r.isNullAt(4))
+  }
+
+  test("unsupported ordered-aggregate shapes pass through untouched") {
+    val nullsFirst =
+      "SELECT list(x ORDER BY y NULLS FIRST) FROM t"
+    assert(DialectFunctions.rewrite(nullsFirst) == nullsFirst)
+    val mixed = "SELECT list(x ORDER BY a ASC, b DESC) FROM t"
+    assert(DialectFunctions.rewrite(mixed) == mixed)
+  }
 }
