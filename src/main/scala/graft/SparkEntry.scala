@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{DialectQueries, ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries, ScalarExtras, TemporalJoins, WindowExtras}
-import graft.pipeline.{Clustering, CorpusOps, CurationExtras, DedupQueries, Multimodal, Similarity, TermStats, TextQueries, TrainingPipeline}
+import graft.pipeline.{Clustering, CorpusOps, CurationExtras, CurationSelection, DedupQueries, Multimodal, Similarity, TermStats, TextQueries, TrainingPipeline}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.all ++ OperatorQueries.all ++ ExtendedQueries.all ++ WindowExtras.all ++ ScalarExtras.all ++ TemporalJoins.all ++ DialectQueries.all ++
       MicroQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       Similarity.all ++ Multimodal.all ++ TrainingPipeline.all ++
-      CorpusOps.all ++ CurationExtras.all ++ Clustering.all ++ TermStats.all ++
+      CorpusOps.all ++ CurationExtras.all ++ CurationSelection.all ++
+      Clustering.all ++ TermStats.all ++
       StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -220,13 +220,15 @@ object DedupQueries {
         expr("simhash64 & 65535").as("bucket16"))
       .orderBy(col("doc_id"))
 
+  // per-bit majority vote, mirroring SimHash64: bit j set iff strictly
+  // more token hashes have bit j set than not (31 meaningful bits: token
+  // hashes are < 2^31). Shared with the hamming-band pairs oracle (p45).
+  private[pipeline] val simhashBitsSql: String = (0 to 30).map { j =>
+    s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString("(", " + ", ")")
+
   private val simhashSql = {
-    // per-bit majority vote, mirroring SimHash64: bit j set iff strictly
-    // more token hashes have bit j set than not (31 meaningful bits: token
-    // hashes are < 2^31)
-    val bits = (0 to 30).map { j =>
-      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString("(", " + ", ")")
+    val bits = simhashBitsSql
     s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents)
        |SELECT doc_id, $bits AS simhash64, $bits & 65535 AS bucket16
        |FROM th ORDER BY doc_id""".stripMargin
@@ -379,7 +381,10 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("cluster_id"))
 
-  private val dedupClustersSql = {
+  /** The LSH-band → candidate-edge → 4-round min-label CTE chain, ending in
+    * `l4(doc_id, label)`. Shared by the p24/p30 oracle and the
+    * cluster-survivor oracle (p46). */
+  private[pipeline] val clusterLabelCtes: String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT d.doc_id, least(d.label, coalesce(m.mnl, d.label)) AS label
@@ -387,7 +392,7 @@ object DedupQueries {
          |    SELECT e.src AS doc_id, min(l.label) AS mnl
          |    FROM edges e JOIN $prev l ON l.doc_id = e.dst GROUP BY 1) m
          |  USING (doc_id))""".stripMargin
-    s"""WITH ${PH.duckLshCtes("documents")},
+    s"""${PH.duckLshCtes("documents")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -398,10 +403,13 @@ object DedupQueries {
        |${round("l0", "l1")},
        |${round("l1", "l2")},
        |${round("l2", "l3")},
-       |${round("l3", "l4")}
+       |${round("l3", "l4")}""".stripMargin
+  }
+
+  private val dedupClustersSql =
+    s"""WITH $clusterLabelCtes
        |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc
        |FROM l4 GROUP BY 1 ORDER BY cluster_id""".stripMargin
-  }
 
   // -------------------------------------------- edit-distance verification
   /** Character-level verification of the MinHash-LSH candidates: exact
