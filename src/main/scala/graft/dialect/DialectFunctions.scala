@@ -206,6 +206,22 @@ object DialectFunctions {
       case Seq(a, b) => Some(rangeSql(s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)"))
       case _ => None
     }
+    // time_bucket(INTERVAL 'n unit', ts) — fixed-width bucket truncation
+    // (duckdb docs/sql/functions/timestamp). DuckDB's default origin is
+    // 2000-01-03 00:00:00, which is a whole multiple of every interval
+    // that divides one day — for those the bucketing is exactly
+    // epoch-aligned floor division (pmod-subtraction, not `div`, so
+    // pre-epoch timestamps floor instead of truncating toward zero).
+    // Intervals that do NOT divide a day (weeks, 7 days, months) follow
+    // the Monday/calendar origin and pass through untouched.
+    out = rewriteCalls(out, "time_bucket") {
+      case Seq(iv, e) => parseIntervalSeconds(iv).collect {
+        case secs if secs > 0 && 86400L % secs == 0 =>
+          val u = s"unix_seconds(CAST($e AS TIMESTAMP))"
+          s"timestamp_seconds($u - pmod($u, ${secs}L))"
+      }
+      case _ => None
+    }
     // Ordered aggregates (duckdb docs/sql/functions/aggregates — ORDER BY
     // inside the aggregate): `list(x ORDER BY k [DESC])` / `array_agg`
     // collect (key…, value) structs and sort them (struct comparison is
@@ -262,6 +278,19 @@ object DialectFunctions {
       case _ => None
     }
     out
+  }
+
+  private val IntervalRe =
+    """(?i)^\s*INTERVAL\s+'(\d+)\s+(second|minute|hour|day)s?'\s*$""".r
+
+  private def parseIntervalSeconds(s: String): Option[Long] = s match {
+    case IntervalRe(n, u) => Some(n.toLong * (u.toLowerCase match {
+      case "second" => 1L
+      case "minute" => 60L
+      case "hour" => 3600L
+      case _ => 86400L
+    }))
+    case _ => None
   }
 
   // ---- ordered-aggregate argument parsing ------------------------------

@@ -382,6 +382,17 @@ object DialectQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // time_bucket (epoch-aligned for day-dividing intervals) + median — both
+  // spellings shared by the engines after the rewrite; bucket surfaces as
+  // epoch ms so no timestamp-vs-timestamptz type skew reaches the compare.
+  private val q86Sql =
+    """SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) AS bucket_ms,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(median(value) AS DOUBLE) AS med_value,
+      |  CAST(sum(value) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val q81Sql =
     """SELECT o_orderkey,
       |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1995-06-15 00:00:00') AS BIGINT) AS d_days,
@@ -415,5 +426,6 @@ object DialectQueries {
     Q("q81_date_diff", fns(q81Sql), Some(q81Sql)),
     Q("q83_positional_join", fns(q83Sql), Some(q83Sql)),
     Q("q84_window_exclude", fns(q84Sql), Some(q84Sql)),
-    Q("q85_ordered_aggregates", fns(q85Sql), Some(q85Sql)))
+    Q("q85_ordered_aggregates", fns(q85Sql), Some(q85Sql)),
+    Q("q86_time_bucket_median", fns(q86Sql), Some(q86Sql)))
 }

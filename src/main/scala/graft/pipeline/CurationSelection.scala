@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - p45 joins on SimHash BANDS (never all pairs) and verifies popcount
-  *    on candidates only. The 31-bit portable hash family (the oracle
-  *    constraint) yields 8-bit bands; at corpus scale the same kernel
-  *    widens to a 64-bit SimHash with 16-bit bands plus per-bucket salting
-  *    — the band join's shape (equi-join + candidate filter) is unchanged.
+  *    on candidates only. The fingerprint packs TWO independent 31-bit
+  *    portable simhashes into 62 bits so bands are 16 bits wide — the
+  *    width, not the band count, is what bounds collisions (n²/2^width);
+  *    additional hash families widen further at larger corpora.
   *  - p46 windows partition by cluster label (unbounded key space) over
   *    the already-banded cluster labels; no new all-pairs work.
   *  - p47 broadcasts the EVAL side (eval suites are small by construction)
@@ -37,14 +37,55 @@ object CurationSelection {
     * one of 4 bands, verified by exact popcount on candidates only. The
     * verify threshold (≤ 3) matches the banding guarantee exactly —
     * pigeonhole over 4 bands catches every pair within hamming distance 3
-    * — so recall at the emitted threshold is 1.0, not probabilistic. */
-  private def simhashBandPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+    * — so recall at the emitted threshold is 1.0, not probabilistic.
+    *
+    * The fingerprint is 62 bits — two independent 31-bit SimHashes (token
+    * multipliers 31/37, both in the portable oracle family) packed into
+    * one long — so bands are ~16 bits wide: 8-bit bands (one 31-bit hash)
+    * measured 129 s at sf1, collisions growing as n²/2^width. See
+    * [[simhashFingerprints]] for the shingle basis that keeps band values
+    * uniform. At larger corpora a third hash family widens bands again. */
+  /** 62-bit content fingerprints over SHINGLE hashes (3-gram rolling
+    * hashes), not unigram tokens: shingles live in a diverse space, so
+    * majority-vote bits are near-uniform and band values spread. A
+    * token-level simhash clusters badly on narrow vocabularies — this
+    * corpus has 265 distinct tokens, every document shares most of them,
+    * and the resulting band collisions made the join quadratic-ish
+    * (measured 59 s at sf1; a df-based stopword filter cannot help when
+    * the whole vocabulary is "frequent"). Sequence-level shingles are also
+    * the stronger near-dup semantic — the same reason the MinHash family
+    * (p06–p08) fingerprints shingles. Entirely narrow (scan-side) work:
+    * no shuffle exists before the band join. Shingle-less docs (< 3
+    * tokens) carry no sequence signal and are excluded. */
+  private[graft] def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    // The persist is a PROJECTION-COLLAPSE barrier, not a reuse cache:
+    // sparkShingles references its token array 3× per element, and
+    // collapsed into one projection Catalyst re-evaluates the whole
+    // per-character token-hash transform for every element_at — O(tokens²)
+    // per document (whole operator measured 25.7 s at sf0.1 collapsed,
+    // 1.2 s with the barrier; 5.9 s at sf1). Same class as the
+    // p31/LSH-signature persists; the harness cache-clear releases it,
+    // MEMORY_AND_DISK spills at scale.
+    val hashed = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), graft.functions.simhash64(col("th")).as("h"))
+      .withColumn("thb", expr(PH.sparkTokenHashes("text", PH.TokMult2)))
+      .select(col("doc_id"), col("th"), col("thb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed
+      .filter(size(col("th")) >= 3) // shingle-less docs: no sequence signal
+      .withColumn("sh1", expr(PH.sparkShingles("th")))
+      .withColumn("sh2", expr(PH.sparkShingles("thb")))
+      .select(col("doc_id"),
+        graft.functions.simhash64(col("sh1"))
+          .bitwiseOR(shiftleft(graft.functions.simhash64(col("sh2")), 31))
+          .as("h"))
+  }
+
+  private def simhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = simhashFingerprints(s, dir)
     val bandCols = (0 to 3).map { j =>
-      val mask = if (j == 3) 127L else 255L // 31 bits = 8+8+8+7
-      struct(lit(j).as("band"), expr(s"(h >> ${8 * j}) & $mask").as("bv"))
+      val mask = if (j == 3) 16383L else 65535L // 62 bits = 16+16+16+14
+      struct(lit(j).as("band"), expr(s"(h >> ${16 * j}) & $mask").as("bv"))
     }
     val bands = base
       .select(col("doc_id"), col("h"), explode(array(bandCols: _*)).as("b"))
@@ -67,14 +108,19 @@ object CurationSelection {
   }
 
   private val simhashBandPairsSql = {
-    val bits = DedupQueries.simhashBitsSql
-    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
-       |sh AS (SELECT doc_id, $bits AS h FROM th),
+    val bits = DedupQueries.simhashBitsSqlFor("sh1")
+    val bitsB = DedupQueries.simhashBitsSqlFor("sh2")
+    s"""WITH raw AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th,
+       |       ${PH.duckTokenHashes("text", PH.TokMult2)} AS thb FROM documents),
+       |shx AS (SELECT doc_id, len(th) AS n_toks, ${PH.duckShingles("th")} AS sh1,
+       |        ${PH.duckShingles("thb")} AS sh2 FROM raw),
+       |sh AS (SELECT doc_id, $bits + ($bitsB << 31) AS h FROM shx
+       |       WHERE len(sh1) >= 1 AND n_toks >= 3),
        |bands AS (
-       |  SELECT doc_id, h, 0 AS band, (h >> 0) & 255 AS bv FROM sh
-       |  UNION ALL SELECT doc_id, h, 1, (h >> 8) & 255 FROM sh
-       |  UNION ALL SELECT doc_id, h, 2, (h >> 16) & 255 FROM sh
-       |  UNION ALL SELECT doc_id, h, 3, (h >> 24) & 127 FROM sh),
+       |  SELECT doc_id, h, 0 AS band, (h >> 0) & 65535 AS bv FROM sh
+       |  UNION ALL SELECT doc_id, h, 1, (h >> 16) & 65535 FROM sh
+       |  UNION ALL SELECT doc_id, h, 2, (h >> 32) & 65535 FROM sh
+       |  UNION ALL SELECT doc_id, h, 3, (h >> 48) & 16383 FROM sh),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
        |  FROM bands a JOIN bands b

@@ -222,13 +222,15 @@ object DedupQueries {
 
   // per-bit majority vote, mirroring SimHash64: bit j set iff strictly
   // more token hashes have bit j set than not (31 meaningful bits: token
-  // hashes are < 2^31). Shared with the hamming-band pairs oracle (p45).
-  private[pipeline] val simhashBitsSql: String = (0 to 30).map { j =>
-    s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-  }.mkString("(", " + ", ")")
+  // hashes are < 2^31). Shared with the hamming-band pairs oracle (p45),
+  // which evaluates it over a second token-hash column too.
+  private[pipeline] def simhashBitsSqlFor(thCol: String): String =
+    (0 to 30).map { j =>
+      s"(CASE WHEN list_sum(list_transform($thCol, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
 
   private val simhashSql = {
-    val bits = simhashBitsSql
+    val bits = simhashBitsSqlFor("th")
     s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents)
        |SELECT doc_id, $bits AS simhash64, $bits & 65535 AS bucket16
        |FROM th ORDER BY doc_id""".stripMargin

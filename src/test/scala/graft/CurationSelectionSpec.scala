@@ -15,10 +15,10 @@ class CurationSelectionSpec extends AnyFunSuite {
   test("p45: banding has perfect recall at the pigeonhole threshold") {
     // brute-force all pairs within hamming <= 3 on a doc subset, and the
     // banded operator must contain every one of them
-    val sub = Tables.load(spark, sfDir, "documents")
-      .filter(col("doc_id") < 120)
-      .withColumn("th", expr(graft.pipeline.PortableHash.sparkTokenHashes("text")))
-      .select(col("doc_id"), graft.functions.simhash64(col("th")).as("h"))
+    // the operator's own fingerprints (shingle-basis 62-bit simhash); the
+    // full sf0.001 corpus keeps the brute-force quadratic at ~125k pairs
+    val sub = graft.pipeline.CurationSelection
+      .simhashFingerprints(spark, sfDir)
     val brute = sub.as("a").join(sub.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
           expr("bit_count(a.h ^ b.h)") <= 3)

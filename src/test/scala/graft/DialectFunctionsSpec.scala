@@ -268,6 +268,23 @@ class DialectFunctionsSpec extends AnyFunSuite {
       math.abs(r.getDouble(3) - 7.0 / 3) < 1e-12 && r.isNullAt(4))
   }
 
+  test("time_bucket: day-dividing intervals floor-align; others pass through") {
+    val out = DialectFunctions.rewrite(
+      "SELECT time_bucket(INTERVAL '15 minutes', ts) FROM events")
+    assert(out.contains("pmod") && out.contains("900L") &&
+      !out.toLowerCase.contains("time_bucket"))
+    // pre-epoch floor (not truncate-toward-zero): -1s falls in the bucket
+    // STARTING before it
+    val spark = SparkTestSession.spark
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT CAST(time_bucket(INTERVAL '1 hour', TIMESTAMP '1969-12-31 23:59:59') AS STRING) AS b"))
+      .head.getString(0)
+    assert(r == "1969-12-31 23:00:00", r)
+    // a week does not divide a day-origin: untouched
+    val wk = "SELECT time_bucket(INTERVAL '7 days', ts) FROM events"
+    assert(DialectFunctions.rewrite(wk) == wk)
+  }
+
   test("unsupported ordered-aggregate shapes pass through untouched") {
     val nullsFirst =
       "SELECT list(x ORDER BY y NULLS FIRST) FROM t"
