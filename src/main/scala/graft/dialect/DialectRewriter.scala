@@ -99,6 +99,9 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
     // DuckDB query sugar Spark lacks: QUALIFY / GROUP BY ALL / ORDER BY
     // ALL / star-EXCLUDE (see DialectSugar)
     out = DialectSugar.rewrite(out)
+    // UNION BY NAME needs every branch already Spark-parseable (it
+    // resolves branch schemas plan-only), so it follows the passes above
+    out = SetOpsByName.rewrite(spark, out)
     // LAST: pin DuckDB's NULLS-LAST default onto every ascending ORDER BY
     // key (covers ORDER BY text synthesized by the passes above too)
     out = NullOrder.rewrite(out)

@@ -1,0 +1,143 @@
+package graft.dialect
+
+/** DuckDB bracket list expressions → Spark SQL.
+  *
+  * Two forms share the `[...]` syntax in expression position (DuckDB docs,
+  * sql/data_types/list + sql/functions/list — "list comprehension"):
+  *
+  *   - list literal:        `[1, 2, 3]`            → `array(1, 2, 3)`
+  *   - list comprehension:  `[f(x) FOR x IN l IF p(x)]`
+  *                          → `transform(filter(l, x -> p(x)), x -> f(x))`
+  *     (without IF: `transform(l, x -> f(x))`)
+  *
+  * The hard part is telling an expression-position bracket from the OTHER
+  * bracket uses Spark owns natively: `l[i]` indexing and `s['k']` struct
+  * access follow a value (identifier, `)`, `]`, or a string literal), while
+  * a literal/comprehension bracket follows an operator, a comma, an opening
+  * paren, or a keyword. A preceding identifier word that is a reserved
+  * keyword (SELECT, WHEN, THEN, IN, ...) therefore opens a literal, any
+  * other identifier means indexing and is left alone.
+  *
+  * Nested brackets recurse: `[[x, 1] FOR x IN l]` and comprehensions over
+  * comprehension results both fold inside-out. Runs before the
+  * function-spelling pass so `list_*` names inside the emitted lambdas
+  * still get mapped.
+  */
+object ListComprehension {
+
+  // a preceding word in this set means the bracket STARTS an expression
+  private val KeywordsBefore = Set(
+    "select", "where", "and", "or", "not", "then", "when", "else", "in",
+    "on", "having", "by", "distinct", "all", "union", "except", "intersect",
+    "values", "set", "returning", "case", "like", "ilike", "between", "is",
+    "return", "from")
+
+  def rewrite(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val e = SqlText.literalEnd(sql, i); sb.append(sql.substring(i, e)); i = e
+      } else if (sql.startsWith("--", i) || sql.startsWith("/*", i)) {
+        val e = commentEnd(sql, i); sb.append(sql.substring(i, e)); i = e
+      } else if (c == '[' && opensExpression(sb)) {
+        val close = matchingBracket(sql, i)
+        if (close < 0) { sb.append(c); i += 1 }
+        else {
+          // recurse first so inner brackets are already Spark text
+          val inner = rewrite(sql.substring(i + 1, close))
+          sb.append(translate(inner))
+          i = close + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Decide from the text ALREADY EMITTED whether a `[` begins a list
+    * expression (vs indexing a value). */
+  private def opensExpression(sb: StringBuilder): Boolean = {
+    var i = sb.length - 1
+    while (i >= 0 && sb.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return true
+    val c = sb.charAt(i)
+    if (c == ')' || c == ']' || c == '\'') return false
+    if (!c.isLetterOrDigit && c != '_') return true // operator/comma/paren
+    if (c.isDigit) return false                     // 1[?] — not valid anyway
+    val end = i + 1
+    while (i >= 0 && (sb.charAt(i).isLetterOrDigit || sb.charAt(i) == '_')) i -= 1
+    KeywordsBefore.contains(sb.substring(i + 1, end).toLowerCase)
+  }
+
+  /** Index of the `]` matching the `[` at `open` (literal-aware), or -1. */
+  private def matchingBracket(sql: String, open: Int): Int = {
+    var i = open + 1
+    var depth = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(sql, i)
+        case '[' | '(' => depth += 1; i += 1
+        case ']' if depth == 0 => return i
+        case ']' | ')' => depth -= 1; i += 1
+        case _ =>
+          val ce = commentEnd(sql, i)
+          i = if (ce > i) ce else i + 1
+      }
+    }
+    -1
+  }
+
+  /** Translate the bracket CONTENT (already recursed) to Spark. */
+  private def translate(inner: String): String = {
+    val forIdx = topLevelWord(inner, "FOR")
+    if (forIdx < 0) return s"array($inner)"
+    val exprPart = inner.substring(0, forIdx).trim
+    val afterFor = inner.substring(forIdx + 3)
+    val inIdx = topLevelWord(afterFor, "IN")
+    if (inIdx < 0) return s"array($inner)" // not a comprehension after all
+    val varName = afterFor.substring(0, inIdx).trim
+    val afterIn = afterFor.substring(inIdx + 2)
+    val ifIdx = topLevelWord(afterIn, "IF")
+    val (listExpr, cond) =
+      if (ifIdx < 0) (afterIn.trim, None)
+      else (afterIn.substring(0, ifIdx).trim, Some(afterIn.substring(ifIdx + 2).trim))
+    val source = cond match {
+      case Some(p) => s"filter($listExpr, $varName -> $p)"
+      case None => listExpr
+    }
+    s"transform($source, $varName -> $exprPart)"
+  }
+
+  /** First depth-0, literal-aware, word-boundary index of `word`. */
+  private def topLevelWord(s: String, word: String): Int = {
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(s, i)
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case c if depth == 0 && (c.isLetter || c == '_') =>
+          var j = i + 1
+          while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+          if (s.substring(i, j).equalsIgnoreCase(word) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1)))) return i
+          i = j
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  private def commentEnd(sql: String, i: Int): Int =
+    if (sql.startsWith("--", i)) {
+      val nl = sql.indexOf('\n', i)
+      if (nl < 0) sql.length else nl + 1
+    } else if (sql.startsWith("/*", i)) {
+      val end = sql.indexOf("*/", i + 2)
+      if (end < 0) sql.length else end + 2
+    } else i
+}

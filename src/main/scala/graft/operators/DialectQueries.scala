@@ -31,8 +31,9 @@ object DialectQueries {
     * chain) on the Spark side and verbatim on the DuckDB side. */
   private def fns(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(DialectSugar.rewrite(DialectFunctions.rewrite(
-      graft.dialect.SqlText.escapeLiteralsForSpark(sql))))
+    spark.sql(graft.dialect.NullOrder.rewrite(
+      DialectSugar.rewrite(DialectFunctions.rewrite(
+        graft.dialect.SqlText.escapeLiteralsForSpark(sql)))))
   }
 
   // star EXCLUDE + REPLACE on one star item: the EXCLUDE list must merge
@@ -401,6 +402,44 @@ object DialectQueries {
       |FROM orders WHERE o_orderkey <= 300
       |ORDER BY o_orderkey""".stripMargin
 
+  // bracket list expressions: a literal, a plain comprehension, and a
+  // filtered comprehension — DuckDB runs the brackets natively, the Spark
+  // side goes through ListComprehension → transform/filter/array
+  private val q87Sql =
+    """SELECT doc_id,
+      |  [CAST(length(t) AS BIGINT) FOR t IN string_split(text, ' ')] AS tok_lens,
+      |  [upper(t) FOR t IN string_split(text, ' ') IF length(t) > 6] AS long_toks,
+      |  [lang, source] AS tags
+      |FROM documents WHERE doc_id <= 50
+      |ORDER BY doc_id""".stripMargin
+
+  // UNION ALL BY NAME: mismatched column sets NULL-fill and align by name
+  // (left columns first, then the right side's new ones) — DuckDB native,
+  // Spark via the SetOpsByName schema-resolving rewrite
+  private val q88Sql =
+    """SELECT o_orderkey AS k, o_totalprice AS price
+      |FROM orders WHERE o_orderkey <= 100
+      |UNION ALL BY NAME
+      |SELECT c_name AS name, c_custkey AS k
+      |FROM customer WHERE c_custkey <= 50
+      |ORDER BY k, price""".stripMargin
+
+  private def byNameQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(graft.dialect.NullOrder.rewrite(
+      graft.dialect.SetOpsByName.rewrite(spark, q88Sql)))
+  }
+
+  // default null ordering under LIMIT: DuckDB sorts NULLs last, so the
+  // returned ROW SET (not just its order) depends on the NullOrder pin;
+  // TRY_CAST rides along (same spelling both engines)
+  private val q89Sql =
+    """SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END AS v,
+      |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio,
+      |  TRY_CAST(o_orderstatus AS INT) AS never
+      |FROM orders
+      |ORDER BY v LIMIT 40""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -427,5 +466,8 @@ object DialectQueries {
     Q("q83_positional_join", fns(q83Sql), Some(q83Sql)),
     Q("q84_window_exclude", fns(q84Sql), Some(q84Sql)),
     Q("q85_ordered_aggregates", fns(q85Sql), Some(q85Sql)),
-    Q("q86_time_bucket_median", fns(q86Sql), Some(q86Sql)))
+    Q("q86_time_bucket_median", fns(q86Sql), Some(q86Sql)),
+    Q("q87_list_comprehension", fns(q87Sql), Some(q87Sql)),
+    Q("q88_union_by_name", byNameQ, Some(q88Sql)),
+    Q("q89_null_order_limit", fns(q89Sql), Some(q89Sql)))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.dialect.ListComprehension
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ListComprehension: DuckDB bracket list literals / comprehensions map to
+  * array/transform/filter; Spark's own bracket uses (value indexing, struct
+  * field access) must pass through untouched. */
+class ListComprehensionSpec extends AnyFunSuite {
+
+  test("bare list literal becomes array()") {
+    assert(ListComprehension.rewrite("SELECT [1, 2, 3]") ==
+      "SELECT array(1, 2, 3)")
+    assert(ListComprehension.rewrite("SELECT f([1, 2]) FROM t") ==
+      "SELECT f(array(1, 2)) FROM t")
+    assert(ListComprehension.rewrite("SELECT CASE WHEN a THEN [1] ELSE [2] END") ==
+      "SELECT CASE WHEN a THEN array(1) ELSE array(2) END")
+  }
+
+  test("indexing and struct access are left alone") {
+    assert(ListComprehension.rewrite("SELECT l[1] FROM t") == "SELECT l[1] FROM t")
+    assert(ListComprehension.rewrite("SELECT s['k'] FROM t") == "SELECT s['k'] FROM t")
+    assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") == "SELECT f(x)[2] FROM t")
+  }
+
+  test("comprehension without IF maps to transform") {
+    assert(ListComprehension.rewrite("SELECT [x * 2 FOR x IN l] FROM t") ==
+      "SELECT transform(l, x -> x * 2) FROM t")
+  }
+
+  test("comprehension with IF maps to transform over filter") {
+    assert(ListComprehension.rewrite(
+      "SELECT [upper(x) FOR x IN toks IF length(x) > 3] FROM t") ==
+      "SELECT transform(filter(toks, x -> length(x) > 3), x -> upper(x)) FROM t")
+  }
+
+  test("nested brackets fold inside-out") {
+    assert(ListComprehension.rewrite("SELECT [[x, 1] FOR x IN l] FROM t") ==
+      "SELECT transform(l, x -> array(x, 1)) FROM t")
+  }
+
+  test("string literals shield bracket text and keywords") {
+    assert(ListComprehension.rewrite("SELECT '[1,2]' FROM t") ==
+      "SELECT '[1,2]' FROM t")
+    assert(ListComprehension.rewrite("SELECT [concat(x, ' FOR y') FOR x IN l]") ==
+      "SELECT transform(l, x -> concat(x, ' FOR y'))")
+  }
+
+  test("FOR without IN is a plain literal, not a comprehension") {
+    assert(ListComprehension.rewrite("SELECT ['FOR'], [x FOR] FROM t") ==
+      "SELECT array('FOR'), array(x FOR) FROM t")
+  }
+
+  test("engine path evaluates a comprehension end-to-end") {
+    val engine = new session.Engine(
+      session.EngineConfig(existingSession = Some(SparkTestSession.spark)))
+    val conn = engine.connect()
+    val rows = conn.queryDF(
+      "SELECT [v * 10 FOR v IN [1, 2, 3] IF v <> 2] AS r")
+      .collect().map(_.getSeq[Int](0))
+    assert(rows.head == Seq(10, 30))
+  }
+}
