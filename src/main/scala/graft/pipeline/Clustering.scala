@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  private val K = 8
-  private val Dim = 64
+  private[pipeline] val K = 8
+  private[pipeline] val Dim = 64
 
   /** (vec_id, q: array<bigint>) — shared quantization stage, persisted
     * because both Lloyd iterations re-read it (same pattern as the LSH
@@ -82,9 +82,10 @@ object Clustering {
   // zero) is spelled with the sign-split `//` (floor) so no float
   // division enters the chain; list indexing is 1-based so positions
   // shift by one against Spark's 0-based posexplode — only pos ORDER
-  // matters, and both sort ascending.
-  private val kmeansSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // matters, and both sort ascending. The CTE prefix (through the final
+  // assignment a2) is shared with SemanticOps' p49 oracle.
+  private[pipeline] val duckKmeansCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
        |sc AS (SELECT vec_id, v,
        |         CASE WHEN amax > 0 THEN CAST(127 AS DOUBLE) / amax
@@ -120,7 +121,10 @@ object Clustering {
        |  SELECT vec_id, cell, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                 ORDER BY dist, cell) AS rk FROM d2) t
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+
+  private val kmeansSql =
+    s"""WITH $duckKmeansCtes
        |SELECT a2.cell,
        |  count(*) AS n_members,
        |  CAST(sum(a2.dist) AS BIGINT) AS inertia,

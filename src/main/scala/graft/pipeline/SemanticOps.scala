@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import graft.pipeline.{PortableHash => PH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic-level curation operators: SemDeDup-style embedding dedup
+  * inside k-means cells, a Bloom-filter decontamination prefilter, and
+  * out-of-vocabulary scoring against a corpus top-K vocabulary.
+  *
+  * Everything is integer/rational arithmetic over the shared
+  * [[PortableHash]] constants and the quantized k-means kernel from
+  * [[Clustering]], so each query carries a bit-exact DuckDB oracle.
+  */
+object SemanticOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------ p49 SemDeDup
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embeddings cluster
+    * with k-means, then near-duplicate PAIRS are searched only inside a
+    * cluster — the cross-cluster quadratic blowup never happens. A vector
+    * is dropped when a same-cell neighbor with a smaller vec_id is within
+    * the cosine threshold; the reported `dup_of` is the smallest such
+    * neighbor.
+    *
+    * The cosine test runs in exact integer arithmetic over the int8
+    * quantized vectors: cos(a,b) >= t  ⟺  dot > 0 ∧ dot²·10⁴ ≥ (t·100)²·|a|²·|b|²
+    * so both engines agree bit for bit — no float
+    * epsilon at the decision boundary. The threshold here is t = 0.40
+    * (→ 1600): the synthetic embeddings are near-orthogonal (max observed
+    * cosine ≈ 0.47), so a production-style 0.85 would select nothing —
+    * the constant is the only thing that changes at real data.
+    *
+    * 100 TB design: k scales with the corpus (SemDeDup uses ~50k cells for
+    * LAION-scale data) so the EXPECTED cell size is a constant and the
+    * per-cell self-join stays bounded — the same contract as an LSH band
+    * bucket. Assignment is the broadcast k×dim nested loop from
+    * [[Clustering]]; the pair join shuffles on cell, never all-pairs. */
+  private def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val q = Clustering.quantized(s, dir)
+    val cents0 = q.filter(col("vec_id") < Clustering.K)
+      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
+    val m = a2.withColumn("n",
+      expr("aggregate(transform(q, x -> x * x), 0L, (acc, d) -> acc + d)"))
+      .select(col("cell"), col("vec_id"), col("q"), col("n"))
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("n").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("n").as("nb"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, d) -> acc + d)"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(1600L) * col("na") * col("nb"))
+      .groupBy(col("b_id"), col("cell"))
+      .agg(min(col("a_id")).as("dup_of"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semdedupSql =
+    s"""WITH ${Clustering.duckKmeansCtes},
+       |qn AS (SELECT vec_id,
+       |         CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(q, x -> x * x))) AS BIGINT) AS n, q
+       |       FROM qv),
+       |mv AS (SELECT a2.vec_id, a2.cell, qn.q, qn.n
+       |       FROM a2 JOIN qn USING (vec_id)),
+       |pr AS (
+       |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(list_sum(list_transform(range(1, ${Clustering.Dim + 1}),
+       |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+       |    a.n AS na, b.n AS nb
+       |  FROM mv a JOIN mv b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT b_id AS vec_id, CAST(min(a_id) AS BIGINT) AS dup_of, cell
+       |FROM pr
+       |WHERE dot > 0 AND dot * dot * 10000 >= 1600 * na * nb
+       |GROUP BY b_id, cell
+       |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------- p50 Bloom-filter decontamination
+  /** Decontamination with a Bloom-filter PREFILTER: the benchmark (eval)
+    * shingle set compresses to an m-bit Bloom filter (k hash probes per
+    * shingle), corpus shingles test against the filter map-side, and only
+    * the "maybe" hits go to the exact verification join — the standard
+    * scale pattern when the blocklist itself is too big to broadcast raw
+    * but its bitset is not (m bits vs gigabytes of shingles).
+    *
+    * The filter is modeled deterministically so both engines agree: the
+    * bit ARRAY is the distinct set of probe positions (j, (a_j·h + b_j)
+    * mod P mod m) — identical arithmetic to a real bitset, j kept in the
+    * key so each of the k probes has its own subspace. Per document the
+    * query reports Bloom hits (n_maybe), exact hits (n_exact), and the
+    * measured false-positive count their difference — the quantity you
+    * size m/k against.
+    *
+    * 100 TB design: bits ≤ k·|eval shingles| rows regardless of corpus
+    * size → broadcast; the corpus side is a map-side semi-join + one
+    * aggregation keyed by doc_id. Corpus never reshuffles on shingle. */
+  private val BloomBits = 65536L // m = 2^16
+  private val BloomK = 3
+
+  private def bloomProbes: Seq[(Long, Long)] = PH.perms.take(BloomK)
+
+  private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
+      .distinct()
+    val evalSh = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("shingle")).distinct()
+    val posOf = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"),
+        pmod(pmod(lit(a) * col("shingle") + lit(b), lit(PH.P)), lit(BloomBits)).as("pos"))
+    }
+    val bits = evalSh.select(explode(array(posOf: _*)).as("jp"))
+      .select(col("jp.j").as("j"), col("jp.pos").as("pos")).distinct()
+      .withColumn("hit", lit(1))
+    val corpus = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    val probed = corpus.select(col("doc_id"), col("shingle"),
+        explode(array(posOf: _*)).as("jp"))
+      .select(col("doc_id"), col("shingle"),
+        col("jp.j").as("j"), col("jp.pos").as("pos"))
+      .join(broadcast(bits), Seq("j", "pos"), "left_outer")
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg((count(col("hit")) === BloomK).as("maybe"))
+    val exact = evalSh.withColumn("is_eval", lit(1))
+    probed.join(broadcast(exact), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        count(col("is_eval")).as("n_exact"))
+      .withColumn("n_false_pos", col("n_maybe") - col("n_exact"))
+      .filter(col("n_maybe") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val bloomDecontamSql = {
+    val probesList = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
+      s"[CAST($j AS BIGINT), (($a * shingle + $b) % ${PH.P}) % $BloomBits]"
+    }.mkString("[", ", ", "]")
+    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
+       |sh AS (SELECT doc_id, ${PH.duckShingles("th")} AS sh FROM th),
+       |pairs AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+       |evalsh AS (SELECT DISTINCT shingle FROM pairs WHERE doc_id % 17 = 0),
+       |bits AS (SELECT DISTINCT jp[1] AS j, jp[2] AS pos
+       |         FROM (SELECT unnest($probesList) AS jp FROM evalsh)),
+       |corpus AS (SELECT doc_id, shingle FROM pairs WHERE doc_id % 17 <> 0),
+       |probes AS (SELECT doc_id, shingle, jp[1] AS j, jp[2] AS pos
+       |           FROM (SELECT doc_id, shingle, unnest($probesList) AS jp FROM corpus)),
+       |probed AS (
+       |  SELECT p.doc_id, p.shingle, count(b.pos) = $BloomK AS maybe
+       |  FROM probes p LEFT JOIN bits b ON p.j = b.j AND p.pos = b.pos
+       |  GROUP BY p.doc_id, p.shingle),
+       |ev AS (SELECT shingle, 1 AS is_eval FROM evalsh)
+       |SELECT pr.doc_id,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN pr.maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       |  count(ev.is_eval) AS n_exact,
+       |  CAST(sum(CASE WHEN pr.maybe THEN 1 ELSE 0 END) AS BIGINT)
+       |    - count(ev.is_eval) AS n_false_pos
+       |FROM probed pr LEFT JOIN ev USING (shingle)
+       |GROUP BY pr.doc_id
+       |HAVING CAST(sum(CASE WHEN pr.maybe THEN 1 ELSE 0 END) AS BIGINT) > 0
+       |ORDER BY pr.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- p51 OOV rate
+  /** Out-of-vocabulary rate per document against the corpus top-K
+    * vocabulary — the tokenizer-coverage signal a data pipeline tracks
+    * when the training vocabulary is frozen: rising OOV flags domain
+    * drift or encoding junk. Vocabulary = top `VocabSize` tokens by
+    * (count DESC, token ASC) — the tiebreak makes the cut deterministic.
+    *
+    * 100 TB design: the vocabulary is a two-level aggregation (map-side
+    * partials, then one token-keyed shuffle of the DISTINCT vocabulary,
+    * not the corpus) + a top-K that is tiny by construction; the per-doc
+    * pass is explode → broadcast hash join against the K-row vocab →
+    * re-aggregate by doc_id. The corpus shuffles once, keyed by doc_id. */
+  // the synthetic corpus has a few hundred distinct tokens — the cut must
+  // land INSIDE the distribution for the signal to be non-trivial
+  private val VocabSize = 150
+
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    // vocabulary units are adjacent-word BIGRAMS: the synthetic corpus has
+    // only ~31 distinct words, so word-level coverage is trivially total —
+    // bigrams give a distribution the top-K cut actually lands inside
+    // (at real data the unit definition is the knob, the shape is fixed)
+    val units = docs(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
+        .as("unit"))
+    // top-K via sort+limit → TakeOrderedAndProject, never a global window;
+    // the (cnt DESC, unit ASC) total order makes the cut deterministic
+    val vocab = units.groupBy(col("unit")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("unit").asc)
+      .limit(VocabSize)
+      .select(col("unit")).withColumn("in_vocab", lit(1))
+    units.join(broadcast(vocab), Seq("unit"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_units").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oovRateSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |units AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - 1, 1) + 1),
+       |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS unit
+       |  FROM tk),
+       |vocab AS (
+       |  SELECT unit FROM (
+       |    SELECT unit, row_number() OVER (ORDER BY count(*) DESC, unit ASC) AS rk
+       |    FROM units GROUP BY unit) t
+       |  WHERE rk <= $VocabSize),
+       |v AS (SELECT unit, 1 AS in_vocab FROM vocab)
+       |SELECT doc_id,
+       |  count(*) AS n_units,
+       |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM units LEFT JOIN v USING (unit)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("p49_semdedup", semdedup, Some(semdedupSql)),
+    Q("p50_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
+    Q("p51_oov_rate", oovRate, Some(oovRateSql)))
+}

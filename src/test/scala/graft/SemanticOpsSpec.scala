@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemanticOps invariants the DuckDB oracle can't express: ordering and
+  * containment properties of the SemDeDup drop set, Bloom-filter soundness
+  * (no false NEGATIVES by construction), OOV bounds, and the plan shapes
+  * the 100 TB story depends on. */
+class SemanticOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+
+  test("p49: every dropped vector cites a smaller same-cell representative") {
+    val rows = run("p49_semdedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0),
+        s"dup_of ${r.getLong(1)} must be < vec_id ${r.getLong(0)}")
+    }
+    // the representative itself must never appear as dropped (it has no
+    // smaller near-dup by the greedy min rule... unless it was dropped by
+    // an even smaller one — transitively the MINIMUM of each chain stays)
+    val dropped = rows.map(_.getLong(0)).toSet
+    val minDupOf = rows.map(_.getLong(1)).min
+    assert(!dropped.contains(minDupOf))
+  }
+
+  test("p50: Bloom prefilter is sound (exact hits always pass the filter)") {
+    val rows = run("p50_bloom_decontam").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSh, nMaybe, nExact, nFp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nExact <= nMaybe, "a true member can never miss the filter")
+      assert(nMaybe <= nSh)
+      assert(nFp == nMaybe - nExact && nFp >= 0)
+    }
+  }
+
+  test("p50: the bits side broadcasts (corpus never reshuffles on shingle)") {
+    val plan = planOf(run("p50_bloom_decontam"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join for the Bloom bitset:\n$plan")
+  }
+
+  test("p51: OOV rate is a proper fraction, some units fall outside the cut") {
+    val df = run("p51_oov_rate")
+    val rows = df.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the top-K vocab broadcast:\n$plan")
+    // some tokens must actually fall outside the top-K cut for the signal
+    // to be non-trivial on this corpus
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  test("p49: no cartesian product — the pair join is keyed by cell") {
+    val plan = planOf(run("p49_semdedup"))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair search must stay inside cells:\n$plan")
+  }
+}
