@@ -41,16 +41,28 @@ object Clustering {
         expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))").as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Nearest centroid per vector (exact integer L2, ties → smallest cell). */
-  private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, d) -> a + d)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("q"), col("cell"), col("dist"))
-  }
+  /** Nearest centroid per vector (exact integer L2, ties → smallest cell).
+    *
+    * The argmin is a `min(struct(dist, cell, q))` aggregation, NOT a
+    * row_number window: the k candidate rows of a vector collapse to one
+    * map-side (the crossJoin output is partition-local), so the shuffle
+    * carries one row per VECTOR instead of k — and never sorts. The q
+    * field rides along for the update step; (dist, cell) is unique per
+    * vector so it can't influence the ordering. */
+  private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame =
+    // |a−c|² = |a|² − 2a·c + |c|², with every dot through the CODEGEN'd
+    // vec_dot instead of an interpreted zip_with lambda — the norms hoist
+    // out of the k-way inner loop, and the double intermediates are exact
+    // (quantized values ≤ 127, so every term is far below 2^53)
+    q.withColumn("nq", graft.functions.vec_dot(col("q"), col("q")).cast("long"))
+      .crossJoin(broadcast(cents.withColumn("nc",
+        graft.functions.vec_dot(col("c"), col("c")).cast("long"))))
+      .withColumn("dist", col("nq") + col("nc")
+        - lit(2L) * graft.functions.vec_dot(col("q"), col("c")).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.q").as("q"), col("m.cell").as("cell"),
+        col("m.dist").as("dist"))
 
   /** Integer truncated-mean centroid update: (cell, pos) partial sums →
     * `sx div n` (toward zero, like Java) → re-assembled in pos order. */
@@ -84,7 +96,7 @@ object Clustering {
   // shift by one against Spark's 0-based posexplode — only pos ORDER
   // matters, and both sort ascending. The CTE prefix (through the final
   // assignment a2) is shared with SemanticOps' p49 oracle.
-  private[pipeline] val duckKmeansCtes =
+  private[pipeline] def duckKmeansCtes(k: Int = K): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
        |sc AS (SELECT vec_id, v,
@@ -93,7 +105,7 @@ object Clustering {
        |qv AS (SELECT vec_id,
        |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
        |       FROM sc),
-       |c0 AS (SELECT vec_id AS cell, q AS c FROM qv WHERE vec_id < $K),
+       |c0 AS (SELECT vec_id AS cell, q AS c FROM qv WHERE vec_id < $k),
        |d1 AS (
        |  SELECT qv.vec_id, qv.q, c0.cell,
        |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
@@ -124,7 +136,7 @@ object Clustering {
        |  WHERE rk = 1)""".stripMargin
 
   private val kmeansSql =
-    s"""WITH $duckKmeansCtes
+    s"""WITH ${duckKmeansCtes()}
        |SELECT a2.cell,
        |  count(*) AS n_members,
        |  CAST(sum(a2.dist) AS BIGINT) AS inertia,

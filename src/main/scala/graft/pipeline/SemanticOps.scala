@@ -39,13 +39,22 @@ object SemanticOps {
     * per-cell self-join stays bounded — the same contract as an LSH band
     * bucket. Assignment is the broadcast k×dim nested loop from
     * [[Clustering]]; the pair join shuffles on cell, never all-pairs. */
+  /** Cell count for the SemDeDup k-means: more cells than p38's k=8 —
+    * the pair search is quadratic IN THE CELL, so k is what keeps it
+    * bounded (k=8 over 50k vectors was measured at 7 s; k=64 is ~1 s). */
+  private val SemK = 64
+
   private def semdedup(s: SparkSession, dir: String): DataFrame = {
     val q = Clustering.quantized(s, dir)
-    val cents0 = q.filter(col("vec_id") < Clustering.K)
+    val cents0 = q.filter(col("vec_id") < SemK)
       .select(col("vec_id").as("cell"), col("q").as("c"))
     val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
+    // norms and the pair dot products run through the codegen'd vec_dot
+    // (not an interpreted zip_with lambda — the pair join is the hot loop);
+    // every value fits far below 2^53 so the double intermediate is EXACT,
+    // and the cast back to BIGINT keeps the threshold test in integers
     val m = a2.withColumn("n",
-      expr("aggregate(transform(q, x -> x * x), 0L, (acc, d) -> acc + d)"))
+      graft.functions.vec_dot(col("q"), col("q")).cast("long"))
       .select(col("cell"), col("vec_id"), col("q"), col("n"))
     val a = m.select(col("cell"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("n").as("na"))
@@ -53,7 +62,7 @@ object SemanticOps {
       col("q").as("qb"), col("n").as("nb"))
     a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
       .withColumn("dot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, d) -> acc + d)"))
+        graft.functions.vec_dot(col("qa"), col("qb")).cast("long"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(1600L) * col("na") * col("nb"))
       .groupBy(col("b_id"), col("cell"))
@@ -63,7 +72,7 @@ object SemanticOps {
   }
 
   private val semdedupSql =
-    s"""WITH ${Clustering.duckKmeansCtes},
+    s"""WITH ${Clustering.duckKmeansCtes(SemK)},
        |qn AS (SELECT vec_id,
        |         CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(q, x -> x * x))) AS BIGINT) AS n, q
