@@ -30,7 +30,52 @@ object DialectSugar {
 
   // ASOF JOIN first: its output is plain JOIN + window SQL, which the
   // sugar passes (QUALIFY etc.) then treat like any other text
-  def rewrite(sql: String): String = process(AsofJoinSql.rewrite(sql))
+  def rewrite(sql: String): String =
+    process(AsofJoinSql.rewrite(joinSpellings(sql)))
+
+  // ------------------------------------------- bare join/sample spellings
+  // DuckDB's bare `SEMI JOIN` / `ANTI JOIN` (duckdb docs/sql/query_syntax/
+  // from) are Spark's LEFT-prefixed forms; a RIGHT-prefixed form is left
+  // untouched for Spark to reject loudly (no Spark spelling exists).
+  private val BareSemiAnti =
+    """(?i)\b(left\s+|right\s+)?(semi|anti)\s+join\b""".r
+
+  // `USING SAMPLE <spec>` (duckdb docs/sql/samples) → Spark TABLESAMPLE,
+  // emitted in place — DuckDB's table-sample form puts the clause directly
+  // after the relation, exactly where Spark wants TABLESAMPLE. Supported
+  // specs: `n%` / `n PERCENT`, `n [ROWS]`, each optionally method-wrapped
+  // (`bernoulli(10%)`, `reservoir(50 ROWS)`, `system(10%)`) and/or with a
+  // trailing `(method[, seed])` or `REPEATABLE (seed)`. The method itself
+  // is advisory (Spark samples Bernoulli per-split; sampling METHOD is not
+  // part of the result contract) but a seed is carried into REPEATABLE.
+  private val sizeUnit = """(\d+(?:\.\d+)?)\s*(%|percent\b|rows?\b)?"""
+  private val sampleTail =                                      // after the size:
+    """(?:\s*\(\s*(?:reservoir|bernoulli|system)\s*(?:,\s*(\d+))?\s*\))?""" + // (method[, seed])
+    """(?:\s*repeatable\s*\(\s*(\d+)\s*\))?"""                  // REPEATABLE (seed)
+  private val UsingSampleWrapped = // method-wrapped size: bernoulli(10%)
+    s"""(?i)\\busing\\s+sample\\s+(?:reservoir|bernoulli|system)\\s*\\(\\s*$sizeUnit\\s*\\)$sampleTail""".r
+  private val UsingSamplePlain =
+    s"""(?i)\\busing\\s+sample\\s+$sizeUnit$sampleTail""".r
+
+  private def tablesample(m: scala.util.matching.Regex.Match): String = {
+    val unit = Option(m.group(2)).map(_.trim.toLowerCase) match {
+      case Some("%") | Some("percent") => "PERCENT"
+      case _ => "ROWS"
+    }
+    val seed = Option(m.group(3)).orElse(Option(m.group(4)))
+    s"TABLESAMPLE (${m.group(1)} $unit)" +
+      seed.map(s => s" REPEATABLE ($s)").getOrElse("")
+  }
+
+  private def joinSpellings(sql: String): String =
+    SqlText.mapOutsideLiterals(sql) { seg =>
+      val joined = BareSemiAnti.replaceAllIn(seg, m =>
+        if (m.group(1) != null) // already LEFT/RIGHT-prefixed: leave as-is
+          java.util.regex.Matcher.quoteReplacement(m.group(0))
+        else s"LEFT ${m.group(2).toUpperCase} JOIN")
+      UsingSamplePlain.replaceAllIn(
+        UsingSampleWrapped.replaceAllIn(joined, tablesample _), tablesample _)
+    }
 
   // ---------------------------------------------------------------- scan
   /** End index (exclusive) of a comment starting at `i`, or `i` if none:

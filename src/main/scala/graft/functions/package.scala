@@ -37,6 +37,11 @@ package object functions {
     ExprBridge.column(
       VecSumAgg(ExprBridge.expression(a)).toAggregateExpression())
 
+  /** Multiplicative aggregate (DuckDB `product`); NULL-skipping, DOUBLE. */
+  def product(a: Column): Column =
+    ExprBridge.column(
+      ProductAgg(ExprBridge.expression(a)).toAggregateExpression())
+
   private def arity(name: String, n: Int)(
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(es.length == n, s"$name requires $n argument(s), got ${es.length}")
@@ -56,6 +61,8 @@ package object functions {
       es => { arity("quant_stats", 1)(es); QuantStats(es.head) })
     ExprBridge.registerFunction(spark, "vec_sum",
       es => { arity("vec_sum", 1)(es); VecSumAgg(es.head) })
+    ExprBridge.registerFunction(spark, "product",
+      es => { arity("product", 1)(es); ProductAgg(es.head) })
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

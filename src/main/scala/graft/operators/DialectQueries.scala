@@ -440,6 +440,59 @@ object DialectQueries {
       |FROM orders
       |ORDER BY v LIMIT 40""".stripMargin
 
+  // bare SEMI / ANTI JOIN keywords (DuckDB spells Spark's LEFT SEMI/ANTI
+  // without the LEFT): both sides of the union exercise the rewrite, with
+  // an extra non-equi conjunct on the semi side. DuckDB runs the bare
+  // spelling natively as the oracle.
+  private val q90Sql =
+    """SELECT 'semi' AS side, c_custkey, c_name
+      |FROM customer SEMI JOIN orders
+      |  ON o_custkey = c_custkey AND o_totalprice > 400000
+      |UNION ALL
+      |SELECT 'anti' AS side, c_custkey, c_name
+      |FROM customer ANTI JOIN orders ON o_custkey = c_custkey
+      |ORDER BY side, c_custkey""".stripMargin
+
+  // VALUES inline table with a column-list alias, grouped through the
+  // native product() aggregate (graft.functions.ProductAgg — Spark has no
+  // product spelling; DuckDB runs its built-in). Small exact integers so
+  // the DOUBLE product is order-independent; one NULL proves null-skip.
+  private val q91Sql =
+    """SELECT t.grp,
+      |  CAST(product(t.x) AS DOUBLE) AS prod,
+      |  CAST(count(t.x) AS BIGINT) AS n
+      |FROM (VALUES (1, 2), (1, 3), (1, 4), (2, 5), (2, 6), (2, NULL))
+      |  AS t(grp, x)
+      |GROUP BY t.grp
+      |ORDER BY t.grp""".stripMargin
+
+  // statistic aggregate spellings shared by both engines: median / mode /
+  // bool_and / bool_or / bit_and / bit_or / bit_xor. The mode argument's
+  // most-frequent value is unique per group (l_linenumber = 1 strictly
+  // dominates), so tie-break rules can't diverge; every integer aggregate
+  // is CAST to BIGINT against DuckDB's widening.
+  private val q92Sql =
+    """SELECT l_returnflag,
+      |  CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+      |  CAST(mode(l_linenumber) AS BIGINT) AS mode_line,
+      |  bool_and(l_quantity > 1) AS all_multi,
+      |  bool_or(l_discount > 0.09) AS any_deep_disc,
+      |  CAST(bit_and(l_partkey) AS BIGINT) AS band,
+      |  CAST(bit_or(l_partkey) AS BIGINT) AS bor,
+      |  CAST(bit_xor(l_partkey) AS BIGINT) AS bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // USING SAMPLE → TABLESAMPLE rewrite, pinned at 100% so the sampled
+  // row set is the whole table and the result is deterministic on both
+  // engines (method/e.g. bernoulli is advisory; fractional sampling is
+  // RNG-divergent by nature and covered by row-count specs instead).
+  private val q93Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders USING SAMPLE 100% (bernoulli)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -469,5 +522,9 @@ object DialectQueries {
     Q("q86_time_bucket_median", fns(q86Sql), Some(q86Sql)),
     Q("q87_list_comprehension", fns(q87Sql), Some(q87Sql)),
     Q("q88_union_by_name", byNameQ, Some(q88Sql)),
-    Q("q89_null_order_limit", fns(q89Sql), Some(q89Sql)))
+    Q("q89_null_order_limit", fns(q89Sql), Some(q89Sql)),
+    Q("q90_semi_anti_join", fns(q90Sql), Some(q90Sql)),
+    Q("q91_values_product", fns(q91Sql), Some(q91Sql)),
+    Q("q92_stat_aggregates", fns(q92Sql), Some(q92Sql)),
+    Q("q93_using_sample", fns(q93Sql), Some(q93Sql)))
 }

@@ -324,4 +324,58 @@ class DialectSugarSpec extends AnyFunSuite {
     assert(df.count() === 5)
     assert(df.collect().forall(_.getLong(2) === 300L))
   }
+
+  test("bare SEMI / ANTI JOIN rewrite to Spark's LEFT-prefixed forms") {
+    val out = graft.dialect.DialectSugar.rewrite(
+      "SELECT * FROM a SEMI JOIN b ON a.k = b.k ANTI JOIN c ON a.k = c.k")
+    assert(out.contains("LEFT SEMI JOIN"))
+    assert(out.contains("LEFT ANTI JOIN"))
+    // already-prefixed forms and literal text stay untouched
+    val kept = graft.dialect.DialectSugar.rewrite(
+      "SELECT 'semi join me' AS s FROM a LEFT SEMI JOIN b ON a.k = b.k")
+    assert(kept.contains("'semi join me'"))
+    assert(!kept.contains("LEFT LEFT"))
+  }
+
+  test("SEMI JOIN executes as a semi join end-to-end") {
+    prepare()
+    val df = conn.queryDF(
+      """SELECT n_nationkey FROM nation SEMI JOIN region
+        |  ON n_regionkey = r_regionkey AND r_regionkey < 2
+        |ORDER BY n_nationkey""".stripMargin)
+    assert(df.count() === 10) // 2 regions x 5 nations
+    assert(df.columns.toSeq === Seq("n_nationkey")) // right side not projected
+  }
+
+  test("USING SAMPLE spellings rewrite to TABLESAMPLE") {
+    def rw(s: String) = graft.dialect.DialectSugar.rewrite(s)
+    assert(rw("SELECT * FROM t USING SAMPLE 10%")
+      .contains("TABLESAMPLE (10 PERCENT)"))
+    assert(rw("SELECT * FROM t USING SAMPLE 50 ROWS")
+      .contains("TABLESAMPLE (50 ROWS)"))
+    assert(rw("SELECT * FROM t USING SAMPLE 50") // bare count = ROWS
+      .contains("TABLESAMPLE (50 ROWS)"))
+    assert(rw("SELECT * FROM t USING SAMPLE bernoulli(20%)")
+      .contains("TABLESAMPLE (20 PERCENT)"))
+    assert(rw("SELECT * FROM t USING SAMPLE reservoir(40 ROWS)")
+      .contains("TABLESAMPLE (40 ROWS)"))
+    assert(rw("SELECT * FROM t USING SAMPLE 10% (system, 377)")
+      .contains("TABLESAMPLE (10 PERCENT) REPEATABLE (377)"))
+    assert(rw("SELECT * FROM t USING SAMPLE 10 ROWS REPEATABLE (42)")
+      .contains("TABLESAMPLE (10 ROWS) REPEATABLE (42)"))
+    // a subquery's closing paren after the clause is not consumed
+    val sub = rw("SELECT * FROM (SELECT * FROM t USING SAMPLE 5) q")
+    assert(sub.contains("TABLESAMPLE (5 ROWS)) q"))
+  }
+
+  test("USING SAMPLE n ROWS returns exactly n rows end-to-end") {
+    prepare()
+    val df = conn.queryDF("SELECT * FROM orders USING SAMPLE 50 ROWS")
+    assert(df.count() === 50)
+    val pct = conn.queryDF(
+      "SELECT * FROM orders USING SAMPLE 50% (bernoulli) REPEATABLE (7)")
+    val total = conn.queryDF("SELECT * FROM orders").count()
+    val n = pct.count()
+    assert(n > 0 && n < total) // Bernoulli: strictly sampled, nonempty w.h.p.
+  }
 }

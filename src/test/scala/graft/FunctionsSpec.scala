@@ -110,4 +110,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT vec_sum(v) AS s FROM vs_t GROUP BY g")
       .collect().head.getSeq[Double](0) === Seq(1.0, 2.0))
   }
+
+  test("product aggregate: null-skip, empty group, cross-partition merge") {
+    val df = Seq((1, Some(2)), (1, Some(3)), (1, Some(4)),
+        (2, Some(5)), (2, None), (3, None))
+      .toDF("g", "x")
+      .repartition(4) // force partial buffers to merge across partitions
+      .groupBy(col("g")).agg(graft.functions.product(col("x")).as("p"))
+      .orderBy(col("g"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(1) === 24.0)
+    assert(rows(1).getDouble(1) === 5.0) // NULL skipped
+    assert(rows(2).isNullAt(1))          // all-NULL group -> NULL
+    // SQL registration + map-side partial aggregation in the plan
+    graft.functions.registerAll(spark)
+    Seq((0, 2.5), (0, 4.0)).toDF("g", "x").createOrReplaceTempView("prod_t")
+    assert(spark.sql("SELECT product(x) AS p FROM prod_t GROUP BY g")
+      .collect().head.getDouble(0) === 10.0)
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"), s"no partial aggregation:\n$plan")
+  }
 }
