@@ -251,10 +251,80 @@ object Similarity {
        |SELECT query_id, rk, vec_id AS neighbor_id, cell
        |FROM topk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Recall@5 evaluation of the LSH index against exact brute force — the
+    * metric that decides whether an approximate index is usable (every ANN
+    * deployment runs exactly this eval on a query sample before switching
+    * over). Ground truth and approximate top-5 are both computed against the
+    * same broadcast query sample; the comparison itself is a left join on
+    * (query_id, neighbor_id) over two k-row-per-query sets — trivially tiny
+    * no matter the corpus size. The corpus is scanned once per arm (exact =
+    * full scan, approx = bucket equi-join) and never reshuffled; at 100 TB
+    * the eval cost is the brute-force arm on the SAMPLE of queries, which is
+    * the standard (and unavoidable) price of ground truth. */
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = withLshBucket(corpus(s, dir), PH.planes(8, 64, seed = 7))
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = bucketed.join(broadcast(queries.drop("qbucket")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = bucketed.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("query_id").as("aq"), col("vec_id").as("av"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("av")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallEvalSql = {
+    val ps = PH.planes(8, 64, seed = 7)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${PH.duckLshBucket("v", ps)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM bk WHERE vec_id < 5),
+       |ex_scored AS (
+       |  SELECT q.query_id, bk.vec_id,
+       |         ${PH.duckCosine("bk.v", "q.qv")} AS cosine
+       |  FROM bk, q WHERE bk.vec_id <> q.query_id),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM ex_scored) t WHERE rk <= 5),
+       |ap_scored AS (
+       |  SELECT q.query_id, bk.vec_id,
+       |         ${PH.duckCosine("bk.v", "q.qv")} AS cosine
+       |  FROM bk, q WHERE bk.bucket = q.qbucket AND bk.vec_id <> q.query_id),
+       |ap AS (
+       |  SELECT query_id AS aq, vec_id AS av FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM ap_scored) t WHERE rk <= 5)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(av) AS BIGINT) AS n_hit,
+       |  CAST(count(av) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN ap ON ex.query_id = ap.aq AND ex.vec_id = ap.av
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("p11_ann_brute_topk", annBrute, Some(annBruteSql)),
     Q("p12_ann_lsh_topk", annLsh, Some(annLshSql)),
     Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)),
     Q("p21_ann_ivf_topk", annIvf, Some(annIvfSql)),
-    Q("p36_ann_ivf_nprobe2", annIvfProbe2, Some(annIvfProbe2Sql)))
+    Q("p36_ann_ivf_nprobe2", annIvfProbe2, Some(annIvfProbe2Sql)),
+    Q("p53_ann_recall_eval", annRecallEval, Some(annRecallEvalSql)))
 }

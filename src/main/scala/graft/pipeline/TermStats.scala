@@ -236,10 +236,58 @@ object TermStats {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- p52 BPE merge step
+  /** One step of BPE tokenizer training: count adjacent symbol pairs over
+    * the corpus and report the top candidates — the argmax row is the merge
+    * the tokenizer would apply next (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"). The crucial scale move
+    * is the classic one from the paper's implementation: pair counting runs
+    * over the **vocabulary weighted by word frequency**, not over corpus
+    * tokens — the explode volume is Σ|word| over DISTINCT words (vocabulary-
+    * sized, sublinear in corpus growth), after one hash aggregation keyed by
+    * term collapses the corpus. Then one more hash aggregation keyed by
+    * (left_sym, right_sym) — unbounded key spaces throughout, top-k fuses to
+    * TakeOrdered. Length-1 words are filtered BEFORE the position explode
+    * (they have no pairs; Spark's `sequence(1, 0)` would DESCEND). */
+  private def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val vocab = toks(s, dir).select(explode(col("t")).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    vocab.select(col("term"), col("c"),
+        explode(expr("sequence(1, length(term) - 1)")).as("i"))
+      .select(
+        expr("substring(term, CAST(i AS INT), 1)").as("left_sym"),
+        expr("substring(term, CAST(i AS INT) + 1, 1)").as("right_sym"),
+        col("c"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(20)
+  }
+
+  private val bpeSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term, count(*) AS c FROM toks
+      |  WHERE length(term) >= 2 GROUP BY term),
+      |pos AS (
+      |  SELECT term, c, unnest(range(1, length(term))) AS i FROM vocab),
+      |pairs AS (
+      |  SELECT substr(term, CAST(i AS INT), 1) AS left_sym,
+      |         substr(term, CAST(i AS INT) + 1, 1) AS right_sym, c
+      |  FROM pos)
+      |SELECT left_sym, right_sym, CAST(sum(c) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY left_sym, right_sym
+      |ORDER BY pair_count DESC, left_sym, right_sym
+      |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p40_tfidf_top_terms", tfidfTopTerms, Some(tfidfSql)),
     Q("p41_trigram_counts", trigramCounts, Some(trigramSql)),
     Q("p42_unigram_logprob", unigramLogprob, Some(unigramSql)),
     Q("p43_context_chunks", contextChunks, Some(chunksSql)),
-    Q("p44_dup_span_grams", dupSpanGrams, Some(dupSpanSql)))
+    Q("p44_dup_span_grams", dupSpanGrams, Some(dupSpanSql)),
+    Q("p52_bpe_merge_step", bpeMergeStep, Some(bpeSql)))
 }

@@ -118,6 +118,23 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bpe merge step: single-char symbols, counts descend, top pair is argmax") {
+    val rows = run("p52_bpe_merge_step").collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getString(0).length === 1 && r.getString(1).length === 1))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.forall(_ > 0) && counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("ann recall eval: recall in [0,1], exact arm always has k=5 rows") {
+    val rows = run("p53_ann_recall_eval").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getLong(1) === 5)) // n_exact = k
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // the LSH arm can't beat ground truth: n_hit counts intersections only
+  }
+
   test("token count matches manual whitespace split on a sample") {
     val sample = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(20).collect()
