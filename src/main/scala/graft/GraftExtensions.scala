@@ -56,5 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_sum"),
       info("vec_sum", "vec_sum(a) - element-wise vector sum aggregate"),
       es => { arity("vec_sum", 1)(es); functions.VecSumAgg(es.head) }))
+    ext.injectFunction((FunctionIdentifier("regexp_replace_first"),
+      info("regexp_replace_first",
+        "regexp_replace_first(s, re, rep) - replace the FIRST regex match (DuckDB regexp_replace default)"),
+      es => { arity("regexp_replace_first", 3)(es)
+        functions.RegexpReplaceFirst(es(0), es(1), es(2)) }))
+    ext.injectFunction((FunctionIdentifier("regexp_replace_all"),
+      info("regexp_replace_all",
+        "regexp_replace_all(s, re, rep) - replace every regex match (DuckDB regexp_replace 'g')"),
+      es => { arity("regexp_replace_all", 3)(es)
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(es(0), es(1), es(2)) }))
   }
 }

@@ -85,6 +85,40 @@ object DialectFunctions {
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
       case _ => None
     }
+    // DuckDB's regexp_replace replaces the FIRST match only unless the 'g'
+    // option is given (RE2 rewrite syntax: \1 backrefs, $ is literal);
+    // Spark's regexp_replace always replaces ALL with Java syntax ($1
+    // backrefs). Dispatch on the options flag to the engine's native
+    // regexp_replace_first / regexp_replace_all spellings (distinct names,
+    // so the re-scan cannot re-match) and translate literal replacements.
+    // Unsupported option letters fall through unchanged — loud, since
+    // Spark's 4th argument is a position integer.
+    out = rewriteCalls(out, "regexp_replace") { args =>
+      def repArg(a: String) = if (isLiteral(a)) translateRegexRep(a) else a
+      def withFlags(p: String, flags: String): Option[String] =
+        if (!flags.contains('i')) Some(p)
+        else if (isLiteral(p)) Some("'(?i)" + p.trim.substring(1))
+        else None
+      args match {
+        case Seq(s, p, r) =>
+          Some(s"regexp_replace_first($s, $p, ${repArg(r)})")
+        case Seq(s, p, r, o) if isLiteral(o) &&
+            o.trim.drop(1).dropRight(1).forall("gic".contains(_)) =>
+          val flags = o.trim.drop(1).dropRight(1)
+          withFlags(p, flags).map { pat =>
+            val fn = if (flags.contains('g')) "regexp_replace_all"
+                     else "regexp_replace_first"
+            s"$fn($s, $pat, ${repArg(r)})"
+          }
+        case _ => None
+      }
+    }
+    // DuckDB's 2-arg regexp_extract returns the FULL match (group 0);
+    // Spark's 2-arg form defaults to group 1 — pin the group explicitly.
+    out = rewriteCalls(out, "regexp_extract") {
+      case Seq(s, p) => Some(s"regexp_extract($s, $p, 0)")
+      case _ => None
+    }
     // DuckDB's JSON arrow operators: `expr ->> 'path'` (VARCHAR extraction)
     // and `expr -> 'path'` (JSON-typed result), both → get_json_object; a
     // bare key normalizes to a '$.key' path and a bare integer to '$[i]'
@@ -534,6 +568,31 @@ object DialectFunctions {
   private def isLiteral(arg: String): Boolean = {
     val t = arg.trim
     t.length >= 2 && t.head == '\'' && SqlText.literalEnd(t, 0) == t.length
+  }
+
+  /** Translate a replacement-string literal (already Spark-escaped, so
+    * every value-level backslash appears as the two-char digraph `\\`) from
+    * RE2 rewrite semantics to Java Matcher semantics at the VALUE level:
+    * `\N` backref → `$N`, literal `$` → `\$`, escaped `\\` stays (it means
+    * "one literal backslash" on both sides). */
+  private def translateRegexRep(lit: String): String = {
+    val t = lit.trim
+    val content = t.substring(1, t.length - 1)
+    val out = new StringBuilder
+    var i = 0
+    while (i < content.length) {
+      val c = content.charAt(i)
+      if (c == '\\' && i + 1 < content.length && content.charAt(i + 1) == '\\') {
+        if (i + 3 < content.length && content.charAt(i + 2) == '\\' &&
+            content.charAt(i + 3) == '\\') {
+          out.append("\\\\\\\\"); i += 4 // value \\ — same meaning both sides
+        } else if (i + 2 < content.length && content.charAt(i + 2).isDigit) {
+          out.append('$').append(content.charAt(i + 2)); i += 3 // \N → $N
+        } else { out.append("\\\\"); i += 2 }
+      } else if (c == '$') { out.append("\\\\$"); i += 1 } // literal $ → \$
+      else { out.append(c); i += 1 }
+    }
+    "'" + out + "'"
   }
 
   /** Regex-quote the CONTENT of a SQL string literal: `'a.b'` → `'\Qa.b\E'`.

@@ -63,6 +63,14 @@ package object functions {
       es => { arity("vec_sum", 1)(es); VecSumAgg(es.head) })
     ExprBridge.registerFunction(spark, "product",
       es => { arity("product", 1)(es); ProductAgg(es.head) })
+    ExprBridge.registerFunction(spark, "regexp_replace_first",
+      es => { arity("regexp_replace_first", 3)(es)
+        RegexpReplaceFirst(es(0), es(1), es(2)) })
+    // replace-ALL alias the dialect layer emits for DuckDB's 'g' option —
+    // a distinct name so the regexp_replace scanner can't re-match it
+    ExprBridge.registerFunction(spark, "regexp_replace_all",
+      es => { arity("regexp_replace_all", 3)(es)
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(es(0), es(1), es(2)) })
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

@@ -493,6 +493,18 @@ object DialectQueries {
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders USING SAMPLE 100% (bernoulli)""".stripMargin
 
+  // regexp_replace first-match default vs 'g', combined 'gi' flags, RE2 \N
+  // backrefs, and 2-arg regexp_extract's group-0 default — all DuckDB
+  // semantics Spark's same-named functions silently diverge on.
+  private val q94Sql =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '[aeiou]', '_') AS first_devowel,
+      |  regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\2-\1') AS swap_first,
+      |  regexp_replace(p_name, 'a', 'X', 'gi') AS global_ci,
+      |  regexp_extract(p_name, '[a-z]+') AS first_word,
+      |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -526,5 +538,6 @@ object DialectQueries {
     Q("q90_semi_anti_join", fns(q90Sql), Some(q90Sql)),
     Q("q91_values_product", fns(q91Sql), Some(q91Sql)),
     Q("q92_stat_aggregates", fns(q92Sql), Some(q92Sql)),
-    Q("q93_using_sample", fns(q93Sql), Some(q93Sql)))
+    Q("q93_using_sample", fns(q93Sql), Some(q93Sql)),
+    Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)))
 }

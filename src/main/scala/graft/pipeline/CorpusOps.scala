@@ -253,10 +253,129 @@ object CorpusOps {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------ p55 vocabulary drift
+  /** Unigram-distribution drift between two corpus snapshots (old =
+    * doc_id % 2 = 0, new = doc_id % 2 = 1 — in production the snapshot key
+    * is the crawl/ingest date): the top terms by absolute probability
+    * shift. This is the monitoring statistic a continuously-refreshed
+    * training corpus needs — a sudden drift spike means the crawl mix
+    * changed (new spam cluster, a source went dark) before any model sees
+    * it. Shapes: one explode into ONE conditional hash agg keyed by term
+    * (both snapshot counts in the same buffer — no per-snapshot scan, no
+    * full-outer join), totals re-aggregated from the vocabulary-sized frame
+    * (the identical agg subtree reuses the shuffle), a one-row totals cross
+    * join, TakeOrdered top-20 — no all-pairs, nothing single-task. */
+  private def vocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val perTerm = docs(s, dir).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c_new"))
+    val tot = perTerm.agg(sum(col("c_old")).as("tot_old"),
+      sum(col("c_new")).as("tot_new"))
+    perTerm.crossJoin(tot) // one-row aggregate
+      .withColumn("p_old", col("c_old").cast("double") / col("tot_old").cast("double"))
+      .withColumn("p_new", col("c_new").cast("double") / col("tot_new").cast("double"))
+      .withColumn("drift", abs(col("p_new") - col("p_old")))
+      .select(col("term"), col("c_old"), col("c_new"),
+        col("p_old"), col("p_new"), col("drift"))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(20)
+  }
+
+  private val vocabDriftSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |per AS (SELECT term,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+      |  FROM t GROUP BY term),
+      |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS tot_old,
+      |               CAST(sum(c_new) AS BIGINT) AS tot_new FROM per)
+      |SELECT term, c_old, c_new,
+      |  CAST(c_old AS DOUBLE) / CAST(tot_old AS DOUBLE) AS p_old,
+      |  CAST(c_new AS DOUBLE) / CAST(tot_new AS DOUBLE) AS p_new,
+      |  abs(CAST(c_new AS DOUBLE) / CAST(tot_new AS DOUBLE)
+      |    - CAST(c_old AS DOUBLE) / CAST(tot_old AS DOUBLE)) AS drift
+      |FROM per CROSS JOIN tot
+      |ORDER BY drift DESC, term LIMIT 20""".stripMargin
+
+  // -------------------------------------- p56 temperature mixing weights
+  private val MixAlpha = 0.5
+
+  /** Temperature-smoothed source mixing weights (the multilingual/domain
+    * sampling rule of Devlin et al. mBERT and the XLM-R data recipe):
+    * sampling weight ∝ n_tokens^α renormalized, α = 0.5 — upsamples small
+    * sources, tempers the head. One hash agg keyed by source plus a
+    * one-row normalization cross join; the output is dimension-table-sized
+    * (one row per source) at any corpus scale. */
+  private def mixingWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), MixAlpha)).as("tot_pow"))
+    perSource.crossJoin(tot) // one-row aggregate
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("p_raw"),
+        (pow(col("n_tokens").cast("double"), MixAlpha) / col("tot_pow"))
+          .as("p_temp"))
+      .orderBy(col("source"))
+  }
+
+  private val mixingWeightsSql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |               sum(pow(CAST(n_tokens AS DOUBLE), $MixAlpha)) AS tot_pow
+       |        FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS p_raw,
+       |  pow(CAST(n_tokens AS DOUBLE), $MixAlpha) / tot_pow AS p_temp
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
+  // --------------------------------------- p57 length-quantile outliers
+  /** Per-source length-outlier trim: documents outside the [q05, q95]
+    * n_chars band of their OWN source (length norms differ per source, so
+    * a global cut over- or under-trims every stratum). Exact interpolated
+    * quantiles per source (Spark `percentile` ≡ DuckDB `quantile_cont`),
+    * then the dimension-table-sized quantile frame joins back broadcast —
+    * the corpus is scanned twice but never shuffled. */
+  private def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = docs(s, dir).groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+    docs(s, dir).join(broadcast(q), Seq("source"))
+      .filter(col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("lo"), col("hi"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lengthOutliersSql =
+    """WITH q AS (
+      |  SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+      |         quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, d.source, n_chars, lo, hi
+      |FROM documents d JOIN q ON d.source = q.source
+      |WHERE n_chars < lo OR n_chars > hi
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p25_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("p26_repetition_signals", repetition, Some(repetitionSql)),
     Q("p27_shard_assignment", shardAssignment, Some(shardAssignmentSql)),
     Q("p28_random_projection", randomProjection, Some(randomProjectionSql)),
-    Q("p29_domain_mix", domainMix, Some(domainMixSql)))
+    Q("p29_domain_mix", domainMix, Some(domainMixSql)),
+    Q("p55_vocab_drift", vocabDrift, Some(vocabDriftSql)),
+    Q("p56_mixing_weights", mixingWeights, Some(mixingWeightsSql)),
+    Q("p57_length_outliers", lengthOutliers, Some(lengthOutliersSql)))
 }

@@ -320,11 +320,53 @@ object Similarity {
        |GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-3 most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary, which is exactly
+    * what embedding-model training pairs want (in-batch random negatives are
+    * too easy). Same broadcast-queries shape as the brute-force arm: the
+    * label inequality is evaluated inside the broadcast nested loop, so the
+    * corpus is scanned once with zero shuffle; the per-query top-3 is a
+    * window over the query-id key (bounded by |queries| × corpus matches,
+    * partially aggregated map-side). At 100 TB the mining runs per query
+    * batch against an LSH/IVF-restricted candidate set — the label filter
+    * composes with any of the index arms above unchanged. */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val queries = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    c.join(broadcast(queries), col("label") =!= col("qlabel"))
+      .withColumn("cosine", vec_cosine(col("embedding"), col("qv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("vec_id").as("negative_id"),
+        col("label"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val hardNegativesSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |         ${PH.duckCosine("e.v", "q.qv")} AS cosine
+       |  FROM e, q WHERE e.label <> q.qlabel),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, vec_id AS negative_id, label
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p11_ann_brute_topk", annBrute, Some(annBruteSql)),
     Q("p12_ann_lsh_topk", annLsh, Some(annLshSql)),
     Q("p13_label_centroids", labelCentroidNorm, Some(labelCentroidNormSql)),
     Q("p21_ann_ivf_topk", annIvf, Some(annIvfSql)),
     Q("p36_ann_ivf_nprobe2", annIvfProbe2, Some(annIvfProbe2Sql)),
-    Q("p53_ann_recall_eval", annRecallEval, Some(annRecallEvalSql)))
+    Q("p53_ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
+    Q("p54_hard_negatives", hardNegatives, Some(hardNegativesSql)))
 }

@@ -130,4 +130,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     (0 until 8).foreach(i => assert(stats.getDouble(i) > 0))
     df.unpersist()
   }
+
+  test("p54 hard negatives: 3 per query, every negative's label differs from the query's") {
+    val df = run("p54_hard_negatives").cache()
+    val perQuery = df.groupBy(col("query_id")).count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) === 3))
+    val qLabels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    assert(df.join(qLabels, "query_id")
+      .filter(col("label") === col("qlabel")).count() === 0)
+    df.unpersist()
+  }
+
+  test("p55 vocab drift: probabilities valid, drift descending, counts consistent") {
+    val rows = run("p55_vocab_drift").collect()
+    assert(rows.length === 20)
+    val drifts = rows.map(_.getDouble(5))
+    assert(drifts.sameElements(drifts.sortBy(-_)))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(1) + r.getLong(2) > 0) // term occurs in some snapshot
+    }
+  }
+
+  test("p56 mixing weights: both distributions sum to 1, temperature flattens the head") {
+    val rows = run("p56_mixing_weights").collect()
+    val pRaw = rows.map(_.getDouble(3))
+    val pTemp = rows.map(_.getDouble(4))
+    assert(math.abs(pRaw.sum - 1.0) < 1e-9 && math.abs(pTemp.sum - 1.0) < 1e-9)
+    // α<1 shrinks the largest source's share and grows the smallest's
+    assert(pTemp.max <= pRaw.max + 1e-12)
+    assert(pTemp.min >= pRaw.min - 1e-12)
+  }
+
+  test("p57 length outliers: every flagged doc is outside its source's [q05,q95] band") {
+    val df = run("p57_length_outliers").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .count() === 0)
+    // a 5%/95% band flags ~10% asymptotically; tiny strata (tens of docs
+    // per source at this sf) round the interpolated cut to ±1 doc each side
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(df.count() <= (total * 0.2).toLong)
+    df.unpersist()
+  }
 }

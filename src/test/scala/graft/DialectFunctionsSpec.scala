@@ -55,6 +55,33 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) >= 1L)
   }
 
+  test("regexp_replace: DuckDB first-match default, 'g'/'i' flags, \\N backrefs") {
+    prepare()
+    def one(sql: String): String =
+      conn.queryDF(s"SELECT $sql AS v").collect().head.getString(0)
+    // first-only default (Spark's builtin would give 'X bbb X')
+    assert(one("regexp_replace('aaa bbb aaa', 'a+', 'X')") === "X bbb aaa")
+    assert(one("regexp_replace('aaa bbb aaa', 'a+', 'X', 'g')") === "X bbb X")
+    assert(one("regexp_replace('Hello World', 'h', 'X', 'i')") === "Xello World")
+    assert(one("regexp_replace('aAbA', 'a', 'X', 'gi')") === "XXbX")
+    // RE2 rewrite syntax: \1 is a backref, $ is literal
+    assert(one("""regexp_replace('john@x.com', '(\w+)@', '\1 AT ')""") === "john AT x.com")
+    assert(one("""regexp_replace('a$b', '\$', 'USD')""") === "aUSDb")
+    assert(one("regexp_replace('ab', 'b', '$0')") === "a$0")
+  }
+
+  test("regexp_extract: 2-arg returns the full match (group 0), not group 1") {
+    prepare()
+    val r = conn.queryDF(
+      """SELECT regexp_extract('abc123def', '[0-9]+') AS full,
+        |       regexp_extract('abc123def', '([a-z]+)([0-9]+)', 2) AS grp,
+        |       regexp_extract('abc', 'z+') AS miss""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "123")
+    assert(r.getString(1) === "123")
+    assert(r.getString(2) === "") // DuckDB 1.0.0: empty string, not NULL
+  }
+
   test("string predicate spellings map to Spark names") {
     assert(DialectFunctions.rewrite(
       "SELECT regexp_matches(s, '^a'), starts_with(s, 'a'), ends_with(s, 'z'), array_to_string(xs, ',')") ===
