@@ -80,6 +80,7 @@ object DialectFunctions {
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }
     }
+    out = rewriteQuantified(out)
     out = rewriteCalls(out, "string_split|str_split") {
       case Seq(e, sep) if isLiteral(sep) =>
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
@@ -568,6 +569,56 @@ object DialectFunctions {
   private def isLiteral(arg: String): Boolean = {
     val t = arg.trim
     t.length >= 2 && t.head == '\'' && SqlText.literalEnd(t, 0) == t.length
+  }
+
+  /** Quantified subquery comparisons — ANSI `x op ALL|ANY|SOME (SELECT ...)`,
+    * which DuckDB parses and Spark does not. Order comparisons reduce to a
+    * min/max scalar subquery (`> ALL` ≡ "greater than the subquery max",
+    * the textbook reduction — Spark plans the aggregate scalar subquery
+    * as usual), `= ANY` to IN and `<> ALL` to NOT IN (preserving their
+    * three-valued NULL semantics exactly, since IN / NOT IN are the same
+    * construct). Documented deviation: over an EMPTY subquery, ALL is
+    * vacuously TRUE in DuckDB while the max-reduction yields NULL (row
+    * dropped); exact whenever the subquery returns rows. `= ALL` /
+    * `<> ANY` have no single-scalar reduction and pass through (loud). */
+  private def rewriteQuantified(sql: String): String = {
+    val re = java.util.regex.Pattern.compile(
+      "(?i)(<=|>=|<>|!=|<|>|=)\\s*\\b(ALL|ANY|SOME)\\s*\\(")
+    var cur = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val m = re.matcher(cur)
+      var search = 0
+      var done = false
+      while (!done && m.find(search)) {
+        val close = matchingParen(cur, m.end() - 1)
+        val inner = if (close < 0) "" else cur.substring(m.end(), close).trim
+        if (insideLiteral(cur, m.start()) || close < 0 ||
+            !inner.regionMatches(true, 0, "select", 0, 6)) search = m.end()
+        else {
+          val op = m.group(1)
+          val isAll = m.group(2).equalsIgnoreCase("ALL")
+          val repl: Option[String] =
+            if (op == "=" && !isAll) Some(s" IN ($inner)")
+            else if ((op == "<>" || op == "!=") && isAll) Some(s" NOT IN ($inner)")
+            else if (Set("<", "<=", ">", ">=")(op)) {
+              val agg = if (op.startsWith(">") == isAll) "max" else "min"
+              Some(s" $op (SELECT $agg(_qv) FROM ($inner) AS _qall_$guard(_qv))")
+            } else None
+          repl match {
+            case Some(r) =>
+              cur = cur.substring(0, m.start()) + r + cur.substring(close + 1)
+              changed = true
+              done = true
+            case None => search = m.end()
+          }
+        }
+      }
+    }
+    cur
   }
 
   /** Translate a replacement-string literal (already Spark-escaped, so

@@ -50,6 +50,27 @@ object ListComprehension {
           sb.append(translate(inner))
           i = close + 1
         }
+      } else if (c == '[') {
+        // indexing position: DuckDB's slice form `l[a:b]` (1-based, both
+        // ends inclusive, either end open) has no Spark spelling — emit
+        // list_slice text and let the function pass (which runs after this
+        // one) fold it to slice(); a plain `l[i]` index stays untouched.
+        val close = matchingBracket(sql, i)
+        val parts = if (close < 0) None
+          else sliceParts(rewrite(sql.substring(i + 1, close)))
+        parts match {
+          case Some((lo, hi)) =>
+            val vs = valueStart(sb)
+            val v = sb.substring(vs)
+            if (v.nonEmpty) {
+              sb.setLength(vs)
+              val lo2 = if (lo.isEmpty) "1" else lo
+              val hi2 = if (hi.isEmpty) s"size($v)" else hi
+              sb.append(s"list_slice($v, $lo2, $hi2)")
+              i = close + 1
+            } else { sb.append(c); i += 1 }
+          case None => sb.append(c); i += 1
+        }
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -68,6 +89,55 @@ object ListComprehension {
     val end = i + 1
     while (i >= 0 && (sb.charAt(i).isLetterOrDigit || sb.charAt(i) == '_')) i -= 1
     KeywordsBefore.contains(sb.substring(i + 1, end).toLowerCase)
+  }
+
+  /** If the bracket content is a slice (`lo:hi` with exactly one top-level
+    * single colon — `::` casts don't count), the two bound texts. */
+  private def sliceParts(inner: String): Option[(String, String)] = {
+    var i = 0
+    var depth = 0
+    var colon = -1
+    while (i < inner.length) {
+      inner.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(inner, i)
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case ':' if depth == 0 =>
+          if (i + 1 < inner.length && inner.charAt(i + 1) == ':') i += 2 // cast
+          else if (colon >= 0) return None // a second colon: not a slice
+          else { colon = i; i += 1 }
+        case _ => i += 1
+      }
+    }
+    if (colon < 0) None
+    else Some((inner.substring(0, colon).trim, inner.substring(colon + 1).trim))
+  }
+
+  /** Start index in `sb` of the value expression an indexing bracket
+    * applies to: trailing identifier characters, with balanced `(..)` /
+    * `[..]` groups (call arguments, prior indexes) jumped as units. */
+  private def valueStart(sb: StringBuilder): Int = {
+    var i = sb.length - 1
+    while (i >= 0) {
+      val ch = sb.charAt(i)
+      if (ch == ')' || ch == ']') {
+        val open = if (ch == ')') '(' else '['
+        var depth = 0
+        var j = i
+        var found = -1
+        while (j >= 0 && found < 0) {
+          val cj = sb.charAt(j)
+          if (cj == ch) depth += 1
+          else if (cj == open) { depth -= 1; if (depth == 0) found = j }
+          j -= 1
+        }
+        if (found < 0) return i + 1
+        i = found - 1
+      } else if (ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`' ||
+          ch == '"') i -= 1
+      else return i + 1
+    }
+    0
   }
 
   /** Index of the `]` matching the `[` at `open` (literal-aware), or -1. */

@@ -409,7 +409,10 @@ object DialectQueries {
     """SELECT doc_id,
       |  [CAST(length(t) AS BIGINT) FOR t IN string_split(text, ' ')] AS tok_lens,
       |  [upper(t) FOR t IN string_split(text, ' ') IF length(t) > 6] AS long_toks,
-      |  [lang, source] AS tags
+      |  [lang, source] AS tags,
+      |  string_split(text, ' ')[2:4] AS slice_mid,
+      |  string_split(text, ' ')[:3] AS slice_head,
+      |  [10, 20, 30, 40][3:] AS slice_tail
       |FROM documents WHERE doc_id <= 50
       |ORDER BY doc_id""".stripMargin
 
@@ -505,6 +508,17 @@ object DialectQueries {
       |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word
       |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
 
+  // Quantified subquery comparisons (ANSI ALL/ANY/SOME) — DuckDB parses
+  // them natively; Spark doesn't, so DialectFunctions reduces order
+  // comparisons to min/max scalar subqueries and =ANY to IN.
+  private val q95Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > ALL (SELECT l_extendedprice FROM lineitem WHERE l_orderkey = 1)
+      |  AND o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+      |  AND o_totalprice < SOME (SELECT l_extendedprice * 100 FROM lineitem WHERE l_orderkey = 1)
+      |ORDER BY o_orderkey LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -539,5 +553,6 @@ object DialectQueries {
     Q("q91_values_product", fns(q91Sql), Some(q91Sql)),
     Q("q92_stat_aggregates", fns(q92Sql), Some(q92Sql)),
     Q("q93_using_sample", fns(q93Sql), Some(q93Sql)),
-    Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)))
+    Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)),
+    Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)))
 }

@@ -369,6 +369,82 @@ object CorpusOps {
       |WHERE n_chars < lo OR n_chars > hi
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ p58 shingle novelty
+  /** Content-novelty rate of the NEW snapshot against the OLD (same
+    * doc_id-parity snapshot key as p55): per new document, the fraction of
+    * its 3-token shingles never seen in the old corpus. This is the
+    * incremental-crawl signal — a refresh whose novelty collapses toward 0
+    * is re-crawling what the corpus already has; one spiking toward 1 is a
+    * distribution break (or spam). Shapes: shingle explode (the persist is
+    * the standard projection-collapse barrier, see simhashFingerprints),
+    * a distinct agg on the old side, one hash-keyed left join (both sides
+    * partitioned by shingle hash, unbounded key space), per-doc agg —
+    * never an all-pairs comparison. */
+  private def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .select(col("doc_id"), col("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = hashed.filter(size(col("th")) >= 3)
+      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
+    val oldSet = grams.filter(col("doc_id") % 2 === 0)
+      .select(col("g")).distinct().withColumn("seen", lit(1))
+    grams.filter(col("doc_id") % 2 === 1)
+      .join(oldSet, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shingleNoveltySql =
+    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
+       |sh AS (SELECT doc_id, unnest(${PH.duckShingles("th")}) AS g
+       |       FROM th WHERE len(th) >= 3),
+       |olds AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+       |j AS (SELECT sh.doc_id,
+       |        CASE WHEN olds.g IS NULL THEN 1 ELSE 0 END AS novel
+       |      FROM sh LEFT JOIN olds ON sh.g = olds.g
+       |      WHERE sh.doc_id % 2 = 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(novel) AS BIGINT) AS n_novel,
+       |  CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_ratio
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- p60 data-card stats
+  /** Per-source "data card" descriptive statistics — the summary table
+    * every released training set ships (docs, token volume, length
+    * distribution, language spread). One hash agg keyed by source with
+    * exact interpolated percentiles; output is dimension-table-sized. */
+  private def dataCardStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        avg(col("n_tok").cast("double")).as("mean_tokens"),
+        expr("percentile(n_tok, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tok, 0.95)").as("p95_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
+  private val dataCardStatsSql =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  avg(CAST(n_tok AS DOUBLE)) AS mean_tokens,
+      |  quantile_cont(n_tok, 0.5) AS p50_tokens,
+      |  quantile_cont(n_tok, 0.95) AS p95_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p25_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("p26_repetition_signals", repetition, Some(repetitionSql)),
@@ -377,5 +453,7 @@ object CorpusOps {
     Q("p29_domain_mix", domainMix, Some(domainMixSql)),
     Q("p55_vocab_drift", vocabDrift, Some(vocabDriftSql)),
     Q("p56_mixing_weights", mixingWeights, Some(mixingWeightsSql)),
-    Q("p57_length_outliers", lengthOutliers, Some(lengthOutliersSql)))
+    Q("p57_length_outliers", lengthOutliers, Some(lengthOutliersSql)),
+    Q("p58_shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
+    Q("p60_data_card_stats", dataCardStats, Some(dataCardStatsSql)))
 }

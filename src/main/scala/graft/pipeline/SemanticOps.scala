@@ -244,8 +244,53 @@ object SemanticOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- p59 eval-proximity leaks
+  /** Semantic eval-proximity scan: for every corpus vector, the maximum
+    * cosine to any held-out eval embedding (eval set = vec_id < 64 — a
+    * benchmark suite is a small constant, exactly like the ANN query
+    * sets), reporting the top-20 closest corpus vectors as leak
+    * candidates. This is the SEMANTIC complement of the exact-overlap
+    * decontamination (p25/p50): paraphrased benchmark items share no
+    * shingles but sit next to the eval set in embedding space. Shapes:
+    * broadcast nested loop over the constant eval set (corpus scanned
+    * once, zero shuffle), per-vector argmax via a map-side
+    * WindowGroupLimit, global top-20 fused to TakeOrdered. */
+  private def evalProximity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val eval_ = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    e.filter(col("vec_id") >= 64)
+      .join(broadcast(eval_))
+      .withColumn("cosine",
+        graft.functions.vec_cosine(col("embedding"), col("ev")))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  private val evalProximitySql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id < 64),
+       |scored AS (
+       |  SELECT e.vec_id, ev.eval_id,
+       |         ${PH.duckCosine("e.v", "ev.evv")} AS cosine
+       |  FROM e, ev WHERE e.vec_id >= 64),
+       |best AS (
+       |  SELECT vec_id, eval_id, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cosine DESC, eval_id) AS rk
+       |    FROM scored) t WHERE rk = 1)
+       |SELECT vec_id, eval_id, cosine
+       |FROM best ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p49_semdedup", semdedup, Some(semdedupSql)),
     Q("p50_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
-    Q("p51_oov_rate", oovRate, Some(oovRateSql)))
+    Q("p51_oov_rate", oovRate, Some(oovRateSql)),
+    Q("p59_eval_proximity", evalProximity, Some(evalProximitySql)))
 }

@@ -164,6 +164,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pTemp.min >= pRaw.min - 1e-12)
   }
 
+  test("p58 shingle novelty: only new-snapshot docs, ratios in [0,1], counts bounded") {
+    val df = run("p58_shingle_novelty").cache()
+    assert(df.count() > 0)
+    assert(df.filter(pmod(col("doc_id"), lit(2)) === 0).count() === 0)
+    assert(df.filter(col("n_novel") > col("n_shingles")).count() === 0)
+    assert(df.filter(col("novelty_ratio") < 0 || col("novelty_ratio") > 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("p59 eval proximity: no eval vectors among candidates, cosine descending") {
+    val rows = run("p59_eval_proximity").collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(0) >= 64L)) // corpus side only
+    assert(rows.forall(_.getLong(1) < 64L)) // nearest neighbor is an eval vector
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+  }
+
+  test("p60 data card stats: per-source totals and quantiles are consistent") {
+    val rows = run("p60_data_card_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(math.abs(mean - total.toDouble / nDocs) < 1e-9)
+      assert(r.getDouble(4) <= r.getDouble(5)) // p50 <= p95
+      assert(r.getLong(6) >= 1L)
+    }
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs === Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("p57 length outliers: every flagged doc is outside its source's [q05,q95] band") {
     val df = run("p57_length_outliers").cache()
     assert(df.count() > 0)

@@ -70,6 +70,27 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(one("regexp_replace('ab', 'b', '$0')") === "a$0")
   }
 
+  test("quantified ALL/ANY/SOME comparisons reduce to scalar-subquery / IN forms") {
+    val out = DialectFunctions.rewrite(
+      "SELECT 1 FROM t WHERE a > ALL (SELECT b FROM u) AND c = ANY (SELECT d FROM v)")
+    assert(out.contains("> (SELECT max(_qv) FROM (SELECT b FROM u) AS _qall_"))
+    assert(out.matches("(?s).*c\\s+IN \\(SELECT d FROM v\\).*"))
+    val anti = DialectFunctions.rewrite(
+      "SELECT 1 FROM t WHERE a <> ALL (SELECT b FROM u) AND a < SOME (SELECT b FROM u)")
+    assert(anti.matches("(?s).*a\\s+NOT IN \\(SELECT b FROM u\\).*"))
+    assert(anti.contains("< (SELECT max(_qv)"))
+    // non-subquery parens (IN-list) untouched; = ALL has no reduction
+    val skip = DialectFunctions.rewrite(
+      "SELECT 1 FROM t WHERE a = ALL (SELECT b FROM u) AND c > ALL (1, 2)")
+    assert(skip.contains("= ALL (SELECT b FROM u)") && skip.contains("> ALL (1, 2)"))
+    prepare()
+    val n = conn.queryDF(
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n >= 1L) // the maximum-priced order(s) survive
+  }
+
   test("regexp_extract: 2-arg returns the full match (group 0), not group 1") {
     prepare()
     val r = conn.queryDF(

@@ -23,6 +23,23 @@ class ListComprehensionSpec extends AnyFunSuite {
     assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") == "SELECT f(x)[2] FROM t")
   }
 
+  test("bracket slices map to list_slice (1-based inclusive, open ends)") {
+    assert(ListComprehension.rewrite("SELECT l[2:4] FROM t") ==
+      "SELECT list_slice(l, 2, 4) FROM t")
+    assert(ListComprehension.rewrite("SELECT l[:3] FROM t") ==
+      "SELECT list_slice(l, 1, 3) FROM t")
+    assert(ListComprehension.rewrite("SELECT l[2:] FROM t") ==
+      "SELECT list_slice(l, 2, size(l)) FROM t")
+    assert(ListComprehension.rewrite("SELECT f(x)[2:3] FROM t") ==
+      "SELECT list_slice(f(x), 2, 3) FROM t")
+    // casts inside an index are NOT slices; plain indexes untouched
+    assert(ListComprehension.rewrite("SELECT l[i::INT] FROM t") ==
+      "SELECT l[i::INT] FROM t")
+    // a literal bracket sliced in place: literal folds first, then slice
+    assert(ListComprehension.rewrite("SELECT [1, 2, 3][1:2]") ==
+      "SELECT list_slice(array(1, 2, 3), 1, 2)")
+  }
+
   test("comprehension without IF maps to transform") {
     assert(ListComprehension.rewrite("SELECT [x * 2 FOR x IN l] FROM t") ==
       "SELECT transform(l, x -> x * 2) FROM t")
