@@ -114,6 +114,16 @@ object DialectFunctions {
         case _ => None
       }
     }
+    // Scalar-position generate_series — end-INCLUSIVE with optional step,
+    // incl. the timestamp + INTERVAL form — is exactly Spark's sequence()
+    // (inclusive, negative steps, interval steps all agree). FROM-position
+    // TVF usage is handled by DialectRewriter / left for it (same clause
+    // guard as the range() rewrite above).
+    out = rewriteCalls(out, "generate_series", skipInFromClause = true) {
+      case Seq(a, b) => Some(s"sequence($a, $b)")
+      case Seq(a, b, st) => Some(s"sequence($a, $b, $st)")
+      case _ => None
+    }
     // DuckDB's 2-arg regexp_extract returns the FULL match (group 0);
     // Spark's 2-arg form defaults to group 1 — pin the group explicitly.
     out = rewriteCalls(out, "regexp_extract") {

@@ -32,7 +32,11 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
   private val ParquetScan = """(?i)(parquet_scan|read_parquet)\s*\(\s*'([^']+)'\s*\)""".r
   private val ReadCsv = """(?i)read_csv(?:_auto)?\s*\(\s*'([^']+)'([^)]*)\)""".r
   private val BareFile = """(?i)\b(from|join)\s+'([^']+\.(?:csv|parquet|json))'""".r
-  private val GenSeries = """(?i)generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
+  // FROM/JOIN-position only: scalar-position generate_series is a LIST in
+  // DuckDB and folds to sequence() in DialectFunctions — wrapping it in the
+  // TVF subquery there would turn it into an illegal multi-row scalar.
+  private val GenSeries =
+    """(?i)\b(from|join)(\s+)generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
 
   def rewrite(sql: String): String = {
     // DuckDB literals are standard-SQL (backslash = plain char); Spark's
@@ -81,8 +85,8 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
       // DuckDB's generate_series is end-INCLUSIVE and yields BIGINT;
       // Spark's sequence() matches the inclusivity, the cast fixes the type.
       o = GenSeries.replaceAllIn(o,
-        m => s"(SELECT explode(sequence(CAST(${m.group(1)} AS BIGINT), " +
-          s"CAST(${m.group(2)} AS BIGINT))) AS generate_series)")
+        m => s"${m.group(1)}${m.group(2)}(SELECT explode(sequence(CAST(${m.group(3)} AS BIGINT), " +
+          s"CAST(${m.group(4)} AS BIGINT))) AS generate_series)")
       // DuckDB type names Spark spells differently: bare VARCHAR (no length)
       // and BLOB (batch_stream.test.ts uses ::VARCHAR; BLOB ↔ BinaryType per
       // SURVEY §1.3). VARCHAR(n) passes through untouched.

@@ -519,6 +519,18 @@ object DialectQueries {
       |  AND o_totalprice < SOME (SELECT l_extendedprice * 100 FROM lineitem WHERE l_orderkey = 1)
       |ORDER BY o_orderkey LIMIT 50""".stripMargin
 
+  // Scalar-position generate_series: inclusive series with step, and the
+  // timestamp + INTERVAL form — both fold to Spark's sequence(). String-cast
+  // output keeps the timestamp comparison engine-neutral (both sessions
+  // render 'yyyy-MM-dd HH:mm:ss').
+  private val q96Sql =
+    """SELECT CAST(v AS BIGINT) AS v, CAST(ts AS STRING) AS ts_s
+      |FROM (SELECT unnest(generate_series(0, 20, 5)) AS v) a,
+      |     (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |                                    TIMESTAMP '2024-01-05',
+      |                                    INTERVAL 2 DAY)) AS ts) b
+      |ORDER BY v, ts_s""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -554,5 +566,6 @@ object DialectQueries {
     Q("q92_stat_aggregates", fns(q92Sql), Some(q92Sql)),
     Q("q93_using_sample", fns(q93Sql), Some(q93Sql)),
     Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)),
-    Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)))
+    Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)),
+    Q("q96_generate_series", fns(q96Sql), Some(q96Sql)))
 }

@@ -283,11 +283,53 @@ object TermStats {
       |ORDER BY pair_count DESC, left_sym, right_sym
       |LIMIT 20""".stripMargin
 
+  // ----------------------------------------------------- p61 Zipf slope
+  private val ZipfTopN = 1000
+
+  /** Zipf-law fit over the corpus frequency distribution: the slope of
+    * ln(freq) ~ ln(rank) across the top-1000 terms (natural text sits near
+    * −1; spam/boilerplate-heavy corpora flatten, template soup steepens —
+    * a one-number corpus-health diagnostic, with r² as the fit quality).
+    * Scale shape: the vocabulary agg is hash-keyed (unbounded), the top-N
+    * cut fuses to TakeOrdered, and the only global window ranks the
+    * CONSTANT-size top-N frame (1000 rows on one task by construction —
+    * never data-sized); the regression is one tiny aggregate. */
+  private def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val top = toks(s, dir).select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(ZipfTopN)
+    val w = Window.orderBy(col("c").desc, col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")
+          .as("slope"),
+        expr("regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")
+          .as("intercept"),
+        expr("regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))")
+          .as("r2"))
+  }
+
+  private val zipfSlopeSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term
+       |          ORDER BY c DESC, term LIMIT $ZipfTopN),
+       |ranked AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+       |  FROM vocab)
+       |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |  regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS slope,
+       |  regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS intercept,
+       |  regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS r2
+       |FROM ranked""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p40_tfidf_top_terms", tfidfTopTerms, Some(tfidfSql)),
     Q("p41_trigram_counts", trigramCounts, Some(trigramSql)),
     Q("p42_unigram_logprob", unigramLogprob, Some(unigramSql)),
     Q("p43_context_chunks", contextChunks, Some(chunksSql)),
     Q("p44_dup_span_grams", dupSpanGrams, Some(dupSpanSql)),
-    Q("p52_bpe_merge_step", bpeMergeStep, Some(bpeSql)))
+    Q("p52_bpe_merge_step", bpeMergeStep, Some(bpeSql)),
+    Q("p61_zipf_slope", zipfSlope, Some(zipfSlopeSql)))
 }

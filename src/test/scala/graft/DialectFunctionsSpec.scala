@@ -91,6 +91,21 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(n >= 1L) // the maximum-priced order(s) survive
   }
 
+  test("scalar generate_series folds to sequence; step and interval forms included") {
+    prepare()
+    val r = conn.queryDF(
+      """SELECT generate_series(1, 5) AS a, generate_series(0, 10, 5) AS b,
+        |       generate_series(5, 1, -2) AS c""".stripMargin).collect().head
+    assert(r.getSeq[Any](0).map(_.toString) === Seq("1", "2", "3", "4", "5"))
+    assert(r.getSeq[Any](1).map(_.toString) === Seq("0", "5", "10"))
+    assert(r.getSeq[Any](2).map(_.toString) === Seq("5", "3", "1"))
+    val ts = conn.queryDF(
+      """SELECT size(generate_series(TIMESTAMP '2024-01-01',
+        |     TIMESTAMP '2024-01-07', INTERVAL 3 DAY)) AS n""".stripMargin)
+      .collect().head.getInt(0)
+    assert(ts === 3) // 01, 04, 07
+  }
+
   test("regexp_extract: 2-arg returns the full match (group 0), not group 1") {
     prepare()
     val r = conn.queryDF(

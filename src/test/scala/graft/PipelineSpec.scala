@@ -135,6 +135,13 @@ class PipelineSpec extends AnyFunSuite {
     // the LSH arm can't beat ground truth: n_hit counts intersections only
   }
 
+  test("zipf slope: negative slope, r2 in [0,1], n_terms bounded by top-N") {
+    val r = run("p61_zipf_slope").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(0) <= 1000)
+    assert(r.getDouble(1) < 0.0) // frequency falls with rank
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("token count matches manual whitespace split on a sample") {
     val sample = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(20).collect()
