@@ -48,6 +48,8 @@ object DialectFunctions {
     "list_max" -> "array_max",
     "list_min" -> "array_min",
     "list_reverse" -> "reverse",
+    // C-style printf formatting: Spark's format_string IS printf semantics
+    "printf" -> "format_string",
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
@@ -113,6 +115,15 @@ object DialectFunctions {
           }
         case _ => None
       }
+    }
+    // DuckDB's map constructor takes two LISTS (map([k...], [v...])) —
+    // Spark's same-named function takes flat key/value pairs, so the
+    // two-argument form maps to map_from_arrays. (MAP {...} literal syntax
+    // and map bracket-extraction — list-valued in DuckDB 1.0 — are out of
+    // scope; map_keys/map_values/cardinality agree by name.)
+    out = rewriteCalls(out, "map") {
+      case Seq(k, v) => Some(s"map_from_arrays($k, $v)")
+      case _ => None
     }
     // Scalar-position generate_series — end-INCLUSIVE with optional step,
     // incl. the timestamp + INTERVAL form — is exactly Spark's sequence()

@@ -531,6 +531,16 @@ object DialectQueries {
       |                                    INTERVAL 2 DAY)) AS ts) b
       |ORDER BY v, ts_s""".stripMargin
 
+  // MAP constructor (two-list form → map_from_arrays), map_keys/map_values/
+  // cardinality (names agree), printf → format_string.
+  private val q97Sql =
+    """SELECT o_orderkey,
+      |  map_keys(map(['a','b','c'], [1, 2, 3])) AS ks,
+      |  map_values(map(['x','y'], [o_orderkey, o_custkey])) AS vs,
+      |  CAST(cardinality(map(['a'], [1])) AS BIGINT) AS n,
+      |  printf('%s/%d', o_orderstatus, o_orderkey) AS tag
+      |FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -567,5 +577,6 @@ object DialectQueries {
     Q("q93_using_sample", fns(q93Sql), Some(q93Sql)),
     Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)),
     Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)),
-    Q("q96_generate_series", fns(q96Sql), Some(q96Sql)))
+    Q("q96_generate_series", fns(q96Sql), Some(q96Sql)),
+    Q("q97_map_printf", fns(q97Sql), Some(q97Sql)))
 }

@@ -488,6 +488,39 @@ object DedupQueries {
        |WHERE rnk <= 5
        |ORDER BY source, lang, rnk""".stripMargin
 
+  // ------------------------------------- p62 leakage-safe cluster split
+  private val SplitBuckets = 10L
+  private val TrainBuckets = 8L // 80/20
+
+  /** Contamination-safe train/heldout split: the split key is the doc's
+    * near-dup CLUSTER label, not the doc itself, so two near-duplicate
+    * documents can never land on opposite sides of the split (the classic
+    * eval-leakage bug a doc-hash split has: train on one copy, test on its
+    * near-dup). Labels come from the O(log n) star components (the 100 TB
+    * path, label-equality pinned by ScaleSpec); the bucket is the shared
+    * p27 affine hash of the label — deterministic across engines, runs,
+    * and cluster sizes. Zero shuffle beyond the component rounds: the
+    * bucket/split are narrow projections over (doc_id, label). */
+  private def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = (1103515245L, 12345L)
+    dedupClustersStar(s, dir)
+      .withColumn("bucket",
+        pmod(pmod(col("label"), lit(PH.P)) * a + b, lit(PH.P)) % SplitBuckets)
+      .select(col("doc_id"), col("label").as("cluster_id"), col("bucket"),
+        when(col("bucket") < TrainBuckets, "train").otherwise("heldout")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clusterSafeSplitSql =
+    s"""WITH $clusterLabelCtes
+       |SELECT doc_id, label AS cluster_id,
+       |  ((label % ${PH.P}) * 1103515245 + 12345) % ${PH.P} % $SplitBuckets AS bucket,
+       |  CASE WHEN ((label % ${PH.P}) * 1103515245 + 12345) % ${PH.P} % $SplitBuckets
+       |            < $TrainBuckets
+       |       THEN 'train' ELSE 'heldout' END AS split
+       |FROM l4 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p05_dedup_exact", exact, Some(exactSql)),
     Q("p06_minhash_lsh_pairs", minhashPairs, Some(minhashPairsSql)),
@@ -498,7 +531,8 @@ object DedupQueries {
     Q("p22_edit_distance_pairs", editDistancePairs, Some(editDistancePairsSql)),
     Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("p24_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    Q("p30_dedup_clusters_star", dedupClustersStarAgg, Some(dedupClustersSql)))
+    Q("p30_dedup_clusters_star", dedupClustersStarAgg, Some(dedupClustersSql)),
+    Q("p62_cluster_safe_split", clusterSafeSplit, Some(clusterSafeSplitSql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */

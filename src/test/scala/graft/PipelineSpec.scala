@@ -135,6 +135,23 @@ class PipelineSpec extends AnyFunSuite {
     // the LSH arm can't beat ground truth: n_hit counts intersections only
   }
 
+  test("cluster-safe split: no LSH candidate pair straddles train/heldout") {
+    val split = run("p62_cluster_safe_split").cache()
+    assert(split.count() === Tables.load(spark, sfDir, "documents").count())
+    // every same-cluster pair shares a split by construction; verify the
+    // stronger end-to-end property on the raw candidate pairs themselves
+    val pairs = run("p06_minhash_lsh_pairs")
+      .select(col("doc_a"), col("doc_b"))
+    val a = split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val crossing = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(crossing.count() === 0)
+    // both sides non-empty at this sf (80/20 by cluster-hash bucket)
+    assert(split.select(col("split")).distinct().count() === 2)
+    split.unpersist()
+  }
+
   test("zipf slope: negative slope, r2 in [0,1], n_terms bounded by top-N") {
     val r = run("p61_zipf_slope").collect().head
     assert(r.getLong(0) > 0 && r.getLong(0) <= 1000)
