@@ -116,6 +116,16 @@ object DialectFunctions {
         case _ => None
       }
     }
+    // Weekday/month name spellings: Spark renders the same English names
+    // through date_format patterns.
+    out = rewriteCalls(out, "dayname") {
+      case Seq(e) => Some(s"date_format($e, 'EEEE')")
+      case _ => None
+    }
+    out = rewriteCalls(out, "monthname") {
+      case Seq(e) => Some(s"date_format($e, 'MMMM')")
+      case _ => None
+    }
     // DuckDB's map constructor takes two LISTS (map([k...], [v...])) —
     // Spark's same-named function takes flat key/value pairs, so the
     // two-argument form maps to map_from_arrays. (MAP {...} literal syntax

@@ -541,6 +541,13 @@ object DialectQueries {
       |  printf('%s/%d', o_orderstatus, o_orderkey) AS tag
       |FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey""".stripMargin
 
+  // dayname/monthname spellings over real date data
+  private val q98Sql =
+    """SELECT o_orderkey,
+      |  dayname(o_orderdate) AS dow_name,
+      |  monthname(o_orderdate) AS mon_name
+      |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
@@ -578,5 +585,6 @@ object DialectQueries {
     Q("q94_regexp_semantics", fns(q94Sql), Some(q94Sql)),
     Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)),
     Q("q96_generate_series", fns(q96Sql), Some(q96Sql)),
-    Q("q97_map_printf", fns(q97Sql), Some(q97Sql)))
+    Q("q97_map_printf", fns(q97Sql), Some(q97Sql)),
+    Q("q98_day_month_names", fns(q98Sql), Some(q98Sql)))
 }

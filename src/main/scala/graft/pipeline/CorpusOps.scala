@@ -414,6 +414,43 @@ object CorpusOps {
        |  CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_ratio
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- p64 boilerplate shingles
+  /** Boilerplate detection by document frequency: the 3-token shingles
+    * that occur in the most DISTINCT documents (nav bars, footers, cookie
+    * banners — the content C4/RefinedWeb strip by exactly this statistic).
+    * Distinct from p44, which measures within-corpus duplicated character
+    * spans per document; this ranks corpus-wide repeated token sequences.
+    * Shapes: per-doc DISTINCT shingle explode (dedup inside the doc is a
+    * hash agg keyed by (doc, shingle) — unbounded), one df agg keyed by
+    * shingle, a one-row total cross join, TakeOrdered top-20. */
+  private def boilerplateShingles(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .select(col("doc_id"), col("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = hashed.filter(size(col("th")) >= 3)
+      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
+      .distinct() // one vote per document
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs) // one-row aggregate
+      .select(col("g"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double")).as("df_ratio"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(20)
+  }
+
+  private val boilerplateShinglesSql =
+    s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${PH.duckShingles("th")}) AS g
+       |       FROM th WHERE len(th) >= 3),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT g, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_ratio
+       |FROM sh CROSS JOIN n
+       |GROUP BY g, n_docs
+       |ORDER BY df DESC, g LIMIT 20""".stripMargin
+
   // ------------------------------------------------- p60 data-card stats
   /** Per-source "data card" descriptive statistics — the summary table
     * every released training set ships (docs, token volume, length
@@ -455,5 +492,6 @@ object CorpusOps {
     Q("p56_mixing_weights", mixingWeights, Some(mixingWeightsSql)),
     Q("p57_length_outliers", lengthOutliers, Some(lengthOutliersSql)),
     Q("p58_shingle_novelty", shingleNovelty, Some(shingleNoveltySql)),
-    Q("p60_data_card_stats", dataCardStats, Some(dataCardStatsSql)))
+    Q("p60_data_card_stats", dataCardStats, Some(dataCardStatsSql)),
+    Q("p64_boilerplate_shingles", boilerplateShingles, Some(boilerplateShinglesSql)))
 }

@@ -196,6 +196,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(totalDocs === Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("p64 boilerplate shingles: df descending and bounded by corpus size") {
+    val rows = run("p64_boilerplate_shingles").collect()
+    assert(rows.length === 20)
+    val n = Tables.load(spark, sfDir, "documents").count()
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.forall(d => d >= 1 && d <= n))
+    assert(dfs.sameElements(dfs.sortBy(-_)))
+    rows.foreach(r => assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / n) < 1e-9))
+  }
+
   test("p57 length outliers: every flagged doc is outside its source's [q05,q95] band") {
     val df = run("p57_length_outliers").cache()
     assert(df.count() > 0)

@@ -106,6 +106,15 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(ts === 3) // 01, 04, 07
   }
 
+  test("dayname/monthname render English names via date_format") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT dayname(DATE '2024-01-01') AS d, monthname(DATE '2024-03-15') AS m")
+      .collect().head
+    assert(r.getString(0) === "Monday")
+    assert(r.getString(1) === "March")
+  }
+
   test("regexp_extract: 2-arg returns the full match (group 0), not group 1") {
     prepare()
     val r = conn.queryDF(
