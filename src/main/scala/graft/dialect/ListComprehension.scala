@@ -51,25 +51,39 @@ object ListComprehension {
           i = close + 1
         }
       } else if (c == '[') {
-        // indexing position: DuckDB's slice form `l[a:b]` (1-based, both
-        // ends inclusive, either end open) has no Spark spelling — emit
-        // list_slice text and let the function pass (which runs after this
-        // one) fold it to slice(); a plain `l[i]` index stays untouched.
+        // indexing position. Two DuckDB forms need rewriting, both 1-based:
+        //  - slice `l[a:b]` (ends inclusive, either open) → list_slice text,
+        //    folded to slice() by the function pass that runs after this one
+        //  - element index `l[i]` → element_at (Spark's bracket is 0-BASED;
+        //    element_at is 1-based and takes negative from-the-end indexes,
+        //    exactly DuckDB's bracket semantics)
+        // Left untouched: string-literal keys (struct/map field access —
+        // Spark-native), empty brackets and bare type names (`INT[]` list
+        // type spellings in DDL).
         val close = matchingBracket(sql, i)
-        val parts = if (close < 0) None
-          else sliceParts(rewrite(sql.substring(i + 1, close)))
+        val inner0 = if (close < 0) "" else rewrite(sql.substring(i + 1, close))
+        val parts = if (close < 0) None else sliceParts(inner0)
+        val vs = valueStart(sb)
+        val v = sb.substring(vs)
         parts match {
-          case Some((lo, hi)) =>
-            val vs = valueStart(sb)
-            val v = sb.substring(vs)
-            if (v.nonEmpty) {
-              sb.setLength(vs)
-              val lo2 = if (lo.isEmpty) "1" else lo
-              val hi2 = if (hi.isEmpty) s"size($v)" else hi
-              sb.append(s"list_slice($v, $lo2, $hi2)")
-              i = close + 1
-            } else { sb.append(c); i += 1 }
-          case None => sb.append(c); i += 1
+          case Some((lo, hi)) if v.nonEmpty =>
+            sb.setLength(vs)
+            val lo2 = if (lo.isEmpty) "1" else lo
+            val hi2 = if (hi.isEmpty) s"size($v)" else hi
+            sb.append(s"list_slice($v, $lo2, $hi2)")
+            i = close + 1
+          case None if close >= 0 && v.trim.equalsIgnoreCase("array") &&
+              inner0.trim.nonEmpty =>
+            // postgres-style ARRAY[...] literal spelling
+            sb.setLength(vs)
+            sb.append(translate(inner0))
+            i = close + 1
+          case None if close >= 0 && v.nonEmpty && inner0.trim.nonEmpty &&
+              !inner0.trim.startsWith("'") && !isTypeWord(v) =>
+            sb.setLength(vs)
+            sb.append(s"element_at($v, ${inner0.trim})")
+            i = close + 1
+          case _ => sb.append(c); i += 1
         }
       } else { sb.append(c); i += 1 }
     }
@@ -90,6 +104,18 @@ object ListComprehension {
     while (i >= 0 && (sb.charAt(i).isLetterOrDigit || sb.charAt(i) == '_')) i -= 1
     KeywordsBefore.contains(sb.substring(i + 1, end).toLowerCase)
   }
+
+  /** SQL type names: `INT[3]` / `VARCHAR[]` are list/array TYPE spellings
+    * (DDL / casts), never element indexing. */
+  private val TypeWords = Set(
+    "tinyint", "smallint", "int", "integer", "bigint", "hugeint", "utinyint",
+    "usmallint", "uinteger", "ubigint", "float", "real", "double", "decimal",
+    "numeric", "varchar", "char", "text", "string", "blob", "binary", "bytea",
+    "boolean", "bool", "date", "time", "timestamp", "timestamptz", "interval",
+    "uuid", "json", "struct", "map", "union", "array", "list")
+
+  private def isTypeWord(v: String): Boolean =
+    TypeWords.contains(v.trim.toLowerCase)
 
   /** If the bracket content is a slice (`lo:hi` with exactly one top-level
     * single colon — `::` casts don't count), the two bound texts. */

@@ -412,7 +412,10 @@ object DialectQueries {
       |  [lang, source] AS tags,
       |  string_split(text, ' ')[2:4] AS slice_mid,
       |  string_split(text, ' ')[:3] AS slice_head,
-      |  [10, 20, 30, 40][3:] AS slice_tail
+      |  [10, 20, 30, 40][3:] AS slice_tail,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  string_split(text, ' ')[-1] AS last_tok,
+      |  [10, 20, 30][2] AS second_lit
       |FROM documents WHERE doc_id <= 50
       |ORDER BY doc_id""".stripMargin
 

@@ -17,10 +17,24 @@ class ListComprehensionSpec extends AnyFunSuite {
       "SELECT CASE WHEN a THEN array(1) ELSE array(2) END")
   }
 
-  test("indexing and struct access are left alone") {
-    assert(ListComprehension.rewrite("SELECT l[1] FROM t") == "SELECT l[1] FROM t")
+  test("element indexing becomes 1-based element_at; struct access is left alone") {
+    // DuckDB brackets are 1-based (and take negative from-the-end indexes);
+    // Spark's bracket is 0-based, so passthrough would silently shift by one
+    assert(ListComprehension.rewrite("SELECT l[1] FROM t") ==
+      "SELECT element_at(l, 1) FROM t")
+    assert(ListComprehension.rewrite("SELECT l[-1] FROM t") ==
+      "SELECT element_at(l, -1) FROM t")
+    assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") ==
+      "SELECT element_at(f(x), 2) FROM t")
+    // string keys = struct/map field access, Spark-native
     assert(ListComprehension.rewrite("SELECT s['k'] FROM t") == "SELECT s['k'] FROM t")
-    assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") == "SELECT f(x)[2] FROM t")
+    // type spellings and empty brackets are not indexes
+    assert(ListComprehension.rewrite("SELECT CAST(x AS INT[]) FROM t") ==
+      "SELECT CAST(x AS INT[]) FROM t")
+    assert(ListComprehension.rewrite("SELECT CAST(x AS VARCHAR[3]) FROM t") ==
+      "SELECT CAST(x AS VARCHAR[3]) FROM t")
+    // postgres-style ARRAY literal
+    assert(ListComprehension.rewrite("SELECT ARRAY[1, 2]") == "SELECT array(1, 2)")
   }
 
   test("bracket slices map to list_slice (1-based inclusive, open ends)") {
@@ -32,9 +46,9 @@ class ListComprehensionSpec extends AnyFunSuite {
       "SELECT list_slice(l, 2, size(l)) FROM t")
     assert(ListComprehension.rewrite("SELECT f(x)[2:3] FROM t") ==
       "SELECT list_slice(f(x), 2, 3) FROM t")
-    // casts inside an index are NOT slices; plain indexes untouched
+    // casts inside an index are NOT slices — they are 1-based element indexes
     assert(ListComprehension.rewrite("SELECT l[i::INT] FROM t") ==
-      "SELECT l[i::INT] FROM t")
+      "SELECT element_at(l, i::INT) FROM t")
     // a literal bracket sliced in place: literal folds first, then slice
     assert(ListComprehension.rewrite("SELECT [1, 2, 3][1:2]") ==
       "SELECT list_slice(array(1, 2, 3), 1, 2)")
