@@ -82,6 +82,10 @@ object DialectFunctions {
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }
     }
+    // DuckDB's `//` integer-division operator → Spark's `div` keyword
+    // (both truncate toward zero on integral types; DuckDB's DOUBLE //
+    // degenerates to plain division in 1.0 — out of scope, integral only)
+    out = SqlText.mapOutsideLiterals(out)(_.replace("//", " div "))
     out = rewriteQuantified(out)
     out = rewriteCalls(out, "string_split|str_split") {
       case Seq(e, sep) if isLiteral(sep) =>

@@ -544,6 +544,13 @@ object DialectQueries {
       |  printf('%s/%d', o_orderstatus, o_orderkey) AS tag
       |FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey""".stripMargin
 
+  // `//` integer division (truncation toward zero on both engines)
+  private val q99Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey // 7 AS BIGINT) AS q7,
+      |  CAST((0 - o_orderkey) // 7 AS BIGINT) AS qneg
+      |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin
+
   // dayname/monthname spellings over real date data
   private val q98Sql =
     """SELECT o_orderkey,
@@ -589,5 +596,6 @@ object DialectQueries {
     Q("q95_quantified_subqueries", fns(q95Sql), Some(q95Sql)),
     Q("q96_generate_series", fns(q96Sql), Some(q96Sql)),
     Q("q97_map_printf", fns(q97Sql), Some(q97Sql)),
-    Q("q98_day_month_names", fns(q98Sql), Some(q98Sql)))
+    Q("q98_day_month_names", fns(q98Sql), Some(q98Sql)),
+    Q("q99_int_division", fns(q99Sql), Some(q99Sql)))
 }
