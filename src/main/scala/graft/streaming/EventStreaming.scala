@@ -16,10 +16,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreaming {
 
+  /** Event-time columns must be TIMESTAMP (LTZ) for `withWatermark` —
+    * µs-precision parquet surfaces as TIMESTAMP_NTZ, which the streaming
+    * engine rejects. The cast is meaning-preserving under the sessions'
+    * pinned UTC, and a no-op when the column is already LTZ. */
+  private def eventTime(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, col(c).cast("timestamp"))
+
   /** Tumbling-window hourly counts per event type with a watermark for state
     * eviction (at 100 TB/day the watermark bounds state size). */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -28,7 +35,7 @@ object EventStreaming {
 
   /** Sliding-window (1h window, 15m slide) event rates. */
   def slidingRates(events: DataFrame): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
@@ -40,7 +47,7 @@ object EventStreaming {
     * store holds one key per event inside the watermark, not per event ever
     * seen). Works identically on a batch frame (state bound is a no-op). */
   def dedupeStream(events: DataFrame): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
@@ -61,7 +68,7 @@ object EventStreaming {
     * time. State is O(buckets within the watermark), never O(corpus) — the
     * property that matters at 100 TB/day. */
   def nearDedupeStream(docs: DataFrame): DataFrame = {
-    val bands = docBandRows(docs.withWatermark("ts", "1 hour"))
+    val bands = docBandRows(eventTime(docs, "ts").withWatermark("ts", "1 hour"))
     bands
       .dropDuplicatesWithinWatermark("band", "band_sig")
       .groupBy(col("doc_id"), col("ts"))
@@ -78,7 +85,7 @@ object EventStreaming {
   def nearDedupeBatch(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_sig")).orderBy(col("ts"), col("doc_id"))
-    docBandRows(docs)
+    docBandRows(eventTime(docs, "ts"))
       .withColumn("rk", row_number().over(w))
       .groupBy(col("doc_id"), col("ts"))
       .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("fresh_bands"))
@@ -114,10 +121,10 @@ object EventStreaming {
   val AttributionWindowMin = 30
 
   def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.filter(col("event_type") === "purchase")
+    val p = eventTime(purchases, "ts").filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = clicks.filter(col("event_type") === "click")
+    val c = eventTime(clicks, "ts").filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
