@@ -497,7 +497,7 @@ object DialectFunctions {
     * the emitted text is a Spark string literal under C-style escaping). */
   private def globToRegex(pat: String): String = {
     val sb = new StringBuilder
-    var prev = ' '
+    var prev = '\u0000'
     pat.foreach { c =>
       c match {
         case '*' => sb.append(".*")
