@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exception-free `TRY_CAST(string AS <integral>)`.
+  *
+  * Spark's TRY-mode cast routes string→integral through the THROWING parse
+  * (`UTF8String.toIntExact` et al.) and catches the `NumberFormatException`
+  * per failing row. Exception construction is microseconds per row, so a
+  * column of non-numeric strings makes TRY_CAST ~10× slower than the scan
+  * around it (measured: 1.75 s of a 1.9 s query at sf0.1 was two TRY_CASTs
+  * over 150k rows) — at 100 TB that is the whole job. The exact variants are
+  * thin wrappers over the non-throwing `toLong(LongWrapper)`/`toInt(
+  * IntWrapper)` grammar (trimmed whitespace, optional sign, digits only,
+  * overflow → failure), so parsing through the wrapper API is
+  * semantics-identical and never allocates an exception.
+  *
+  * [[TryParseIntegral]] is that wrapper parse as a codegen expression;
+  * [[TryCastParseRule]] swaps it in for every resolved TRY-mode
+  * string→integral `Cast` at optimization time (where child types are
+  * known — the SQL-text layer cannot see types). TryParseSpec pins parity
+  * with `try_cast` on the full probe matrix.
+  */
+case class TryParseIntegral(child: Expression, override val dataType: DataType)
+    extends UnaryExpression {
+
+  require(TryParseIntegral.targets.contains(dataType),
+    s"TryParseIntegral supports integral targets only, got $dataType")
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case _: StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"TryParseIntegral needs STRING, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    dataType match {
+      case LongType =>
+        val w = new UTF8String.LongWrapper
+        if (s.toLong(w)) w.value else null
+      case IntegerType =>
+        val w = new UTF8String.IntWrapper
+        if (s.toInt(w)) w.value else null
+      case ShortType =>
+        val w = new UTF8String.IntWrapper
+        if (s.toShort(w)) w.value.toShort else null
+      case ByteType =>
+        val w = new UTF8String.IntWrapper
+        if (s.toByte(w)) w.value.toByte else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (wrapperCls, parseFun, coerce) = dataType match {
+      case LongType => ("org.apache.spark.unsafe.types.UTF8String.LongWrapper", "toLong", "")
+      case IntegerType => ("org.apache.spark.unsafe.types.UTF8String.IntWrapper", "toInt", "")
+      case ShortType => ("org.apache.spark.unsafe.types.UTF8String.IntWrapper", "toShort", "(short) ")
+      case ByteType => ("org.apache.spark.unsafe.types.UTF8String.IntWrapper", "toByte", "(byte) ")
+    }
+    // one wrapper per expression instance, reused across rows (no per-row
+    // allocation; the parse itself is allocation- and exception-free)
+    val wrapper = ctx.addMutableState(wrapperCls, "tryParseWrapper",
+      v => s"$v = new $wrapperCls();")
+    nullSafeCodeGen(ctx, ev, s => s"""
+      if ($s.$parseFun($wrapper)) {
+        ${ev.value} = $coerce$wrapper.value;
+      } else {
+        ${ev.isNull} = true;
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TryParseIntegral {
+  val targets: Set[DataType] = Set(LongType, IntegerType, ShortType, ByteType)
+}
+
+/** Optimizer rule: resolved TRY-mode string→integral casts become the
+  * exception-free [[TryParseIntegral]]. Runs in the user-rule batch (after
+  * the main optimizer), so pushdown/pruning decisions are unaffected.
+  * Injected by [[graft.GraftExtensions]] and by `graft.functions
+  * .registerAll` (via `spark.experimental.extraOptimizations`), so every
+  * engine session gets it. */
+object TryCastParseRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c: Cast if c.isTryCast && c.child.resolved &&
+          c.child.dataType.isInstanceOf[StringType] &&
+          TryParseIntegral.targets.contains(c.dataType) =>
+        TryParseIntegral(c.child, c.dataType)
+    }
+}

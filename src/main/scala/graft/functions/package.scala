@@ -49,6 +49,10 @@ package object functions {
   }
 
   def registerAll(spark: SparkSession): Unit = {
+    // exception-free TRY_CAST(string AS integral) — see TryParse.scala
+    if (!spark.experimental.extraOptimizations.contains(TryCastParseRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TryCastParseRule
     ExprBridge.registerFunction(spark, "vec_dot",
       es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "vec_norm",

@@ -26,9 +26,10 @@ object MicroProfile {
     // warm up codegen/shuffle
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    val sfDir = sys.env.getOrElse("PROFILE_SF_DIR", "/tmp/sf10")
     val names = sys.env.getOrElse("PROFILE_ONLY", "micro_like_filter,micro_sort_int").split(",")
     names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, "/tmp/sf10")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
       time(s"$n (noop write)") {
         df.write.format("noop").mode("overwrite").save()
       }
