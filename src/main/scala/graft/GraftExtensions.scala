@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "regexp_replace_first(s, re, rep) - replace the FIRST regex match (DuckDB regexp_replace default)"),
       es => { arity("regexp_replace_first", 3)(es)
         functions.RegexpReplaceFirst(es(0), es(1), es(2)) }))
+    Seq("jaccard" -> "jaccard", "hamming" -> "hamming",
+      "mismatches" -> "hamming", "jaro_similarity" -> "jaro",
+      "jaro_winkler_similarity" -> "jaro_winkler",
+      "damerau_levenshtein" -> "damerau_levenshtein",
+      // replaces Spark's code-point builtin: the engine surface promises
+      // DuckDB's byte-level semantics (identical on ASCII)
+      "levenshtein" -> "levenshtein",
+      "editdist3" -> "levenshtein").foreach { case (name, kind) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        info(name, s"$name(a, b) - DuckDB byte-level text similarity"),
+        es => { arity(name, 2)(es); functions.StringSimilarity(es(0), es(1), kind) }))
+    }
     ext.injectFunction((FunctionIdentifier("regexp_replace_all"),
       info("regexp_replace_all",
         "regexp_replace_all(s, re, rep) - replace every regex match (DuckDB regexp_replace 'g')"),

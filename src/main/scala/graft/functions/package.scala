@@ -75,6 +75,20 @@ package object functions {
     ExprBridge.registerFunction(spark, "regexp_replace_all",
       es => { arity("regexp_replace_all", 3)(es)
         org.apache.spark.sql.catalyst.expressions.RegExpReplace(es(0), es(1), es(2)) })
+    // DuckDB text-similarity scalars (byte-level, see StringSimilarity).
+    // `levenshtein` intentionally REPLACES Spark's builtin in engine
+    // sessions: Spark counts code points, DuckDB counts bytes — identical
+    // on ASCII, and the engine surface promises DuckDB semantics.
+    val sims = Seq(
+      "jaccard" -> "jaccard", "hamming" -> "hamming",
+      "mismatches" -> "hamming", "jaro_similarity" -> "jaro",
+      "jaro_winkler_similarity" -> "jaro_winkler",
+      "damerau_levenshtein" -> "damerau_levenshtein",
+      "levenshtein" -> "levenshtein", "editdist3" -> "levenshtein")
+    sims.foreach { case (name, kind) =>
+      ExprBridge.registerFunction(spark, name,
+        es => { arity(name, 2)(es); StringSimilarity(es(0), es(1), kind) })
+    }
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

@@ -558,8 +558,23 @@ object DialectQueries {
       |  monthname(o_orderdate) AS mon_name
       |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin
 
+  // DuckDB text-similarity scalars (byte-level kernels, StringSimilarity):
+  // the identical SQL runs natively in DuckDB as the oracle. hamming needs
+  // equal lengths, so it compares fixed-width prefixes.
+  private val q100Sql =
+    """SELECT p_partkey,
+      |  jaccard(p_name, p_type) AS jac,
+      |  jaro_similarity(p_name, p_type) AS jaro,
+      |  jaro_winkler_similarity(p_name, p_type) AS jw,
+      |  CAST(damerau_levenshtein(p_name, p_type) AS BIGINT) AS dl,
+      |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+      |  CAST(hamming(substring(p_brand, 1, 7), 'Brand#0') AS BIGINT) AS ham,
+      |  CAST(mismatches(substring(p_type, 1, 5), 'PROMO') AS BIGINT) AS mis
+      |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
+    Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),
     Q("q59_list_functions", fns(q59Sql), Some(q59Sql)),
     Q("q60_unnest_tokens", fns(q60Sql), Some(q60Sql)),
