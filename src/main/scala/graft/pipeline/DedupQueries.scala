@@ -459,6 +459,62 @@ object DedupQueries {
        |JOIN documents db ON db.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- fuzzy match verification
+  /** Fuzzy-duplicate verdicts over the LSH candidates with the DuckDB
+    * text-similarity scalars: Jaro-Winkler (prefix-weighted, the
+    * record-linkage standard) plus normalized Damerau-Levenshtein (true
+    * transposition-aware distance). Like p22, the O(len²) kernels run ONLY
+    * on banded candidate pairs — never all pairs — so the cost scales with
+    * the near-dup rate, not the corpus. Normalization uses byte lengths
+    * (octet_length) to match the byte-level kernels exactly in both
+    * engines. */
+  private def fuzzyVerify(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val cand = {
+      val bands = bandRows(signatures(docs(s, dir)))
+      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+        col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("jw", expr("jaro_winkler_similarity(ta, tb)"))
+      .withColumn("dl_dist", expr("CAST(damerau_levenshtein(ta, tb) AS BIGINT)"))
+      .withColumn("dl_sim",
+        lit(1.0) - col("dl_dist").cast("double")
+          / greatest(octet_length(col("ta")), octet_length(col("tb"))).cast("double"))
+      .withColumn("is_dup", col("jw") >= 0.9 && col("dl_sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jw"), col("dl_dist"),
+        col("dl_sim"), col("is_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val fuzzyVerifySql =
+    s"""WITH ${PH.duckLshCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  jaro_winkler_similarity(da.text, db.text) AS jw,
+       |  CAST(damerau_levenshtein(da.text, db.text) AS BIGINT) AS dl_dist,
+       |  1.0::DOUBLE - CAST(damerau_levenshtein(da.text, db.text) AS DOUBLE)
+       |    / CAST(greatest(strlen(da.text), strlen(db.text)) AS DOUBLE)
+       |    AS dl_sim,
+       |  (jaro_winkler_similarity(da.text, db.text) >= 0.9 AND
+       |   1.0::DOUBLE - CAST(damerau_levenshtein(da.text, db.text) AS DOUBLE)
+       |     / CAST(greatest(strlen(da.text), strlen(db.text)) AS DOUBLE)
+       |     >= 0.8) AS is_dup
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.doc_a
+       |JOIN documents db ON db.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------- stratified sampling
   /** Deterministic stratified sample: the k "first" documents per
     * (source, lang) stratum under poly-hash order — balanced subcorpora
@@ -532,7 +588,8 @@ object DedupQueries {
     Q("p23_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("p24_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("p30_dedup_clusters_star", dedupClustersStarAgg, Some(dedupClustersSql)),
-    Q("p62_cluster_safe_split", clusterSafeSplit, Some(clusterSafeSplitSql)))
+    Q("p62_cluster_safe_split", clusterSafeSplit, Some(clusterSafeSplitSql)),
+    Q("p65_fuzzy_verify", fuzzyVerify, Some(fuzzyVerifySql)))
 
   /** Debug/inspection helper: full shingle-jaccard distribution (no
     * threshold) over source-blocked pairs. */
