@@ -88,6 +88,49 @@ object TryParseIntegral {
   val targets: Set[DataType] = Set(LongType, IntegerType, ShortType, ByteType)
 }
 
+/** Cheap necessary-condition check for "this string could parse as a
+  * number": skip leading control/space bytes (≤ 0x20 — exactly what
+  * `String.trim` inside Spark's numeric parsers strips), then test the
+  * first significant byte against the characters a successful parse can
+  * start with (`[+-.0-9]`, plus `[iInN]` for the floating grammar's
+  * inf/nan spellings). A failing check proves the real parser would throw
+  * — so the caller can emit NULL without constructing the exception. A
+  * passing check proves nothing; the caller falls through to the real
+  * parser (exact semantics by construction, exceptions only on
+  * digit-leading garbage, which real data rarely has). */
+case class NumericParseable(child: Expression, floating: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    NumericParseable.plausible(input.asInstanceOf[UTF8String], floating)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NumericParseable.plausible($s, $floating);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NumericParseable {
+  def plausible(s: UTF8String, floating: Boolean): Boolean = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length && (bytes(i) & 0xff) <= 0x20) i += 1
+    if (i == bytes.length) return false
+    val b = bytes(i)
+    // any non-ASCII lead byte stays plausible: BigDecimal accepts Unicode
+    // digits (Character.digit — '٤٢' parses to 42), and multibyte
+    // whitespace is not trimmed by the parsers' String.trim; both cases
+    // must reach the real parser for exact semantics.
+    (b & 0xff) >= 0x80 ||
+      (b >= '0' && b <= '9') || b == '+' || b == '-' || b == '.' ||
+      (floating && (b == 'i' || b == 'I' || b == 'n' || b == 'N'))
+  }
+}
+
 /** Optimizer rule: resolved TRY-mode string→integral casts become the
   * exception-free [[TryParseIntegral]]. Runs in the user-rule batch (after
   * the main optimizer), so pushdown/pruning decisions are unaffected.
@@ -95,11 +138,29 @@ object TryParseIntegral {
   * .registerAll` (via `spark.experimental.extraOptimizations`), so every
   * engine session gets it. */
 object TryCastParseRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{EvalMode, If, Literal, TryEval}
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case c: Cast if c.isTryCast && c.child.resolved &&
           c.child.dataType.isInstanceOf[StringType] &&
           TryParseIntegral.targets.contains(c.dataType) =>
         TryParseIntegral(c.child, c.dataType)
+
+      // decimal/double/float have no exception-free parser in Spark
+      // (Decimal.fromString and the double path catch internally), so
+      // guard the throwing parse behind the byte-scan necessary condition:
+      // strings that cannot possibly parse return NULL without an
+      // exception; plausible ones take the original TRY semantics.
+      // TryEval(ANSI cast) == TRY-mode cast, and — unlike a TRY Cast —
+      // cannot re-match this rule, so the fixed-point converges.
+      case c: Cast if c.isTryCast && c.child.resolved &&
+          c.child.dataType.isInstanceOf[StringType] &&
+          (c.dataType.isInstanceOf[DecimalType] ||
+            c.dataType == DoubleType || c.dataType == FloatType) =>
+        val floating = c.dataType == DoubleType || c.dataType == FloatType
+        If(NumericParseable(c.child, floating),
+          TryEval(Cast(c.child, c.dataType, c.timeZoneId, EvalMode.ANSI)),
+          Literal(null, c.dataType))
     }
 }

@@ -25,16 +25,34 @@ class TryParseSpec extends AnyFunSuite {
 
   private val targets = Seq("tinyint", "smallint", "int", "bigint")
 
-  private def probeResults(): Seq[Seq[Any]] = {
-    graft.functions.registerAll(spark)
+  /** Probes must come from a FILE source: ConvertToLocalRelation evaluates
+    * projections over local relations during the main optimizer batches,
+    * BEFORE the user-rule batch — a local-relation probe would never
+    * exercise the rewrite. NaN is normalized for comparability. */
+  private def probeFrame(values: Seq[String]): org.apache.spark.sql.DataFrame = {
     import scala.jdk.CollectionConverters._
-    val df = spark.createDataFrame(
-      probes.map(org.apache.spark.sql.Row(_)).asJava,
+    val dir = java.nio.file.Files.createTempDirectory("tryparse-probe")
+    spark.createDataFrame(
+      values.map(org.apache.spark.sql.Row(_)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("s",
           org.apache.spark.sql.types.StringType, nullable = true))))
-    df.selectExpr("s" +: targets.map(t => s"try_cast(s as $t) as to_$t"): _*)
-      .collect().toSeq.map(_.toSeq)
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString)
+  }
+
+  private def normalize(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.map(_.map {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case f: java.lang.Float if f.isNaN => "NaN"
+      case v => v
+    }).sortBy(_.headOption.map(String.valueOf).getOrElse(""))
+
+  private def probeResults(): Seq[Seq[Any]] = {
+    graft.functions.registerAll(spark)
+    normalize(probeFrame(probes)
+      .selectExpr("s" +: targets.map(t => s"try_cast(s as $t) as to_$t"): _*)
+      .collect().toSeq.map(_.toSeq))
   }
 
   test("wrapper parse matches Spark try_cast on the full probe matrix") {
@@ -63,13 +81,50 @@ class TryParseSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === (0L until 10L))
   }
 
-  test("non-string and non-integral TRY casts are left to Spark") {
+  private val fpProbes: Seq[String] = Seq(
+    null, "1.5", " 2 ", "1e3", "1E-3", ".5", "5.", "+.5", "-5.",
+    "Infinity", "-Infinity", "+Infinity", "inf", "-inf", "NaN", "nan",
+    "infinity", "abc", "1d", "1f", "0x1p3", "1.5e", "e3", "1,5", "٤٢",
+    "", " ", "+", "-", ".", "1.2.3", "1.005", "12345.675", "-12345.675",
+    "1e50", "-1e50", "1e-50", "99999999999999999999.9", "\t7\n", " 7",
+    "7", "iPhone", "none", "NULLX", "9" * 40)
+
+  private def fpResults(): Seq[Seq[Any]] = {
+    graft.functions.registerAll(spark)
+    normalize(probeFrame(fpProbes)
+      .selectExpr("s",
+        "try_cast(s as double) d", "try_cast(s as float) f",
+        "try_cast(s as decimal(10,2)) d10", "try_cast(s as decimal(3,2)) d3",
+        "try_cast(s as decimal(38,10)) d38").collect().toSeq.map(_.toSeq))
+  }
+
+  test("guarded decimal/double/float TRY casts match Spark try_cast") {
+    val withRule = fpResults()
+    val saved = spark.experimental.extraOptimizations
+    val without =
+      try {
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_ eq TryCastParseRule)
+        fpResults()
+      } finally spark.experimental.extraOptimizations = saved
+    assert(withRule === without)
+    // and the rule actually rewrote: the optimized plan carries the guard
+    val df = spark.range(3).selectExpr("CAST(id AS STRING) s")
+      .selectExpr("try_cast(s as decimal(10,2)) v")
+    assert(df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.NumericParseable])),
+      s"decimal TRY_CAST not guarded:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("non-string and non-numeric TRY casts are left to Spark") {
     graft.functions.registerAll(spark)
     val df = spark.range(5).selectExpr(
       "try_cast(id AS int) a",              // long → int: not a string parse
-      "try_cast(CAST(id AS STRING) AS double) b") // string → double: unhandled
-    assert(!df.queryExecution.optimizedPlan.expressions
-      .exists(_.exists(_.isInstanceOf[TryParseIntegral])))
+      "try_cast(CAST(id AS STRING) AS date) b") // string → date: unhandled
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.expressions.exists(_.exists(_.isInstanceOf[TryParseIntegral])))
+    assert(!opt.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.NumericParseable])))
     assert(df.count() === 5)
   }
 }
