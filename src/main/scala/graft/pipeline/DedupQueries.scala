@@ -418,9 +418,11 @@ object DedupQueries {
     * Levenshtein distance + normalized similarity per candidate pair. The
     * expensive O(len²) kernel runs ONLY on banded candidates (never all
     * pairs) — the standard second stage of a fuzzy-dedup pipeline, and the
-    * strictest near-dup signal available without semantics. Uses Spark's
-    * codegen'd `levenshtein`; DuckDB's `levenshtein` has identical unit-edit
-    * semantics, so the oracle is exact. */
+    * strictest near-dup signal available without semantics. Uses the
+    * engine's registered byte-level `levenshtein`
+    * ([[graft.functions.StringSimilarity]]) — DuckDB's exact semantics on
+    * ANY input (Spark's builtin counts code points, which diverges on
+    * non-ASCII), so the oracle is exact by construction. */
   private def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val cand = {
@@ -436,7 +438,7 @@ object DedupQueries {
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_dist", expr("CAST(levenshtein(ta, tb) AS INT)"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double")
           / greatest(length(col("ta")), length(col("tb"))).cast("double"))
