@@ -60,19 +60,45 @@ copy("lineitem", rep("lineitem", [f"l_orderkey + {{i}} * {ordk} AS l_orderkey",
                                   f"l_suppkey + {{i}} * {suppk} AS l_suppkey"]))
 copy("events", rep("events", [f"event_id + {{i}} * {evk} AS event_id",
                               f"user_id + {{i}} * {usrk} AS user_id"]))
+# Per-copy SEEDED PERMUTATION of the consonant map, not a rotation:
+# rotations form a closed group of order 10, so two-stage derivation
+# (sf0.1 -> sf1 -> sf10) composes them back onto each other and copy
+# (i, j) collides with copy (i', j') whenever i+j = i'+j' (mod 10) —
+# at k=100 that made every text appear ~10x verbatim and blew the dedup
+# pair set up quadratically. Random permutations seeded per copy keep
+# compositions distinct (10! images; verified below, loud failure).
+import random
 src_map = "bcdfghjklm"
+# Salt the seed per DERIVATION STAGE (the source's distinct-text count
+# differs every stage): with one shared family, stage-1 copy i composed
+# with stage-2's identity equals stage-1's identity composed with
+# stage-2 copy i — 10% of a two-stage corpus collided exactly that way.
+perm_salt = con.sql(
+    f"SELECT count(DISTINCT md5(text)) FROM '{src}/documents.parquet'").fetchone()[0]
+def perm_for(i):
+    chars = list(src_map)
+    random.Random(9176 + 7919 * perm_salt + i).shuffle(chars)
+    return "".join(chars)
 doc_replaces = []
 for i in range(k):
-    rot = src_map[i:] + src_map[:i]
     if i == 0:
         doc_replaces.append([f"doc_id + 0 * {dock} AS doc_id"])
     else:
         doc_replaces.append([f"doc_id + {i} * {dock} AS doc_id",
-                             f"translate(text, '{src_map}', '{rot}') AS text"])
+                             f"translate(text, '{src_map}', '{perm_for(i)}') AS text"])
 parts = []
 for i in range(k):
     r = ", ".join(doc_replaces[i])
     parts.append(f"SELECT * REPLACE ({r}) FROM '{src}/documents.parquet'")
 copy("documents", " UNION ALL ".join(parts))
+n_src = con.sql(f"SELECT count(DISTINCT md5(text)) FROM '{src}/documents.parquet'").fetchone()[0]
+n_dst = con.sql(f"SELECT count(DISTINCT md5(text)) FROM '{dst}/documents.parquet'").fetchone()[0]
+# A handful of short texts may contain too few mapped consonants to
+# distinguish two permutations — tolerate <0.1% residual collisions, but
+# fail LOUDLY on structural collisions (the rotation-group bug was ~10%).
+assert n_dst >= 0.999 * k * n_src, (
+    f"copy translations collided: {n_dst} distinct texts, expected ~{k * n_src} "
+    f"({k} copies x {n_src}) — the derived corpus would be cross-copy duplicated")
+print(f"documents distinct texts: {n_dst} / {k * n_src} expected")
 copy("embeddings", rep("embeddings", [f"vec_id + {{i}} * {veck} AS vec_id"]))
 print("done:", dst)
