@@ -40,7 +40,9 @@ object Shell {
     engine.close()
   }
 
-  private def dotCommand(engine: Engine, text: String,
+  /** Package-visible for ShellSpec: each dot-command is driven directly
+    * (the REPL loop itself is stdin plumbing). */
+  private[graft] def dotCommand(engine: Engine, text: String,
       setTimer: Boolean => Unit, timer: Boolean): Unit = {
     val parts = text.split("\\s+", 3)
     parts(0) match {
@@ -51,7 +53,9 @@ object Shell {
           |.files                 List registered files.
           |.fstats collect $FILE  Collect file statistics.
           |.fstats disable $FILE  Disable file statistics.
+          |.fstats paging $FILE   Show file paging.
           |.fstats reads $FILE    Show file reads.
+          |.fstats reset $FILE    Reset file statistics.
           |.open $DIR             Open a directory of parquet files.
           |.reset                 Reset the engine.
           |.tables                List tables.
@@ -85,7 +89,31 @@ object Shell {
             println(s"Disabled file statistics for: $f")
           case (Some("reads"), Some(f)) =>
             println(engine.files.exportFileStatistics(f))
-          case _ => println("Usage: .fstats [collect|disable|reads] $FILE")
+          case (Some("paging"), Some(f)) =>
+            // paging view (reference print_page_stats): per touched block,
+            // loads = first materializations (cold + read-ahead), accesses =
+            // every touch — for a non-caching FS each cold/ahead read IS a
+            // page load; cached reads are accesses without loads
+            val st = engine.files.exportFileStatistics(f)
+            val touched = st.blocks.filter(b =>
+              b.coldReads + b.aheadReads + b.cachedReads > 0)
+            if (touched.isEmpty) println("(no block reads recorded)")
+            else {
+              println(f"${"block"}%8s ${"loads"}%8s ${"accesses"}%8s  (block size = ${1L << st.blockShift} B)")
+              touched.foreach { b =>
+                val loads = b.coldReads + b.aheadReads
+                val acc = loads + b.cachedReads
+                println(f"${b.blockIdx}%8d $loads%8d $acc%8d")
+              }
+              val totLoads = touched.map(b => b.coldReads + b.aheadReads).sum
+              val totAcc = totLoads + touched.map(_.cachedReads).sum
+              println(f"${"total"}%8s $totLoads%8d $totAcc%8d")
+            }
+          case (Some("reset"), Some(f)) =>
+            engine.files.resetFileStatistics(f)
+            println(s"Resetted file statistics for: $f") // reference spelling
+          case _ =>
+            println("Usage: .fstats [collect|disable|paging|reads|reset] $FILE")
         }
       case ".open" =>
         parts.lift(1) match {

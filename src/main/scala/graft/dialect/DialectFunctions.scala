@@ -62,8 +62,7 @@ object DialectFunctions {
     // string predicates/joins: same argument shapes and semantics
     "regexp_matches" -> "regexp_like",
     "starts_with" -> "startswith",
-    "ends_with" -> "endswith",
-    "array_to_string" -> "array_join")
+    "ends_with" -> "endswith")
 
   private val namePatterns: Seq[(java.util.regex.Pattern, String)] =
     NameMap.map { case (from, to) =>
@@ -236,6 +235,16 @@ object DialectFunctions {
     // the element is absent — exactly Spark's array_position contract, so a
     // plain name substitution is the verified-correct mapping (newer DuckDB
     // returns NULL; pinned by oracle q80's pos_none column).
+    // array_to_string(l, sep): DuckDB returns NULL for an EMPTY input list
+    // (verified: array_to_string([], '|') IS NULL in DuckDB 1.x) while
+    // Spark's array_join returns '' — guard with a size check so the engine
+    // matches. Non-empty lists behave identically (NULL elements skipped).
+    out = rewriteCalls(out, "array_to_string") {
+      case Seq(l, sep) =>
+        Some(s"CASE WHEN size($l) = 0 THEN CAST(NULL AS STRING) " +
+          s"ELSE array_join($l, $sep) END")
+      case _ => None
+    }
     out = rewriteCalls(out, "list_position|list_indexof") {
       case Seq(l, x) => Some(s"array_position($l, $x)")
       case _ => None

@@ -36,12 +36,16 @@ object StringSimKernels {
     inter.toDouble / union.toDouble
   }
 
-  /** Differing-byte count; DuckDB requires equal (byte) lengths. */
+  /** Differing-byte count; DuckDB requires equal (byte) lengths AND
+    * rejects empty inputs (DuckDB 1.0.0 throws even for ''-vs-''). */
   def hamming(a: UTF8String, b: UTF8String): Long = {
     val x = a.getBytes; val y = b.getBytes
     if (x.length != y.length)
       throw new IllegalArgumentException(
         "Mismatch Function: Strings must be of equal length!")
+    if (x.length == 0)
+      throw new IllegalArgumentException(
+        "Mismatch Function: Strings must be of length > 0!")
     var n = 0L; var i = 0
     while (i < x.length) { if (x(i) != y(i)) n += 1; i += 1 }
     n
@@ -56,7 +60,9 @@ object StringSimKernels {
 
   private def jaroBytes(x: Array[Byte], y: Array[Byte]): Double = {
     val la = x.length; val lb = y.length
-    if (la == 0 || lb == 0) return if (la == lb) 0.0 else 0.0
+    // DuckDB 1.0.0 returns 0.0 whenever either side is empty — INCLUDING
+    // jaro('','') (not the textbook 1.0 for two equal empty strings).
+    if (la == 0 || lb == 0) return 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val ma = new Array[Boolean](la); val mb = new Array[Boolean](lb)
     var m = 0

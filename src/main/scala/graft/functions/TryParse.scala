@@ -136,7 +136,17 @@ object NumericParseable {
   * the main optimizer), so pushdown/pruning decisions are unaffected.
   * Injected by [[graft.GraftExtensions]] and by `graft.functions
   * .registerAll` (via `spark.experimental.extraOptimizations`), so every
-  * engine session gets it. */
+  * engine session gets it.
+  *
+  * DATE/TIMESTAMP targets are intentionally NOT rewritten: Spark 4.1's
+  * string→datetime casts already parse through the Option-returning
+  * `DateTimeUtils.stringToDate`/`stringToTimestamp` grammar with no per-row
+  * exception on failure (measured on a 4M-row half-garbage probe:
+  * all-garbage TRY_CAST-to-DATE 0.17 s ≈ all-valid 0.21 s, while the
+  * pre-rule integral path took 4.1 s on the same garbage — exception-
+  * dominated). A prototype Option-based datetime rewrite measured ~2×
+  * SLOWER than the native path (extra boxing layer over the same parser),
+  * so there is nothing to eliminate here. */
 object TryCastParseRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{EvalMode, If, Literal, TryEval}
 

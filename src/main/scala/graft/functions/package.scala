@@ -78,7 +78,11 @@ package object functions {
     // DuckDB text-similarity scalars (byte-level, see StringSimilarity).
     // `levenshtein` intentionally REPLACES Spark's builtin in engine
     // sessions: Spark counts code points, DuckDB counts bytes — identical
-    // on ASCII, and the engine surface promises DuckDB semantics.
+    // on ASCII, and the engine surface promises DuckDB semantics. Spark's
+    // 3-arg threshold form levenshtein(s1, s2, k) is NOT a DuckDB spelling
+    // but pre-existing Spark queries may use it, so it delegates to the
+    // builtin (keeping Spark's code-point + threshold semantics) instead
+    // of failing the 2-arg arity check.
     val sims = Seq(
       "jaccard" -> "jaccard", "hamming" -> "hamming",
       "mismatches" -> "hamming", "jaro_similarity" -> "jaro",
@@ -86,8 +90,11 @@ package object functions {
       "damerau_levenshtein" -> "damerau_levenshtein",
       "levenshtein" -> "levenshtein", "editdist3" -> "levenshtein")
     sims.foreach { case (name, kind) =>
-      ExprBridge.registerFunction(spark, name,
-        es => { arity(name, 2)(es); StringSimilarity(es(0), es(1), kind) })
+      ExprBridge.registerFunction(spark, name, es =>
+        if (name == "levenshtein" && es.length == 3)
+          org.apache.spark.sql.catalyst.expressions.Levenshtein(
+            es(0), es(1), Some(es(2)))
+        else { arity(name, 2)(es); StringSimilarity(es(0), es(1), kind) })
     }
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {

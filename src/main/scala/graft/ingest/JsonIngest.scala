@@ -32,11 +32,26 @@ object JsonIngest {
   case object ColumnObject extends Shape
   case object NdJson extends Shape
 
+  /** ROW_ARRAY files at or above this size are transcoded to NDJSON before
+    * the distributed read: `multiLine` JSON is UNSPLITTABLE (the whole file
+    * is one scan task — a 10 GB document parses on one core), while the
+    * line-delimited form splits at `spark.sql.files.maxPartitionBytes` like
+    * any text source. The transcode itself is a single driver-side
+    * streaming byte-copy (constant memory, I/O-rate not parse-rate); the
+    * expensive part — per-row JSON parsing — runs distributed after it.
+    * Overridable for tests via -Dgraft.json.splitThreshold. */
+  private[graft] def rowArraySplitThreshold: Long =
+    sys.props.get("graft.json.splitThreshold").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+
   def read(spark: SparkSession, path: String, opts: IngestOptions): DataFrame =
     detectShape(path) match {
       case RowArray =>
         val schema = opts.columns.getOrElse(analyzeRowArray(path))
-        spark.read.option("multiLine", "true").schema(schema).json(path)
+        if (Files.size(Paths.get(path)) >= rowArraySplitThreshold)
+          spark.read.schema(schema).json(transcodeRowArrayToNdjson(path))
+        else
+          spark.read.option("multiLine", "true").schema(schema).json(path)
       case NdJson =>
         opts.columns match {
           case Some(s) => spark.read.schema(s).json(path)
@@ -209,6 +224,29 @@ object JsonIngest {
       }
     case JsonToken.START_ARRAY => st.arrays += 1; st.seen += 1; p.skipChildren()
     case _ => ()
+  }
+
+  /** One streaming pass turning `[{...}, {...}]` into one-object-per-line
+    * NDJSON (JSON strings cannot contain a literal newline, so each copied
+    * object is exactly one line). Constant memory: jackson streams
+    * parser→generator per object, nothing is materialized. */
+  private[graft] def transcodeRowArrayToNdjson(path: String): String = {
+    val outPath = Files.createTempFile("graft-ndjson-", ".json")
+    outPath.toFile.deleteOnExit()
+    val f = new JsonFactory()
+    val p = f.createParser(Paths.get(path).toFile)
+    val w = Files.newBufferedWriter(outPath)
+    val g = f.createGenerator(w)
+    g.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+    try {
+      require(p.nextToken() == JsonToken.START_ARRAY, "ROW_ARRAY must start with [")
+      var t = p.nextToken()
+      while (t == JsonToken.START_OBJECT) {
+        g.copyCurrentStructure(p)
+        t = p.nextToken()
+      }
+    } finally { g.close(); p.close() }
+    outPath.toString
   }
 
   private[graft] def analyzeRowArray(path: String): StructType = {

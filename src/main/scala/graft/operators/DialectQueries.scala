@@ -405,18 +405,32 @@ object DialectQueries {
   // bracket list expressions: a literal, a plain comprehension, and a
   // filtered comprehension — DuckDB runs the brackets natively, the Spark
   // side goes through ListComprehension → transform/filter/array
+  // The inner query is the unit under test (bracket literals, comprehensions,
+  // slices, 1-based/negative indexing). The outer SELECT only flattens the
+  // ARRAY-typed columns to pipe-joined strings so the driver comparator can
+  // lexsort/hash the result (pandas cannot sort ndarray cells) — identical
+  // text runs on both engines, so the flattening itself is also oracled.
   private val q87Sql =
     """SELECT doc_id,
-      |  [CAST(length(t) AS BIGINT) FOR t IN string_split(text, ' ')] AS tok_lens,
-      |  [upper(t) FOR t IN string_split(text, ' ') IF length(t) > 6] AS long_toks,
-      |  [lang, source] AS tags,
-      |  string_split(text, ' ')[2:4] AS slice_mid,
-      |  string_split(text, ' ')[:3] AS slice_head,
-      |  [10, 20, 30, 40][3:] AS slice_tail,
-      |  string_split(text, ' ')[1] AS first_tok,
-      |  string_split(text, ' ')[-1] AS last_tok,
-      |  [10, 20, 30][2] AS second_lit
-      |FROM documents WHERE doc_id <= 50
+      |  array_to_string(list_transform(tok_lens, t -> CAST(t AS STRING)), '|') AS tok_lens_s,
+      |  array_to_string(long_toks, '|') AS long_toks_s,
+      |  array_to_string(tags, '|') AS tags_s,
+      |  array_to_string(slice_mid, '|') AS slice_mid_s,
+      |  array_to_string(slice_head, '|') AS slice_head_s,
+      |  array_to_string(list_transform(slice_tail, t -> CAST(t AS STRING)), '|') AS slice_tail_s,
+      |  first_tok, last_tok, second_lit
+      |FROM (
+      |  SELECT doc_id,
+      |    [CAST(length(t) AS BIGINT) FOR t IN string_split(text, ' ')] AS tok_lens,
+      |    [upper(t) FOR t IN string_split(text, ' ') IF length(t) > 6] AS long_toks,
+      |    [lang, source] AS tags,
+      |    string_split(text, ' ')[2:4] AS slice_mid,
+      |    string_split(text, ' ')[:3] AS slice_head,
+      |    [10, 20, 30, 40][3:] AS slice_tail,
+      |    string_split(text, ' ')[1] AS first_tok,
+      |    string_split(text, ' ')[-1] AS last_tok,
+      |    [10, 20, 30][2] AS second_lit
+      |  FROM documents WHERE doc_id <= 50) brackets
       |ORDER BY doc_id""".stripMargin
 
   // UNION ALL BY NAME: mismatched column sets NULL-fill and align by name
@@ -536,13 +550,22 @@ object DialectQueries {
 
   // MAP constructor (two-list form → map_from_arrays), map_keys/map_values/
   // cardinality (names agree), printf → format_string.
+  // Outer SELECT flattens the ARRAY-typed map_keys/map_values outputs to
+  // pipe-joined strings for the driver comparator (same rationale as q87);
+  // the MAP construction/inspection under test is untouched in the subquery.
   private val q97Sql =
     """SELECT o_orderkey,
-      |  map_keys(map(['a','b','c'], [1, 2, 3])) AS ks,
-      |  map_values(map(['x','y'], [o_orderkey, o_custkey])) AS vs,
-      |  CAST(cardinality(map(['a'], [1])) AS BIGINT) AS n,
-      |  printf('%s/%d', o_orderstatus, o_orderkey) AS tag
-      |FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey""".stripMargin
+      |  array_to_string(ks, '|') AS ks_s,
+      |  array_to_string(list_transform(vs, t -> CAST(t AS STRING)), '|') AS vs_s,
+      |  n, tag
+      |FROM (
+      |  SELECT o_orderkey,
+      |    map_keys(map(['a','b','c'], [1, 2, 3])) AS ks,
+      |    map_values(map(['x','y'], [o_orderkey, o_custkey])) AS vs,
+      |    CAST(cardinality(map(['a'], [1])) AS BIGINT) AS n,
+      |    printf('%s/%d', o_orderstatus, o_orderkey) AS tag
+      |  FROM orders WHERE o_orderkey <= 20) maps
+      |ORDER BY o_orderkey""".stripMargin
 
   // `//` integer division (truncation toward zero on both engines)
   private val q99Sql =

@@ -125,14 +125,28 @@ object ExtendedQueries {
       | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HyperLogLog approximate distinct (rows-only: sketch implementations
-    * legitimately differ between engines; exact distinct is the q16 oracle). */
+  /** HyperLogLog approximate distinct. Sketch implementations legitimately
+    * differ between engines, so the raw estimate cannot hash-match; instead
+    * the oracled output is (exact count, estimate-within-±2%-of-exact) —
+    * deterministic on both sides (Spark's HLL is deterministic for fixed
+    * input; the oracle's boolean is the literal TRUE the estimate must
+    * reproduce). rsd=0.01 keeps the estimate well inside the 2% band at
+    * every test SF while the sketch stays a constant-size agg buffer. */
   private def q44(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(0.02) * col("exact_parts")).as("within_2pct"))
       .orderBy(col("l_returnflag"))
+
+  private val q44Sql =
+    """SELECT l_returnflag,
+      | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      | TRUE AS within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact DECIMAL aggregation — TPC-H money semantics (SURVEY §7.3 risk 1):
     * decimal sums are exact integer-scaled arithmetic, so the oracle matches
@@ -216,5 +230,5 @@ object ExtendedQueries {
     Q("q41_right_outer_join", q41, Some(q41Sql)),
     Q("q42_lateral_topk", q42, Some(q42Sql)),
     Q("q43_json_extract", q43, Some(q43Sql)),
-    Q("q44_approx_distinct", q44, None))
+    Q("q44_approx_distinct", q44, Some(q44Sql)))
 }

@@ -65,6 +65,17 @@ final class FileRegistry {
       graft.io.ReadStatsHub.disarm(resolve(name))
     }
 
+  /** Zero all statistics for a file, keeping collection armed if it was
+    * (reference shell `.fstats reset` — shell.rs:437-439; the wasm DB API
+    * has no reset call, so the reference only prints — here the counters
+    * genuinely restart). */
+  def resetFileStatistics(name: String): Unit = {
+    scanCounts.remove(name); readCounts.remove(name); readBytes.remove(name)
+    val stored = resolve(name)
+    graft.io.ReadStatsHub.disarm(stored)
+    if (statsEnabled.contains(name)) collectFileStatistics(name, enable = true)
+  }
+
   def exportFileStatistics(name: String): FileStatistics = {
     val p = Paths.get(resolve(name))
     val size = if (Files.exists(p) && !Files.isDirectory(p)) Files.size(p) else 0L

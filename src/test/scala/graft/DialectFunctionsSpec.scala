@@ -129,13 +129,25 @@ class DialectFunctionsSpec extends AnyFunSuite {
 
   test("string predicate spellings map to Spark names") {
     assert(DialectFunctions.rewrite(
-      "SELECT regexp_matches(s, '^a'), starts_with(s, 'a'), ends_with(s, 'z'), array_to_string(xs, ',')") ===
-      "SELECT regexp_like(s, '^a'), startswith(s, 'a'), endswith(s, 'z'), array_join(xs, ',')")
+      "SELECT regexp_matches(s, '^a'), starts_with(s, 'a'), ends_with(s, 'z')") ===
+      "SELECT regexp_like(s, '^a'), startswith(s, 'a'), endswith(s, 'z')")
     prepare()
     val r = conn.queryDF(
       "SELECT regexp_matches('Widget', '^W') AS a, starts_with('abc', 'ab') AS b, ends_with('abc', 'bc') AS c")
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("array_to_string joins with the separator but is NULL for empty lists (DuckDB 1.x)") {
+    prepare()
+    val r = conn.queryDF(
+      """SELECT array_to_string(array('a', 'b'), '|') AS joined,
+        |       array_to_string(filter(array('x'), t -> false), '|') AS empty,
+        |       array_to_string(array(''), '|') AS one_empty_elem""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "a|b")
+    assert(r.isNullAt(1)) // DuckDB: array_to_string([], '|') IS NULL
+    assert(r.getString(2) === "") // [''] joins to '' — NOT nulled
   }
 
   test("JSON ->> maps to get_json_object with path normalization") {

@@ -266,6 +266,40 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.json_rows")
   }
 
+  test("JSON ingest: large ROW_ARRAY splits into multiple scan partitions") {
+    // 2k rows ≈ 100 KB; threshold forced to 1 byte and split size to 16 KB
+    // so the splittable NDJSON path engages and the scan fans out — the
+    // multiLine path would be exactly ONE task regardless of file size
+    val rows = (0 until 2000).map(i =>
+      s"""{"id":$i,"name":"row-padding-padding-$i","v":${i * 3}}""")
+    val p = Files.createTempFile("graft-big", ".json")
+    Files.writeString(p, rows.mkString("[", ",", "]"))
+    val savedProp = sys.props.get("graft.json.splitThreshold")
+    val savedSplit = SparkTestSession.spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      sys.props("graft.json.splitThreshold") = "1"
+      SparkTestSession.spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      engine.files.registerFilePath("bigrows.json", p.toString)
+      conn.insertJSONFromPath("bigrows.json", IngestOptions(name = "json_big"))
+      val df = conn.queryDF("SELECT * FROM main.json_big")
+      assert(df.count() === 2000)
+      assert(df.selectExpr("sum(v)").collect().head.getLong(0) ===
+        (0 until 2000).map(_ * 3L).sum)
+      // the read is genuinely multi-task
+      val parts = graft.ingest.JsonIngest.read(SparkTestSession.spark,
+        p.toString, IngestOptions(name = "unused")).rdd.getNumPartitions
+      assert(parts > 1, s"splittable JSON read planned only $parts partition(s)")
+      conn.queryDF("DROP TABLE main.json_big")
+    } finally {
+      savedProp match {
+        case Some(v) => sys.props("graft.json.splitThreshold") = v
+        case None => sys.props.remove("graft.json.splitThreshold")
+      }
+      SparkTestSession.spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+      engine.files.dropFile("bigrows.json")
+    }
+  }
+
   test("JSON ingest: COLUMN_OBJECT shape (insert_json.test.ts:47-82)") {
     val p = Files.createTempFile("graft", ".json")
     Files.writeString(p, """{"a":[1,4,9],"b":["x","y","z"]}""")

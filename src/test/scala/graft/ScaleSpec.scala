@@ -198,4 +198,45 @@ class ScaleSpec extends AnyFunSuite {
     // descending
     assert(rows.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
   }
+
+  test("groupedExactQuantile equals percentile with no percentile agg buffer") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val qs = Seq(0.0 -> "q00", 0.05 -> "q05", 0.5 -> "q50",
+      0.95 -> "q95", 1.0 -> "q100")
+    val viaScale = Scale.groupedExactQuantile(
+      orders, "o_orderpriority", "o_totalprice", qs)
+    val viaPercentile = orders.groupBy(col("o_orderpriority")).agg(
+      expr("percentile(o_totalprice, 0.0)").as("q00"),
+      expr("percentile(o_totalprice, 0.05)").as("q05"),
+      expr("percentile(o_totalprice, 0.5)").as("q50"),
+      expr("percentile(o_totalprice, 0.95)").as("q95"),
+      expr("percentile(o_totalprice, 1.0)").as("q100"))
+    val a = viaScale.collect().map(r => r.getString(0) ->
+      (1 to 5).map(r.getDouble)).toMap
+    val b = viaPercentile.collect().map(r => r.getString(0) ->
+      (1 to 5).map(r.getDouble)).toMap
+    assert(a.keySet === b.keySet)
+    for (k <- a.keySet; i <- 0 until 5)
+      assert(math.abs(a(k)(i) - b(k)(i)) < 1e-9,
+        s"quantile mismatch for group $k at ${qs(i)._2}: ${a(k)(i)} vs ${b(k)(i)}")
+    // the point of the operator: NO exact-percentile map buffer anywhere —
+    // aggregation state is constant-size (count/min), the only data-sized
+    // structure is the spillable window sort over the distinct-value
+    // histogram
+    val plan = viaScale.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"plan still carries a percentile buffer:\n$plan")
+  }
+
+  test("groupedExactQuantile ignores NULL values like percentile") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(10.0)), ("b", None)).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("geq-null").toString
+    df.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val r = Scale.groupedExactQuantile(src, "k", "v", Seq(0.5 -> "med"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 2.0, "b" -> 10.0))
+  }
 }

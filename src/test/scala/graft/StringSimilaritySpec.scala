@@ -92,6 +92,24 @@ class StringSimilaritySpec extends AnyFunSuite {
     assert(hamming(u("é"), u("á")) === 1L) // C3A9 vs C3A1: one differing byte
     intercept[IllegalArgumentException](hamming(u("abc"), u("ab")))
     intercept[IllegalArgumentException](hamming(u("é"), u("e"))) // 2 vs 1 bytes
+    // DuckDB 1.0.0 rejects empty inputs even when lengths match
+    val e = intercept[IllegalArgumentException](hamming(u(""), u("")))
+    assert(e.getMessage.contains("length > 0"))
+  }
+
+  test("jaro of empty strings is 0.0 (DuckDB 1.0.0, including ''-vs-'')") {
+    assert(jaro(u(""), u("")) === 0.0)
+    assert(jaro(u(""), u("abc")) === 0.0)
+    assert(jaro(u("abc"), u("")) === 0.0)
+  }
+
+  test("3-arg levenshtein keeps Spark's builtin threshold form") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT levenshtein('kitten','sitting',2) a, levenshtein('kitten','sitting',3) b")
+      .collect()(0)
+    assert(r.getInt(0) === -1) // distance 3 > threshold 2 → Spark's -1
+    assert(r.getInt(1) === 3)
   }
 
   test("SQL surface: registered spellings, codegen, null passthrough") {

@@ -116,11 +116,55 @@ class TryParseSpec extends AnyFunSuite {
       s"decimal TRY_CAST not guarded:\n${df.queryExecution.optimizedPlan}")
   }
 
-  test("non-string and non-numeric TRY casts are left to Spark") {
+  private val dtProbes: Seq[String] = Seq(
+    null, "2024-01-15", " 2024-01-15 ", "2024-1-5", "2024-01-15 10:30:00",
+    "2024-01-15T10:30:00", "2024-01-15T10:30:00Z", "2024-01-15 10:30:00+05:30",
+    "2024-01-15 10:30:00.123456", "2024", "2024-01", "2024-13-01",
+    "2024-02-30", "2024-02-29", "2023-02-29", "2024-01-15 25:00:00",
+    "15/01/2024", "Jan 15 2024", "20240115", "abc", "", " ", "-", "T10:30",
+    "10:30:00", "0001-01-01", "9999-12-31", "+10000-01-01", "今日",
+    "2024-01-15x", "null", "epoch", "now", "today")
+
+  private def dtResults(): Seq[Seq[Any]] = {
+    graft.functions.registerAll(spark)
+    normalize(probeFrame(dtProbes)
+      .selectExpr("s",
+        "try_cast(s as date) dt",
+        "CAST(try_cast(s as timestamp) AS STRING) ts",
+        "CAST(try_cast(s as timestamp_ntz) AS STRING) ntz")
+      .collect().toSeq.map(_.toSeq))
+  }
+
+  /** Datetime targets are deliberately NOT rewritten (see TryCastParseRule
+    * scaladoc: Spark 4.1's native TRY datetime cast is already exception-
+    * free — measured all-garbage ≈ all-valid — and an Option-based rewrite
+    * prototype was 2× slower). This test (a) pins that the rule leaves
+    * datetime casts alone, and (b) keeps the dirty-date matrix running so
+    * any future rewrite attempt inherits a ready-made parity gate. */
+  test("date/timestamp TRY casts: rule leaves them to Spark; matrix is stable") {
+    val withRule = dtResults()
+    val saved = spark.experimental.extraOptimizations
+    val without =
+      try {
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_ eq TryCastParseRule)
+        dtResults()
+      } finally spark.experimental.extraOptimizations = saved
+    assert(withRule === without)
+    // valid rows parsed, garbage rows NULL (spot pins on the matrix)
+    val byKey = withRule.map(r => String.valueOf(r.head) -> r.tail).toMap
+    assert(byKey("2024-01-15") === Seq(java.sql.Date.valueOf("2024-01-15"),
+      "2024-01-15 00:00:00", "2024-01-15 00:00:00"))
+    assert(byKey("abc") === Seq(null, null, null))
+    assert(byKey("2024-02-30") === Seq(null, null, null))
+  }
+
+  test("non-string and datetime TRY casts are left to Spark") {
     graft.functions.registerAll(spark)
     val df = spark.range(5).selectExpr(
       "try_cast(id AS int) a",              // long → int: not a string parse
-      "try_cast(CAST(id AS STRING) AS date) b") // string → date: unhandled
+      "try_cast(CAST(id AS STRING) AS date) b") // datetime: native TRY is
+                                                // already exception-free
     val opt = df.queryExecution.optimizedPlan
     assert(!opt.expressions.exists(_.exists(_.isInstanceOf[TryParseIntegral])))
     assert(!opt.expressions.exists(
