@@ -131,12 +131,21 @@ object ExtendedQueries {
     * deterministic on both sides (Spark's HLL is deterministic for fixed
     * input; the oracle's boolean is the literal TRUE the estimate must
     * reproduce). rsd=0.01 keeps the estimate well inside the 2% band at
-    * every test SF while the sketch stays a constant-size agg buffer. */
+    * every test SF (measured 0.7% at sf0.1) while the sketch stays a
+    * constant-size agg buffer.
+    *
+    * Shape note: the pairs are deduplicated BEFORE one plain aggregate
+    * computes both count and sketch — HLL is duplicate-insensitive, so the
+    * estimate is identical, and mixing countDistinct with a low-rsd sketch
+    * in one agg would route through Expand, which re-merges the 2^14-
+    * register HLL buffer per expanded row (measured 14.7 s vs 1.2 s for
+    * this form at sf0.1). */
   private def q44(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(count(lit(1)).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts"))
           <= lit(0.02) * col("exact_parts")).as("within_2pct"))
