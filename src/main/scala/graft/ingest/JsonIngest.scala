@@ -229,9 +229,19 @@ object JsonIngest {
   /** One streaming pass turning `[{...}, {...}]` into one-object-per-line
     * NDJSON (JSON strings cannot contain a literal newline, so each copied
     * object is exactly one line). Constant memory: jackson streams
-    * parser→generator per object, nothing is materialized. */
+    * parser→generator per object, nothing is materialized.
+    *
+    * The staging location defaults to the driver's temp dir — correct for
+    * local mode, where executors share the driver's filesystem. On a real
+    * cluster executors cannot read driver-local files, so deployments set
+    * `-Dgraft.json.stagingDir` to shared storage (the same place the
+    * warehouse lives); SCALE.md carries the compromise row. */
   private[graft] def transcodeRowArrayToNdjson(path: String): String = {
-    val outPath = Files.createTempFile("graft-ndjson-", ".json")
+    val outPath = sys.props.get("graft.json.stagingDir") match {
+      case Some(dir) =>
+        Files.createTempFile(Paths.get(dir), "graft-ndjson-", ".json")
+      case None => Files.createTempFile("graft-ndjson-", ".json")
+    }
     outPath.toFile.deleteOnExit()
     val f = new JsonFactory()
     val p = f.createParser(Paths.get(path).toFile)

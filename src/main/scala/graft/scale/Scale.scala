@@ -342,4 +342,14 @@ object Scale {
     }
     frame.select(col(key) +: outs: _*)
   }
+
+  /** Ungrouped (whole-table) exact quantiles — the worst case for
+    * `percentile`'s map buffer, since the single group's value→count map
+    * IS the table's distinct set on one executor. Same machinery as
+    * [[groupedExactQuantile]] over a constant key; the window sort runs
+    * over the global distinct-value histogram, spillable. */
+  def exactQuantile(df: DataFrame, valueCol: String,
+      qs: Seq[(Double, String)]): DataFrame =
+    groupedExactQuantile(df.withColumn("__all", lit(1)), "__all", valueCol, qs)
+      .drop("__all")
 }

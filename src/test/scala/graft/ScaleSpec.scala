@@ -228,6 +228,17 @@ class ScaleSpec extends AnyFunSuite {
       s"plan still carries a percentile buffer:\n$plan")
   }
 
+  test("exactQuantile (ungrouped) equals global percentile") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val got = Scale.exactQuantile(orders, "o_totalprice",
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")).collect().head
+    val want = orders.selectExpr(
+      "percentile(o_totalprice, 0.25)", "percentile(o_totalprice, 0.5)",
+      "percentile(o_totalprice, 0.75)").collect().head
+    for (i <- 0 until 3)
+      assert(math.abs(got.getDouble(i) - want.getDouble(i)) < 1e-9)
+  }
+
   test("groupedExactQuantile ignores NULL values like percentile") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
