@@ -285,7 +285,7 @@ object CurationExtras {
           .otherwise("ok"))
       .select(col("doc_id"), col("n_toks"), col("reason"),
         (col("reason") === "ok").as("keep"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id") // shuffle-free child: avoid the sampler re-run
   }
 
   private val qualityGateSql =

@@ -218,7 +218,7 @@ object DedupQueries {
       .withColumn("simhash64", graft.functions.simhash64(col("th")))
       .select(col("doc_id"), col("simhash64"),
         expr("simhash64 & 65535").as("bucket16"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id") // shuffle-free child: avoid the sampler re-run
 
   // per-bit majority vote, mirroring SimHash64: bit j set iff strictly
   // more token hashes have bit j set than not (31 meaningful bits: token

@@ -29,7 +29,7 @@ object TextQueries {
         // BPE-ish: split on whitespace AND punctuation boundaries
         size(split(trim(col("text")), "[\\s.,!?;:]+")).cast("long").as("n_bpe_ish"),
         length(col("text")).cast("long").as("n_chars_actual"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id")
 
   private val tokenCountSql =
     """SELECT doc_id,
@@ -59,7 +59,7 @@ object TextQueries {
         (size(array_distinct(tokens)).cast("double") / size(tokens).cast("double"))
           .as("uniqueness"),
         (len / size(tokens).cast("double")).as("chars_per_token"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id")
   }
 
   private val qualitySql =
@@ -96,7 +96,7 @@ object TextQueries {
           .when(col("s_fr") > 0, "fr")
           .otherwise("und"))
       .select(col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("pred_lang"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id")
   }
 
   private val langIdSql = {
@@ -129,7 +129,7 @@ object TextQueries {
         // winnowing-style: min/max over token hashes = robust doc sketch
         array_min(col("th")).as("min_token_hash"),
         array_max(col("th")).as("max_token_hash"))
-      .orderBy(col("doc_id"))
+      .sortedOnce("doc_id")
 
   private val fingerprintSql =
     s"""WITH th AS (SELECT doc_id, text, ${PortableHash.duckTokenHashes("text")} AS th FROM documents)
