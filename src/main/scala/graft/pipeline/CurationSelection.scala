@@ -82,7 +82,12 @@ object CurationSelection {
   }
 
   private def simhashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    // persist the (doc_id, h) fingerprints — 16 bytes/doc — so the band
+    // self-join's two sides read the cache instead of re-running the
+    // double shingle+simhash transform per side (harness clearCache
+    // releases it, as with the signature caches)
     val base = simhashFingerprints(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 to 3).map { j =>
       val mask = if (j == 3) 16383L else 65535L // 62 bits = 16+16+16+14
       struct(lit(j).as("band"), expr(s"(h >> ${16 * j}) & $mask").as("bv"))
@@ -171,10 +176,15 @@ object CurationSelection {
     * overlap ratio against the training doc's own fingerprint set. The
     * eval side (doc_id % 17 = 0, as p25) is broadcast. */
   private def contamAttribution(s: SparkSession, dir: String): DataFrame = {
+    // persisted: three consumers (eval side, the shared join, the
+    // per-doc size agg) would each re-run tokenize+shingle+distinct —
+    // the doc_id filters push through the distinct's aggregate so their
+    // exchanges are not reusable across branches
     val pairs = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val train = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)

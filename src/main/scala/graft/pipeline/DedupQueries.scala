@@ -80,8 +80,12 @@ object DedupQueries {
     signatures(docs(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from the band equi-join
+    * over CACHED signatures — the self-join evaluates each side
+    * independently, so without the cache the 32-permutation signature
+    * transform (the expensive narrow stage) runs twice. Shared by every
+    * pair-consuming query (p06, p22, p65, and the edge builders). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(cachedSignatures(s, dir))
     val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
       col("doc_id").as("doc_a"))
@@ -91,8 +95,11 @@ object DedupQueries {
         && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val minhashPairsSql =
     s"""WITH ${PH.duckLshCtes("documents")}
@@ -279,16 +286,12 @@ object DedupQueries {
     * [[dedupClustersConverged]] iterates to fixpoint for callers (the
     * candidate graph's components here have tiny diameters — PipelineSpec
     * asserts 4 rounds already reach it). */
-  /** Bidirectional candidate edges, persisted (consumed once per round). */
+  /** Bidirectional candidate edges, persisted (consumed once per round).
+    * Signatures come CACHED: the self-join evaluates its two sides
+    * independently, and without the cache the 32-permutation signature
+    * transform (the expensive narrow stage) runs twice. */
   private def candidateEdges(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(signatures(docs(s, dir)))
-    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-      col("doc_id").as("doc_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-      col("doc_id").as("doc_b"))
-    val cand = a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-        && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = candidatePairs(s, dir)
     cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -355,15 +358,41 @@ object DedupQueries {
       docs(s, dir).select(col("doc_id"), col("doc_id").as("label")),
       maxRounds)
 
+  /** Bucket-star candidate edges: each LSH bucket contributes a star
+    * (every member → the bucket's min doc_id) instead of all pairs. Same
+    * CONNECTIVITY as [[candidateEdges]] — any two docs sharing a bucket
+    * are joined through the bucket hub — at O(bucket) edges per bucket
+    * instead of O(bucket²), which is the difference between linear and
+    * quadratic work on the popular buckets a 100 TB corpus always has
+    * (boilerplate, templates). One window shuffle on (band, band_sig)
+    * replaces the self-join, and singleton buckets drop out for free
+    * (min == self). ONLY valid for consumers that run components to
+    * convergence (the hub path adds one hop, so a fixed-round min-label
+    * pass sees different intermediate labels); the 4-round-pinned p24/p46
+    * oracle queries keep the all-pairs graph. */
+  private[pipeline] def starCandidateEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig"))
+    bandRows(signatures(docs(s, dir)))
+      .withColumn("m", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("src"), col("doc_id").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** O(log n)-round variant of [[dedupClustersConverged]]: the LSH
     * candidate graph through [[graft.scale.Scale.connectedComponents]]
     * (alternating star rounds). Same labels (component = min doc_id);
     * preferable when near-dup chains are long — round count no longer
     * scales with chain length (ScaleSpec pins equality on both the real
-    * candidate graph and a pathological 200-link chain). */
+    * candidate graph and a pathological 200-link chain). Feeds the
+    * bucket-star edge set, not all pairs: components are identical
+    * (ScaleSpec's star-vs-fixpoint equality is the proof) and the edge
+    * build is linear in band rows. */
   def dedupClustersStar(s: SparkSession, dir: String, maxRounds: Int = 50): DataFrame = {
     val comps = graft.scale.Scale.connectedComponents(
-      candidateEdges(s, dir), maxRounds)
+      starCandidateEdges(s, dir), maxRounds)
     docs(s, dir)
       .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -425,17 +454,7 @@ object DedupQueries {
     * non-ASCII), so the oracle is exact by construction. */
   private def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val cand = {
-      val bands = bandRows(signatures(docs(s, dir)))
-      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-        col("doc_id").as("doc_a"))
-      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-        col("doc_id").as("doc_b"))
-      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
-    cand
+    candidatePairs(s, dir)
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .withColumn("edit_dist", expr("CAST(levenshtein(ta, tb) AS INT)"))
@@ -472,17 +491,7 @@ object DedupQueries {
     * engines. */
   private def fuzzyVerify(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val cand = {
-      val bands = bandRows(signatures(docs(s, dir)))
-      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-        col("doc_id").as("doc_a"))
-      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-        col("doc_id").as("doc_b"))
-      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
-    cand
+    candidatePairs(s, dir)
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .withColumn("jw", expr("jaro_winkler_similarity(ta, tb)"))

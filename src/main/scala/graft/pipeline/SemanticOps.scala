@@ -116,10 +116,16 @@ object SemanticOps {
   private def bloomProbes: Seq[(Long, Long)] = PH.perms.take(BloomK)
 
   private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the eval and corpus branches each re-run the
+    // tokenize+shingle+distinct otherwise (the doc_id filters push
+    // through the distinct's aggregate, so the two exchanges differ and
+    // Spark cannot reuse one for the other); MEMORY_AND_DISK spills,
+    // harness clearCache releases
     val pairs = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalSh = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
     val posOf = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
@@ -199,12 +205,17 @@ object SemanticOps {
     // only ~31 distinct words, so word-level coverage is trivially total —
     // bigrams give a distribution the top-K cut actually lands inside
     // (at real data the unit definition is the knob, the shape is fixed)
+    // persisted: the vocab aggregation and the per-doc rejoin each
+    // consume the exploded bigram stream; without the cache the regex
+    // split + transform runs twice (the vocab side's exchange carries
+    // partial counts, not raw units, so it is not reusable for the join)
     val units = docs(s, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
         .as("unit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // top-K via sort+limit → TakeOrderedAndProject, never a global window;
     // the (cnt DESC, unit ASC) total order makes the cut deterministic
     val vocab = units.groupBy(col("unit")).agg(count(lit(1)).as("cnt"))

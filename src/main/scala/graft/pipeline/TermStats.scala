@@ -205,13 +205,18 @@ object TermStats {
         col("text"))
       .select(col("doc_id"),
         expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $GramLen)")).as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("h"), lit(1).as("isdup"))
-    grams.join(dup, Seq("h"), "left")
+    // ONE pass over the gram stream: corpus-wide repetition is a window
+    // count over the hash (shuffle keyed by h, unbounded key space) — the
+    // agg-then-rejoin shape scans/hashes every gram TWICE because the
+    // aggregate's exchange carries partial counts, not raw grams, so
+    // Spark cannot reuse it for the join side.
+    grams
+      .withColumn("isdup",
+        (count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))) > 1)
+          .cast("int"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_ratio"))
       .orderBy(col("doc_id"))
