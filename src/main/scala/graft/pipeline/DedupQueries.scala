@@ -76,7 +76,7 @@ object DedupQueries {
     * Pinned entries are released by the harness after each consuming action
     * (Verify/Bench call [[graft.Tables.unpersistAll]]) so a long-lived
     * session does not accumulate them. */
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def cachedSignatures(s: SparkSession, dir: String): DataFrame =
     signatures(docs(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -85,7 +85,7 @@ object DedupQueries {
     * independently, so without the cache the 32-permutation signature
     * transform (the expensive narrow stage) runs twice. Shared by every
     * pair-consuming query (p06, p22, p65, and the edge builders). */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandRows(cachedSignatures(s, dir))
     val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
       col("doc_id").as("doc_a"))
@@ -112,15 +112,7 @@ object DedupQueries {
     * signature components that agree). */
   private def minhashJaccard(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSignatures(s, dir)
-    val bands = bandRows(sig)
-    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-      col("doc_id").as("doc_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-      col("doc_id").as("doc_b"))
-    val cand = a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-        && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
+    candidatePairs(s, dir)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sa"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sb"), "doc_b")
       .withColumn("est_jaccard",
