@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // exception-free TRY_CAST(string AS integral) — see functions/TryParse.scala
     ext.injectOptimizerRule(_ => functions.TryCastParseRule)
+    // grouped exact percentile without the data-sized agg buffer
+    ext.injectOptimizerRule(_ => functions.ExactQuantileRule)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       es => { arity("vec_dot", 2)(es); functions.VecDot(es(0), es(1)) }))

@@ -53,6 +53,11 @@ package object functions {
     if (!spark.experimental.extraOptimizations.contains(TryCastParseRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TryCastParseRule
+    // grouped exact percentile → histogram + spillable window (no
+    // data-sized agg buffer) — see ExactQuantileRule.scala
+    if (!spark.experimental.extraOptimizations.contains(ExactQuantileRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ExactQuantileRule
     ExprBridge.registerFunction(spark, "vec_dot",
       es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "vec_norm",
