@@ -31,10 +31,15 @@ object CorpusOps {
     * map-side against the (always small) benchmark shingle set — no
     * shuffle of the corpus at all. */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // persisted: eval and corpus branches otherwise each re-run the
+    // tokenize+shingle+distinct (the doc_id filters push through the
+    // distinct's aggregate, so Spark cannot reuse one branch's exchange
+    // for the other) — same pattern as p47/p50
     val pairs = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
       .withColumn("is_eval", lit(1))

@@ -32,7 +32,12 @@ object TermStats {
 
   // ------------------------------------------------------------ p40 tf-idf
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    // persisted: tf, df, and the corpus-size aggregate each consume the
+    // exploded term stream — without the cache the regex split + explode
+    // runs three times (each consumer's exchange carries different
+    // partials, so none is reusable for the others)
     val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term"))
@@ -108,7 +113,9 @@ object TermStats {
     * noise/rare-token soup; both tails get filtered in practice). Shapes:
     * explode → vocabulary-sized count join → per-doc average. */
   private def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // persisted for the same three-consumer reason as p40 above
     val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = terms.agg(count(lit(1)).as("tot"))
     terms.join(cnt, Seq("term"))
