@@ -125,8 +125,14 @@ object CorpusDiagnostics {
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
-      .withColumn("exact", col("common").cast("double")
-        / (size(col("ga")) + size(col("gb")) - col("common")).cast("double"))
+      // Jaccard of two EMPTY shingle sets (docs under 3 tokens band together
+      // on the empty-set signature) is pinned to 0.0 on both engines — the
+      // raw 0/0 would be NULL here but engine-dependent float semantics in
+      // DuckDB, so the convention is explicit rather than inherited.
+      .withColumn("exact",
+        when(size(col("ga")) + size(col("gb")) - col("common") === 0, lit(0.0))
+          .otherwise(col("common").cast("double")
+            / (size(col("ga")) + size(col("gb")) - col("common")).cast("double")))
       .select(col("doc_a"), col("doc_b"), col("est"), col("exact"),
         abs(col("est") - col("exact")).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -147,17 +153,28 @@ object CorpusDiagnostics {
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
        |              JOIN sig sb ON sb.doc_id = c.doc_b),
        |d AS (SELECT doc_id, list_distinct(sh) AS grams FROM sh),
-       |toks AS (SELECT doc_id, len(grams) AS nt, unnest(grams) AS tok FROM d),
+       |nt AS (SELECT doc_id, len(grams) AS nt FROM d),
+       |toks AS (SELECT doc_id, unnest(grams) AS tok FROM d),
        |common AS (
-       |  SELECT c.doc_a, c.doc_b, a.nt AS nt_a, b.nt AS nt_b, count(*) AS common
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
        |  FROM cand c
        |  JOIN toks a ON a.doc_id = c.doc_a
        |  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
-       |  GROUP BY 1, 2, 3, 4),
+       |  GROUP BY 1, 2),
        |calib AS (
+       |  -- LEFT JOIN: band-sig collisions (31-bit space) can pair docs with
+       |  -- ZERO shared shingles; the inner-join form dropped them while the
+       |  -- engine keeps them with exact = 0. nt comes from the per-doc table
+       |  -- so the denominator survives the missing common row; an all-empty
+       |  -- denominator pins to 0.0 (same convention as the engine side).
        |  SELECT e.doc_a, e.doc_b, e.est,
-       |    CAST(cm.common AS DOUBLE) / CAST(cm.nt_a + cm.nt_b - cm.common AS DOUBLE) AS exact
-       |  FROM est e JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b)
+       |    CASE WHEN na.nt + nb.nt - coalesce(cm.common, 0) = 0 THEN 0.0
+       |         ELSE CAST(coalesce(cm.common, 0) AS DOUBLE)
+       |           / CAST(na.nt + nb.nt - coalesce(cm.common, 0) AS DOUBLE) END AS exact
+       |  FROM est e
+       |  LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+       |  JOIN nt na ON na.doc_id = e.doc_a
+       |  JOIN nt nb ON nb.doc_id = e.doc_b)
        |SELECT doc_a, doc_b, est, exact, abs(est - exact) AS abs_err
        |FROM calib ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -198,15 +215,30 @@ object CorpusDiagnostics {
     * power-of-two ladder a fixed-shape training batcher pads to, and
     * report the padding waste per bucket — the number that decides whether
     * you pack sequences (p33) or pad. The ladder is a closed CASE (no
-    * float log2), so both engines bucket identically. */
+    * float log2), so both engines bucket identically. It runs to the
+    * documented max sequence length (65536); longer docs are TRUNCATED to
+    * the cap before counting — what a fixed-shape batcher actually does —
+    * so `real_tokens <= padded_tokens` holds for every input, not just
+    * corpora that happen to stay under the top rung. */
+  private[graft] val MaxSeqLen = 65536L
+
   private def seqlenHistogram(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+    seqlenHistogramOf(docs(s, dir))
+
+  /** Frame-parameterized body so the spec can probe the ladder with docs
+    * beyond any bucket the test corpus happens to contain. */
+  private[graft] def seqlenHistogramOf(d: DataFrame): DataFrame =
+    d
+      .withColumn("n_tok",
+        least(size(split(trim(col("text")), "\\s+")).cast("long"), lit(MaxSeqLen)))
       .withColumn("bucket",
         when(col("n_tok") <= 16, 16L).when(col("n_tok") <= 32, 32L)
           .when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
           .when(col("n_tok") <= 256, 256L).when(col("n_tok") <= 512, 512L)
-          .otherwise(1024L))
+          .when(col("n_tok") <= 1024, 1024L).when(col("n_tok") <= 2048, 2048L)
+          .when(col("n_tok") <= 4096, 4096L).when(col("n_tok") <= 8192, 8192L)
+          .when(col("n_tok") <= 16384, 16384L).when(col("n_tok") <= 32768, 32768L)
+          .otherwise(MaxSeqLen))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("real_tokens"),
@@ -216,15 +248,19 @@ object CorpusDiagnostics {
       .orderBy(col("bucket"))
 
   private val seqlenHistogramSql =
-    """WITH t AS (
-      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+    s"""WITH t AS (
+      |  SELECT LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT),
+      |               $MaxSeqLen) AS n_tok
       |  FROM documents),
       |b AS (
       |  SELECT n_tok,
       |    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
       |         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
       |         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
-      |         ELSE 1024 END AS bucket
+      |         WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+      |         WHEN n_tok <= 4096 THEN 4096 WHEN n_tok <= 8192 THEN 8192
+      |         WHEN n_tok <= 16384 THEN 16384 WHEN n_tok <= 32768 THEN 32768
+      |         ELSE $MaxSeqLen END AS bucket
       |  FROM t)
       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,

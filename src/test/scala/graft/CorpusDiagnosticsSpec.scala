@@ -84,4 +84,27 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(buckets.forall(b => (b & (b - 1)) == 0), "buckets are powers of two")
     h.unpersist()
   }
+
+  test("p70: long docs land on the extended ladder; beyond-cap docs truncate") {
+    import spark.implicits._
+    import graft.pipeline.CorpusDiagnostics
+    // 2 000 tokens → 2048 bucket; 70 000 tokens → truncated to the 65536
+    // cap (real == padded, zero waste); tiny doc → 16 bucket. The pre-fix
+    // ladder sent both long docs to a 1024 bucket with real > padded.
+    val docs = Seq(
+      (1L, Seq.fill(2000)("w").mkString(" ")),
+      (2L, Seq.fill(70000)("w").mkString(" ")),
+      (3L, "only four tokens here")).toDF("doc_id", "text")
+    val h = CorpusDiagnostics.seqlenHistogramOf(docs)
+      .orderBy(col("bucket")).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(16L, 2048L, CorpusDiagnostics.MaxSeqLen))
+    h.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"real > padded in $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0, s"waste out of range in $r")
+    }
+    // the capped doc pads exactly to the cap: no waste on that bucket
+    val capRow = h.last
+    assert(capRow.getLong(2) === CorpusDiagnostics.MaxSeqLen
+      && capRow.getLong(3) === CorpusDiagnostics.MaxSeqLen)
+  }
 }
