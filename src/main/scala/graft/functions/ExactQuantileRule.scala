@@ -2,14 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Cross, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DoubleType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
 
-/** Rewrites grouped exact-percentile aggregates into the histogram +
-  * spillable-window shape, removing the data-sized aggregation buffer.
+/** Rewrites exact-percentile aggregates — grouped AND global — into the
+  * histogram + spillable-window shape, removing the data-sized aggregation
+  * buffer.
   *
   * Spark's exact `percentile` (= the engine's `quantile_cont` / `median`
   * mapping) is an ObjectHashAggregate whose per-group state is a
@@ -22,46 +24,91 @@ import org.apache.spark.sql.types.{DoubleType, NumericType}
   *
   *   1. pre-aggregate counts by (group, value) — map-side combined, sized
   *      by |distinct (group, value)| pairs, spilling hash aggregation;
-  *   2. running + total counts over a per-group window ORDERED BY value —
-  *      the sort is Spark's external (disk-spilling) sort, so worst-case
-  *      cardinality degrades to spill instead of OOM;
+  *   2. running + total counts over the value order — per-group window for
+  *      grouped aggregates (external, disk-spilling sort); for GLOBAL
+  *      aggregates a per-group window would be a SinglePartition sort of
+  *      the whole histogram, so the running count is built with the
+  *      range-partition + prefix-offset pattern instead (the
+  *      [[graft.operators.PositionalJoin.globalIndex]] shape): range-
+  *      repartition the histogram by value, running-sum WITHIN each
+  *      physical partition (window keyed by `spark_partition_id()`), then
+  *      add per-partition prefix offsets computed from an O(partitions)
+  *      summary frame — the only SinglePartition window runs over one row
+  *      per shuffle partition, never over data;
   *   3. the two straddling order statistics per quantile fall out of
   *      constant-state conditional `min`s, then interpolate with Spark's
-  *      own 0-based rank arithmetic (pos = q·(n−1)).
+  *      own 0-based rank arithmetic (pos = q·(n−1)). Array percentages
+  *      (`percentile(x, array(q1,…))`) reuse the same per-quantile triples
+  *      and rebuild the array in the final projection (NULL — not an array
+  *      of NULLs — when the group has no non-NULL measure, matching the
+  *      builtin).
   *
   * Non-percentile aggregates in the same SELECT keep their original
   * single-pass Aggregate and are stitched back with a null-safe join on
   * the group keys (null groups compare equal in GROUP BY, so the join must
   * too); groups whose measure is entirely NULL are absent from the
   * quantile side and surface as NULL through the outer join — exactly
-  * `percentile`'s answer. The trade is one extra scan of the child per
-  * distinct measure column: linear work instead of a memory cliff.
+  * `percentile`'s answer. In the global case both sides are one-row
+  * relations and the stitch is a broadcast nested-loop over single rows.
+  * The trade is one extra scan of the child per distinct measure column:
+  * linear work instead of a memory cliff.
   *
-  * Scope (bails out otherwise): grouped aggregates (global quantiles go
-  * through `Scale.exactQuantile`), literal scalar percentage, unit
-  * frequency, no DISTINCT / FILTER / reverse, no grouping-sets Expand.
-  * Disable with `spark.graft.exactQuantileRewrite=false`. */
+  * The global form evaluates the `tagged` histogram subtree from two
+  * consumers (the windowed rows and the per-partition totals); their
+  * partition ids agree because the single range exchange below both is
+  * deduplicated by exchange reuse — ExactQuantileRuleSpec pins exactly one
+  * executed range exchange (+ a ReusedExchange). Since range partitioning
+  * samples with a per-RDD seed, the rule BAILS on global aggregates when
+  * `spark.sql.exchange.reuse` is disabled rather than risk two
+  * independently-sampled boundary sets.
+  *
+  * Scope (bails out otherwise): literal scalar or literal-array
+  * percentage, unit frequency, numeric measure, no DISTINCT / FILTER /
+  * reverse, no grouping-sets Expand, fully deterministic child (the
+  * rewrite scans the child more than once — mirroring Spark's own
+  * multi-scan rewrites — so `rand()`-derived inputs must keep the
+  * single-pass builtin). Disable with
+  * `spark.graft.exactQuantileRewrite=false`. */
 object ExactQuantileRule extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.exactQuantileRewrite", "true") != "false"
 
-  private case class Pct(ae: AggregateExpression, value: Expression, q: Double)
+  private case class Pct(ae: AggregateExpression, value: Expression,
+      qs: Seq[Double], isArray: Boolean)
 
   /** The Percentile calls this rule handles; None = not rewritable. */
   private def asPct(ae: AggregateExpression): Option[Pct] = ae.aggregateFunction match {
     case Percentile(value, Literal(q: Double, DoubleType), Literal(1L, _), _, _, false)
         if !ae.isDistinct && ae.filter.isEmpty && q >= 0.0 && q <= 1.0 &&
-          value.dataType.isInstanceOf[NumericType] =>
-      Some(Pct(ae, value, q))
+          value.dataType.isInstanceOf[NumericType] && value.deterministic =>
+      Some(Pct(ae, value, Seq(q), isArray = false))
+    // array percentage: constant-folded to a Literal(ArrayData) by the time
+    // the user-provided optimizer batch runs
+    case Percentile(value, Literal(arr: ArrayData, ArrayType(DoubleType, _)),
+        Literal(1L, _), _, _, false)
+        if !ae.isDistinct && ae.filter.isEmpty &&
+          arr.numElements() > 0 &&
+          (0 until arr.numElements()).forall(i => !arr.isNullAt(i)) &&
+          arr.toDoubleArray().forall(q => q >= 0.0 && q <= 1.0) &&
+          value.dataType.isInstanceOf[NumericType] && value.deterministic =>
+      Some(Pct(ae, value, arr.toDoubleArray().toSeq, isArray = true))
     case _ => None
   }
+
+  /** The rewrite evaluates the child from several branches; any
+    * nondeterministic expression (rand(), uuid(), …) would produce
+    * inconsistent rows across them. */
+  private def deterministicTree(plan: LogicalPlan): Boolean =
+    !plan.exists(_.expressions.exists(e => !e.deterministic))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
       case agg @ Aggregate(groupingExprs, aggExprs, child, None)
-          if groupingExprs.nonEmpty && !child.isInstanceOf[Expand] && {
+          if !child.isInstanceOf[Expand] &&
+            // global correctness rides on range-exchange reuse (Scaladoc)
+            (groupingExprs.nonEmpty || SQLConf.get.exchangeReuseEnabled) && {
             val aes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
             aes.exists(ae => asPct(ae).isDefined) &&
             // every percentile must be rewritable or we leave the whole
@@ -69,13 +116,16 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
             // carry the map buffer AND pay the extra scan)
             aes.forall(ae =>
               asPct(ae).isDefined || !ae.aggregateFunction.isInstanceOf[PercentileBase])
-          } =>
+          } && groupingExprs.forall(_.deterministic) && deterministicTree(child) =>
         rewrite(agg, groupingExprs, aggExprs, child)
     }
   }
 
+  private val broadcastRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): LogicalPlan = {
+    val global = groupingExprs.isEmpty
     val allAes = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     val pcts = allAes.flatMap(asPct(_)).foldLeft(Seq.empty[Pct]) { (acc, p) =>
       if (acc.exists(_.ae.canonicalized == p.ae.canonicalized)) acc else acc :+ p
@@ -87,15 +137,19 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
 
     // -------- residual side: the original aggregate minus the percentiles,
     // plus the group keys under fresh names (the join + final projection
-    // read ONLY fresh attributes, so the two child branches can't collide)
+    // read ONLY fresh attributes, so the two child branches can't collide).
+    // A global SELECT of only percentiles would make the output list empty
+    // — anchor it with a constant so the one stitched row still exists.
     val gkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
       Alias(g, s"__gk$i")()
     }
     val residAliases = residual.zipWithIndex.map { case (ae, k) =>
       Alias(ae, s"__agg$k")()
     }
+    val anchor: Seq[Alias] =
+      if (global && residAliases.isEmpty) Seq(Alias(Literal(1), "__one")()) else Nil
     val left: LogicalPlan =
-      Aggregate(groupingExprs, gkAliases ++ residAliases, child, None)
+      Aggregate(groupingExprs, anchor ++ gkAliases ++ residAliases, child, None)
     val gkAttrs = gkAliases.map(_.toAttribute)
     val residAttrs = residAliases.map(_.toAttribute)
 
@@ -105,86 +159,21 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     var joined: LogicalPlan = left
     val pctAttr = scala.collection.mutable.Map.empty[Expression, Attribute]
     byValue.zipWithIndex.foreach { case (group, j) =>
-      val value = group.head.value
-      val qkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
-        Alias(g, s"__qk${j}_$i")()
-      }
-      val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
-      val keyed = Project(qkAliases :+ vAlias, child)
-      val qkAttrs = qkAliases.map(_.toAttribute)
-      val vAttr = vAlias.toAttribute
-
-      // 1. distinct-value histogram (spilling hash agg, map-side combined)
-      val cAlias = Alias(
-        AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
-        "__c")()
-      val hist = Aggregate(qkAttrs :+ vAttr,
-        (qkAttrs :+ vAttr :+ cAlias).map(_.asInstanceOf[NamedExpression]),
-        Filter(IsNotNull(vAttr), keyed), None)
-      val cAttr = cAlias.toAttribute
-
-      // 2. running and total counts over the per-group window (external,
-      // spillable sort — the memory story of the whole rewrite)
-      val order = Seq(SortOrder(vAttr, Ascending))
-      val cumAlias = Alias(WindowExpression(
-        AggregateExpression(Sum(cAttr), Complete, isDistinct = false),
-        WindowSpecDefinition(qkAttrs, order,
-          SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))),
-        "__cum")()
-      val nAlias = Alias(WindowExpression(
-        AggregateExpression(Sum(cAttr), Complete, isDistinct = false),
-        WindowSpecDefinition(qkAttrs, order,
-          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
-        "__n")()
-      val win = Window(Seq(cumAlias, nAlias), qkAttrs, order, hist)
-      val cumAttr = cumAlias.toAttribute
-      val nAttr = nAlias.toAttribute
-
-      // 3. per-quantile 0-based fractional rank pos = q·(n−1) (Spark's own
-      // Percentile arithmetic), materialized before the final aggregate
-      val posAliases = group.zipWithIndex.map { case (p, m) =>
-        Alias(Multiply(Literal(p.q),
-          Subtract(Cast(nAttr, DoubleType), Literal(1.0))), s"__pos${j}_$m")()
-      }
-      val posed = Project(
-        (qkAttrs :+ vAttr :+ cumAttr) ++ posAliases, win)
-      val posAttrs = posAliases.map(_.toAttribute)
-
-      def condMin(rank: Expression, name: String): Alias =
-        Alias(AggregateExpression(
-          Min(If(GreaterThanOrEqual(cumAttr, rank), vAttr,
-            Literal(null, DoubleType))), Complete, isDistinct = false), name)()
-
-      val quantAggs: Seq[Alias] = group.zipWithIndex.flatMap { case (_, m) =>
-        val pos = posAttrs(m)
-        Seq(
-          // cum is a 1-based running count; the straddling order statistics
-          // sit at ranks floor(pos)+1 and ceil(pos)+1
-          condMin(Add(Floor(pos), Literal(1L)), s"__lo${j}_$m"),
-          condMin(Add(Ceil(pos), Literal(1L)), s"__hi${j}_$m"),
-          Alias(AggregateExpression(Min(pos), Complete, isDistinct = false),
-            s"__posmin${j}_$m")()) // pos is group-constant; min carries it
-      }
-      val qAgg = Aggregate(qkAttrs,
-        (qkAttrs ++ quantAggs).map(_.asInstanceOf[NamedExpression]), posed, None)
-      val quantAttrs = quantAggs.map(_.toAttribute)
-
-      val outAliases = group.zipWithIndex.map { case (p, m) =>
-        val lo = quantAttrs(3 * m); val hi = quantAttrs(3 * m + 1)
-        val pos = quantAttrs(3 * m + 2)
-        val frac = Subtract(pos, Cast(Floor(pos), DoubleType))
-        Alias(Add(lo, Multiply(frac, Subtract(hi, lo))), s"__pct${j}_$m")()
-      }
-      val right = Project(qkAttrs ++ outAliases, qAgg)
-      group.zipWithIndex.foreach { case (p, m) =>
-        pctAttr(p.ae.canonicalized) = outAliases(m).toAttribute
-      }
-
-      // GROUP BY treats NULL keys as equal; the join must too
-      val cond = gkAttrs.zip(qkAttrs)
-        .map { case (l, r) => EqualNullSafe(l, r): Expression }
-        .reduce(And)
-      joined = Join(joined, right, LeftOuter, Some(cond), JoinHint.NONE)
+      val (right, qkAttrs, aeAttrOf) =
+        if (global) globalBranch(child, group, j)
+        else groupedBranch(child, groupingExprs, group, j)
+      pctAttr ++= aeAttrOf
+      joined =
+        if (global)
+          // both sides are single rows; broadcast nested-loop over one row
+          Join(joined, right, Cross, None, broadcastRight)
+        else {
+          // GROUP BY treats NULL keys as equal; the join must too
+          val cond = gkAttrs.zip(qkAttrs)
+            .map { case (l, r) => EqualNullSafe(l, r): Expression }
+            .reduce(And)
+          Join(joined, right, LeftOuter, Some(cond), JoinHint.NONE)
+        }
     }
 
     // -------- final projection: the original output expressions with every
@@ -212,5 +201,185 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       Alias(replaced, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
     }
     Project(finalProjs, joined)
+  }
+
+  private def countOne: AggregateExpression =
+    AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false)
+
+  private def sumOf(e: Expression): AggregateExpression =
+    AggregateExpression(Sum(e), Complete, isDistinct = false)
+
+  /** Grouped branch: (group keys, value) histogram, per-group running-count
+    * window (external spillable sort), conditional-min order statistics. */
+  private def groupedBranch(child: LogicalPlan, groupingExprs: Seq[Expression],
+      group: Seq[Pct], j: Int): (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    val value = group.head.value
+    val qkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
+      Alias(g, s"__qk${j}_$i")()
+    }
+    val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
+    val keyed = Project(qkAliases :+ vAlias, child)
+    val qkAttrs = qkAliases.map(_.toAttribute)
+    val vAttr = vAlias.toAttribute
+
+    // 1. distinct-value histogram (spilling hash agg, map-side combined)
+    val cAlias = Alias(countOne, "__c")()
+    val hist = Aggregate(qkAttrs :+ vAttr,
+      (qkAttrs :+ vAttr :+ cAlias).map(_.asInstanceOf[NamedExpression]),
+      Filter(IsNotNull(vAttr), keyed), None)
+    val cAttr = cAlias.toAttribute
+
+    // 2. running and total counts over the per-group window (external,
+    // spillable sort — the memory story of the whole rewrite)
+    val order = Seq(SortOrder(vAttr, Ascending))
+    val cumAlias = Alias(WindowExpression(sumOf(cAttr),
+      WindowSpecDefinition(qkAttrs, order,
+        SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))),
+      "__cum")()
+    val nAlias = Alias(WindowExpression(sumOf(cAttr),
+      WindowSpecDefinition(qkAttrs, order,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+      "__n")()
+    val win = Window(Seq(cumAlias, nAlias), qkAttrs, order, hist)
+
+    finish(win, qkAttrs, vAttr, cumAlias.toAttribute, nAlias.toAttribute, group, j)
+  }
+
+  /** Global branch: value histogram, range-repartition + per-physical-
+    * partition running counts + O(partitions) prefix offsets — no
+    * data-sized SinglePartition anywhere (Scaladoc step 2). */
+  private def globalBranch(child: LogicalPlan, group: Seq[Pct], j: Int)
+      : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    val value = group.head.value
+    val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
+    val keyed = Project(Seq(vAlias), child)
+    val vAttr = vAlias.toAttribute
+
+    // 1. global distinct-value histogram
+    val cAlias = Alias(countOne, "__c")()
+    val hist = Aggregate(Seq(vAttr),
+      Seq(vAttr, cAlias).map(_.asInstanceOf[NamedExpression]),
+      Filter(IsNotNull(vAttr), keyed), None)
+    val cAttr = cAlias.toAttribute
+
+    // 2a. range-partition by value; partition i holds values strictly below
+    // partition i+1, so (partition id, within-partition running sum) plus a
+    // per-partition prefix offset IS the global running count
+    val ranged = RepartitionByExpression(Seq(SortOrder(vAttr, Ascending)), hist, None)
+    val pidAlias = Alias(SparkPartitionID(), s"__pid$j")()
+    val tagged = Project(Seq(vAttr, cAttr, pidAlias), ranged)
+    val pidAttr = pidAlias.toAttribute
+
+    // 2b. running sum WITHIN each range partition — window partitions are
+    // physical-partition-sized, never table-sized
+    val order = Seq(SortOrder(vAttr, Ascending))
+    val lcumAlias = Alias(WindowExpression(sumOf(cAttr),
+      WindowSpecDefinition(Seq(pidAttr), order,
+        SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))),
+      s"__lcum$j")()
+    val localWin = Window(Seq(lcumAlias), Seq(pidAttr), order, tagged)
+
+    // 2c. per-partition totals: O(shuffle partitions) rows; the ONLY
+    // un-partitioned window runs here, over that tiny frame (the same
+    // boundary-carry shape as PositionalJoin.globalIndex)
+    val pid2Alias = Alias(pidAttr, s"__pid2_$j")()
+    val ptotAlias = Alias(sumOf(cAttr), s"__ptot$j")()
+    val ptots = Aggregate(Seq(pidAttr),
+      Seq(pid2Alias, ptotAlias).map(_.asInstanceOf[NamedExpression]), tagged, None)
+    val pid2Attr = pid2Alias.toAttribute
+    val ptotAttr = ptotAlias.toAttribute
+    val tinyOrder = Seq(SortOrder(pid2Attr, Ascending))
+    val offAlias = Alias(Coalesce(Seq(
+      WindowExpression(sumOf(ptotAttr),
+        WindowSpecDefinition(Nil, tinyOrder,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+      Literal(0L))), s"__off$j")()
+    val nAlias = Alias(WindowExpression(sumOf(ptotAttr),
+      WindowSpecDefinition(Nil, tinyOrder,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+      s"__n$j")()
+    val tinyWin = Window(Seq(offAlias, nAlias), Nil, tinyOrder, ptots)
+    val offsets = Project(
+      Seq(pid2Attr, offAlias.toAttribute, nAlias.toAttribute), tinyWin)
+
+    // 2d. broadcast the offsets back onto the windowed histogram rows
+    val bJoin = Join(localWin, offsets, LeftOuter,
+      Some(EqualTo(pidAttr, pid2Attr)), broadcastRight)
+    val cumAlias = Alias(Add(lcumAlias.toAttribute, offAlias.toAttribute),
+      s"__cum$j")()
+    val cummed = Project(Seq(vAttr, cumAlias, nAlias.toAttribute), bJoin)
+
+    finish(cummed, Nil, vAttr, cumAlias.toAttribute, nAlias.toAttribute, group, j)
+  }
+
+  /** Steps 3+: per-quantile 0-based rank pos = q·(n−1), the straddling
+    * order statistics via constant-state conditional mins, interpolation,
+    * and the per-AggregateExpression output aliases (array percentages
+    * rebuilt as arrays; NULL when the group had no non-NULL measure). */
+  private def finish(rows: LogicalPlan, qkAttrs: Seq[Attribute],
+      vAttr: Attribute, cumAttr: Attribute, nAttr: Attribute,
+      group: Seq[Pct], j: Int)
+      : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    // pos materialized before the final aggregate (Spark's own Percentile
+    // rank arithmetic); one triple per (measure expression, quantile)
+    val posAliases: Seq[Seq[Alias]] = group.zipWithIndex.map { case (p, m) =>
+      p.qs.zipWithIndex.map { case (q, i) =>
+        Alias(Multiply(Literal(q),
+          Subtract(Cast(nAttr, DoubleType), Literal(1.0))), s"__pos${j}_${m}_$i")()
+      }
+    }
+    val posed = Project(
+      (qkAttrs :+ vAttr :+ cumAttr) ++ posAliases.flatten, rows)
+
+    def condMin(rank: Expression, name: String): Alias =
+      Alias(AggregateExpression(
+        Min(If(GreaterThanOrEqual(cumAttr, rank), vAttr,
+          Literal(null, DoubleType))), Complete, isDistinct = false), name)()
+
+    val quantAggs: Seq[Alias] = group.zipWithIndex.flatMap { case (p, m) =>
+      p.qs.indices.flatMap { i =>
+        val pos = posAliases(m)(i).toAttribute
+        Seq(
+          // cum is a 1-based running count; the straddling order statistics
+          // sit at ranks floor(pos)+1 and ceil(pos)+1
+          condMin(Add(Floor(pos), Literal(1L)), s"__lo${j}_${m}_$i"),
+          condMin(Add(Ceil(pos), Literal(1L)), s"__hi${j}_${m}_$i"),
+          Alias(AggregateExpression(Min(pos), Complete, isDistinct = false),
+            s"__posmin${j}_${m}_$i")()) // pos is group-constant; min carries it
+      }
+    }
+    val qAgg = Aggregate(qkAttrs,
+      (qkAttrs ++ quantAggs).map(_.asInstanceOf[NamedExpression]), posed, None)
+    val quantAttrs = quantAggs.map(_.toAttribute)
+
+    var off = 0
+    val aeAliases = group.zipWithIndex.map { case (p, m) =>
+      val interps: Seq[Expression] = p.qs.indices.map { i =>
+        val lo = quantAttrs(off + 3 * i); val hi = quantAttrs(off + 3 * i + 1)
+        val pos = quantAttrs(off + 3 * i + 2)
+        val frac = Subtract(pos, Cast(Floor(pos), DoubleType))
+        Add(lo, Multiply(frac, Subtract(hi, lo)))
+      }
+      // posmin of the first quantile is NULL exactly when the group had no
+      // non-NULL measure (the branch aggregated zero histogram rows)
+      val guard = quantAttrs(off + 2)
+      off += 3 * p.qs.size
+      val out: Expression =
+        if (p.isArray)
+          // the builtin returns NULL — not an array of NULLs — for all-NULL
+          // groups; inside a populated group every element is provably
+          // non-null (rank floor(pos)+1 <= n always has a straddler), which
+          // KnownNotNull records so CreateArray keeps containsNull=false,
+          // matching Percentile's declared type
+          If(IsNull(guard), Literal(null, p.ae.dataType),
+            CreateArray(interps.map(KnownNotNull)))
+        else interps.head
+      Alias(out, s"__pct${j}_$m")()
+    }
+    val right = Project(qkAttrs ++ aeAliases, qAgg)
+    val aeAttrOf = group.zip(aeAliases).map { case (p, a) =>
+      p.ae.canonicalized -> a.toAttribute
+    }.toMap
+    (right, qkAttrs, aeAttrOf)
   }
 }

@@ -345,11 +345,21 @@ object Scale {
 
   /** Ungrouped (whole-table) exact quantiles — the worst case for
     * `percentile`'s map buffer, since the single group's value→count map
-    * IS the table's distinct set on one executor. Same machinery as
-    * [[groupedExactQuantile]] over a constant key; the window sort runs
-    * over the global distinct-value histogram, spillable. */
+    * IS the table's distinct set on one executor. Delegates to the plain
+    * `percentile` aggregate and lets
+    * [[graft.functions.ExactQuantileRule]] rewrite it to the
+    * range-partition + prefix-offset plan (no data-sized buffer, no
+    * data-sized SinglePartition — the constant-key-window form this method
+    * used before single-tasked the whole distinct histogram). When the
+    * rule bails (exchange reuse disabled), the builtin buffer is the
+    * documented fallback. */
   def exactQuantile(df: DataFrame, valueCol: String,
-      qs: Seq[(Double, String)]): DataFrame =
-    groupedExactQuantile(df.withColumn("__all", lit(1)), "__all", valueCol, qs)
-      .drop("__all")
+      qs: Seq[(Double, String)]): DataFrame = {
+    graft.functions.registerAll(df.sparkSession)
+    require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
+    val aggs = qs.map { case (q, name) =>
+      percentile(col(valueCol).cast("double"), lit(q)).as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

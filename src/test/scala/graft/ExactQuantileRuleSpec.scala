@@ -1,18 +1,44 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.plans.physical.{RangePartitioning, SinglePartition}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** ExactQuantileRule: grouped exact `percentile` rewritten to the
-  * histogram + spillable-window shape — equality with the map-buffer
-  * implementation, the plan guarantee (no percentile ObjectHashAggregate),
-  * null semantics through the stitch join, and the bail-outs. */
+/** ExactQuantileRule: grouped AND global exact `percentile` (scalar and
+  * array percentages) rewritten to the histogram + spillable-window shape —
+  * equality with the map-buffer implementation, the plan guarantees (no
+  * percentile ObjectHashAggregate; for the global form, one reused range
+  * exchange and no data-sized SinglePartition), null semantics through the
+  * stitch join, and the bail-outs. */
 class ExactQuantileRuleSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
   private def withRule[T](on: Boolean)(f: => T): T = {
     spark.conf.set("spark.graft.exactQuantileRewrite", on.toString)
     try f finally spark.conf.set("spark.graft.exactQuantileRewrite", "true")
+  }
+
+  private def assertSameRows(sql: String): Unit = {
+    val on = withRule(on = true)(spark.sql(sql).collect())
+    val off = withRule(on = false)(spark.sql(sql).collect())
+    assert(on.length === off.length && on.length > 0)
+    on.zip(off).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        (a.get(i), b.get(i)) match {
+          case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9)
+          case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+            assert(x.length === y.length)
+            x.zip(y).foreach {
+              case (xe: Double, ye: Double) => assert(math.abs(xe - ye) < 1e-9)
+              case (xe, ye) => assert(xe === ye)
+            }
+          case (x, y) => assert(x === y)
+        }
+      }
+    }
   }
 
   private val mixedSql =
@@ -33,17 +59,7 @@ class ExactQuantileRuleSpec extends AnyFunSuite {
 
   test("rewritten results equal the map-buffer percentile (mixed aggs, 3 quantiles, 2 measures)") {
     Tables.registerAll(spark, sfDir)
-    val on = withRule(on = true)(spark.sql(mixedSql).collect())
-    val off = withRule(on = false)(spark.sql(mixedSql).collect())
-    assert(on.length === off.length && on.length > 0)
-    on.zip(off).foreach { case (a, b) =>
-      (0 until a.length).foreach { i =>
-        (a.get(i), b.get(i)) match {
-          case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9)
-          case (x, y) => assert(x === y)
-        }
-      }
-    }
+    assertSameRows(mixedSql)
   }
 
   test("groups whose measure is entirely NULL surface a NULL quantile") {
@@ -57,16 +73,111 @@ class ExactQuantileRuleSpec extends AnyFunSuite {
     assert(rows(1).getDouble(1) === 6.0 && rows(1).getLong(2) === 2)
   }
 
-  test("bail-outs keep the original aggregate: global, DISTINCT, FILTER, array pct") {
+  // ------------------------------------------------- array percentages (r8)
+
+  test("grouped ARRAY percentile rewrites and matches the builtin") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT o_orderpriority, percentile(o_totalprice, array(0.25, 0.5, 0.75)) AS qs, " +
+      "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"),
+      "array percentage should now ride the rewrite")
+    assertSameRows(sql)
+  }
+
+  test("ARRAY percentile of an all-NULL group is NULL, not an array of NULLs") {
+    import spark.implicits._
+    Seq((1, Option.empty[Double]), (1, None), (2, Some(5.0)), (2, Some(7.0)))
+      .toDF("g", "v").createOrReplaceTempView("eq_nulls_arr")
+    val rows = spark.sql(
+      "SELECT g, percentile(v, array(0.25, 0.75)) AS m FROM eq_nulls_arr GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).isNullAt(1), "all-NULL group must yield NULL (builtin semantics)")
+    val arr = rows(1).getSeq[Double](1)
+    assert(arr === Seq(5.5, 6.5))
+  }
+
+  // --------------------------------------------------- global (ungrouped, r8)
+
+  test("global percentile rewrites: no buffer, results match (mixed + array)") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT percentile(o_totalprice, 0.5) AS med, " +
+      "percentile(o_totalprice, array(0.1, 0.9)) AS deciles, " +
+      "percentile(o_custkey, 0.25) AS pc, avg(o_totalprice) AS a, count(*) AS n FROM orders"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"))
+    assertSameRows(sql)
+  }
+
+  test("global percentile with ONLY percentiles in the SELECT") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT median(o_totalprice) AS m FROM orders"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"))
+    assertSameRows(sql)
+  }
+
+  test("global percentile over zero rows returns one NULL row like the builtin") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT percentile(o_totalprice, 0.5) AS m, " +
+      "percentile(o_totalprice, array(0.25, 0.75)) AS ma FROM orders WHERE o_orderkey < 0"
+    val rows = spark.sql(sql).collect()
+    assert(rows.length === 1 && rows(0).isNullAt(0) && rows(0).isNullAt(1))
+  }
+
+  test("global plan: ONE executed range exchange (reused) and no data-sized SinglePartition") {
+    Tables.registerAll(spark, sfDir)
+    // AQE off so the executed plan is the static physical plan and exchange
+    // reuse is visible as ReusedExchangeExec nodes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(
+        "SELECT percentile(o_totalprice, 0.5) AS m, count(*) AS n FROM orders")
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+        p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+      val rangeEx = collectAll(plan) {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(rangeEx.length === 1,
+        s"the two consumers of the tagged histogram must share ONE range exchange:\n$plan")
+      val reused = collectAll(plan) { case r: ReusedExchangeExec => r }
+      assert(reused.nonEmpty, s"expected the second consumer to reuse the exchange:\n$plan")
+      // every SinglePartition exchange must sit over bounded data: either a
+      // partial aggregate (O(partitions) combiner rows) or the __pid-keyed
+      // tiny totals frame — never raw histogram/table rows
+      val singles = collectAll(plan) {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => strip(w.child)
+        case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
+        case other => other
+      }
+      singles.foreach { e =>
+        val boundedChild = strip(e.child) match {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+          case other => other.toString.contains("__pid")
+        }
+        assert(boundedChild,
+          s"SinglePartition exchange over unbounded input:\n${e.child}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // --------------------------------------------------------------- bail-outs
+
+  test("bail-outs keep the original aggregate: DISTINCT, FILTER, nondeterminism") {
     Tables.registerAll(spark, sfDir)
     val keep = Seq(
-      "SELECT percentile(o_totalprice, 0.5) AS m FROM orders",
       "SELECT o_orderpriority, percentile(DISTINCT o_totalprice, 0.5) AS m " +
         "FROM orders GROUP BY o_orderpriority",
       "SELECT o_orderpriority, percentile(o_totalprice, 0.5) " +
         "FILTER (WHERE o_custkey > 10) AS m FROM orders GROUP BY o_orderpriority",
-      "SELECT o_orderpriority, percentile(o_totalprice, array(0.25, 0.75)) AS m " +
-        "FROM orders GROUP BY o_orderpriority")
+      // nondeterministic child subtree: the rewrite would re-evaluate
+      // rand() once per branch, losing single-pass consistency (a
+      // nondeterministic MEASURE is rejected by the analyzer itself, so
+      // asPct's value.deterministic guard stays defense-in-depth)
+      "SELECT k, percentile(v, 0.5) AS m FROM " +
+        "(SELECT o_orderpriority AS k, o_totalprice + rand() AS v FROM orders) GROUP BY k")
     keep.foreach { sql =>
       val plan = spark.sql(sql).queryExecution.executedPlan.toString
       assert(plan.contains("percentile"), s"should NOT rewrite: $sql\n$plan")
@@ -79,12 +190,8 @@ class ExactQuantileRuleSpec extends AnyFunSuite {
       "SELECT o_orderpriority, median(o_totalprice) AS m FROM orders " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")
     assert(!q.queryExecution.executedPlan.toString.contains("percentile"))
-    val on = q.collect()
-    val off = withRule(on = false)(spark.sql(
+    assertSameRows(
       "SELECT o_orderpriority, median(o_totalprice) AS m FROM orders " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority").collect())
-    on.zip(off).foreach { case (a, b) =>
-      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9)
-    }
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
   }
 }
