@@ -49,7 +49,7 @@ object JsonIngest {
       case RowArray =>
         val schema = opts.columns.getOrElse(analyzeRowArray(path))
         if (Files.size(Paths.get(path)) >= rowArraySplitThreshold)
-          spark.read.schema(schema).json(transcodeRowArrayToNdjson(path))
+          spark.read.schema(schema).json(transcodeRowArrayToNdjson(path, spark))
         else
           spark.read.option("multiLine", "true").schema(schema).json(path)
       case NdJson =>
@@ -58,8 +58,13 @@ object JsonIngest {
           case None => spark.read.json(path)
         }
       case ColumnObject =>
-        val (schema, rows) = readColumnObject(path, opts.columns)
-        spark.createDataFrame(rows.asJava, schema)
+        if (Files.size(Paths.get(path)) >= rowArraySplitThreshold) {
+          val (schema, ndjson) = transcodeColumnObjectToNdjson(path, opts.columns, spark)
+          spark.read.schema(schema).json(ndjson)
+        } else {
+          val (schema, rows) = readColumnObject(path, opts.columns)
+          spark.createDataFrame(rows.asJava, schema)
+        }
     }
 
   /** First structural token decides the shape (json_table.cc:320-330). */
@@ -226,27 +231,50 @@ object JsonIngest {
     case _ => ()
   }
 
+  /** Where a staged NDJSON file must live so EXECUTORS can read it:
+    *  - explicit `-Dgraft.json.stagingDir` always wins (any Hadoop URI);
+    *  - `local[*]` masters share the driver filesystem → `None` (driver
+    *    temp dir);
+    *  - any other master auto-routes to `<spark.sql.warehouse.dir>/
+    *    graft-json-staging` — the warehouse is shared storage by
+    *    deployment contract, so the staged file can't silently be a
+    *    driver-local path that fails at scan time on a cluster. */
+  private[graft] def stagingDirFor(master: String, warehouseDir: String): Option[String] =
+    sys.props.get("graft.json.stagingDir").orElse {
+      if (master.startsWith("local")) None
+      else Some(warehouseDir.stripSuffix("/") + "/graft-json-staging")
+    }
+
+  /** Open a staged output file through the Hadoop filesystem of the chosen
+    * staging dir (handles hdfs:/s3:/file: URIs uniformly), or the driver's
+    * temp dir when staging is local. Returns (readable path, stream). */
+  private def openStaged(spark: SparkSession, suffix: String)
+      : (String, java.io.OutputStream) =
+    stagingDirFor(spark.sparkContext.master,
+        spark.conf.get("spark.sql.warehouse.dir")) match {
+      case None =>
+        val p = Files.createTempFile("graft-ndjson-", suffix)
+        p.toFile.deleteOnExit()
+        (p.toString, Files.newOutputStream(p))
+      case Some(dir) =>
+        val hp = new org.apache.hadoop.fs.Path(
+          dir, s"graft-${java.util.UUID.randomUUID()}$suffix")
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.deleteOnExit(hp)
+        (hp.toString, fs.create(hp))
+    }
+
   /** One streaming pass turning `[{...}, {...}]` into one-object-per-line
     * NDJSON (JSON strings cannot contain a literal newline, so each copied
     * object is exactly one line). Constant memory: jackson streams
-    * parser→generator per object, nothing is materialized.
-    *
-    * The staging location defaults to the driver's temp dir — correct for
-    * local mode, where executors share the driver's filesystem. On a real
-    * cluster executors cannot read driver-local files, so deployments set
-    * `-Dgraft.json.stagingDir` to shared storage (the same place the
-    * warehouse lives); SCALE.md carries the compromise row. */
-  private[graft] def transcodeRowArrayToNdjson(path: String): String = {
-    val outPath = sys.props.get("graft.json.stagingDir") match {
-      case Some(dir) =>
-        Files.createTempFile(Paths.get(dir), "graft-ndjson-", ".json")
-      case None => Files.createTempFile("graft-ndjson-", ".json")
-    }
-    outPath.toFile.deleteOnExit()
+    * parser→generator per object, nothing is materialized. The output
+    * lands where [[stagingDirFor]] says executors can read it. */
+  private[graft] def transcodeRowArrayToNdjson(path: String,
+      spark: SparkSession): String = {
+    val (outPath, out) = openStaged(spark, ".json")
     val f = new JsonFactory()
     val p = f.createParser(Paths.get(path).toFile)
-    val w = Files.newBufferedWriter(outPath)
-    val g = f.createGenerator(w)
+    val g = f.createGenerator(out)
     g.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
     try {
       require(p.nextToken() == JsonToken.START_ARRAY, "ROW_ARRAY must start with [")
@@ -256,7 +284,7 @@ object JsonIngest {
         t = p.nextToken()
       }
     } finally { g.close(); p.close() }
-    outPath.toString
+    outPath
   }
 
   private[graft] def analyzeRowArray(path: String): StructType = {
@@ -328,6 +356,140 @@ object JsonIngest {
       })
     }
     (schema, rows)
+  }
+
+  /** Splittable COLUMN_OBJECT ingest (files ≥ the split threshold): the
+    * single root object can't be split for a distributed scan, and the
+    * in-memory transpose above holds the WHOLE table in driver
+    * ArrayBuffers. This path keeps driver memory constant and hands the
+    * schema-directed row parse to a splittable distributed scan:
+    *
+    *   1. ONE streaming pass over the file writes each column's values to
+    *      its own driver-local chunk file, one JSON value per line
+    *      (jackson escapes newlines inside strings, so line = value),
+    *      while gathering the same [[FieldStats]] the in-memory path uses;
+    *   2. a zip merge opens ALL column chunks simultaneously and streams
+    *      row objects to NDJSON — memory is one value per column, and the
+    *      resolved schema drives the same [[convert]] coercions
+    *      (candidate-promoted strings→numbers, epoch/string→timestamp) so
+    *      the two paths are value-identical;
+    *   3. the NDJSON lands where [[stagingDirFor]] says executors can read
+    *      it and is scanned with the pinned schema — splittable at
+    *      `spark.sql.files.maxPartitionBytes` like any text source.
+    *
+    * Timestamps are emitted as epoch-second NUMBERS (Spark's JSON reader
+    * maps integer tokens to seconds for TimestampType), which preserves
+    * the in-memory path's instant semantics without round-tripping through
+    * timezone-sensitive strings; sub-second values (not producible by the
+    * reference's second-precision formats) fall back to the ISO string. */
+  private[graft] def transcodeColumnObjectToNdjson(path: String,
+      explicit: Option[StructType], spark: SparkSession): (StructType, String) = {
+    val f = new JsonFactory()
+    // ---- pass 1: per-column chunk files + field stats, constant memory
+    val chunkDir = Files.createTempDirectory("graft-colobj-")
+    chunkDir.toFile.deleteOnExit()
+    val chunks = mutable.LinkedHashMap[String, java.nio.file.Path]()
+    val stats = mutable.LinkedHashMap[String, FieldStats]()
+    val p = f.createParser(Paths.get(path).toFile)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT, "COLUMN_OBJECT must start with {")
+      var t = p.nextToken()
+      var i = 0
+      while (t == JsonToken.FIELD_NAME) {
+        val name = p.currentName()
+        val st = stats.getOrElseUpdate(name, new FieldStats(rowShape = false))
+        val chunk = chunkDir.resolve(s"c$i.jsonl"); i += 1
+        chunks(name) = chunk
+        chunk.toFile.deleteOnExit()
+        val g = f.createGenerator(Files.newOutputStream(chunk))
+        g.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+        require(p.nextToken() == JsonToken.START_ARRAY, s"column $name must be an array")
+        var v = p.nextToken()
+        while (v != JsonToken.END_ARRAY) {
+          v match {
+            case JsonToken.VALUE_NUMBER_INT =>
+              if (p.getNumberType == JsonParser.NumberType.BIG_INTEGER) {
+                st.observeBigInt(); g.writeNumber(p.getBigIntegerValue)
+              } else { val l = p.getLongValue; st.observeLong(l); g.writeNumber(l) }
+            case JsonToken.VALUE_NUMBER_FLOAT =>
+              st.observeDouble(); g.writeNumber(p.getDoubleValue)
+            case JsonToken.VALUE_TRUE => st.observeBool(); g.writeBoolean(true)
+            case JsonToken.VALUE_FALSE => st.observeBool(); g.writeBoolean(false)
+            case JsonToken.VALUE_NULL => st.observeNull(); g.writeNull()
+            case JsonToken.VALUE_STRING =>
+              val s = p.getText; st.observeString(s); g.writeString(s)
+            // non-scalar cells → NULL, same as the in-memory transpose
+            case _ => p.skipChildren(); g.writeNull()
+          }
+          v = p.nextToken()
+        }
+        g.close()
+        t = p.nextToken()
+      }
+    } finally p.close()
+
+    val schema = explicit.getOrElse(
+      StructType(stats.toSeq.sortBy(_._1).map { case (n, st) =>
+        StructField(n, st.resolve(), nullable = true)
+      }))
+
+    // ---- pass 2: zip the column chunks into schema-coerced NDJSON rows
+    val (outPath, out) = openStaged(spark, ".json")
+    val g = f.createGenerator(out)
+    g.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+    val readers = chunks.map { case (n, c) => n -> f.createParser(c.toFile) }
+    try {
+      var more = true
+      while (more) {
+        // one token per column per row; a column is exhausted when its
+        // parser returns null — shorter columns pad with NULL (same
+        // "height = longest column" rule as the in-memory path)
+        val rowRaw = readers.map { case (n, rp) =>
+          val tok = rp.nextToken()
+          val raw: Option[Any] = tok match {
+            case null => None
+            case JsonToken.VALUE_NUMBER_INT =>
+              Some(if (rp.getNumberType == JsonParser.NumberType.BIG_INTEGER)
+                new java.math.BigDecimal(rp.getBigIntegerValue) else rp.getLongValue)
+            case JsonToken.VALUE_NUMBER_FLOAT => Some(rp.getDoubleValue)
+            case JsonToken.VALUE_TRUE => Some(true)
+            case JsonToken.VALUE_FALSE => Some(false)
+            case JsonToken.VALUE_STRING => Some(rp.getText)
+            case JsonToken.VALUE_NULL => Some(null)
+            case other => Some(null) // unreachable: pass 1 wrote scalars only
+          }
+          n -> raw
+        }
+        more = rowRaw.exists { case (_, raw) => raw.isDefined }
+        if (more) {
+          g.writeStartObject()
+          schema.fields.foreach { fld =>
+            val raw = rowRaw.get(fld.name).flatten.orNull
+            g.writeFieldName(fld.name)
+            convert(raw, fld.dataType) match {
+              case null => g.writeNull()
+              case i: Int => g.writeNumber(i)
+              case l: Long => g.writeNumber(l)
+              case d: Double => g.writeNumber(d)
+              case b: java.math.BigDecimal => g.writeNumber(b)
+              case b: Boolean => g.writeBoolean(b)
+              case s: String => g.writeString(s)
+              case t: java.sql.Timestamp =>
+                if (t.getTime % 1000L == 0L) g.writeNumber(t.getTime / 1000L)
+                else g.writeString(t.toString)
+              case other => g.writeString(other.toString)
+            }
+          }
+          g.writeEndObject()
+        }
+      }
+    } finally {
+      g.close()
+      readers.values.foreach(_.close())
+      chunks.values.foreach(c => Files.deleteIfExists(c))
+      Files.deleteIfExists(chunkDir)
+    }
+    (schema, outPath)
   }
 
   private def convert(v: Any, dt: DataType): Any = (v, dt) match {

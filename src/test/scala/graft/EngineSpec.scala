@@ -311,6 +311,68 @@ class EngineSpec extends AnyFunSuite {
     conn.queryDF("DROP TABLE main.json_cols")
   }
 
+  test("JSON ingest: large COLUMN_OBJECT transcodes to a splittable, value-identical scan") {
+    import graft.ingest.JsonIngest
+    // every analyzer corner in one fixture: int32, uint64 (BigInteger),
+    // candidate-promoted quoted numbers, mixed epoch/string timestamps,
+    // bools with nulls, numeric/bool mix → double, string/number mix →
+    // string, plus a ragged (shorter) column that must pad with NULL
+    val colsJson =
+      """{"a":[1,2,3,4],
+        |"big":[18446744073709551615, 2, 3],
+        |"promoted":["10","20","30","40"],
+        |"t":["2008-01-01 00:00:00", 1199145600, null, "2009-06-01T12:30:00"],
+        |"flag":[true,false,null,true],
+        |"mix":[1, 2.5, true, null],
+        |"s":["plain", 7, "x", "y"]}""".stripMargin
+    val p = Files.createTempFile("graft-colsplit", ".json")
+    Files.writeString(p, colsJson)
+    val savedProp = sys.props.get("graft.json.splitThreshold")
+    val savedSplit = SparkTestSession.spark.conf.get("spark.sql.files.maxPartitionBytes")
+    def readWith(threshold: String) = {
+      sys.props("graft.json.splitThreshold") = threshold
+      JsonIngest.read(SparkTestSession.spark, p.toString, IngestOptions(name = "unused"))
+    }
+    try {
+      val inMemory = readWith((1L << 40).toString)   // stays on the driver path
+      SparkTestSession.spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+      val split = readWith("1")                      // chunk + zip-merge path
+      assert(split.schema === inMemory.schema,
+        s"schemas diverged:\n${split.schema}\nvs\n${inMemory.schema}")
+      val key: org.apache.spark.sql.Row => String = _.toString
+      assert(split.collect().sortBy(key).toSeq === inMemory.collect().sortBy(key).toSeq)
+      assert(split.rdd.getNumPartitions > 1,
+        s"splittable COLUMN_OBJECT read planned only ${split.rdd.getNumPartitions} partition(s)")
+    } finally {
+      savedProp match {
+        case Some(v) => sys.props("graft.json.splitThreshold") = v
+        case None => sys.props.remove("graft.json.splitThreshold")
+      }
+      SparkTestSession.spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+    }
+  }
+
+  test("NDJSON staging auto-routes to shared storage on non-local masters") {
+    import graft.ingest.JsonIngest
+    // local masters share the driver fs → driver temp dir (None)
+    assert(JsonIngest.stagingDirFor("local[8]", "file:/wh").isEmpty)
+    // cluster masters route next to the warehouse so executors can read it
+    assert(JsonIngest.stagingDirFor("spark://host:7077", "hdfs://nn/wh")
+      === Some("hdfs://nn/wh/graft-json-staging"))
+    assert(JsonIngest.stagingDirFor("yarn", "s3a://bucket/wh/")
+      === Some("s3a://bucket/wh/graft-json-staging"))
+    // an explicit -Dgraft.json.stagingDir always wins
+    val saved = sys.props.get("graft.json.stagingDir")
+    try {
+      sys.props("graft.json.stagingDir") = "/explicit"
+      assert(JsonIngest.stagingDirFor("spark://h:7077", "hdfs://nn/wh") === Some("/explicit"))
+      assert(JsonIngest.stagingDirFor("local[4]", "file:/wh") === Some("/explicit"))
+    } finally saved match {
+      case Some(v) => sys.props("graft.json.stagingDir") = v
+      case None => sys.props.remove("graft.json.stagingDir")
+    }
+  }
+
   test("COPY TO CSV writes a single file with header/delimiter (filesystem.test.ts:116-130)") {
     conn.queryDF("CREATE TABLE main.copy_src AS SELECT 1 AS a, 2 AS b UNION ALL SELECT 3, 4")
     val out = Files.createTempDirectory("graft-copy-test").resolve("out.csv")
