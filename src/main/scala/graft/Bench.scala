@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark harness. Methodology (round-1 verdict item 4, round-4
-  * verdict item 2):
+  * verdict item 2, round-8 items 4+7):
   *  - every query executes through a **materializing** noop write — all
   *    result rows are produced and serialized into the sink interface, so a
   *    final ORDER BY is not eliminated the way it is under `count()` and the
@@ -22,17 +22,34 @@ import org.apache.spark.sql.SparkSession
   *  - per-query sample SPREAD (max-min over the samples actually taken) is
   *    emitted alongside the minima, so measurement noise is visible in the
   *    artifact instead of reading as regression.
-  *  - pinned caches are cleared between queries so timings are independent.
+  *  - EPHEMERAL pins (intra-query collapse barriers) are cleared between
+  *    queries, outside the timed window. SHARED stages (the per-dir LSH
+  *    signature/candidate-pair memo, [[graft.pipeline.Pins]]) stay warm
+  *    across queries — the production harness posture — and every query
+  *    whose reported minimum can reflect a warm shared stage (built by an
+  *    earlier query, or by an earlier SAMPLE of the query itself) is
+  *    listed in the artifact's "warm" array, so warm-path minima are never
+  *    mistaken for cold-path cost (round-8 item 7).
   * Emits ONE JSON line with the load-bearing dicts LAST:
-  * {"metric":"total","unit":"sec","sf":...,"samples":k,
+  * {"metric":"total","unit":"sec","sf":...,"samples":k,"warm":[...],
   *  "spread":{name:sec,...},"queries":{name:sec,...},"value":total}.
   * Field order matters: the driver keeps only the TAIL of long output, so
   * the per-query minima ("queries") and the total ("value") must come after
-  * the diagnostic spread dict — round 5's artifact had the order reversed
+  * the diagnostic fields — round 5's artifact had the order reversed
   * and the truncated file preserved only noise spreads. The SAME line is
   * additionally written in full to `SPARK_GRAFT_BENCH_OUT` (default
-  * `BENCH_FULL.json`, committed per round) because even tail-last ordering
-  * loses the head of the queries dict to the driver's 2 KB window.
+  * `BENCH_FULL.json`, committed per round); that write FAILS LOUDLY (after
+  * attempting a tmpdir fallback) because a silently-missing artifact costs
+  * the round its primary perf evidence (round-7 verdict).
+  *
+  * Regression instrument (round-8 item 4): if a previous round's artifact
+  * is present (newest `BENCH_FULL_r*.json` in the working directory, or
+  * `SPARK_GRAFT_BENCH_PREV`), a per-query delta artifact is written to
+  * `BENCH_DELTA.json`: ratio current/previous for every query both runs
+  * measured, flagging movers whose |delta| exceeds BOTH runs' spreads and
+  * whose ratio leaves [1/1.5, 1.5]. Same-instrument comparison only —
+  * this exists so round-over-round claims stop mixing driver-tail and
+  * isolated runs.
   */
 object Bench {
   private val HeavyCutoffSec = 10.0 // matches scripts/bench_duck.py
@@ -60,8 +77,8 @@ object Bench {
         } catch { case _: Throwable => false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // outside the timed window: releasing another query's pinned caches
-      // is harness work, not query work
-      spark.catalog.clearCache()
+      // is harness work, not query work. Shared stages deliberately stay.
+      graft.pipeline.Pins.releaseEphemeral(spark)
       if (ok) elapsed else -1.0
     }
 
@@ -96,15 +113,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     if (names.isEmpty) {
-      println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"spread":{},"queries":{},"value":0.0}""")
+      println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":[],"spread":{},"queries":{},"value":0.0}""")
       spark.stop()
       return
     }
 
+    val warmQueries = Seq.newBuilder[String]
     val results = names.map { name =>
       // Early-break on heavy queries (first clean sample > 10 s): compute-
       // dominated runs don't need repeat sampling, and the break mirrors
       // bench_duck.py so min-over-k is taken over the SAME k on both sides.
+      graft.pipeline.Pins.resetWarmTracking(spark)
       val times = Seq.newBuilder[Double]
       var taken = 0
       var break_ = false
@@ -114,6 +133,7 @@ object Bench {
         taken += 1
         if (t >= HeavyCutoffSec) break_ = true
       }
+      if (graft.pipeline.Pins.warmKeys(spark).nonEmpty) warmQueries += name
       val ok = times.result().filter(_ >= 0)
       // Min over samples, not median: on a shared box, co-tenant load / GC
       // pauses are strictly ADDITIVE noise, so the smallest observation is
@@ -125,6 +145,7 @@ object Bench {
       val spread = if (ok.size < 2) 0.0 else ok.max - ok.min
       (name, best, spread)
     }
+    graft.pipeline.Pins.releaseAll(spark)
     // ms precision everywhere: sub-ms digits are pure noise at these
     // runtimes, and the shorter line lets the driver's bounded tail window
     // keep ~3× more per-query entries.
@@ -135,18 +156,81 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val qs = fmt(results.map(r => (r._1, r._2)))
     val sp = fmt(results.map(r => (r._1, r._3)))
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val warm = warmQueries.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
-    // The driver keeps only a bounded TAIL of stdout, so the full artifact
-    // is also written to a repo file (committed per round) — every
-    // per-query minimum stays readable regardless of truncation.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_FULL.json"))
-      .foreach { p =>
-        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
-        }
-      }
+    writeArtifact(line)
+    writeDelta(sfDir, results.map(r => (r._1, r._2, r._3)), ms)
     spark.stop()
+  }
+
+  /** The full line goes to a committed repo file (the driver keeps only a
+    * bounded TAIL of stdout). A missing artifact silently costs the round
+    * its perf evidence, so: primary path, then tmpdir fallback, then
+    * THROW. */
+  private def writeArtifact(line: String): Unit = {
+    val primary = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(primary), line + "\n")
+    catch { case e: Throwable =>
+      val fallback = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "BENCH_FULL.json")
+      System.err.println(
+        s"[bench] could not write $primary (${e.getMessage}); trying $fallback")
+      java.nio.file.Files.writeString(fallback, line + "\n") // throws loudly
+    }
+  }
+
+  /** Parse the flat {"name":num,...} dicts of our own artifact format. */
+  private def parseDict(json: String, field: String): Map[String, Double] = {
+    val m = ("\"" + field + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return Map.empty)
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(m)
+      .map(g => g.group(1) -> g.group(2).toDouble).toMap
+  }
+
+  /** Same-instrument round-over-round comparison: previous artifact from
+    * SPARK_GRAFT_BENCH_PREV or the newest committed BENCH_FULL_r*.json for
+    * the same sf dir. Movers = ratio outside [1/1.5, 1.5] AND |delta|
+    * above both runs' spreads (noise can't read as regression). */
+  private def writeDelta(sfDir: String,
+      cur: Seq[(String, Double, Double)], ms: Double => Double): Unit = {
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      val dir = new java.io.File(".")
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
+        .filter(f => scala.util.Try(
+          java.nio.file.Files.readString(f.toPath)).toOption
+          .exists(_.contains("\"sf\":\"" + sfDir + "\"")))
+        .sortBy(_.getName).lastOption.map(_.getPath)
+    }
+    prevPath.foreach { pp =>
+      try {
+        val prevJson = java.nio.file.Files.readString(java.nio.file.Paths.get(pp))
+        val prevQ = parseDict(prevJson, "queries")
+        val prevS = parseDict(prevJson, "spread")
+        val entries = cur.flatMap { case (name, t, spread) =>
+          prevQ.get(name).filter(p => p > 0 && t > 0).map { p =>
+            val ratio = t / p
+            val noise = math.max(spread, prevS.getOrElse(name, 0.0))
+            val mover = (ratio > 1.5 || ratio < 1.0 / 1.5) &&
+              math.abs(t - p) > noise
+            s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover}"""
+          }
+        }
+        val movers = cur.count { case (name, t, spread) =>
+          prevQ.get(name).exists { p =>
+            val ratio = if (p > 0) t / p else 1.0
+            (ratio > 1.5 || ratio < 1.0 / 1.5) &&
+              math.abs(t - p) > math.max(spread, prevS.getOrElse(name, 0.0))
+          }
+        }
+        val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${entries.mkString(",")}}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_DELTA.json"), json + "\n")
+        System.err.println(s"[bench] delta vs $pp: ${entries.size} compared, $movers mover(s)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] delta against $pp failed: ${e.getMessage}")
+      }
+    }
   }
 }

@@ -25,10 +25,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any caches a query pinned (LSH signature stages persist for
-      // intra-query reuse; a long-lived session must not accumulate them)
-      spark.catalog.clearCache()
+      // release the query's intra-query pins (collapse barriers etc.);
+      // SHARED stages (LSH signatures / candidate pairs, Pins.shared) stay
+      // warm across queries — six dedup-family queries rebuild the same
+      // 32-perm transform otherwise — and are dropped once at the end
+      graft.pipeline.Pins.releaseEphemeral(spark)
     }
+    graft.pipeline.Pins.releaseAll(spark)
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

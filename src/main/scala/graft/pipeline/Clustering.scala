@@ -39,7 +39,7 @@ object Clustering {
         when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(1.0)))
       .select(col("vec_id"),
         expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))").as("q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
 
   /** Nearest centroid per vector (exact integer L2, ties → smallest cell).
     *

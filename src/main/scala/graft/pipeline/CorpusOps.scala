@@ -39,7 +39,7 @@ object CorpusOps {
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
       .withColumn("is_eval", lit(1))
@@ -396,7 +396,7 @@ object CorpusOps {
     val hashed = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), col("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val grams = hashed.filter(size(col("th")) >= 3)
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
     val oldSet = grams.filter(col("doc_id") % 2 === 0)
@@ -439,7 +439,7 @@ object CorpusOps {
     val hashed = docs(s, dir)
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), col("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val grams = hashed.filter(size(col("th")) >= 3)
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
       .distinct() // one vote per document

@@ -74,7 +74,7 @@ object CurationExtras {
       // redaction twice (filter + output) — profiled 3.6 s → 1.0 s at sf1.
       // The pinned entry is released by the harness clearCache like the
       // LSH signature stage.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
       .filter(col("n_emails") > 0 || col("n_ips") > 0)
       .orderBy(col("doc_id"))
   }

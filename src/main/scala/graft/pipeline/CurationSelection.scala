@@ -70,7 +70,7 @@ object CurationSelection {
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .withColumn("thb", expr(PH.sparkTokenHashes("text", PH.TokMult2)))
       .select(col("doc_id"), col("th"), col("thb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     hashed
       .filter(size(col("th")) >= 3) // shingle-less docs: no sequence signal
       .withColumn("sh1", expr(PH.sparkShingles("th")))
@@ -87,7 +87,7 @@ object CurationSelection {
     // double shingle+simhash transform per side (harness clearCache
     // releases it, as with the signature caches)
     val base = simhashFingerprints(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val bandCols = (0 to 3).map { j =>
       val mask = if (j == 3) 16383L else 65535L // 62 bits = 16+16+16+14
       struct(lit(j).as("band"), expr(s"(h >> ${16 * j}) & $mask").as("bv"))
@@ -184,7 +184,7 @@ object CurationSelection {
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val train = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)

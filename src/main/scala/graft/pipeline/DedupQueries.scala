@@ -70,32 +70,35 @@ object DedupQueries {
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
   }
 
-  /** Signature stage is persisted: the 32-permutation × shingle transform is
-    * the expensive narrow stage, and both the band join and the verify join
-    * consume it multiple times — caching avoids recomputing it per branch.
-    * Pinned entries are released by the harness after each consuming action
-    * (Verify/Bench call [[graft.Tables.unpersistAll]]) so a long-lived
-    * session does not accumulate them. */
+  /** Signature stage, pinned and SHARED across queries (keyed by dir): the
+    * 32-permutation × shingle transform is the expensive narrow stage, and
+    * within one query both sides of the band self-join consume it (without
+    * the cache it runs twice), while ACROSS a harness run six queries
+    * (p06/p07/p22/p65/p67/p68) rebuild the identical stage — the
+    * [[Pins.shared]] memo computes it once per run. Released at harness
+    * end ([[Pins.releaseAll]]); warm hits are reported in the bench
+    * artifact so shared-stage reuse is never mistaken for cold-path
+    * speed. */
   private[pipeline] def cachedSignatures(s: SparkSession, dir: String): DataFrame =
-    signatures(docs(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Pins.shared(s, dir, "lsh-signatures")(signatures(docs(s, dir)))
 
   /** Distinct LSH candidate pairs (doc_a < doc_b) from the band equi-join
-    * over CACHED signatures — the self-join evaluates each side
-    * independently, so without the cache the 32-permutation signature
-    * transform (the expensive narrow stage) runs twice. Shared by every
-    * pair-consuming query (p06, p22, p65, and the edge builders). */
-  private[pipeline] def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(cachedSignatures(s, dir))
-    val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
-      col("doc_id").as("doc_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
-      col("doc_id").as("doc_b"))
-    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
-        && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-  }
+    * over CACHED signatures — shared across every pair-consuming query
+    * (p06, p07, p22, p65, p67, p68, and the edge builders) through the
+    * same per-dir memo as the signatures, so the band self-join also runs
+    * once per harness run instead of once per consumer. */
+  private[pipeline] def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    Pins.shared(s, dir, "lsh-candidate-pairs") {
+      val bands = bandRows(cachedSignatures(s, dir))
+      val a = bands.select(col("band").as("band_a"), col("band_sig").as("sig_a"),
+        col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
 
   /** MinHash-LSH candidate duplicate pairs via band equi-join (a < b). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -163,7 +166,7 @@ object DedupQueries {
       .withColumn("grams", array_distinct(col("sh")))
       .select(col("doc_id"), col("source"),
         col("grams"), size(col("grams")).as("nt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val toks = d.select(col("doc_id"), col("source"), col("nt"),
       explode(col("grams")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -286,7 +289,7 @@ object DedupQueries {
     val cand = candidatePairs(s, dir)
     cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
   }
 
   /** One propagation round, materialized: each round references the
@@ -370,7 +373,7 @@ object DedupQueries {
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("src"), col("doc_id").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
   }
 
   /** O(log n)-round variant of [[dedupClustersConverged]]: the LSH

@@ -125,7 +125,7 @@ object SemanticOps {
       .withColumn("th", expr(PH.sparkTokenHashes("text")))
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val evalSh = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
     val posOf = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
@@ -215,7 +215,7 @@ object SemanticOps {
         "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
         .as("unit"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     // top-K via sort+limit → TakeOrderedAndProject, never a global window;
     // the (cnt DESC, unit ASC) total order makes the cut deterministic
     val vocab = units.groupBy(col("unit")).agg(count(lit(1)).as("cnt"))

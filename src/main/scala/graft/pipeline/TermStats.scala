@@ -37,7 +37,7 @@ object TermStats {
     // runs three times (each consumer's exchange carries different
     // partials, so none is reusable for the others)
     val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.groupBy(col("term"))
@@ -115,7 +115,7 @@ object TermStats {
   private def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     // persisted for the same three-consumer reason as p40 above
     val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pinned
     val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = terms.agg(count(lit(1)).as("tot"))
     terms.join(cnt, Seq("term"))

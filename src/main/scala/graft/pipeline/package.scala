@@ -22,6 +22,10 @@ package object pipeline {
     * cache-fill overhead. */
   implicit class SortedOnce(private val df: DataFrame) extends AnyVal {
     def sortedOnce(key: String): DataFrame =
-      df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(col(key))
+      Pins.ephemeral(df).orderBy(col(key))
+
+    /** Intra-query collapse-barrier pin, tracked so the harness can
+      * release exactly the per-query pins (see [[Pins]]). */
+    def pinned: DataFrame = Pins.ephemeral(df)
   }
 }
