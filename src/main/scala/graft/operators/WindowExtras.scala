@@ -173,11 +173,61 @@ object WindowExtras {
       |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS last_nn
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** Array-percentage exact quantiles (quantile_cont over a list) — rides
+    * the r8 ExactQuantileRule array path: ONE histogram pass computes all
+    * three quantiles, no data-sized percentile buffer. Elements are
+    * extracted to scalar columns so the driver compare stays float-exact
+    * (no array→string formatting divergence). */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        avg(col("o_totalprice")).as("avg_price"))
+      .select(col("o_orderpriority"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"),
+        col("avg_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q101Sql =
+    """SELECT o_orderpriority,
+      | (quantile_cont(o_totalprice, [0.25, 0.5, 0.75]))[1] AS q25,
+      | (quantile_cont(o_totalprice, [0.25, 0.5, 0.75]))[2] AS q50,
+      | (quantile_cont(o_totalprice, [0.25, 0.5, 0.75]))[3] AS q75,
+      | avg(o_totalprice) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** GLOBAL (ungrouped) exact quantiles, scalar + array + residual aggs in
+    * one SELECT — rides the r8 ExactQuantileRule global path: the running
+    * count is built with range partitioning + O(partitions) prefix
+    * offsets, so nothing data-sized crosses a SinglePartition. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med_price"),
+        expr("percentile(l_extendedprice, array(0.1D, 0.9D))").as("dec"),
+        expr("percentile(l_quantity, 0.25D)").as("q25_qty"),
+        count(lit(1)).as("n"))
+      .select(col("med_price"),
+        element_at(col("dec"), 1).as("d10"),
+        element_at(col("dec"), 2).as("d90"),
+        col("q25_qty"), col("n"))
+
+  private val q102Sql =
+    """SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS med_price,
+      | (quantile_cont(l_extendedprice, [0.1, 0.9]))[1] AS d10,
+      | (quantile_cont(l_extendedprice, [0.1, 0.9]))[2] AS d90,
+      | CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25_qty,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q46_window_distribution", q46, Some(q46Sql)),
     Q("q68_window_nth_ignore_nulls", q68, Some(q68Sql)),
     Q("q47_range_frame", q47, Some(q47Sql)),
     Q("q48_ordered_agg_percentile", q48, Some(q48Sql)),
     Q("q51_grouping_sets", q51, Some(q51Sql)),
-    Q("q52_multiset_ops", q52, Some(q52Sql)))
+    Q("q52_multiset_ops", q52, Some(q52Sql)),
+    Q("q101_quantile_array", q101, Some(q101Sql)),
+    Q("q102_quantile_global", q102, Some(q102Sql)))
 }
