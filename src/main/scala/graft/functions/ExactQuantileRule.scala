@@ -62,12 +62,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
   * `spark.sql.exchange.reuse` is disabled rather than risk two
   * independently-sampled boundary sets.
   *
+  * DISTINCT percentiles rewrite with UNIT histogram counts (the quantile
+  * of the distinct value set is the histogram with every bar = 1), and
+  * FILTER clauses rewrite by filtering the branch's child before the
+  * histogram — each distinct (measure, FILTER, DISTINCT) triple gets its
+  * own branch. Both forms therefore shed the map buffer too (round 8).
+  *
   * Scope (bails out otherwise): literal scalar or literal-array
-  * percentage, unit frequency, numeric measure, no DISTINCT / FILTER /
-  * reverse, no grouping-sets Expand, fully deterministic child (the
-  * rewrite scans the child more than once — mirroring Spark's own
-  * multi-scan rewrites — so `rand()`-derived inputs must keep the
-  * single-pass builtin). Disable with
+  * percentage, unit frequency, numeric measure, no `reverse`, no
+  * grouping-sets Expand, fully deterministic child / measure / filter /
+  * grouping (the rewrite scans the child more than once — mirroring
+  * Spark's own multi-scan rewrites — so `rand()`-derived inputs must keep
+  * the single-pass builtin). Disable with
   * `spark.graft.exactQuantileRewrite=false`. */
 object ExactQuantileRule extends Rule[LogicalPlan] {
 
@@ -75,25 +81,39 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     SQLConf.get.getConfString("spark.graft.exactQuantileRewrite", "true") != "false"
 
   private case class Pct(ae: AggregateExpression, value: Expression,
-      qs: Seq[Double], isArray: Boolean)
+      qs: Seq[Double], isArray: Boolean, filter: Option[Expression],
+      distinct: Boolean) {
+    /** Branches are shared per (measure, FILTER, DISTINCT): each such
+      * triple has its own histogram (the filter changes which rows count;
+      * DISTINCT changes the counts to 1). */
+    def branchKey: (Expression, Option[Expression], Boolean) =
+      (value.canonicalized, filter.map(_.canonicalized), distinct)
+  }
 
-  /** The Percentile calls this rule handles; None = not rewritable. */
-  private def asPct(ae: AggregateExpression): Option[Pct] = ae.aggregateFunction match {
-    case Percentile(value, Literal(q: Double, DoubleType), Literal(1L, _), _, _, false)
-        if !ae.isDistinct && ae.filter.isEmpty && q >= 0.0 && q <= 1.0 &&
-          value.dataType.isInstanceOf[NumericType] && value.deterministic =>
-      Some(Pct(ae, value, Seq(q), isArray = false))
-    // array percentage: constant-folded to a Literal(ArrayData) by the time
-    // the user-provided optimizer batch runs
-    case Percentile(value, Literal(arr: ArrayData, ArrayType(DoubleType, _)),
-        Literal(1L, _), _, _, false)
-        if !ae.isDistinct && ae.filter.isEmpty &&
-          arr.numElements() > 0 &&
-          (0 until arr.numElements()).forall(i => !arr.isNullAt(i)) &&
-          arr.toDoubleArray().forall(q => q >= 0.0 && q <= 1.0) &&
-          value.dataType.isInstanceOf[NumericType] && value.deterministic =>
-      Some(Pct(ae, value, arr.toDoubleArray().toSeq, isArray = true))
-    case _ => None
+  /** The Percentile calls this rule handles; None = not rewritable.
+    * DISTINCT rewrites with unit histogram counts (quantile over the
+    * distinct value set); FILTER rewrites by filtering the branch's child
+    * before the histogram — both remove the same map buffer. */
+  private def asPct(ae: AggregateExpression): Option[Pct] = {
+    val filterOk = ae.filter.forall(_.deterministic)
+    ae.aggregateFunction match {
+      case Percentile(value, Literal(q: Double, DoubleType), Literal(1L, _), _, _, false)
+          if filterOk && q >= 0.0 && q <= 1.0 &&
+            value.dataType.isInstanceOf[NumericType] && value.deterministic =>
+        Some(Pct(ae, value, Seq(q), isArray = false, ae.filter, ae.isDistinct))
+      // array percentage: constant-folded to a Literal(ArrayData) by the time
+      // the user-provided optimizer batch runs
+      case Percentile(value, Literal(arr: ArrayData, ArrayType(DoubleType, _)),
+          Literal(1L, _), _, _, false)
+          if filterOk &&
+            arr.numElements() > 0 &&
+            (0 until arr.numElements()).forall(i => !arr.isNullAt(i)) &&
+            arr.toDoubleArray().forall(q => q >= 0.0 && q <= 1.0) &&
+            value.dataType.isInstanceOf[NumericType] && value.deterministic =>
+        Some(Pct(ae, value, arr.toDoubleArray().toSeq, isArray = true,
+          ae.filter, ae.isDistinct))
+      case _ => None
+    }
   }
 
   /** The rewrite evaluates the child from several branches; any
@@ -153,9 +173,11 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val gkAttrs = gkAliases.map(_.toAttribute)
     val residAttrs = residAliases.map(_.toAttribute)
 
-    // -------- quantile side(s): one histogram plan per distinct measure
-    val byValue = pcts.groupBy(_.value.canonicalized).values.toSeq
-      .sortBy(_.head.value.sql)
+    // -------- quantile side(s): one histogram plan per (measure, FILTER,
+    // DISTINCT) triple
+    val byValue = pcts.groupBy(_.branchKey).values.toSeq
+      .sortBy(g => (g.head.value.sql, g.head.filter.map(_.sql).getOrElse(""),
+        g.head.distinct))
     var joined: LogicalPlan = left
     val pctAttr = scala.collection.mutable.Map.empty[Expression, Attribute]
     byValue.zipWithIndex.foreach { case (group, j) =>
@@ -213,17 +235,22 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     * window (external spillable sort), conditional-min order statistics. */
   private def groupedBranch(child: LogicalPlan, groupingExprs: Seq[Expression],
       group: Seq[Pct], j: Int): (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
-    val value = group.head.value
+    val p0 = group.head
+    val value = p0.value
     val qkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
       Alias(g, s"__qk${j}_$i")()
     }
     val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
-    val keyed = Project(qkAliases :+ vAlias, child)
+    // FILTER clause applies before the histogram, on the raw child rows
+    val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
+    val keyed = Project(qkAliases :+ vAlias, base)
     val qkAttrs = qkAliases.map(_.toAttribute)
     val vAttr = vAlias.toAttribute
 
-    // 1. distinct-value histogram (spilling hash agg, map-side combined)
-    val cAlias = Alias(countOne, "__c")()
+    // 1. distinct-value histogram (spilling hash agg, map-side combined);
+    // DISTINCT percentile = every distinct value counts once
+    val cAlias =
+      if (p0.distinct) Alias(Literal(1L), "__c")() else Alias(countOne, "__c")()
     val hist = Aggregate(qkAttrs :+ vAttr,
       (qkAttrs :+ vAttr :+ cAlias).map(_.asInstanceOf[NamedExpression]),
       Filter(IsNotNull(vAttr), keyed), None)
@@ -250,13 +277,15 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     * data-sized SinglePartition anywhere (Scaladoc step 2). */
   private def globalBranch(child: LogicalPlan, group: Seq[Pct], j: Int)
       : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
-    val value = group.head.value
-    val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
-    val keyed = Project(Seq(vAlias), child)
+    val p0 = group.head
+    val vAlias = Alias(Cast(p0.value, DoubleType), s"__v$j")()
+    val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
+    val keyed = Project(Seq(vAlias), base)
     val vAttr = vAlias.toAttribute
 
-    // 1. global distinct-value histogram
-    val cAlias = Alias(countOne, "__c")()
+    // 1. global distinct-value histogram (unit counts for DISTINCT)
+    val cAlias =
+      if (p0.distinct) Alias(Literal(1L), "__c")() else Alias(countOne, "__c")()
     val hist = Aggregate(Seq(vAttr),
       Seq(vAttr, cAlias).map(_.asInstanceOf[NamedExpression]),
       Filter(IsNotNull(vAttr), keyed), None)

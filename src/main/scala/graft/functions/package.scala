@@ -26,6 +26,11 @@ package object functions {
   def quant_stats(a: Column): Column =
     ExprBridge.column(QuantStats(ExprBridge.expression(a)))
 
+  /** struct(cell, dist): nearest centroid over a compile-time (broadcast-
+    * sized) centroid table — the fused k-means assignment kernel. */
+  def nearest_cell(q: Column, cells: Seq[Long], cents: Seq[Seq[Long]]): Column =
+    ExprBridge.column(NearestCell(ExprBridge.expression(q), cells, cents))
+
   def minhash_sig(elementHashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExprBridge.column(MinHashSignature(ExprBridge.expression(elementHashes), a, b, p))
 

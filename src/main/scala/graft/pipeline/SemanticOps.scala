@@ -41,12 +41,26 @@ object SemanticOps {
     * [[Clustering]]; the pair join shuffles on cell, never all-pairs. */
   /** Cell count for the SemDeDup k-means: more cells than p38's k=8 —
     * the pair search is quadratic IN THE CELL, so k is what keeps it
-    * bounded (k=8 over 50k vectors was measured at 7 s; k=64 is ~1 s). */
+    * bounded (k=8 over 50k vectors was measured at 7 s; k=64 is ~1 s).
+    * k SCALES WITH THE CORPUS (round 8): assignment costs n·k·d and the
+    * per-cell pair verify n·(n/k)·d, so total work n·d·(k + n/k) is
+    * minimized at k = √n — k = max(64, ceil(sqrt(n))). Measured at sf10
+    * (200k vectors): fixed k=64 → 174 s (3.1k-vector cells, pair-bound);
+    * k=n/256=781 → 218 s (assign-bound at 83 s/round); k=√n=448 → the
+    * balanced point. The SemDeDup paper holds cell size constant because
+    * its GPU assignment makes n·k cheap; on a CPU engine the √n balance
+    * is the right exponent — total work grows n^1.5 instead of n². Both
+    * engines derive k from the same count (correctly-rounded IEEE sqrt),
+    * so the oracle holds at every SF, not just where a constant happens
+    * to match. */
   private val SemK = 64
 
   private def semdedup(s: SparkSession, dir: String): DataFrame = {
     val q = Clustering.quantized(s, dir)
-    val cents0 = q.filter(col("vec_id") < SemK)
+    // declarative k: 1-row count aggregate, broadcast under the filter
+    val kDf = q.agg(greatest(lit(SemK.toLong),
+      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)")).as("kk"))
+    val cents0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("kk"))
       .select(col("vec_id").as("cell"), col("q").as("c"))
     val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
     // norms and the pair dot products run through the codegen'd vec_dot
@@ -72,7 +86,8 @@ object SemanticOps {
   }
 
   private val semdedupSql =
-    s"""WITH ${Clustering.duckKmeansCtes(SemK)},
+    s"""WITH ${Clustering.duckKmeansCtes(
+        s"SELECT greatest($SemK, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM qv")},
        |qn AS (SELECT vec_id,
        |         CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(q, x -> x * x))) AS BIGINT) AS n, q

@@ -163,25 +163,60 @@ class ExactQuantileRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  // ------------------------------------------- DISTINCT and FILTER (r8)
+
+  test("DISTINCT percentile rewrites (unit histogram counts) and matches the builtin") {
+    Tables.registerAll(spark, sfDir)
+    // o_custkey repeats across orders, so DISTINCT genuinely changes the
+    // answer — a wrong unit-count rewrite could not pass both this and the
+    // plain form's equality
+    val sql = "SELECT o_orderpriority, percentile(DISTINCT o_custkey, 0.5) AS m, " +
+      "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"))
+    assertSameRows(sql)
+  }
+
+  test("FILTER percentile rewrites (pre-histogram predicate) and matches the builtin") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT o_orderpriority, " +
+      "percentile(o_totalprice, 0.5) FILTER (WHERE o_custkey % 2 = 0) AS m_even, " +
+      "percentile(o_totalprice, 0.5) AS m_all, count(*) AS n " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"))
+    assertSameRows(sql)
+  }
+
+  test("global DISTINCT + FILTER + array forms all rewrite and match") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT percentile(DISTINCT o_custkey, 0.5) AS md, " +
+      "percentile(o_totalprice, array(0.25, 0.75)) FILTER (WHERE o_custkey > 50) AS fa, " +
+      "avg(o_totalprice) AS a FROM orders"
+    assert(!spark.sql(sql).queryExecution.executedPlan.toString.contains("percentile"))
+    assertSameRows(sql)
+  }
+
+  test("FILTER that empties a group yields NULL like the builtin") {
+    Tables.registerAll(spark, sfDir)
+    val sql = "SELECT o_orderpriority, " +
+      "percentile(o_totalprice, 0.5) FILTER (WHERE o_custkey < 0) AS m, " +
+      "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    val rows = spark.sql(sql).collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(1)))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
   // --------------------------------------------------------------- bail-outs
 
-  test("bail-outs keep the original aggregate: DISTINCT, FILTER, nondeterminism") {
+  test("bail-out keeps the original aggregate on a nondeterministic child") {
     Tables.registerAll(spark, sfDir)
-    val keep = Seq(
-      "SELECT o_orderpriority, percentile(DISTINCT o_totalprice, 0.5) AS m " +
-        "FROM orders GROUP BY o_orderpriority",
-      "SELECT o_orderpriority, percentile(o_totalprice, 0.5) " +
-        "FILTER (WHERE o_custkey > 10) AS m FROM orders GROUP BY o_orderpriority",
-      // nondeterministic child subtree: the rewrite would re-evaluate
-      // rand() once per branch, losing single-pass consistency (a
-      // nondeterministic MEASURE is rejected by the analyzer itself, so
-      // asPct's value.deterministic guard stays defense-in-depth)
-      "SELECT k, percentile(v, 0.5) AS m FROM " +
-        "(SELECT o_orderpriority AS k, o_totalprice + rand() AS v FROM orders) GROUP BY k")
-    keep.foreach { sql =>
-      val plan = spark.sql(sql).queryExecution.executedPlan.toString
-      assert(plan.contains("percentile"), s"should NOT rewrite: $sql\n$plan")
-    }
+    // the rewrite would re-evaluate rand() once per branch, losing
+    // single-pass consistency (a nondeterministic MEASURE or FILTER is
+    // rejected by the analyzer itself, so asPct's deterministic guards
+    // stay defense-in-depth)
+    val sql = "SELECT k, percentile(v, 0.5) AS m FROM " +
+      "(SELECT o_orderpriority AS k, o_totalprice + rand() AS v FROM orders) GROUP BY k"
+    val plan = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(plan.contains("percentile"), s"should NOT rewrite: $sql\n$plan")
   }
 
   test("median spelling routes through the rewrite too") {
