@@ -194,10 +194,14 @@ object Bench {
     * above both runs' spreads (noise can't read as regression). */
   private def writeDelta(sfDir: String,
       cur: Seq[(String, Double, Double)], ms: Double => Double): Unit = {
+    // never compare a run against its own just-written artifact
+    val selfName = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")).getName
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
       val dir = new java.io.File(".")
       Option(dir.listFiles()).toSeq.flatten
         .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
+        .filter(_.getName != selfName)
         .filter(f => scala.util.Try(
           java.nio.file.Files.readString(f.toPath)).toOption
           .exists(_.contains("\"sf\":\"" + sfDir + "\"")))

@@ -31,6 +31,11 @@ package object functions {
   def nearest_cell(q: Column, cells: Seq[Long], cents: Seq[Seq[Long]]): Column =
     ExprBridge.column(NearestCell(ExprBridge.expression(q), cells, cents))
 
+  /** Generator: (vec_id, dup_of=min passing smaller id) over one cell's
+    * sorted members — the fused SemDeDup pair-verify kernel. */
+  def cell_neardup_pairs(items: Column, tSqTimes1e4: Long): Column =
+    ExprBridge.column(CellNearDupPairs(ExprBridge.expression(items), tSqTimes1e4))
+
   def minhash_sig(elementHashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExprBridge.column(MinHashSignature(ExprBridge.expression(elementHashes), a, b, p))
 

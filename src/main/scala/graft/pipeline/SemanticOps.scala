@@ -70,18 +70,20 @@ object SemanticOps {
     val m = a2.withColumn("n",
       graft.functions.vec_dot(col("q"), col("q")).cast("long"))
       .select(col("cell"), col("vec_id"), col("q"), col("n"))
-    val a = m.select(col("cell"), col("vec_id").as("a_id"),
-      col("q").as("qa"), col("n").as("na"))
-    val b = m.select(col("cell"), col("vec_id").as("b_id"),
-      col("q").as("qb"), col("n").as("nb"))
-    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
-      .withColumn("dot",
-        graft.functions.vec_dot(col("qa"), col("qb")).cast("long"))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(10000L) >= lit(1600L) * col("na") * col("nb"))
-      .groupBy(col("b_id"), col("cell"))
-      .agg(min(col("a_id")).as("dup_of"))
-      .select(col("b_id").as("vec_id"), col("dup_of"), col("cell"))
+    // Pair verify is FUSED per cell (r8): collect each cell's members —
+    // bounded at ~√n rows by the corpus-scaled k, the same bounded-group
+    // contract as an LSH band bucket — sorted by vec_id, and run the
+    // integer-cosine pair loop inside the CellNearDupPairs generator. The
+    // previous a×b self-join materialized Σ|cell|²/2 rows each copying
+    // both ~0.5 KB arrays (45 M rows ≈ the whole p49 runtime at sf10);
+    // the generator emits only the dup rows and early-exits at the first
+    // (= minimum) passing neighbor. Threshold: t=0.40 → (t·100)² = 1600,
+    // identical integer arithmetic to the oracle's pair CTE.
+    m.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("q"), col("n"))))
+        .as("items"))
+      .select(col("cell"), graft.functions.cell_neardup_pairs(col("items"), 1600L))
+      .select(col("vec_id"), col("dup_of"), col("cell"))
       .orderBy(col("vec_id"))
   }
 

@@ -45,7 +45,12 @@ object TermStats {
     val ndocs = terms.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    // BROADCAST the vocabulary-sized df side: an equi-join on `term` would
+    // shuffle the corpus-sized tf frame onto a Zipfian key space (this
+    // testdata: 265 distinct tokens → a handful of straggler tasks; real
+    // corpora: the stopword keys). The build side is |vocabulary| rows by
+    // construction — always broadcastable when a vocabulary is.
+    tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(ndocs) // one-row aggregate: broadcast nested loop
       .withColumn("tfidf",
         col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
@@ -118,7 +123,10 @@ object TermStats {
       .pinned
     val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = terms.agg(count(lit(1)).as("tot"))
-    terms.join(cnt, Seq("term"))
+    // broadcast the vocabulary-sized count table: shuffling the EXPLODED
+    // corpus on the Zipfian `term` key is the skew trap (same reasoning
+    // as p40's df side; p51 already broadcasts its vocab)
+    terms.join(broadcast(cnt), Seq("term"))
       .crossJoin(tot) // one-row aggregate
       .groupBy(col("doc_id"))
       .agg(

@@ -72,4 +72,36 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"pair search must stay inside cells:\n$plan")
   }
+
+  test("p49: fused cell generator equals the explicit pair-join form") {
+    // reference implementation = the pre-r8 a×b self-join + min-aggregate,
+    // rebuilt inline from the same stages; the fused CellNearDupPairs
+    // generator must produce the identical dup set
+    import graft.pipeline.Clustering
+    val q = Clustering.quantized(spark, sfDir)
+    val kDf = q.agg(greatest(lit(64L),
+      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)")).as("kk"))
+    val cents0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("kk"))
+      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
+    val m = a2.withColumn("n",
+      graft.functions.vec_dot(col("q"), col("q")).cast("long"))
+      .select(col("cell"), col("vec_id"), col("q"), col("n"))
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("n").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("n").as("nb"))
+    val joinForm = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot",
+        graft.functions.vec_dot(col("qa"), col("qb")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(1600L) * col("na") * col("nb"))
+      .groupBy(col("b_id"), col("cell"))
+      .agg(min(col("a_id")).as("dup_of"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("cell"))
+    val fused = run("p49_semdedup")
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(joinForm).count() === 0)
+    assert(joinForm.exceptAll(fused).count() === 0)
+  }
 }
