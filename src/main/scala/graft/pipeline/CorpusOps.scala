@@ -43,8 +43,14 @@ object CorpusOps {
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
       .withColumn("is_eval", lit(1))
+    // no forced broadcast (r8): THIS query's eval slice is a corpus
+    // fraction (doc_id%17), so a pinned broadcast grows with the corpus —
+    // the measured sf0.1 run-to-run variance was its collect+build. A
+    // plain equi-join on the diverse shingle key shuffles uniformly; a
+    // production-sized (small, fixed) benchmark suite still broadcasts
+    // automatically via AQE's measured-size threshold.
     pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
-      .join(broadcast(eval), Seq("shingle"), "left_outer")
+      .join(eval, Seq("shingle"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("is_eval")).as("n_contaminated"))

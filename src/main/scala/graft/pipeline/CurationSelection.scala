@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    additional hash families widen further at larger corpora.
   *  - p46 windows partition by cluster label (unbounded key space) over
   *    the already-banded cluster labels; no new all-pairs work.
-  *  - p47 broadcasts the EVAL side (eval suites are small by construction)
-  *    and attributes each training doc to its best-overlapping eval doc
-  *    with a per-doc window — state bounded by candidate overlaps.
+  *  - p47 attributes each training doc to its best-overlapping eval doc
+  *    with a per-doc window — state bounded by candidate overlaps. The
+  *    eval join is NOT hint-broadcast: this query's eval slice is a
+  *    corpus fraction, so the planner decides (a real fixed-size eval
+  *    suite auto-broadcasts under AQE's measured-size threshold).
   *  - p48 derives per-epoch ranks from [[PositionalJoin.globalIndex]]
   *    (range-partitioned two-pass positions — full parallelism, no
   *    data-sized SinglePartition) + an O(epochs) offset table; batch
@@ -190,7 +192,14 @@ object CurationSelection {
     val train = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
     val trainSize = train.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val shared = train.join(broadcast(eval), Seq("shingle"))
+    // NO forced broadcast (r8): this query's eval split is doc_id%17 — a
+    // corpus FRACTION, so a pinned broadcast grows linearly with the
+    // corpus (at sf10 the ~3.5M-row build was 100+ MB and its collect/
+    // build dominated with 24–60 s run-to-run swings; at 100 TB it simply
+    // OOMs). A plain equi-join on the diverse shingle key shuffles both
+    // sides uniformly, and when the eval suite IS genuinely small (the
+    // production case) AQE's threshold broadcasts it automatically.
+    val shared = train.join(eval, Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
     val w = Window.partitionBy(col("doc_id"))

@@ -153,6 +153,9 @@ object SemanticOps {
       .select(col("jp.j").as("j"), col("jp.pos").as("pos")).distinct()
       .withColumn("hit", lit(1))
     val corpus = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    // pinned: the per-doc counts and the survivor verify both consume the
+    // probe results; recomputing would re-run the 3-probe explode + bits
+    // join per consumer
     val probed = corpus.select(col("doc_id"), col("shingle"),
         explode(array(posOf: _*)).as("jp"))
       .select(col("doc_id"), col("shingle"),
@@ -160,14 +163,27 @@ object SemanticOps {
       .join(broadcast(bits), Seq("j", "pos"), "left_outer")
       .groupBy(col("doc_id"), col("shingle"))
       .agg((count(col("hit")) === BloomK).as("maybe"))
-    val exact = evalSh.withColumn("is_eval", lit(1))
-    probed.join(broadcast(exact), Seq("shingle"), "left_outer")
-      .groupBy(col("doc_id"))
+      .pinned
+    val counts = probed.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
-        count(col("is_eval")).as("n_exact"))
-      .withColumn("n_false_pos", col("n_maybe") - col("n_exact"))
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
       .filter(col("n_maybe") > 0)
+    // exact verification runs ONLY on the Bloom survivors — the point of
+    // the prefilter (r8; the previous shape joined EVERY corpus shingle
+    // against a forced broadcast of the raw eval shingle set, which is a
+    // corpus FRACTION here and would grow unboundedly — the only bounded
+    // broadcast is the bitset above, ≤ k·m rows by construction). The
+    // survivor join is a plain equi-join on the diverse shingle key; when
+    // a real deployment's eval suite is small, AQE broadcasts it on its
+    // measured size. Bloom soundness (no false negatives) makes this
+    // equivalent to the old all-shingles join: is_eval can only be 1
+    // where maybe is true.
+    val exactHits = probed.filter(col("maybe"))
+      .join(evalSh.withColumn("is_eval", lit(1)), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id")).agg(count(col("is_eval")).as("n_exact"))
+    counts.join(exactHits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_maybe"), col("n_exact"),
+        (col("n_maybe") - col("n_exact")).as("n_false_pos"))
       .orderBy(col("doc_id"))
   }
 

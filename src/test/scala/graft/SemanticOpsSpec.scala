@@ -44,7 +44,10 @@ class SemanticOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("p50: the bits side broadcasts (corpus never reshuffles on shingle)") {
+  test("p50: the bitset (the bounded side) broadcasts; exact verify joins survivors only") {
+    // the k·m-bounded bit positions broadcast; the raw eval shingle set is
+    // a corpus fraction and deliberately does NOT carry a broadcast hint
+    // (r8) — only the Bloom survivors reach that join
     val plan = planOf(run("p50_bloom_decontam"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join for the Bloom bitset:\n$plan")
