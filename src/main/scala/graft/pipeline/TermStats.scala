@@ -48,8 +48,11 @@ object TermStats {
     // BROADCAST the vocabulary-sized df side: an equi-join on `term` would
     // shuffle the corpus-sized tf frame onto a Zipfian key space (this
     // testdata: 265 distinct tokens → a handful of straggler tasks; real
-    // corpora: the stopword keys). The build side is |vocabulary| rows by
-    // construction — always broadcastable when a vocabulary is.
+    // corpora: the stopword keys). The build side is |distinct tokens|
+    // rows — broadcastable through ~100M-token vocabularies (a few GB);
+    // an uncapped web-scale long tail needs the production trick anyway
+    // (top-K vocab + UNK bucket, which also re-bounds this side), or
+    // AQE's skew-join split once the tail is too big to ship.
     tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(ndocs) // one-row aggregate: broadcast nested loop
       .withColumn("tfidf",

@@ -87,9 +87,11 @@ final class TrainingPipeline private (val result: DataFrame) {
   }
 
   /** Drop documents sharing ≥ `maxRatio` of their 3-token shingles with a
-    * benchmark/eval set (decontamination, the p25 kernel): the eval side is
-    * small by nature → broadcast inverted index, the corpus is never
-    * shuffled on the shingle key. */
+    * benchmark/eval set (decontamination, the p25 kernel): a benchmark
+    * suite is small by nature, and AQE broadcasts it from its MEASURED
+    * size — no forced hint (r8), so a caller passing an unexpectedly large
+    * eval frame degrades to a uniform shingle-keyed shuffle instead of an
+    * unbounded driver collect. */
   def decontaminate(evalDocs: DataFrame, maxRatio: Double = 0.1): TrainingPipeline = {
     val shingled = (df: DataFrame) => df
       .withColumn("__th", expr(PortableHash.sparkTokenHashes("text")))
@@ -98,7 +100,7 @@ final class TrainingPipeline private (val result: DataFrame) {
     val evalSh = shingled(evalDocs).select(col("__sh")).distinct()
       .withColumn("__hit", lit(1))
     val contaminated = shingled(result)
-      .join(broadcast(evalSh), Seq("__sh"), "left_outer")
+      .join(evalSh, Seq("__sh"), "left_outer")
       .groupBy(col("doc_id"))
       .agg((count(col("__hit")).cast("double") / count(lit(1)).cast("double"))
         .as("__ratio"))
