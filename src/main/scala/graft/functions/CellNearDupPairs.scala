@@ -28,7 +28,12 @@ import org.apache.spark.sql.types._
   *
   * Scale contract: the input array is one cell's members, bounded by the
   * k-means cell size (k = ⌈√n⌉ in p49 keeps it ~√n) — the same bounded-
-  * group contract as an LSH band bucket, never corpus-sized. */
+  * group contract as an LSH band bucket, never corpus-sized. The
+  * degenerate exception is a corpus where a large mass of vectors is
+  * IDENTICAL (they tie to one cell regardless of k): identical vectors
+  * are exact duplicates, which a real pipeline removes with digest dedup
+  * (the p05 kernel) before paying for near-dup search — SCALE.md carries
+  * the row. */
 case class CellNearDupPairs(child: Expression, tSqTimes1e4: Long)
     extends UnaryExpression with Generator with CodegenFallback {
 
