@@ -71,8 +71,10 @@ object Shell {
           case fs => fs.foreach(println)
         }
       case ".tables" =>
-        engine.connect().queryDF("PRAGMA show_tables")
+        val c = engine.connect()
+        try c.queryDF("PRAGMA show_tables")
           .collect().foreach(r => println(r.getString(0)))
+        finally c.close()
       case ".timer" =>
         parts.lift(1) match {
           case Some("on") => setTimer(true); println("Timer enabled")

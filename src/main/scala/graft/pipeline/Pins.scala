@@ -21,8 +21,10 @@ import org.apache.spark.storage.StorageLevel
   * [[resetWarmTracking]]): Bench emits the queries that rode a warm shared
   * stage so their per-query times are never mistaken for cold-path cost.
   *
-  * All state is per-session behind weak keys, so stopped sessions drop
-  * their entries with no explicit teardown.
+  * State is per-session and lives until [[releaseAll]] or until the
+  * session's SparkContext stops: cached DataFrames strongly reference
+  * their session, so weak keys could never collect an entry — instead
+  * every registry access purges entries whose context has stopped.
   */
 object Pins {
 
@@ -35,12 +37,11 @@ object Pins {
     val warmHits = scala.collection.mutable.Set.empty[(String, String)]
   }
 
-  private val bySession = new java.util.WeakHashMap[SparkSession, State]()
+  private val bySession = scala.collection.mutable.LinkedHashMap.empty[SparkSession, State]
 
   private def state(s: SparkSession): State = bySession.synchronized {
-    var st = bySession.get(s)
-    if (st == null) { st = new State; bySession.put(s, st) }
-    st
+    bySession.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+    bySession.getOrElseUpdate(s, new State)
   }
 
   /** Pin an intra-query barrier; released between queries by the harness. */
@@ -53,14 +54,23 @@ object Pins {
   }
 
   /** Memoized cross-query stage for (dir, kind); stays pinned until
-    * [[releaseAll]]. Re-persists lazily if something cleared the cache. */
+    * [[releaseAll]]. Re-persists lazily if something cleared the cache.
+    *
+    * `build` (driver-side plan construction) runs OUTSIDE the state lock;
+    * two racing builders both construct, first to register wins and the
+    * loser's unregistered plan is simply dropped (no Spark action runs
+    * inside `build`, so the duplicate work is cheap driver-only analysis). */
   def shared(s: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame = {
     val st = state(s)
     val key = (dir, kind)
-    val df = st.synchronized {
+    val existing = st.synchronized {
       if (st.seenBefore(key)) st.warmHits += key
-      st.shared.getOrElseUpdate(key, build)
+      st.shared.get(key)
+    }
+    val df = existing.getOrElse {
+      val built = build
+      st.synchronized(st.shared.getOrElseUpdate(key, built))
     }
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -126,37 +126,53 @@ object SemanticOps {
     *
     * 100 TB design: bits ≤ k·|eval shingles| rows regardless of corpus
     * size → broadcast; the corpus side is a map-side semi-join + one
-    * aggregation keyed by doc_id. Corpus never reshuffles on shingle. */
-  private val BloomBits = 65536L // m = 2^16
+    * aggregation keyed by doc_id. Corpus never reshuffles on shingle.
+    *
+    * m is SIZED FROM THE EVAL SET (round 9; a fixed m = 2^16 reported
+    * itself undersized via its own n_false_pos telemetry once the eval
+    * suite grew): for a target false-positive rate ε = 0.1% at k probes,
+    * FP ≈ (1 − e^{−kn/m})^k ⟹ m = k·n / ln(1/(1 − ε^{1/k})); with k = 3
+    * that is m ≈ 28.47·n, rounded up to a power of two. The derivation is
+    * pure 64-bit integer arithmetic (10⁶·ln(1/0.9) ≈ 105360 as a fixed
+    * scaled constant, ceil-division, pow2 via a filtered 2^p list) so both
+    * engines compute the identical m from the identical count — the oracle
+    * stays parametric in the eval-set size instead of pinning a constant. */
   private val BloomK = 3
+  /** 10⁶·ln(1/(1−ε^{1/k})) for ε = 0.001, k = 3 — the scaled denominator
+    * of the m-derivation; see the FP-target algebra in the scaladoc. */
+  private val BloomLnScaled = 105360L
 
   private def bloomProbes: Seq[(Long, Long)] = PH.perms.take(BloomK)
 
-  private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the eval and corpus branches each re-run the
-    // tokenize+shingle+distinct otherwise (the doc_id filters push
-    // through the distinct's aggregate, so the two exchanges differ and
-    // Spark cannot reuse one for the other); MEMORY_AND_DISK spills,
-    // harness clearCache releases
-    val pairs = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
-      .distinct()
-      .pinned
+  /** Core over a (doc_id, shingle) pair stream; `fixedM` pins the filter
+    * width for specs that measure the derived sizing against a constant. */
+  private[graft] def bloomCore(pairs: DataFrame, fixedM: Option[Long]): DataFrame = {
     val evalSh = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
+    // one-row m: derived from |evalSh| (same declarative 1-row-broadcast
+    // pattern as SemDeDup's corpus-scaled k)
+    val mDf = fixedM match {
+      case Some(m) => evalSh.sparkSession.range(1).select(lit(m).as("m"))
+      case None => evalSh.agg(count(lit(1)).as("nev")).select(expr(
+        s"array_min(filter(transform(sequence(6, 40), " +
+        s"p -> shiftleft(CAST(1 AS BIGINT), p)), " +
+        s"v -> v >= (nev * ${BloomK * 1000000L} + ${BloomLnScaled - 1}) div $BloomLnScaled))"
+      ).as("m"))
+    }
     val posOf = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
       struct(lit(j).as("j"),
-        pmod(pmod(lit(a) * col("shingle") + lit(b), lit(PH.P)), lit(BloomBits)).as("pos"))
+        pmod(pmod(lit(a) * col("shingle") + lit(b), lit(PH.P)), col("m")).as("pos"))
     }
-    val bits = evalSh.select(explode(array(posOf: _*)).as("jp"))
+    val bits = evalSh.crossJoin(broadcast(mDf))
+      .select(explode(array(posOf: _*)).as("jp"))
       .select(col("jp.j").as("j"), col("jp.pos").as("pos")).distinct()
       .withColumn("hit", lit(1))
     val corpus = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
     // pinned: the per-doc counts and the survivor verify both consume the
     // probe results; recomputing would re-run the 3-probe explode + bits
     // join per consumer
-    val probed = corpus.select(col("doc_id"), col("shingle"),
+    val probed = corpus.crossJoin(broadcast(mDf))
+      .select(col("doc_id"), col("shingle"),
         explode(array(posOf: _*)).as("jp"))
       .select(col("doc_id"), col("shingle"),
         col("jp.j").as("j"), col("jp.pos").as("pos"))
@@ -181,25 +197,52 @@ object SemanticOps {
     val exactHits = probed.filter(col("maybe"))
       .join(evalSh.withColumn("is_eval", lit(1)), Seq("shingle"), "left_outer")
       .groupBy(col("doc_id")).agg(count(col("is_eval")).as("n_exact"))
+    // INVARIANT the inner join below relies on: `exactHits` has a row for
+    // EVERY doc_id in `counts` — counts keeps exactly the docs with
+    // n_maybe > 0, and exactHits LEFT-joins from the maybe-filtered probes,
+    // so a doc with any maybe shingle always survives its groupBy (with
+    // n_exact possibly 0). Changing either side's filter or join type
+    // breaks this and silently drops docs.
     counts.join(exactHits, Seq("doc_id"))
       .select(col("doc_id"), col("n_shingles"), col("n_maybe"), col("n_exact"),
         (col("n_maybe") - col("n_exact")).as("n_false_pos"))
       .orderBy(col("doc_id"))
   }
 
+  private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the eval and corpus branches each re-run the
+    // tokenize+shingle+distinct otherwise (the doc_id filters push
+    // through the distinct's aggregate, so the two exchanges differ and
+    // Spark cannot reuse one for the other); MEMORY_AND_DISK spills,
+    // harness clearCache releases
+    val pairs = docs(s, dir)
+      .withColumn("th", expr(PH.sparkTokenHashes("text")))
+      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
+      .distinct()
+      .pinned
+    bloomCore(pairs, fixedM = None)
+  }
+
   private val bloomDecontamSql = {
     val probesList = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
-      s"[CAST($j AS BIGINT), (($a * shingle + $b) % ${PH.P}) % $BloomBits]"
+      s"[CAST($j AS BIGINT), (($a * shingle + $b) % ${PH.P}) % m]"
     }.mkString("[", ", ", "]")
     s"""WITH th AS (SELECT doc_id, ${PH.duckTokenHashes("text")} AS th FROM documents),
        |sh AS (SELECT doc_id, ${PH.duckShingles("th")} AS sh FROM th),
        |pairs AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
        |evalsh AS (SELECT DISTINCT shingle FROM pairs WHERE doc_id % 17 = 0),
+       |mraw AS (SELECT (count(*) * ${BloomK * 1000000L} + ${BloomLnScaled - 1})
+       |                  // $BloomLnScaled AS r FROM evalsh),
+       |msel AS (SELECT min(v) AS m
+       |         FROM (SELECT unnest(list_transform(range(6, 41),
+       |                 p -> CAST(pow(2, p) AS BIGINT))) AS v) t, mraw
+       |         WHERE t.v >= mraw.r),
        |bits AS (SELECT DISTINCT jp[1] AS j, jp[2] AS pos
-       |         FROM (SELECT unnest($probesList) AS jp FROM evalsh)),
+       |         FROM (SELECT unnest($probesList) AS jp FROM evalsh, msel)),
        |corpus AS (SELECT doc_id, shingle FROM pairs WHERE doc_id % 17 <> 0),
        |probes AS (SELECT doc_id, shingle, jp[1] AS j, jp[2] AS pos
-       |           FROM (SELECT doc_id, shingle, unnest($probesList) AS jp FROM corpus)),
+       |           FROM (SELECT doc_id, shingle, unnest($probesList) AS jp
+       |                 FROM corpus, msel)),
        |probed AS (
        |  SELECT p.doc_id, p.shingle, count(b.pos) = $BloomK AS maybe
        |  FROM probes p LEFT JOIN bits b ON p.j = b.j AND p.pos = b.pos

@@ -107,4 +107,37 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(fused.exceptAll(joinForm).count() === 0)
     assert(joinForm.exceptAll(fused).count() === 0)
   }
+
+  test("p50: m derived from the eval-set size cuts false positives vs the old fixed 2^16") {
+    // eval: 30k distinct shingles (doc 0 ≡ 0 mod 17) — enough to saturate
+    // a fixed m = 2^16 filter; corpus: 2k shingles from a far id range.
+    // Shingles live in [0, P) like real PortableHash output (a·shingle
+    // must not overflow a long under ANSI mode) and are scrambled with a
+    // NONLINEAR hash — any linear i·K map composes with the filter's own
+    // linear probes into a lattice mod the pow2 m and never fills it.
+    // xxhash64 is seed-fixed, so the test is deterministic.
+    def shingle = pmod(xxhash64(col("id")), lit(pipeline.PortableHash.P))
+    val evalPairs = spark.range(30000)
+      .select(lit(0L).as("doc_id"), shingle.as("shingle"))
+    val corpusPairs = spark.range(100000, 102000)
+      .select(lit(1L).as("doc_id"), shingle.as("shingle"))
+    val pairs = evalPairs.unionAll(corpusPairs)
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum("n_false_pos"), lit(0L)),
+        coalesce(sum("n_exact"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (fpFixed, exFixed) = stats(pipeline.SemanticOps.bloomCore(pairs, Some(65536L)))
+    val (fpDerived, exDerived) = stats(pipeline.SemanticOps.bloomCore(pairs, None))
+    // exact verification is independent of the filter width
+    assert(exFixed === exDerived)
+    // the fixed filter is measurably undersized at this eval size: each
+    // j-subspace fills to 1−e^{−30000/65536} ≈ 37% → FP ≈ 0.37³ ≈ 5% of
+    // the 2000 corpus shingles (observed 87)...
+    assert(fpFixed > 50L, s"expected a saturated fixed filter, got $fpFixed FPs")
+    // ...and the derived m (2^20 here: ceil(28.47·30000) rounded up to a
+    // pow2) collapses the FP count by orders of magnitude
+    assert(fpDerived * 20 < fpFixed,
+      s"derived sizing should cut FPs ≫ 20×: derived=$fpDerived fixed=$fpFixed")
+  }
 }
