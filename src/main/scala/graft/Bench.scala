@@ -32,7 +32,13 @@ import org.apache.spark.sql.SparkSession
   *    mistaken for cold-path cost (round-8 item 7).
   * Emits ONE JSON line with the load-bearing dicts LAST:
   * {"metric":"total","unit":"sec","sf":...,"samples":k,"warm":[...],
+  *  "queries_cold":{warm-query:cold-sec,...},"value_cold":total,
   *  "spread":{name:sec,...},"queries":{name:sec,...},"value":total}.
+  * "queries_cold" holds ONE pins-dropped re-run per warm-listed query
+  * (shared-stage rebuild included) and "value_cold" is the suite total
+  * with warm minima replaced by those cold samples — the symmetric
+  * counterpart to bench_duck.py, which recomputes every intermediate
+  * per query (round-9 advice).
   * Field order matters: the driver keeps only the TAIL of long output, so
   * the per-query minima ("queries") and the total ("value") must come after
   * the diagnostic fields — round 5's artifact had the order reversed
@@ -145,6 +151,18 @@ object Bench {
       val spread = if (ok.size < 2) 0.0 else ok.max - ok.min
       (name, best, spread)
     }
+    // Cold-equivalent pass (round-9 advice: warm-stage symmetry). The
+    // headline minima let shared LSH stages stay warm across queries —
+    // the production posture — while bench_duck.py recomputes every
+    // intermediate per query. For each query that rode a warm shared
+    // stage, take ONE extra sample with ALL pins dropped first, so a
+    // cold-equivalent per-query time (stage rebuild included) exists in
+    // the artifact and the sf ratios can be read symmetrically.
+    val warmList = warmQueries.result()
+    val coldTimes: Map[String, Double] = warmList.map { name =>
+      graft.pipeline.Pins.releaseAll(spark)
+      name -> runOnce(name)
+    }.toMap
     graft.pipeline.Pins.releaseAll(spark)
     // ms precision everywhere: sub-ms digits are pure noise at these
     // runtimes, and the shorter line lets the driver's bounded tail window
@@ -154,10 +172,16 @@ object Bench {
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // warm minima replaced by their cold re-run (failed cold re-runs keep
+    // the warm number rather than dropping the query from the total)
+    val totalCold = results.map { case (name, t, _) =>
+      coldTimes.get(name).filter(_ >= 0).getOrElse(t)
+    }.filter(_ >= 0).sum
     val qs = fmt(results.map(r => (r._1, r._2)))
     val sp = fmt(results.map(r => (r._1, r._3)))
-    val warm = warmQueries.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val qc = fmt(coldTimes.toSeq.sortBy(_._1))
+    val warm = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
     writeDelta(sfDir, results.map(r => (r._1, r._2, r._3)), ms)
@@ -212,23 +236,25 @@ object Bench {
         val prevJson = java.nio.file.Files.readString(java.nio.file.Paths.get(pp))
         val prevQ = parseDict(prevJson, "queries")
         val prevS = parseDict(prevJson, "spread")
+        // the mover flag is computed ONCE per entry and n_movers derived
+        // from the same list — a second copy of the predicate (round-9
+        // advice) let a failed query (t = -1) count as a mover while being
+        // absent from the deltas dict, so the artifact disagreed with
+        // itself
         val entries = cur.flatMap { case (name, t, spread) =>
           prevQ.get(name).filter(p => p > 0 && t > 0).map { p =>
             val ratio = t / p
             val noise = math.max(spread, prevS.getOrElse(name, 0.0))
             val mover = (ratio > 1.5 || ratio < 1.0 / 1.5) &&
               math.abs(t - p) > noise
-            s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover}"""
+            (name, p, t, ratio, mover)
           }
         }
-        val movers = cur.count { case (name, t, spread) =>
-          prevQ.get(name).exists { p =>
-            val ratio = if (p > 0) t / p else 1.0
-            (ratio > 1.5 || ratio < 1.0 / 1.5) &&
-              math.abs(t - p) > math.max(spread, prevS.getOrElse(name, 0.0))
-          }
+        val movers = entries.count(_._5)
+        val deltas = entries.map { case (name, p, t, ratio, mover) =>
+          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover}"""
         }
-        val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${entries.mkString(",")}}}"""
+        val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${deltas.mkString(",")}}}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_DELTA.json"), json + "\n")
         System.err.println(s"[bench] delta vs $pp: ${entries.size} compared, $movers mover(s)")

@@ -26,10 +26,28 @@ package graft.dialect
   * PRECEDING` / `k PRECEDING` / `CURRENT ROW` and end is `CURRENT ROW` /
   * `k FOLLOWING` / `UNBOUNDED FOLLOWING` — a start of CURRENT ROW makes
   * the left half empty (NULL/0 literal), symmetrically for the end.
-  * `EXCLUDE NO OTHERS` (the default) is stripped. RANGE/GROUPS frames and
-  * `EXCLUDE TIES/GROUP` pass through untouched for Spark to reject
-  * loudly: a rows-wise split would cut peer groups in half, silently
-  * wrong.
+  * `EXCLUDE NO OTHERS` (the default) is stripped.
+  *
+  * `EXCLUDE TIES` / `EXCLUDE GROUP` (the other two T620 exclusions; TIES
+  * removes the current row's ORDER-BY peers but keeps the row itself,
+  * GROUP removes the whole peer group) need peer-group boundaries, which
+  * no fixed ROWS offset can express — so they are compiled statement-wise:
+  * the owning SELECT's FROM(+WHERE) is wrapped in a derived table that
+  * adds one `dense_rank() OVER (partition ORDER BY keys)` column per
+  * distinct window base, and "rows strictly before / after the current
+  * peer group" become plain integer-RANGE frames over that rank
+  * (`RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` / `1 FOLLOWING
+  * AND UNBOUNDED FOLLOWING`) — single-level windows, exact for every
+  * supported aggregate, still one extra Window operator per base at
+  * scale. Supported frames: the default (no frame clause), and
+  * ROWS/RANGE/GROUPS with bounds in {UNBOUNDED PRECEDING, CURRENT ROW} ×
+  * {CURRENT ROW, UNBOUNDED FOLLOWING}; ROWS and RANGE agree on every one
+  * of these once the peer group is excluded, because the rows by which
+  * the two modes differ at a CURRENT ROW bound are exactly peers of the
+  * current row. Frames with k-offset bounds genuinely cut peer groups
+  * and still pass through for Spark to reject loudly, as do blocks with
+  * GROUP BY/HAVING/set-ops (the wrap would change their evaluation
+  * order).
   */
 object WindowExclude {
 
@@ -53,7 +71,7 @@ object WindowExclude {
         case None =>
       }
     }
-    out
+    rewriteTiesGroupAll(out)
   }
 
   private val WindowClause =
@@ -199,6 +217,303 @@ object WindowExclude {
         val c = sumOf("count", args, "0", (a, b) => s"($a + $b)")
         s"(CAST($s AS DOUBLE) / nullif($c, 0))"
     })
+  }
+
+  // ---------------------------------------------------------------------
+  // EXCLUDE TIES / EXCLUDE GROUP (statement-level; see object scaladoc)
+  // ---------------------------------------------------------------------
+
+  private val ExcludeTG =
+    java.util.regex.Pattern.compile("(?i)\\bEXCLUDE\\s+(TIES|GROUP)\\s*$")
+  private val SelectKw = java.util.regex.Pattern.compile("(?i)\\bSELECT\\b")
+  private val OrderByKw = java.util.regex.Pattern.compile("(?i)\\bORDER\\s+BY\\b")
+  private val FrameKw =
+    java.util.regex.Pattern.compile("(?i)\\b(ROWS|RANGE|GROUPS)\\b")
+
+  /** One parsed `agg(args) OVER (spec EXCLUDE TIES|GROUP)` occurrence:
+    * [start, end) covers the whole call, base = partition+order text,
+    * hasLeft/hasRight = which side of the peer group the frame reaches. */
+  private final case class TgOcc(start: Int, end: Int, fn: String,
+      args: String, base: String, hasLeft: Boolean, hasRight: Boolean,
+      keepSelf: Boolean)
+
+  private def rewriteTiesGroupAll(sql: String): String = {
+    var out = sql
+    var guard = 0
+    while (guard < 64) {
+      findTiesGroup(out) match {
+        case None => return out
+        case Some(aggStart) =>
+          rewriteOwnerBlock(out, aggStart) match {
+            case Some(next) => out = next
+            case None => return out // unsupported: leave for Spark to reject
+          }
+      }
+      guard += 1
+    }
+    out
+  }
+
+  /** Position of the first supported-aggregate call whose OVER spec ends
+    * with EXCLUDE TIES/GROUP, outside literals. */
+  private def findTiesGroup(sql: String): Option[Int] = {
+    val m = AggCall.matcher(sql)
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(sql, i)
+        case _ =>
+          m.region(i, sql.length)
+          if (m.lookingAt()) {
+            val argsClose = groupEnd(sql, m.end - 1)
+            val om = Over.matcher(sql)
+            om.region(argsClose, sql.length)
+            if (om.lookingAt()) {
+              val specClose = groupEnd(sql, om.end - 1)
+              val spec = sql.substring(om.end, specClose - 1)
+              if (ExcludeTG.matcher(spec).find()) return Some(i)
+            }
+            i = m.end
+          } else i += 1
+      }
+    }
+    None
+  }
+
+  /** Find the SELECT block owning position `aggStart` — the innermost
+    * enclosing SELECT scope, tracked with an owner STACK: '(' inherits the
+    * current owner (a CAST or expression paren does not change scope),
+    * a SELECT keyword replaces the stack top (a subquery owns its group
+    * until its paren closes), ')' pops. */
+  private def rewriteOwnerBlock(sql: String, aggStart: Int): Option[String] = {
+    var stack = List(-1) // top = owning SELECT pos for the current context
+    var i = 0
+    var owner = -1
+    var ownerLevel = -1
+    var startLevel = -1
+    var located = false
+    while (i < sql.length && !located) {
+      if (i == aggStart) {
+        owner = stack.head
+        // the owner's HOME frame sits below the contiguous run of copies
+        // that expression parens ('(' inherits) pushed on top of it — the
+        // block must end where THAT frame pops, not where the innermost
+        // expression paren (a CAST, say) closes
+        ownerLevel = stack.size - stack.takeWhile(_ == owner).length + 1
+        startLevel = stack.size
+        located = true
+      }
+      else sql.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(sql, i)
+        case '(' => stack = stack.head :: stack; i += 1
+        case ')' => if (stack.tail.nonEmpty) stack = stack.tail; i += 1
+        case _ =>
+          val sm = SelectKw.matcher(sql)
+          sm.region(i, sql.length)
+          if (sm.lookingAt()) { stack = i :: stack.tail; i = sm.end } else i += 1
+      }
+    }
+    if (owner < 0) return None
+    // block end: the ')' that pops the stack below the owner's HOME level
+    var j = aggStart
+    var level = startLevel
+    var blockEnd = sql.length
+    while (j < sql.length && blockEnd == sql.length) {
+      sql.charAt(j) match {
+        case '\'' => j = SqlText.literalEnd(sql, j)
+        case '(' => level += 1; j += 1
+        case ')' =>
+          level -= 1; if (level < ownerLevel) blockEnd = j else j += 1
+        case _ => j += 1
+      }
+    }
+    rewriteBlock(sql.substring(owner, blockEnd)).map { b =>
+      sql.substring(0, owner) + b + sql.substring(blockEnd)
+    }
+  }
+
+  /** Positions of a top-level (depth-0, outside literals) keyword in a
+    * block, or -1. */
+  private def topLevelKw(block: String, pat: java.util.regex.Pattern,
+      from: Int = 0): Int = {
+    var depth = 0
+    var i = from
+    while (i < block.length) {
+      block.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(block, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0) {
+            val m = pat.matcher(block)
+            m.region(i, block.length)
+            if (m.lookingAt()) return i
+          }
+          i += 1
+      }
+    }
+    -1
+  }
+
+  private def kw(words: String) = java.util.regex.Pattern.compile(
+    "(?i)\\b" + words.replace(" ", "\\s+") + "\\b")
+
+  /** Rewrite one SELECT block that contains depth-0 EXCLUDE TIES/GROUP
+    * calls. None = unsupported shape, leave the whole block untouched. */
+  private def rewriteBlock(block: String): Option[String] = {
+    val fromPos = topLevelKw(block, kw("FROM"))
+    if (fromPos < 0) return None
+    // the wrap changes evaluation order for these — reject loudly
+    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"))
+      if (topLevelKw(block, kw(bad)) >= 0) return None
+    val tailStart = {
+      val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))
+        .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
+      if (cands.isEmpty) block.length else cands.min
+    }
+    // collect every TIES/GROUP occurrence OWNED by this block's SELECT
+    // (owner-stack: expression parens inherit, subquery SELECTs shadow
+    // until their paren closes — a CAST-wrapped call still belongs here,
+    // a subquery's call does not)
+    val occs = scala.collection.mutable.Buffer.empty[TgOcc]
+    var stack = List(-1)
+    var i = 0
+    while (i < block.length) {
+      block.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(block, i)
+        case '(' => stack = stack.head :: stack; i += 1
+        case ')' => if (stack.tail.nonEmpty) stack = stack.tail; i += 1
+        case _ =>
+          val sm = SelectKw.matcher(block)
+          sm.region(i, block.length)
+          if (sm.lookingAt()) { stack = i :: stack.tail; i = sm.end }
+          else {
+          val m = AggCall.matcher(block)
+          m.region(i, block.length)
+          if (stack.head == 0 && m.lookingAt()) {
+            val argsClose = groupEnd(block, m.end - 1)
+            val om = Over.matcher(block)
+            om.region(argsClose, block.length)
+            var consumed = m.end
+            if (om.lookingAt()) {
+              val specClose = groupEnd(block, om.end - 1)
+              val spec = block.substring(om.end, specClose - 1)
+              val ex = ExcludeTG.matcher(spec)
+              if (ex.find()) {
+                parseTgSpec(spec.substring(0, ex.start).trim,
+                    ex.group(1).equalsIgnoreCase("TIES")) match {
+                  case Some((base, hasL, hasR, self)) =>
+                    val args = block.substring(m.end, argsClose - 1)
+                    if (args.trim.toUpperCase.startsWith("DISTINCT")) return None
+                    occs += TgOcc(i, specClose, m.group(1).toLowerCase,
+                      args, base, hasL, hasR, self)
+                    consumed = specClose
+                  case None => return None
+                }
+              }
+            }
+            i = consumed
+          } else i += 1
+          }
+      }
+    }
+    if (occs.isEmpty) return None
+    // occurrences inside the FROM..WHERE body (e.g. a join ON) can't ride
+    // the wrap — their input would gain the helper columns they feed
+    if (occs.exists(o => o.start >= fromPos && o.start < tailStart)) return None
+    // one dense_rank helper per distinct normalized window base
+    val drFor = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    occs.foreach { o =>
+      val norm = o.base.replaceAll("\\s+", " ").trim.toUpperCase
+      if (!drFor.contains(norm))
+        drFor(norm) = (s"__graft_dr${drFor.size + 1}", o.base)
+    }
+    def replFor(o: TgOcc): String = {
+      val dr = drFor(o.base.replaceAll("\\s+", " ").trim.toUpperCase)._1
+      val om = OrderByKw.matcher(o.base)
+      om.find() // guaranteed by parseTgSpec
+      val pb = o.base.substring(0, om.start).trim
+      def win(f: String, a: String, frame: String) = {
+        val head = if (pb.isEmpty) "" else pb + " "
+        s"$f($a) OVER (${head}ORDER BY $dr RANGE BETWEEN $frame)"
+      }
+      val left = Option.when(o.hasLeft)((f: String, a: String) =>
+        win(f, a, "UNBOUNDED PRECEDING AND 1 PRECEDING"))
+      val right = Option.when(o.hasRight)((f: String, a: String) =>
+        win(f, a, "1 FOLLOWING AND UNBOUNDED FOLLOWING"))
+      def addNullable(a: String, b: String) =
+        s"(CASE WHEN $a IS NULL AND $b IS NULL THEN NULL " +
+          s"ELSE coalesce($a, 0) + coalesce($b, 0) END)"
+      def extremum(pick: String)(a: String, b: String) =
+        s"(CASE WHEN $a IS NULL THEN $b WHEN $b IS NULL THEN $a " +
+          s"ELSE $pick($a, $b) END)"
+      // nullable parts: the two peer-group-adjacent windows plus (TIES
+      // only) the current row's own value
+      def parts(f: String, a: String, self: String): Seq[String] =
+        left.map(_(f, a)).toSeq ++ right.map(_(f, a)) ++
+          (if (o.keepSelf) Seq(self) else Nil)
+      def fold(ps: Seq[String], empty: String,
+          combine: (String, String) => String): String =
+        if (ps.isEmpty) empty else ps.reduce(combine)
+      def sumExpr(a: String) =
+        fold(parts("sum", a, s"($a)"), "NULL", addNullable)
+      def cntExpr(a: String) = {
+        val self = if (a.trim == "*") "1"
+          else s"(CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END)"
+        fold(parts("count", a, self), "0", (x, y) => s"($x + $y)")
+      }
+      o.fn match {
+        case "sum" => sumExpr(o.args)
+        case "count" => cntExpr(o.args)
+        case "min" => fold(parts("min", o.args, s"(${o.args})"), "NULL",
+          extremum("least"))
+        case "max" => fold(parts("max", o.args, s"(${o.args})"), "NULL",
+          extremum("greatest"))
+        case "avg" =>
+          s"(CAST(${sumExpr(o.args)} AS DOUBLE) / nullif(${cntExpr(o.args)}, 0))"
+      }
+    }
+    def applyRepls(seg: String, off: Int): String = {
+      var out = seg
+      occs.toSeq.filter(o => o.start >= off && o.start < off + seg.length)
+        .sortBy(-_.start)
+        .foreach { o =>
+          out = out.substring(0, o.start - off) + replFor(o) +
+            out.substring(o.end - off)
+        }
+      out
+    }
+    val selectSeg = applyRepls(block.substring(0, fromPos), 0)
+    val fromBody = block.substring(fromPos + 4, tailStart)
+    val tailSeg = applyRepls(block.substring(tailStart), tailStart)
+    val drDefs = drFor.values
+      .map { case (name, base) => s"dense_rank() OVER ($base) AS $name" }
+      .mkString(", ")
+    Some(s"${selectSeg}FROM (SELECT *, $drDefs FROM$fromBody) __graft_ex $tailSeg")
+  }
+
+  /** Parse a TIES/GROUP window spec body (EXCLUDE already stripped) →
+    * (base partition+order text, frame reaches left of peer group, frame
+    * reaches right of peer group, keep current row). None = out of scope. */
+  private def parseTgSpec(body: String, ties: Boolean)
+      : Option[(String, Boolean, Boolean, Boolean)] = {
+    val fm = FrameKw.matcher(body)
+    val (base, loTxt, hiTxt) =
+      if (fm.find()) {
+        val frame = body.substring(fm.end).trim
+        val b = body.substring(0, fm.start).trim
+        val bm = java.util.regex.Pattern.compile("(?i)^BETWEEN\\s+(.*?)\\s+AND\\s+(.*)$",
+          java.util.regex.Pattern.DOTALL).matcher(frame)
+        if (bm.matches()) (b, bm.group(1).trim, bm.group(2).trim)
+        else (b, frame, "CURRENT ROW") // short form: `ROWS lo`
+      } else (body.trim, "UNBOUNDED PRECEDING", "CURRENT ROW")
+    if (!OrderByKw.matcher(base).find()) return None
+    val loUnb = loTxt.matches("(?i)UNBOUNDED\\s+PRECEDING")
+    val hiUnb = hiTxt.matches("(?i)UNBOUNDED\\s+FOLLOWING")
+    val cur = (s: String) => s.matches("(?i)CURRENT\\s+ROW")
+    if (!loUnb && !cur(loTxt)) return None
+    if (!hiUnb && !cur(hiTxt)) return None
+    Some((base, loUnb, hiUnb, ties))
   }
 
   private def groupEnd(sql: String, open: Int): Int = {

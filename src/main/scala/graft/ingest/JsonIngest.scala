@@ -381,7 +381,8 @@ object JsonIngest {
     * maps integer tokens to seconds for TimestampType), which preserves
     * the in-memory path's instant semantics without round-tripping through
     * timezone-sensitive strings; sub-second values (not producible by the
-    * reference's second-precision formats) fall back to the ISO string. */
+    * reference's second-precision formats) fall back to ISO-8601 with an
+    * explicit UTC offset, immune to the JVM default zone. */
   private[graft] def transcodeColumnObjectToNdjson(path: String,
       explicit: Option[StructType], spark: SparkSession): (StructType, String) = {
     val f = new JsonFactory()
@@ -475,8 +476,14 @@ object JsonIngest {
               case b: Boolean => g.writeBoolean(b)
               case s: String => g.writeString(s)
               case t: java.sql.Timestamp =>
+                // sub-second fallback carries an EXPLICIT UTC offset
+                // (Instant.toString → "…T….123Z"): Timestamp.toString
+                // renders in the JVM-default zone while the NDJSON
+                // re-scan parses in the session zone (UTC), so a default
+                // zone ≠ UTC silently shifted sub-second values (r9
+                // advice). toInstant keeps nanos.
                 if (t.getTime % 1000L == 0L) g.writeNumber(t.getTime / 1000L)
-                else g.writeString(t.toString)
+                else g.writeString(t.toInstant.toString)
               case other => g.writeString(other.toString)
             }
           }

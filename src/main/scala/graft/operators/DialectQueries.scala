@@ -595,7 +595,47 @@ object DialectQueries {
       |  CAST(mismatches(substring(p_type, 1, 5), 'PROMO') AS BIGINT) AS mis
       |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
 
+  // Window frame EXCLUDE TIES / EXCLUDE GROUP (SQL:2016 T620, the two
+  // peer-group exclusions; round 10): compiled by WindowExclude's
+  // dense_rank-over-a-wrapped-FROM expansion into integer-RANGE frames
+  // around the current peer group. o_orderdate within an o_orderpriority
+  // partition is duplicate-heavy, so peer groups have real width — TIES
+  // and GROUP genuinely differ from EXCLUDE CURRENT ROW here. Covers the
+  // default frame (spelled explicitly), the full UNBOUNDED⋯UNBOUNDED
+  // frame, and a suffix RANGE frame; sum/count/avg/min/max all exercised.
+  // Float discipline: o_totalprice is DOUBLE in the driver data and the
+  // two engines accumulate window sums in different orders (DuckDB's
+  // windowed aggregates ride a segment tree), so partition-wide sums
+  // drift past the 6-dp gate — the true sum is an exact 2-dp value, so
+  // round(·, 2) recovers it identically on both sides. avg runs over the
+  // INTEGER o_custkey instead: integer-valued double accumulation is
+  // exact in any order below 2^53, so no rounding is needed there.
+  private val q103Sql =
+    """SELECT o_orderkey,
+      |  CAST(round(sum(o_totalprice) OVER wt, 2) AS DOUBLE) AS ties_sum,
+      |  CAST(count(*) OVER wt AS BIGINT) AS ties_cnt,
+      |  CAST(avg(o_custkey) OVER wt AS DOUBLE) AS ties_avg,
+      |  CAST(min(o_totalprice) OVER wt AS DOUBLE) AS ties_min,
+      |  CAST(round(sum(o_totalprice) OVER wg, 2) AS DOUBLE) AS grp_sum,
+      |  CAST(max(o_totalprice) OVER wg AS DOUBLE) AS grp_max,
+      |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE GROUP) AS BIGINT) AS full_grp_cnt,
+      |  CAST(round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      |    EXCLUDE TIES), 2) AS DOUBLE) AS suffix_ties_sum
+      |FROM orders
+      |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |              EXCLUDE TIES),
+      |       wg AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |              EXCLUDE GROUP)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * arithmetic: vectors quantize to BIGINT (p34's floor-plus-half), L2
   * distances are exact integer sums, and the centroid update is an
   * integer truncated mean (`div` toward zero in both engines). Two Lloyd
-  * iterations from a seeded init (cells = the first k quantized vectors).
+  * iterations from a hash-priority seeded init ([[seedInit]]).
   *
   * Scale shape: assignment is a broadcast nested loop (k codegen'd integer
   * distance folds per row, map-side — the corpus never shuffles for it);
@@ -77,10 +77,43 @@ object Clustering {
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("c"))
 
+  /** Hash-priority seeding (round 10, replacing first-k): the k seeds are
+    * the vectors with the SMALLEST deterministic priority
+    * pri = (A·(vec_id mod P) + B) mod P — a fixed-seed uniform sample of
+    * the corpus in the spirit of k-means‖ oversampling (Bahmani et al.
+    * 2012: seeds drawn ∝ uniform from the data beat any
+    * first-rows-of-the-scan init). First-k seeds are whatever rows sort
+    * first — on real data adjacent rows share a shard/domain, so seeds
+    * were CORRELATED and cell sizes skewed; a uniform hash sample spreads
+    * them. Shapes: one TakeOrderedAndProject (per-partition partial top-k,
+    * k-row merge — no global window, no corpus shuffle), then cell labels
+    * = 0-based rank in (pri, vec_id) order via a window over the k-row
+    * result. vec_id is reduced mod P before the multiply so the product
+    * stays < 2^52 at any id scale; identical integer arithmetic on the
+    * DuckDB side keeps the oracle bit-exact at every SF. */
+  private[pipeline] val SeedA = 1299721L
+  private[pipeline] val SeedB = 15485863L
+
+  private[graft] def seedInit(q: DataFrame, k: Int): DataFrame = {
+    val P = PortableHash.P
+    val pri = pmod(lit(SeedA) * pmod(col("vec_id"), lit(P)) + lit(SeedB), lit(P))
+    val w = Window.orderBy(col("pri"), col("vec_id"))
+    q.select(col("vec_id"), col("q")).withColumn("pri", pri)
+      .orderBy(col("pri"), col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cell"), col("q").as("c"))
+  }
+
+  /** The c0 seeding CTE body, shared by [[duckKmeansCtes]]. */
+  private[pipeline] def duckSeedSql(kSql: String): String =
+    s"""c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS cell, q AS c FROM (
+       |  SELECT q, row_number() OVER (
+       |    ORDER BY ($SeedA * (vec_id % ${PortableHash.P}) + $SeedB)
+       |      % ${PortableHash.P}, vec_id) AS rk
+       |  FROM qv) t WHERE rk <= ($kSql))""".stripMargin
+
   private def kmeans(s: SparkSession, dir: String): DataFrame = {
     val q = quantized(s, dir)
-    val cents0 = q.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val cents0 = seedInit(q, K)
     val a1 = assign(q, cents0)
     val cents1 = update(a1)
     val a2 = assign(q, cents1)
@@ -110,7 +143,7 @@ object Clustering {
        |qv AS (SELECT vec_id,
        |         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
        |       FROM sc),
-       |c0 AS (SELECT vec_id AS cell, q AS c FROM qv WHERE vec_id < ($kSql)),
+       |${duckSeedSql(kSql)},
        |d1 AS (
        |  SELECT qv.vec_id, qv.q, c0.cell,
        |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),

@@ -57,11 +57,16 @@ object SemanticOps {
 
   private def semdedup(s: SparkSession, dir: String): DataFrame = {
     val q = Clustering.quantized(s, dir)
-    // declarative k: 1-row count aggregate, broadcast under the filter
-    val kDf = q.agg(greatest(lit(SemK.toLong),
-      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)")).as("kk"))
-    val cents0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("kk"))
-      .select(col("vec_id").as("cell"), col("q").as("c"))
+    // k = max(64, ceil(sqrt(n))) resolved DRIVER-SIDE (one scalar action
+    // over the pinned quantized stage): the hash-priority seeding (round
+    // 10) needs k as a LIMIT to stay a TakeOrdered — a data-dependent
+    // top-k is not expressible declaratively without a global rank window
+    // over the corpus. Same driver-side class as assign()'s k-row
+    // centroid collect; the previous declarative kk column only worked
+    // because first-k seeding was a map-side filter.
+    val kk = q.agg(greatest(lit(SemK.toLong),
+      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)")).as("kk")).head().getLong(0)
+    val cents0 = Clustering.seedInit(q, kk.toInt)
     val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
     // norms and the pair dot products run through the codegen'd vec_dot
     // (not an interpreted zip_with lambda — the pair join is the hot loop);
@@ -136,13 +141,37 @@ object SemanticOps {
     * pure 64-bit integer arithmetic (10⁶·ln(1/0.9) ≈ 105360 as a fixed
     * scaled constant, ceil-division, pow2 via a filtered 2^p list) so both
     * engines compute the identical m from the identical count — the oracle
-    * stays parametric in the eval-set size instead of pinning a constant. */
+    * stays parametric in the eval-set size instead of pinning a constant.
+    *
+    * The pow2 ladder is CLAMPED at 2^31 (round 10): probe positions are
+    * (h mod P) mod m with P = 2^31−1, so any m ≥ 2^31 leaves the outer
+    * mod a no-op and the extra width never receives a bit — 2^31 is the
+    * sizing ceiling of this hash domain, ~75 M eval shingles at ε = 0.1%.
+    * Demand beyond the clamp fails LOUDLY (raise_error) instead of the
+    * previous silent null-m cascade ([[mDerivationSql]], spec-pinned). */
   private val BloomK = 3
   /** 10⁶·ln(1/(1−ε^{1/k})) for ε = 0.001, k = 3 — the scaled denominator
     * of the m-derivation; see the FP-target algebra in the scaladoc. */
   private val BloomLnScaled = 105360L
 
   private def bloomProbes: Seq[(Long, Long)] = PH.perms.take(BloomK)
+
+  /** The derived-m expression over an eval-shingle-count column: smallest
+    * power of two ≥ ~28.47·n, CLAMPED to the 2^31 probe domain (positions
+    * are (h mod P) mod m with P = 2^31−1; a wider filter never receives a
+    * bit in its upper half, so ε would silently degrade past the clamp).
+    * Demand beyond the clamp raises instead of emitting a null m that
+    * cascades into silently-empty results (round-10; the previous 2^40
+    * ladder had exactly that failure shape at >3.9e10 shingles). */
+  private[graft] def mDerivationSql(nev: String): String = {
+    val req = s"(($nev * ${BloomK * 1000000L} + ${BloomLnScaled - 1}) div $BloomLnScaled)"
+    s"CASE WHEN $req > ${1L << 31} THEN CAST(raise_error(concat(" +
+      s"'bloom m-derivation overflow: ', CAST($nev AS STRING), " +
+      s"' eval shingles demand a filter wider than the 2^31 probe domain " +
+      s"((h mod P) mod m, P = 2^31-1); shard the eval set')) AS BIGINT) " +
+      s"ELSE array_min(filter(transform(sequence(6, 31), " +
+      s"p -> shiftleft(CAST(1 AS BIGINT), p)), v -> v >= $req)) END"
+  }
 
   /** Core over a (doc_id, shingle) pair stream; `fixedM` pins the filter
     * width for specs that measure the derived sizing against a constant. */
@@ -153,11 +182,8 @@ object SemanticOps {
     // pattern as SemDeDup's corpus-scaled k)
     val mDf = fixedM match {
       case Some(m) => evalSh.sparkSession.range(1).select(lit(m).as("m"))
-      case None => evalSh.agg(count(lit(1)).as("nev")).select(expr(
-        s"array_min(filter(transform(sequence(6, 40), " +
-        s"p -> shiftleft(CAST(1 AS BIGINT), p)), " +
-        s"v -> v >= (nev * ${BloomK * 1000000L} + ${BloomLnScaled - 1}) div $BloomLnScaled))"
-      ).as("m"))
+      case None => evalSh.agg(count(lit(1)).as("nev"))
+        .select(expr(mDerivationSql("nev")).as("m"))
     }
     val posOf = bloomProbes.zipWithIndex.map { case ((a, b), j) =>
       struct(lit(j).as("j"),
@@ -234,7 +260,7 @@ object SemanticOps {
        |mraw AS (SELECT (count(*) * ${BloomK * 1000000L} + ${BloomLnScaled - 1})
        |                  // $BloomLnScaled AS r FROM evalsh),
        |msel AS (SELECT min(v) AS m
-       |         FROM (SELECT unnest(list_transform(range(6, 41),
+       |         FROM (SELECT unnest(list_transform(range(6, 32),
        |                 p -> CAST(pow(2, p) AS BIGINT))) AS v) t, mraw
        |         WHERE t.v >= mraw.r),
        |bits AS (SELECT DISTINCT jp[1] AS j, jp[2] AS pos

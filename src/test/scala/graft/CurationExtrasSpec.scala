@@ -123,8 +123,7 @@ class CurationExtrasSpec extends AnyFunSuite {
     // centroid update (measured against the NEW centroids) is <= the
     // first assignment's inertia
     val qz = Clustering.quantized(spark, dir)
-    val c0 = qz.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val c0 = Clustering.seedInit(qz, 8)
     val a1 = Clustering.assign(qz, c0)
     val i1 = a1.agg(sum("dist")).collect().head.getLong(0)
     val i2 = rows.map(_.getAs[Long]("inertia")).sum

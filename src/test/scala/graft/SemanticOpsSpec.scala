@@ -82,10 +82,9 @@ class SemanticOpsSpec extends AnyFunSuite {
     // generator must produce the identical dup set
     import graft.pipeline.Clustering
     val q = Clustering.quantized(spark, sfDir)
-    val kDf = q.agg(greatest(lit(64L),
-      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)")).as("kk"))
-    val cents0 = q.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("kk"))
-      .select(col("vec_id").as("cell"), col("q").as("c"))
+    val kk = q.agg(greatest(lit(64L),
+      expr("CAST(ceil(sqrt(count(1))) AS BIGINT)"))).head().getLong(0)
+    val cents0 = Clustering.seedInit(q, kk.toInt)
     val a2 = Clustering.assign(q, Clustering.update(Clustering.assign(q, cents0)))
     val m = a2.withColumn("n",
       graft.functions.vec_dot(col("q"), col("q")).cast("long"))

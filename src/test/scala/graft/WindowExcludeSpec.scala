@@ -86,4 +86,109 @@ class WindowExcludeSpec extends AnyFunSuite {
     val lit = "SELECT 'ROWS EXCLUDE CURRENT ROW' AS s, sum(x) OVER (ORDER BY y) FROM t"
     assert(WindowExclude.rewrite(lit) == lit)
   }
+
+  // ------------------------------- EXCLUDE TIES / EXCLUDE GROUP (round 10)
+
+  test("EXCLUDE TIES/GROUP match a self-join reference on duplicate order keys") {
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT o_orderkey,
+        |  CAST(sum(o_totalprice) OVER wt AS DOUBLE) AS ties_sum,
+        |  CAST(count(*) OVER wt AS BIGINT) AS ties_cnt,
+        |  CAST(avg(o_totalprice) OVER wt AS DOUBLE) AS ties_avg,
+        |  CAST(min(o_totalprice) OVER wt AS DOUBLE) AS ties_min,
+        |  CAST(sum(o_totalprice) OVER wg AS DOUBLE) AS grp_sum,
+        |  CAST(max(o_totalprice) OVER wg AS DOUBLE) AS grp_max,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS full_grp_cnt,
+        |  CAST(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS suffix_ties_sum
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |              EXCLUDE TIES),
+        |       wg AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |              EXCLUDE GROUP)""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains("dense_rank() OVER"), rewritten)
+    val got = spark.sql(rewritten)
+    // reference: one self-join on the partition key, per-row conditional
+    // aggregates over the peer relation (below / not-equal / above)
+    val ref = spark.sql(
+      """SELECT a.o_orderkey,
+        |  CAST(coalesce(sum(CASE WHEN b.o_orderdate < a.o_orderdate
+        |         THEN b.o_totalprice END), 0) + a.o_totalprice AS DOUBLE) AS ties_sum,
+        |  count(CASE WHEN b.o_orderdate < a.o_orderdate THEN 1 END) + 1 AS ties_cnt,
+        |  CAST((coalesce(sum(CASE WHEN b.o_orderdate < a.o_orderdate
+        |          THEN b.o_totalprice END), 0) + a.o_totalprice) AS DOUBLE)
+        |    / CAST(count(CASE WHEN b.o_orderdate < a.o_orderdate THEN 1 END) + 1
+        |        AS DOUBLE) AS ties_avg,
+        |  CAST(CASE WHEN min(CASE WHEN b.o_orderdate < a.o_orderdate
+        |              THEN b.o_totalprice END) IS NULL THEN a.o_totalprice
+        |       ELSE least(min(CASE WHEN b.o_orderdate < a.o_orderdate
+        |              THEN b.o_totalprice END), a.o_totalprice) END AS DOUBLE) AS ties_min,
+        |  CAST(sum(CASE WHEN b.o_orderdate < a.o_orderdate
+        |         THEN b.o_totalprice END) AS DOUBLE) AS grp_sum,
+        |  CAST(max(CASE WHEN b.o_orderdate < a.o_orderdate
+        |         THEN b.o_totalprice END) AS DOUBLE) AS grp_max,
+        |  count(CASE WHEN b.o_orderdate <> a.o_orderdate THEN 1 END) AS full_grp_cnt,
+        |  CAST(coalesce(sum(CASE WHEN b.o_orderdate > a.o_orderdate
+        |         THEN b.o_totalprice END), 0) + a.o_totalprice AS DOUBLE) AS suffix_ties_sum
+        |FROM orders a JOIN orders b ON a.o_orderpriority = b.o_orderpriority
+        |GROUP BY a.o_orderkey, a.o_orderdate, a.o_totalprice""".stripMargin)
+    // per-column comparison with a float tolerance (ties_avg differs in
+    // ulps between the split form and the self-join form, so a rounded
+    // exceptAll can flip on .0005 boundaries); NULLs must agree exactly
+    import org.apache.spark.sql.functions.{abs, col}
+    val cols = Seq("ties_sum", "ties_cnt", "ties_avg", "ties_min",
+      "grp_sum", "grp_max", "full_grp_cnt", "suffix_ties_sum")
+    val g = got.select(col("o_orderkey") +: cols.map(c => col(c).as("g_" + c)): _*)
+    val r = ref.select(col("o_orderkey") +: cols.map(c => col(c).as("r_" + c)): _*)
+    val joined = g.join(r, "o_orderkey")
+    assert(joined.count() === got.count() && got.count() > 0)
+    val bad = joined.filter(cols.map(c =>
+      !(col("g_" + c) <=> col("r_" + c)) &&
+        !(col("g_" + c).isNotNull && col("r_" + c).isNotNull &&
+          abs(col("g_" + c).cast("double") - col("r_" + c).cast("double")) < 1e-3)
+    ).reduce(_ || _))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+    // sanity: at least one row must have real peers, or TIES ≡ CURRENT ROW
+    // and the test proves nothing
+    assert(got.filter(col("full_grp_cnt") > 0).count() > 0)
+  }
+
+  test("TIES/GROUP ownership: CAST wrapping and scalar-subquery siblings resolve to the right SELECT") {
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT o_orderkey,
+        |  (SELECT max(n_nationkey) FROM nation) AS nmax,
+        |  CAST(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate EXCLUDE TIES) AS DOUBLE) AS s
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains("__graft_ex"), rewritten)
+    // the subquery's FROM nation must NOT be wrapped
+    assert(!rewritten.contains("FROM (SELECT *, dense_rank() OVER" +
+      " (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS __graft_dr1 FROM nation)"))
+    val rows = spark.sql(rewritten).collect()
+    assert(rows.length === 200 || rows.nonEmpty)
+  }
+
+  test("TIES/GROUP out-of-scope shapes pass through: k-offset frame, GROUP BY block, missing ORDER BY") {
+    val kOff =
+      "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
+    assert(WindowExclude.rewrite(kOff) == kOff)
+    val grouped =
+      "SELECT g, sum(sum(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g"
+    assert(WindowExclude.rewrite(grouped) == grouped)
+    val noOrder =
+      "SELECT sum(x) OVER (PARTITION BY p RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t"
+    assert(WindowExclude.rewrite(noOrder) == noOrder)
+  }
 }
