@@ -89,10 +89,15 @@ object Clustering {
     * k-row merge — no global window, no corpus shuffle), then cell labels
     * = 0-based rank in (pri, vec_id) order via a window over the k-row
     * result. vec_id is reduced mod P before the multiply so the product
-    * stays < 2^52 at any id scale; identical integer arithmetic on the
-    * DuckDB side keeps the oracle bit-exact at every SF. */
-  private[pipeline] val SeedA = 1299721L
-  private[pipeline] val SeedB = 15485863L
+    * stays < 2^62 at any id scale; identical integer arithmetic on the
+    * DuckDB side keeps the oracle bit-exact at every SF.
+    *
+    * A must be of order P: with a small multiplier, A·id never wraps P
+    * over a contiguous id range shorter than P/A and the "sample" is
+    * monotone in id — first-k in disguise (ClusteringSeedSpec pins the
+    * non-degeneracy). A·id mod P with A ≈ 1.1e9 wraps every ~2 ids. */
+  private[graft] val SeedA = 1103515245L
+  private[graft] val SeedB = 15485863L
 
   private[graft] def seedInit(q: DataFrame, k: Int): DataFrame = {
     val P = PortableHash.P

@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column operators: image/audio/video payloads modeled as opaque
   * `binary` columns with a typed metadata struct, per the north-star spec.
   *
-  * The decode kernels are STUBBED with deterministic fakes (this container
-  * has no image/audio codecs) — what is real, tested, and scale-designed is
-  * the Spark-side plumbing: the (payload: binary, meta: struct) schema, the
+  * The ORACLED decode kernels are deterministic fakes (the DuckDB oracle
+  * cannot run a codec) — what is real, tested, and scale-designed is the
+  * Spark-side plumbing: the (payload: binary, meta: struct) schema, the
   * narrow partition-parallel transforms, binary slicing for frame sampling,
-  * and fixed-dimension feature extraction feeding the ANN operators.
-  * Swapping a stub for a real codec is a one-expression change (or a
-  * `mapInPandas`/`mapPartitions` stage) with the same schema contract.
+  * and fixed-dimension feature extraction feeding the ANN operators. A
+  * REAL image decode exists too ([[imageKernel]], round 10): pure-JVM
+  * javax.imageio behind the same [[decodeAssets]] contract, stub fallback
+  * for non-image payloads, spec-pinned on a real PNG fixture.
   *
   * Payloads are synthesized from the documents table (text bytes stand in
   * for media bytes) so the operators run on the driver-provided data. The
@@ -192,18 +193,34 @@ object Multimodal {
     (w, h, 3)
   }
 
-  /** Partition-parallel decode with a PLUGGABLE kernel — the exact shape a
-    * real image/audio codec drops into (the kernel runs inside
-    * `mapPartitions` on the executors; per-partition it could hold a codec
-    * context/library handle, amortized across its rows). The default
-    * kernel is the deterministic stub (this container ships no codecs);
-    * MultimodalSpec pins `decodePartitioned(stub) ≡ the SQL decode query`,
-    * so swapping in a real codec is exactly one function. */
-  def decodePartitioned(s: SparkSession, dir: String,
-      kernel: (Array[Byte], String) => (Int, Int, Int) = stubKernel)
+  /** REAL pure-JVM image decode (round 10): javax.imageio ships with the
+    * JDK (PNG/GIF/BMP/JPEG readers), so image-mime payloads decode to their
+    * actual raster dimensions and channel count with zero external
+    * dependencies. Payloads that are not decodable images — wrong mime,
+    * truncated bytes, or the synthetic text-bytes corpus — fall back to
+    * the deterministic [[stubKernel]], keeping the kernel TOTAL over any
+    * input. The declared p14 oracle row stays on the stub for BOTH
+    * engines (the DuckDB oracle cannot run a codec); this kernel is the
+    * production arm the [[decodeAssets]] contract was built for,
+    * spec-pinned against a real PNG fixture in MultimodalSpec. */
+  private[graft] def imageKernel(payload: Array[Byte], mime: String): (Int, Int, Int) =
+    if (mime == null || !mime.startsWith("image/")) stubKernel(payload, mime)
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) stubKernel(payload, mime)
+      else (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    } catch { case _: java.io.IOException => stubKernel(payload, mime) }
+
+  /** Partition-parallel decode of an assets frame ((asset_id, payload,
+    * meta{mime, n_bytes, origin})) with a PLUGGABLE kernel — the exact
+    * shape a codec drops into (the kernel runs inside `mapPartitions` on
+    * the executors; per-partition it could hold a codec context/library
+    * handle, amortized across its rows). */
+  private[graft] def decodeAssets(assetsDf: DataFrame,
+      kernel: (Array[Byte], String) => (Int, Int, Int))
       : org.apache.spark.sql.Dataset[DecodedAsset] = {
-    import s.implicits._
-    assets(s, dir)
+    import assetsDf.sparkSession.implicits._
+    assetsDf
       .select(col("asset_id"), col("payload"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
       .as[(Long, Array[Byte], String, Long)]
@@ -215,6 +232,15 @@ object Multimodal {
         }
       }
   }
+
+  /** The (s, dir) convenience wrapper over [[decodeAssets]]. The default
+    * kernel is the deterministic stub (MultimodalSpec pins
+    * `decodePartitioned(stub) ≡ the SQL decode query`); pass
+    * [[imageKernel]] for the real javax.imageio arm. */
+  def decodePartitioned(s: SparkSession, dir: String,
+      kernel: (Array[Byte], String) => (Int, Int, Int) = stubKernel)
+      : org.apache.spark.sql.Dataset[DecodedAsset] =
+    decodeAssets(assets(s, dir), kernel)
 
   val all: Seq[Q] = Seq(
     Q("p14_multimodal_decode", decode, Some(decodeSql)),

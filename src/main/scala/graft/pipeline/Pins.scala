@@ -23,8 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * State is per-session and lives until [[releaseAll]] or until the
   * session's SparkContext stops: cached DataFrames strongly reference
-  * their session, so weak keys could never collect an entry — instead
-  * every registry access purges entries whose context has stopped.
+  * their session, so weak keys could never collect an entry — instead a
+  * SparkListener purges the entry eagerly at application end, and every
+  * registry access additionally sweeps entries whose context has stopped
+  * (belt and braces: the listener bus can be drained late).
   */
 object Pins {
 
@@ -41,7 +43,18 @@ object Pins {
 
   private def state(s: SparkSession): State = bySession.synchronized {
     bySession.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
-    bySession.getOrElseUpdate(s, new State)
+    bySession.getOrElseUpdate(s, {
+      // eager purge at context stop (round 10): without it, a process
+      // that stops its last session but keeps running would hold this
+      // session's State (and its DataFrame graph) until the next
+      // registry access from ANY session
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          bySession.synchronized { bySession.remove(s) }
+      })
+      new State
+    })
   }
 
   /** Pin an intra-query barrier; released between queries by the harness. */

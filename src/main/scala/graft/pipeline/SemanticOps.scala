@@ -164,7 +164,9 @@ object SemanticOps {
     * cascades into silently-empty results (round-10; the previous 2^40
     * ladder had exactly that failure shape at >3.9e10 shingles). */
   private[graft] def mDerivationSql(nev: String): String = {
-    val req = s"(($nev * ${BloomK * 1000000L} + ${BloomLnScaled - 1}) div $BloomLnScaled)"
+    // the L suffix keeps the arithmetic in BIGINT even when `nev` is an
+    // INT literal (ANSI mode overflows 30000 * 3000000 in INT otherwise)
+    val req = s"(($nev * ${BloomK * 1000000L}L + ${BloomLnScaled - 1}L) div ${BloomLnScaled}L)"
     s"CASE WHEN $req > ${1L << 31} THEN CAST(raise_error(concat(" +
       s"'bloom m-derivation overflow: ', CAST($nev AS STRING), " +
       s"' eval shingles demand a filter wider than the 2^31 probe domain " +

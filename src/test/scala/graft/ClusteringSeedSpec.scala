@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.{Clustering, PortableHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 hash-priority k-means seeding: the seeds must be the k
+  * vectors with the smallest (pri, vec_id) under the fixed affine hash —
+  * verified against an independent driver-side computation — and the
+  * Lloyd machinery must tolerate the degenerate all-identical-vectors
+  * corpus where every cell but one empties out. */
+class ClusteringSeedSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("seedInit picks the k hash-priority winners, labeled 0..k-1 in priority order") {
+    val q = Clustering.quantized(spark, sfDir)
+    val k = 8
+    val seeds = Clustering.seedInit(q, k)
+      .select(col("cell"), col("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(seeds.keySet === (0L until k.toLong).toSet)
+    // independent expectation: hash every vec_id on the driver, take the
+    // k smallest by (pri, vec_id)
+    val P = PortableHash.P
+    val ids = q.select("vec_id").collect().map(_.getLong(0))
+    val expected = ids
+      .map(id => ((Clustering.SeedA * (id % P) + Clustering.SeedB) % P, id))
+      .sorted.take(k).map(_._2)
+    // a uniform sample must not be the first-k rows (the init this
+    // replaces) — if it were, the test dataset can't distinguish them
+    assert(!expected.sorted.sameElements(0L until k.toLong),
+      s"hash sample degenerated to first-k: ${expected.mkString(",")}")
+    val qById = q.filter(col("vec_id").isin(expected: _*))
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    expected.zipWithIndex.foreach { case (id, cell) =>
+      assert(seeds(cell.toLong) === qById(id),
+        s"cell $cell should hold vec_id $id's vector")
+    }
+  }
+
+  test("degenerate corpus: identical vectors collapse to one cell and the Lloyd step survives") {
+    val dup = spark.range(100)
+      .select(col("id").as("vec_id"), expr("array_repeat(5L, 16)").as("q"))
+    val c0 = Clustering.seedInit(dup, 4)
+    assert(c0.count() === 4) // 4 identical seeds
+    // nearest-cell ties break to the smallest cell → everything lands in 0
+    val a1 = Clustering.assign(dup, c0)
+    assert(a1.select("cell").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // the update drops the 3 emptied cells; one centroid survives
+    val c1 = Clustering.update(a1)
+    assert(c1.count() === 1)
+    // and a further assignment round still covers the whole corpus
+    val a2 = Clustering.assign(dup, c1)
+    assert(a2.count() === 100)
+    assert(a2.agg(sum("dist")).collect().head.getLong(0) === 0L)
+  }
+
+  test("seedInit with k larger than the corpus returns every vector once") {
+    val tiny = spark.range(3)
+      .select(col("id").as("vec_id"), expr("array(id, id + 1)").as("q"))
+    assert(Clustering.seedInit(tiny, 10).count() === 3)
+  }
+}

@@ -163,6 +163,44 @@ class ExactQuantileRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("global path under AQE: both range-exchange consumers coalesce identically (results match)") {
+    // Round-10 pin of the documented invariant: the global form reads the
+    // ONE range exchange from two consumers whose partition ids must
+    // agree. Under AQE both reads go through AQEShuffleRead coalescing —
+    // the coalesce decision is derived from the same materialized stage
+    // statistics, so both consumers see the same partition map. This
+    // asserts equality on a run where coalescing DEMONSTRABLY fired
+    // (advisory size forced low so the final partition count is neither 1
+    // nor the static 32); a divergence would corrupt the __pid join.
+    Tables.registerAll(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+    try {
+      val sql = "SELECT percentile(o_totalprice, 0.5) AS med, " +
+        "percentile(o_totalprice, array(0.1, 0.9)) AS deciles, " +
+        "percentile(o_custkey, 0.25) AS pc, count(*) AS n FROM orders"
+      val df = withRule(on = true)(spark.sql(sql))
+      val on = df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead coalesced"),
+        s"the test must actually exercise AQE coalescing:\n$finalPlan")
+      val off = withRule(on = false)(spark.sql(sql).collect())
+      assert(on.length === 1 && off.length === 1)
+      (0 until on.head.length).foreach { i =>
+        (on.head.get(i), off.head.get(i)) match {
+          case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9)
+          case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+            x.zip(y).foreach { case (xe: Double, ye: Double) =>
+              assert(math.abs(xe - ye) < 1e-9) }
+          case (x, y) => assert(x === y)
+        }
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   // ------------------------------------------- DISTINCT and FILTER (r8)
 
   test("DISTINCT percentile rewrites (unit histogram counts) and matches the builtin") {

@@ -63,6 +63,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fixed.forall(d => d.width === 640 && d.height === 480 && d.channels === 1))
   }
 
+  test("imageKernel decodes a real PNG fixture; everything else rides the stub") {
+    import graft.pipeline.Multimodal
+    // a real 13×7 RGB PNG, produced by the JDK's own encoder
+    val img = new java.awt.image.BufferedImage(
+      13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xFF8800)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    assert(Multimodal.imageKernel(png, "image/png") === ((13, 7, 3)))
+    // totality: corrupt image payloads and non-image mimes fall back to
+    // the deterministic stub instead of throwing
+    val junk = "definitely not a png".getBytes("UTF-8")
+    assert(Multimodal.imageKernel(junk, "image/png") ===
+      Multimodal.stubKernel(junk, "image/png"))
+    assert(Multimodal.imageKernel(png, "audio/wav") ===
+      Multimodal.stubKernel(png, "audio/wav"))
+  }
+
+  test("decodeAssets with the real image kernel keeps the DecodedAsset contract on a mixed frame") {
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.functions.{col, length, lit, struct}
+    val img = new java.awt.image.BufferedImage(
+      31, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val textBytes = "an audio payload stand-in".getBytes("UTF-8")
+    val df = spark.createDataFrame(Seq(
+        (1L, png, "image/png", "synth"),
+        (2L, textBytes, "audio/wav", "synth")))
+      .toDF("asset_id", "payload", "mime", "origin")
+      .select(col("asset_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          col("origin")).as("meta"))
+    val out = Multimodal.decodeAssets(df, Multimodal.imageKernel)
+      .collect().sortBy(_.asset_id)
+    assert(out.length === 2)
+    assert((out(0).width, out(0).height, out(0).channels) === ((31, 17, 3)))
+    assert(out(0).mime === "image/png" && out(0).n_bytes === png.length.toLong)
+    val (sw, sh, sc) = Multimodal.stubKernel(textBytes, "audio/wav")
+    assert((out(1).width, out(1).height, out(1).channels) === ((sw, sh, sc)))
+  }
+
   test("declared frame/feature queries emit scalar digests, no arrays") {
     Seq("p16_multimodal_frames", "p17_multimodal_features").foreach { n =>
       val schema = run(n).schema

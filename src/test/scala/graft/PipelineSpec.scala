@@ -22,6 +22,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
   }
 
+  test("decontaminate: sub-threshold eval broadcasts via AQE; over-threshold degrades to shuffle") {
+    // round-10 pin of the r8 policy change (no forced broadcast hint):
+    // a production-sized benchmark suite must still BROADCAST from its
+    // measured size, and an oversized eval frame must degrade to a
+    // uniform shingle-keyed shuffle instead of an unbounded driver
+    // collect. Either side silently flipping is a 100 TB regression.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+    def shingleJoinPlan(): String = {
+      val df = graft.pipeline.TrainingPipeline(docs).decontaminate(eval_).result
+      df.write.format("noop").mode("overwrite").save() // AQE final plan
+      df.queryExecution.executedPlan.toString
+    }
+    // tiny eval at this SF → AQE's measured size is under the threshold
+    val broadcastPlan = shingleJoinPlan()
+    assert("BroadcastHashJoin \\[__sh".r.findFirstIn(broadcastPlan).isDefined,
+      s"small eval set must broadcast the shingle join:\n$broadcastPlan")
+    // an over-threshold eval suite is simulated by disabling the
+    // thresholds — with no hint forcing it, the join must plan shuffled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffledPlan = shingleJoinPlan()
+      assert("BroadcastHashJoin \\[__sh".r.findFirstIn(shuffledPlan).isEmpty,
+        s"oversized eval must not broadcast:\n$shuffledPlan")
+      assert(shuffledPlan.contains("SortMergeJoin") ||
+        shuffledPlan.contains("ShuffledHashJoin"),
+        s"expected a shuffled shingle join:\n$shuffledPlan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("exact dedup: keep_id count equals distinct text count") {
     val kept = run("p05_dedup_exact").count()
     val distinctTexts = Tables.load(spark, sfDir, "documents")

@@ -139,4 +139,22 @@ class SemanticOpsSpec extends AnyFunSuite {
     assert(fpDerived * 20 < fpFixed,
       s"derived sizing should cut FPs ≫ 20×: derived=$fpDerived fixed=$fpFixed")
   }
+
+  test("bloom m-derivation: pow2 ladder clamps at the 2^31 probe domain and overflows LOUDLY") {
+    def mFor(nev: Long): Long = spark.range(1)
+      .select(expr(pipeline.SemanticOps.mDerivationSql(nev.toString)).as("m"))
+      .head().getLong(0)
+    // nominal sizing: ~28.47·n rounded up to a power of two
+    assert(mFor(30000L) === (1L << 20))
+    // the largest demand the (h mod P) mod m probe domain can honor is
+    // m = 2^31 (P = 2^31−1): just-under-the-ceiling demand still resolves
+    assert(mFor(75000000L) === (1L << 31)) // 28.47·75e6 ≈ 2.13e9 ≤ 2^31
+    // beyond it the old ladder emitted a null m that cascaded into
+    // silently-empty results; now it must raise with a diagnosable message
+    val e = intercept[Throwable] { mFor(100000000L) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bloom m-derivation overflow")),
+      s"expected the loud overflow guard, got: $e")
+  }
 }
