@@ -215,13 +215,17 @@ object Bench {
   /** Same-instrument round-over-round comparison: previous artifact from
     * SPARK_GRAFT_BENCH_PREV or the newest committed BENCH_FULL_r*.json for
     * the same sf dir. Movers = ratio outside [1/1.5, 1.5] AND |delta|
-    * above both runs' spreads (noise can't read as regression). */
-  private def writeDelta(sfDir: String,
-      cur: Seq[(String, Double, Double)], ms: Double => Double): Unit = {
+    * above both runs' spreads (noise can't read as regression).
+    * `prevOverride`/`outPath` exist for the spec (BenchDeltaSpec) — the
+    * main flow passes neither. */
+  private[graft] def writeDelta(sfDir: String,
+      cur: Seq[(String, Double, Double)], ms: Double => Double,
+      prevOverride: Option[String] = None,
+      outPath: String = "BENCH_DELTA.json"): Unit = {
     // never compare a run against its own just-written artifact
     val selfName = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")).getName
-    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+    val prevPath = prevOverride.orElse(sys.env.get("SPARK_GRAFT_BENCH_PREV")).orElse {
       val dir = new java.io.File(".")
       Option(dir.listFiles()).toSeq.flatten
         .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
@@ -256,7 +260,7 @@ object Bench {
         }
         val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${deltas.mkString(",")}}}"""
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_DELTA.json"), json + "\n")
+          java.nio.file.Paths.get(outPath), json + "\n")
         System.err.println(s"[bench] delta vs $pp: ${entries.size} compared, $movers mover(s)")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] delta against $pp failed: ${e.getMessage}")
