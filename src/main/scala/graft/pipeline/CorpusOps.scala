@@ -22,6 +22,29 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared (doc_id, th) token-hash arrays — the first stage of every
+    * shingle-family query, memoized per dir ([[Pins.shared]], round 10):
+    * p58/p64 consume it directly and [[shinglePairs]] builds on it. */
+  private[pipeline] def tokenHashed(s: SparkSession, dir: String): DataFrame =
+    Pins.shared(s, dir, "doc-token-hashes") {
+      docs(s, dir)
+        .withColumn("th", expr(PH.sparkTokenHashes("text")))
+        .select(col("doc_id"), col("th"))
+    }
+
+  /** Shared distinct (doc_id, shingle) pairs — p25/p47/p50 each built
+    * this identical tokenize+shingle+distinct stage per query (the
+    * doc_id filters push through the distinct's aggregate, so no two
+    * branches' exchanges are reusable); one harness run now computes it
+    * once per dir, same posture as the LSH signature stage, disclosed
+    * through the bench warm array / cold-equivalent pass. */
+  private[pipeline] def shinglePairs(s: SparkSession, dir: String): DataFrame =
+    Pins.shared(s, dir, "doc-shingle-pairs") {
+      tokenHashed(s, dir)
+        .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
+        .distinct()
+    }
+
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination: flag corpus documents sharing 3-token
     * shingles with a held-out eval set (here the deterministic slice
@@ -31,15 +54,7 @@ object CorpusOps {
     * map-side against the (always small) benchmark shingle set — no
     * shuffle of the corpus at all. */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // persisted: eval and corpus branches otherwise each re-run the
-    // tokenize+shingle+distinct (the doc_id filters push through the
-    // distinct's aggregate, so Spark cannot reuse one branch's exchange
-    // for the other) — same pattern as p47/p50
-    val pairs = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
-      .distinct()
-      .pinned
+    val pairs = shinglePairs(s, dir)
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("shingle")).distinct()
       .withColumn("is_eval", lit(1))
@@ -399,10 +414,7 @@ object CorpusOps {
     * partitioned by shingle hash, unbounded key space), per-doc agg —
     * never an all-pairs comparison. */
   private def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), col("th"))
-      .pinned
+    val hashed = tokenHashed(s, dir)
     val grams = hashed.filter(size(col("th")) >= 3)
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
     val oldSet = grams.filter(col("doc_id") % 2 === 0)
@@ -442,10 +454,7 @@ object CorpusOps {
     * hash agg keyed by (doc, shingle) — unbounded), one df agg keyed by
     * shingle, a one-row total cross join, TakeOrdered top-20. */
   private def boilerplateShingles(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), col("th"))
-      .pinned
+    val hashed = tokenHashed(s, dir)
     val grams = hashed.filter(size(col("th")) >= 3)
       .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("g"))
       .distinct() // one vote per document

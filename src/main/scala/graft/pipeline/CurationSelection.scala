@@ -178,15 +178,9 @@ object CurationSelection {
     * overlap ratio against the training doc's own fingerprint set. The
     * eval side (doc_id % 17 = 0, as p25) is broadcast. */
   private def contamAttribution(s: SparkSession, dir: String): DataFrame = {
-    // persisted: three consumers (eval side, the shared join, the
-    // per-doc size agg) would each re-run tokenize+shingle+distinct —
-    // the doc_id filters push through the distinct's aggregate so their
-    // exchanges are not reusable across branches
-    val pairs = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
-      .distinct()
-      .pinned
+    // the shared shingle-pairs stage (CorpusOps) serves all three
+    // consumers (eval side, the shared join, the per-doc size agg)
+    val pairs = CorpusOps.shinglePairs(s, dir)
     val eval = pairs.filter(pmod(col("doc_id"), lit(17)) === 0)
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val train = pairs.filter(pmod(col("doc_id"), lit(17)) =!= 0)

@@ -191,6 +191,15 @@ object SemanticOps {
       struct(lit(j).as("j"),
         pmod(pmod(lit(a) * col("shingle") + lit(b), lit(PH.P)), col("m")).as("pos"))
     }
+    // One (j, pos) bit relation broadcast ONCE into the probe join. Two
+    // rejected round-10 variants, for the record: k per-probe broadcast
+    // left-joins (map-side, no aggregate) measured 14.6–21.5 s cold vs
+    // this shape's 10.4 s at sf1 — broadcast-exchange reuse does not
+    // fire across the differing join conditions, so every variant pays
+    // k ≈ |bits|-sized broadcast hash-table builds where this shape
+    // pays one; the aggregate the joins would have saved is map-side-
+    // collapsing anyway (the k probe rows of a shingle land in the same
+    // partition).
     val bits = evalSh.crossJoin(broadcast(mDf))
       .select(explode(array(posOf: _*)).as("jp"))
       .select(col("jp.j").as("j"), col("jp.pos").as("pos")).distinct()
@@ -238,16 +247,9 @@ object SemanticOps {
   }
 
   private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the eval and corpus branches each re-run the
-    // tokenize+shingle+distinct otherwise (the doc_id filters push
-    // through the distinct's aggregate, so the two exchanges differ and
-    // Spark cannot reuse one for the other); MEMORY_AND_DISK spills,
-    // harness clearCache releases
-    val pairs = docs(s, dir)
-      .withColumn("th", expr(PH.sparkTokenHashes("text")))
-      .select(col("doc_id"), explode(expr(PH.sparkShingles("th"))).as("shingle"))
-      .distinct()
-      .pinned
+    // the shared shingle-pairs stage (CorpusOps) serves the eval and
+    // corpus branches here and the same stage in p25/p47
+    val pairs = CorpusOps.shinglePairs(s, dir)
     bloomCore(pairs, fixedM = None)
   }
 
@@ -308,18 +310,23 @@ object SemanticOps {
     // vocabulary units are adjacent-word BIGRAMS: the synthetic corpus has
     // only ~31 distinct words, so word-level coverage is trivially total —
     // bigrams give a distribution the top-K cut actually lands inside
-    // (at real data the unit definition is the knob, the shape is fixed)
-    // persisted: the vocab aggregation and the per-doc rejoin each
-    // consume the exploded bigram stream; without the cache the regex
-    // split + transform runs twice (the vocab side's exchange carries
-    // partial counts, not raw units, so it is not reusable for the join)
-    val units = docs(s, dir)
+    // (at real data the unit definition is the knob, the shape is fixed).
+    // The PIN holds per-doc bigram ARRAYS, not the exploded stream
+    // (round 10): the expensive string work (regex split + 50M concat_ws
+    // allocations) runs once into a docs-sized cache, and each consumer
+    // pays only a cheap explode from the cached arrays. Both consumers
+    // keep their map-side-collapsing aggregations, so no corpus-sized
+    // shuffle exists anywhere (a (doc, unit, cnt) pre-aggregate was
+    // measured WORSE here — bigrams are near-distinct within a doc, so
+    // that shape ships ~every bigram through a full shuffle).
+    val unitArrs = docs(s, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
-        .as("unit"))
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")
+        .as("units"))
       .pinned
+    val units = unitArrs.select(col("doc_id"), explode(col("units")).as("unit"))
     // top-K via sort+limit → TakeOrderedAndProject, never a global window;
     // the (cnt DESC, unit ASC) total order makes the cut deterministic
     val vocab = units.groupBy(col("unit")).agg(count(lit(1)).as("cnt"))

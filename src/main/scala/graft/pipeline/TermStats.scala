@@ -26,23 +26,43 @@ object TermStats {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-doc lowercased token arrays — SHARED across the term-statistics
+    * family ([[Pins.shared]], round 10): six query sites (p40/p41/p42/
+    * p43/p55/p66) rebuild the identical regex split otherwise, the
+    * single most expensive stage of each. One row per document (arrays,
+    * not exploded rows — the split is what's worth caching; explode from
+    * cached arrays is cheap and stays per-consumer), memoized per dir
+    * like the LSH signature stage and disclosed through the bench's warm
+    * array / cold-equivalent pass. */
   private def toks(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      split(lower(trim(col("text"))), "\\s+").as("t"))
+    Pins.shared(s, dir, "doc-toks-lower") {
+      docs(s, dir).select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
+    }
+
+  /** (doc_id, term, tf) frame — ONE explode + hash-aggregate pass over
+    * the shared token arrays (round 10): every downstream statistic
+    * derives from it without touching the exploded token stream again —
+    * doc frequency is the per-term ROW count (the frame has exactly one
+    * row per (doc, term)), corpus term counts are sums of tf, corpus
+    * size is Σ tf. NOT pinned: every consumer embeds the identical
+    * aggregate subtree, so its one shuffle is deduplicated by exchange
+    * reuse inside the query — the 50M-row exploded-stream pin (and the
+    * persist round-trip that came with it) is gone entirely. */
+  private def docTermTf(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
   // ------------------------------------------------------------ p40 tf-idf
   private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
-    // persisted: tf, df, and the corpus-size aggregate each consume the
-    // exploded term stream — without the cache the regex split + explode
-    // runs three times (each consumer's exchange carries different
-    // partials, so none is reusable for the others)
-    val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
-      .pinned
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val ndocs = terms.agg(countDistinct(col("doc_id")).as("n"))
+    val tf = docTermTf(s, dir)
+    // df = rows per term (one row per (doc, term) by construction);
+    // n = distinct docs — both from the bounded tf frame, never the
+    // exploded stream
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val ndocs = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     // BROADCAST the vocabulary-sized df side: an equi-join on `term` would
@@ -121,21 +141,25 @@ object TermStats {
     * noise/rare-token soup; both tails get filtered in practice). Shapes:
     * explode → vocabulary-sized count join → per-doc average. */
   private def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    // persisted for the same three-consumer reason as p40 above
-    val terms = toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
-      .pinned
-    val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val tot = terms.agg(count(lit(1)).as("tot"))
-    // broadcast the vocabulary-sized count table: shuffling the EXPLODED
-    // corpus on the Zipfian `term` key is the skew trap (same reasoning
+    // everything derives from the shared (doc, term, tf) frame: corpus
+    // term counts and the corpus size are sums of tf, and the per-doc
+    // token-multiset average rewrites as the tf-weighted mean
+    // Σ tf·(−ln p) / Σ tf — same value (6-dp-stable), over a relation
+    // bounded by distinct (doc, term) pairs instead of every token
+    val tf = docTermTf(s, dir)
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    // broadcast the vocabulary-sized count table: shuffling the corpus
+    // frame on the Zipfian `term` key is the skew trap (same reasoning
     // as p40's df side; p51 already broadcasts its vocab)
-    terms.join(broadcast(cnt), Seq("term"))
+    tf.join(broadcast(cnt), Seq("term"))
       .crossJoin(tot) // one-row aggregate
       .groupBy(col("doc_id"))
       .agg(
-        avg(-log(col("c").cast("double") / col("tot").cast("double")))
-          .as("mean_surprisal"),
-        count(lit(1)).as("n_tok"))
+        (sum(col("tf").cast("double") *
+            -log(col("c").cast("double") / col("tot").cast("double"))) /
+          sum(col("tf").cast("double"))).as("mean_surprisal"),
+        sum(col("tf")).as("n_tok"))
       .orderBy(col("doc_id"))
   }
 
