@@ -242,6 +242,52 @@ object Multimodal {
       : org.apache.spark.sql.Dataset[DecodedAsset] =
     decodeAssets(assets(s, dir), kernel)
 
+  // ------------------------------------------------------- real audio arm
+  /** Decoded-audio record — the audio analogue of [[DecodedAsset]]. */
+  final case class DecodedAudio(
+      asset_id: Long, mime: String, n_bytes: Long,
+      sample_rate: Int, n_frames: Long, channels: Int)
+
+  /** REAL pure-JVM audio header decode (javax.sound.sampled ships WAV/
+    * AIFF/AU readers with the JDK): sample rate, frame count, and channel
+    * count from the actual audio format. Non-audio mimes and payloads the
+    * JDK cannot parse return None — callers choose their fallback (the
+    * Dataset arm emits a (0, 0, 0)-shaped row so the record stays total,
+    * mirroring [[imageKernel]]'s stub fallback). */
+  private[graft] def audioKernel(payload: Array[Byte], mime: String)
+      : Option[(Int, Long, Int)] =
+    if (mime == null || !mime.startsWith("audio/")) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, in.getFrameLength, f.getChannels))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Partition-parallel audio decode over an assets frame — same
+    * `mapPartitions` contract as [[decodeAssets]]; undecodable payloads
+    * yield zeroed dimensions rather than dropping the row (the curation
+    * pipeline filters on them downstream). */
+  private[graft] def decodeAudioAssets(assetsDf: DataFrame)
+      : org.apache.spark.sql.Dataset[DecodedAudio] = {
+    import assetsDf.sparkSession.implicits._
+    assetsDf
+      .select(col("asset_id"), col("payload"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mime, nBytes) =>
+          val (sr, nf, ch) = audioKernel(payload, mime).getOrElse((0, 0L, 0))
+          DecodedAudio(id, mime, nBytes, sr, nf, ch)
+        }
+      }
+  }
+
   val all: Seq[Q] = Seq(
     Q("p14_multimodal_decode", decode, Some(decodeSql)),
     Q("p15_multimodal_resize", resizePlan, Some(resizePlanSql)),

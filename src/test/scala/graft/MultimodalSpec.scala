@@ -107,6 +107,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert((out(1).width, out(1).height, out(1).channels) === ((sw, sh, sc)))
   }
 
+  test("audioKernel decodes a real WAV fixture; non-audio payloads yield zeroed dims") {
+    import graft.pipeline.Multimodal
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // a real 1 kHz-ish PCM WAV: 800 frames of 16-bit mono at 8 kHz,
+    // written by the JDK's own encoder
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](800 * 2)
+    (0 until 800).foreach { i =>
+      val v = (math.sin(i * 0.5) * 1000).toInt
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 800),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(Multimodal.audioKernel(wav, "audio/wav") === Some((8000, 800L, 1)))
+    assert(Multimodal.audioKernel(wav, "video/mp4") === None)
+    assert(Multimodal.audioKernel("junk".getBytes, "audio/wav") === None)
+    // the Dataset arm keeps undecodable rows with zeroed dims
+    import org.apache.spark.sql.functions.{col, length, struct}
+    val df = spark.createDataFrame(Seq(
+        (1L, wav, "audio/wav", "synth"),
+        (2L, "text payload".getBytes("UTF-8"), "audio/wav", "synth")))
+      .toDF("asset_id", "payload", "mime", "origin")
+      .select(col("asset_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          col("origin")).as("meta"))
+    val out = Multimodal.decodeAudioAssets(df).collect().sortBy(_.asset_id)
+    assert(out(0).sample_rate === 8000 && out(0).n_frames === 800L &&
+      out(0).channels === 1)
+    assert(out(1).sample_rate === 0 && out(1).n_frames === 0L &&
+      out(1).channels === 0)
+  }
+
   test("declared frame/feature queries emit scalar digests, no arrays") {
     Seq("p16_multimodal_frames", "p17_multimodal_features").foreach { n =>
       val schema = run(n).schema
