@@ -180,6 +180,42 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(rows.length === 200 || rows.nonEmpty)
   }
 
+  test("TIES/GROUP frame-grid spellings: GROUPS mode, short form, DESC + multi-column order keys") {
+    Tables.registerAll(spark, sfDir)
+    // GROUPS mode and the no-BETWEEN short form both map onto the same
+    // supported grid; the window base uses a DESC key plus a second
+    // order column, so peer groups are (status, priority) pairs
+    val sql =
+      """SELECT o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderstatus DESC, o_orderdate
+        |    GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS non_peers,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderstatus DESC, o_orderdate
+        |    ROWS UNBOUNDED PRECEDING EXCLUDE TIES) AS BIGINT) AS short_ties_cnt
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains("ORDER BY o_orderstatus DESC, o_orderdate) AS __graft_dr1"),
+      rewritten)
+    val got = spark.sql(rewritten)
+    val ref = spark.sql(
+      """SELECT a.o_orderkey,
+        |  count(CASE WHEN b.o_orderstatus <> a.o_orderstatus
+        |             OR b.o_orderdate <> a.o_orderdate THEN 1 END) AS non_peers,
+        |  count(CASE WHEN b.o_orderstatus > a.o_orderstatus
+        |             OR (b.o_orderstatus = a.o_orderstatus
+        |                 AND b.o_orderdate < a.o_orderdate) THEN 1 END) + 1
+        |    AS short_ties_cnt
+        |FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) a
+        |JOIN (SELECT * FROM orders WHERE o_orderkey <= 2000) b
+        |  ON a.o_orderpriority = b.o_orderpriority
+        |GROUP BY a.o_orderkey""".stripMargin)
+    assert(got.count() > 0)
+    assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
+  }
+
   test("TIES/GROUP out-of-scope shapes pass through: k-offset frame, GROUP BY block, missing ORDER BY") {
     val kOff =
       "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
