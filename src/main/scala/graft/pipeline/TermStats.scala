@@ -40,15 +40,16 @@ object TermStats {
         split(lower(trim(col("text"))), "\\s+").as("t"))
     }
 
-  /** (doc_id, term, tf) frame — ONE explode + hash-aggregate pass over
-    * the shared token arrays (round 10): every downstream statistic
-    * derives from it without touching the exploded token stream again —
-    * doc frequency is the per-term ROW count (the frame has exactly one
-    * row per (doc, term)), corpus term counts are sums of tf, corpus
-    * size is Σ tf. NOT pinned: every consumer embeds the identical
-    * aggregate subtree, so its one shuffle is deduplicated by exchange
-    * reuse inside the query — the 50M-row exploded-stream pin (and the
-    * persist round-trip that came with it) is gone entirely. */
+  /** (doc_id, term, tf) frame over the shared token arrays (round 10):
+    * every downstream statistic derives from it — doc frequency is the
+    * per-term ROW count (the frame has exactly one row per (doc, term)),
+    * corpus term counts are sums of tf, corpus size is Σ tf. NOT pinned:
+    * each consumer re-runs the cheap explode + map-side-collapsing
+    * aggregate FROM THE CACHED ARRAYS (AQE does not deduplicate stages
+    * above an InMemoryRelation — verified on the final adaptive plan —
+    * so the subtree genuinely executes per consumer; what the rewrite
+    * removes is the 50M-row exploded-stream persist round-trip and the
+    * Expand-doubled countDistinct pass, which dominated). */
   private def docTermTf(s: SparkSession, dir: String): DataFrame =
     toks(s, dir).select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))

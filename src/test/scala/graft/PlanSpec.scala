@@ -153,4 +153,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q04_exists_semijoin").contains("LeftSemi"))
     assert(plan("q22_substring_antijoin").contains("LeftAnti"))
   }
+
+  test("p40/p42: consumers derive from the cached token arrays; no Expand, no exploded-stream cache") {
+    // Round-10 invariants of the tf-frame rewrite (5.0 → 2.6 s at sf1):
+    // every consumer re-reads the SHARED token-array cache (cheap explode
+    // + map-side-collapsing aggregate per consumer — AQE does not dedup
+    // stages above an InMemoryRelation, so asserting a single subtree
+    // would be wishful), the Expand-doubled countDistinct pass is gone,
+    // and nothing caches the exploded 50M-row stream anymore.
+    graft.pipeline.Pins.releaseAll(spark)
+    try Seq("p40_tfidf_top_terms", "p42_unigram_logprob").foreach { name =>
+      val p = plan(name)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$name consumers must read the shared token-array cache:\n$p")
+      assert(!p.contains("Expand"),
+        s"$name must not route statistics through an Expand:\n$p")
+      // every cache scan is the doc-level array frame, not exploded rows
+      assert(!p.linesIterator.exists(l =>
+          l.contains("InMemoryTableScan") && l.contains("term#")),
+        s"$name caches the exploded term stream:\n$p")
+    } finally graft.pipeline.Pins.releaseAll(spark)
+  }
 }
