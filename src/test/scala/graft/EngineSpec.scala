@@ -28,6 +28,25 @@ class EngineSpec extends AnyFunSuite {
     assert(new String(bytes.take(6), "UTF-8") === "ARROW1")
   }
 
+  test("window EXCLUDE TIES/GROUP compile through the engine SQL path (round 10)") {
+    // the T620 frame exclusions must work on the engine surface, not
+    // just the declared-query path — literal table, hand-checked values
+    val rows = conn.queryDF(
+      """SELECT k,
+        |  CAST(sum(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW EXCLUDE TIES) AS BIGINT) AS ties_sum,
+        |  CAST(sum(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS grp_sum
+        |FROM (VALUES (1, 10), (1, 20), (2, 40)) AS t(k, v)
+        |ORDER BY k, v""".stripMargin).collect()
+    // k=1 rows: peers of each other → TIES keeps only own v, GROUP drops
+    // both (NULL); k=2: prefix {10,20} + own 40 / prefix only
+    assert(rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ===
+      Seq((1, 10L, -1L), (1, 20L, -1L), (2, 70L, 30L)))
+  }
+
   test("generate_series is end-inclusive (bindings.test.ts:57)") {
     val rows = conn.queryDF("SELECT * FROM generate_series(1, 5)")
       .collect().map(_.getLong(0)) // explode(sequence) yields ints per input type
