@@ -50,7 +50,11 @@ package graft.dialect
   * current row. Frames with k-offset bounds genuinely cut peer groups
   * and still pass through for Spark to reject loudly, as do blocks with
   * GROUP BY/HAVING/set-ops (the wrap would change their evaluation
-  * order).
+  * order). One wrap-induced limitation: table-alias-QUALIFIED column
+  * references in the outer SELECT list (`t.v` where `t` is a FROM
+  * alias) stop resolving, because the alias moves inside the derived
+  * table — Spark rejects them loudly (UNRESOLVED_COLUMN); use
+  * unqualified names alongside TIES/GROUP exclusions.
   */
 object WindowExclude {
 
