@@ -284,6 +284,97 @@ object TermStats {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------- p71 duplicated-span REMOVAL plan
+  /** The removal step on top of p44's detection (Lee et al.'s ExactSubstr
+    * dedup actually CUTS the duplicated spans out of the training text):
+    * per document, the duplicated grams' [i, i+G−1] character intervals
+    * are UNION-MERGED and the plan reports how many characters the cut
+    * removes and the surviving length — the quantities a pipeline applies
+    * (and audits) before tokenization.
+    *
+    * The interval union is a single in-row fold over the SORTED dup
+    * positions with the running (end, total) state PACKED into one BIGINT
+    * (end·2³² + total): DuckDB's `list_reduce` only folds with an
+    * accumulator of the element type, so a struct state has no oracle
+    * spelling — the packed integer runs bit-identically in both engines
+    * (end ≤ doc length ≪ 2³¹, total < 2³², product < 2⁶³). Shapes are
+    * p44's plus one collect_list bounded by grams-per-doc — the same one
+    * gram-hash shuffle, then doc-keyed aggregation; nothing new at 100 TB. */
+  private def dupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val PH = graft.pipeline.PortableHash
+    val G = GramLen
+    val grams = docs(s, dir).select(col("doc_id"),
+        explode(expr(
+          s"sequence(1, greatest(1, length(text) - ${G - 1}), $GramStride)"))
+          .as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $G)")).as("h"))
+    val pack = 4294967296L // 2^32
+    // span ends clamp at doc_len: a doc shorter than G hashes one short
+    // gram whose nominal span would overrun the text
+    val covered = expr(
+      s"""pmod(aggregate(ps, 0L, (a, i) ->
+         |  IF(least(i + ${G - 1}L, doc_len) <= a div ${pack}L, a,
+         |     least(i + ${G - 1}L, doc_len) * ${pack}L + pmod(a, ${pack}L)
+         |       + least(i + ${G - 1}L, doc_len)
+         |       - greatest(i - 1L, a div ${pack}L))),
+         |  ${pack}L)""".stripMargin)
+    grams
+      .withColumn("isdup",
+        (count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))) > 1)
+          .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"),
+        sort_array(collect_list(when(col("isdup") === 1, col("i")))).as("ps"))
+      .join(docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("doc_len")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"), col("doc_len"),
+        covered.as("covered_chars"))
+      .withColumn("cleaned_len", col("doc_len") - col("covered_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupSpanRemovalSql = {
+    val PH = graft.pipeline.PortableHash
+    val G = GramLen
+    val pack = 4294967296L
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(1, length(text) - ${G - 1}) + 1, $GramStride)) AS i
+       |  FROM documents),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |        ${PH.duckCharHash(s"substr(text, CAST(i AS INT), $G)")} AS h
+       |      FROM pos),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT g.doc_id, g.i,
+       |        CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS isdup
+       |      FROM g LEFT JOIN dup ON g.h = dup.h),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(isdup) AS BIGINT) AS n_dup,
+       |    list_sort(list(i) FILTER (isdup = 1)) AS ps
+       |  FROM m GROUP BY doc_id),
+       |folded AS (
+       |  SELECT a.doc_id, a.n_grams, a.n_dup,
+       |    CAST(length(d.text) AS BIGINT) AS doc_len,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), coalesce(a.ps, [])),
+       |      (acc, i) -> CASE
+       |        WHEN least(i + ${G - 1}, CAST(length(d.text) AS BIGINT))
+       |             <= acc // $pack THEN acc
+       |        ELSE least(i + ${G - 1}, CAST(length(d.text) AS BIGINT)) * $pack
+       |          + acc % $pack
+       |          + least(i + ${G - 1}, CAST(length(d.text) AS BIGINT))
+       |          - greatest(i - 1, acc // $pack) END) AS acc
+       |  FROM agg a JOIN documents d USING (doc_id))
+       |SELECT doc_id, n_grams, n_dup, doc_len,
+       |  acc % $pack AS covered_chars,
+       |  doc_len - acc % $pack AS cleaned_len
+       |FROM folded
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- p52 BPE merge step
   /** One step of BPE tokenizer training: count adjacent symbol pairs over
     * the corpus and report the top candidates — the argmax row is the merge
@@ -378,6 +469,7 @@ object TermStats {
     Q("p42_unigram_logprob", unigramLogprob, Some(unigramSql)),
     Q("p43_context_chunks", contextChunks, Some(chunksSql)),
     Q("p44_dup_span_grams", dupSpanGrams, Some(dupSpanSql)),
+    Q("p71_dup_span_removal", dupSpanRemoval, Some(dupSpanRemovalSql)),
     Q("p52_bpe_merge_step", bpeMergeStep, Some(bpeSql)),
     Q("p61_zipf_slope", zipfSlope, Some(zipfSlopeSql)))
 }

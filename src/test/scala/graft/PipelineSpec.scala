@@ -56,6 +56,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p71: covered chars equal an independently computed interval union (overlaps merged, ends clamped)") {
+    val G = 20; val S = 8; val P = 2147483647L
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val docRows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams = docRows.toSeq.flatMap { case (id, t) =>
+      (1 to math.max(1, t.length - G + 1) by S).map { i =>
+        (id, i.toLong, polyHash(t.substring(i - 1, math.min(i - 1 + G, t.length))))
+      }
+    }
+    val dupSet = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    var sawMerge = false
+    val expected = grams.groupBy(_._1).map { case (id, gs) =>
+      val ps = gs.filter(g => dupSet(g._3)).map(_._2).sorted
+      val len = docRows(id).length.toLong
+      var end = 0L; var tot = 0L
+      ps.foreach { i =>
+        val ne = math.min(i + G - 1, len)
+        if (ne > end) { tot += ne - math.max(i - 1, end); end = ne }
+      }
+      if (ps.nonEmpty && tot < ps.size.toLong * G) sawMerge = true
+      id -> tot
+    }
+    val got = run("p71_dup_span_removal")
+      .select("doc_id", "covered_chars", "doc_len", "cleaned_len").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === expected(id),
+        s"doc $id covered ${r.getLong(1)} != independent ${expected(id)}")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+    }
+    // the merge path must actually fire on this corpus or the fold is
+    // only tested on disjoint spans
+    assert(sawMerge, "no overlapping duplicated spans in the test corpus")
+  }
+
   test("exact dedup: keep_id count equals distinct text count") {
     val kept = run("p05_dedup_exact").count()
     val distinctTexts = Tables.load(spark, sfDir, "documents")
