@@ -87,6 +87,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WindowExclude TIES/GROUP rewriter is total and literal-safe on arbitrary window-ish text") {
+    // The round-10 statement-level expansion does real surgery (owner
+    // SELECT location, FROM wrap, clause splitting): it must never throw
+    // on arbitrary SQL-ish input; out-of-scope shapes come back
+    // byte-identical, and string literals survive every rewrite verbatim.
+    val excl = Gen.oneOf("EXCLUDE TIES", "EXCLUDE GROUP",
+      "EXCLUDE CURRENT ROW", "EXCLUDE NO OTHERS", "")
+    val frame = Gen.oneOf(
+      "", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW ",
+      "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING ",
+      "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING ",
+      "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING ")
+    val base = Gen.oneOf("ORDER BY y", "PARTITION BY p ORDER BY y DESC, z",
+      "PARTITION BY p", "")
+    val lit = Gen.oneOf("EXCLUDE TIES", "OVER (", "SELECT", ") FROM (",
+      "ROWS BETWEEN")
+    val shape = Gen.oneOf(
+      // plain select, subquery nesting, CAST wrap, set op, group by
+      (w: String, l: String) => s"SELECT sum(x) OVER ($w) AS s, '$l' AS c FROM t",
+      (w: String, l: String) =>
+        s"SELECT * FROM (SELECT CAST(min(x) OVER ($w) AS DOUBLE) AS s, '$l' AS c FROM t) q",
+      (w: String, l: String) =>
+        s"SELECT avg(x) OVER ($w) FROM t UNION ALL SELECT 1 FROM u WHERE a = '$l'",
+      (w: String, l: String) =>
+        s"SELECT g, count(*) OVER ($w), '$l' FROM t GROUP BY g",
+      (w: String, l: String) => s"SELECT max(x) OVER ($w) AS s FROM t WHERE c <> '$l' ORDER BY s LIMIT 5")
+    val gen = for {
+      b <- base; f <- frame; e <- excl; l <- lit; sh <- shape
+    } yield (sh(s"$b $f$e".trim, l), l)
+    check(Prop.forAll(gen) { case (sql, l) =>
+      val out = graft.dialect.WindowExclude.rewrite(sql) // must not throw
+      out.contains(s"'$l'")
+    })
+  }
+
   test("literal escape translation: Spark evaluates the DuckDB meaning") {
     // for any backslash-bearing content, escapeLiteralsForSpark('c') must
     // make Spark's parser produce exactly c (DuckDB literal semantics)
