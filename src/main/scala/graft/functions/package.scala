@@ -22,6 +22,11 @@ package object functions {
   def simhash64(tokenHashes: Column): Column =
     ExprBridge.column(SimHash64(ExprBridge.expression(tokenHashes)))
 
+  /** Characters inside duplicated array elements (p26 repetition kernel;
+    * O(n) hash pass replacing the interpreted O(n²) HOF chain). */
+  def dup_chars(a: Column): Column =
+    ExprBridge.column(DupChars(ExprBridge.expression(a)))
+
   /** [scale, q_sum, q_l1, q_min, q_max] of one-pass int8 quantization. */
   def quant_stats(a: Column): Column =
     ExprBridge.column(QuantStats(ExprBridge.expression(a)))
@@ -78,6 +83,8 @@ package object functions {
       es => { arity("simhash64", 1)(es); SimHash64(es.head) })
     ExprBridge.registerFunction(spark, "quant_stats",
       es => { arity("quant_stats", 1)(es); QuantStats(es.head) })
+    ExprBridge.registerFunction(spark, "dup_chars",
+      es => { arity("dup_chars", 1)(es); DupChars(es.head) })
     ExprBridge.registerFunction(spark, "vec_sum",
       es => { arity("vec_sum", 1)(es); VecSumAgg(es.head) })
     ExprBridge.registerFunction(spark, "product",

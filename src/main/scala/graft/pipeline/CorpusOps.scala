@@ -112,10 +112,16 @@ object CorpusOps {
       .withColumn("toks", toks)
     val nSents = size(col("sents")).cast("long")
     val nDistinct = size(array_distinct(col("sents"))).cast("long")
-    // characters inside sentences that occur more than once in the document
-    val dupChars = expr(
-      """aggregate(filter(sents, x -> size(filter(sents, y -> y = x)) > 1),
-        |          0L, (acc, x) -> acc + length(x))""".stripMargin)
+    // characters inside sentences that occur more than once in the
+    // document — the native O(n) hash kernel (round 10) replacing the
+    // interpreted O(sentences²) HOF spelling `aggregate(filter(sents,
+    // x -> size(filter(sents, y -> y = x)) > 1), 0L, (acc, x) -> acc +
+    // length(x))`. Honest measurement: NO sf1 change on this corpus
+    // (~15 sentences/doc — the regex splits dominate); the kernel is a
+    // robustness bound for wide real documents, where the quadratic
+    // lambda scan would take over. The DuckDB oracle keeps the O(n²)
+    // list_filter spelling — same value by definition.
+    val dupChars = graft.functions.dup_chars(col("sents"))
     val totChars = expr("aggregate(sents, 0L, (acc, x) -> acc + length(x))")
     val symbols = (length(col("text"))
       - length(translate(col("text"), "#*%@", ""))).cast("long")

@@ -85,6 +85,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(interpreted - 1.0) < 1e-12)
   }
 
+  test("dup_chars matches the O(n²) HOF spelling on randomized arrays") {
+    // The oracle keeps the quadratic aggregate/filter spelling; the native
+    // kernel must agree element-for-element, including null elements
+    // (skipped), empty arrays (0) and a null array (null).
+    val rnd = new scala.util.Random(42)
+    val words = Array("a", "bb", "ccc", "dddd", "", "héllo", "a")
+    val data = (1 to 200).map { i =>
+      val n = rnd.nextInt(12)
+      val arr = Array.fill(n)(
+        if (rnd.nextInt(10) == 0) null else words(rnd.nextInt(words.length)))
+      (i, arr)
+    }
+    val df = data.toDF("id", "sents")
+      .withColumn("hof", expr(
+        """aggregate(filter(sents, x -> size(filter(sents, y -> y = x)) > 1),
+          |          0L, (acc, x) -> acc + length(x))""".stripMargin))
+      .withColumn("native", graft.functions.dup_chars(col("sents")))
+    assert(df.where(col("hof") =!= col("native")).count() === 0)
+    // edges: empty array -> 0, null array -> null, multi-byte chars counted
+    // as chars (length() semantics), null elements ignored
+    val edges = Seq(
+      (1, Some(Array.empty[String])),
+      (2, None),
+      (3, Some(Array("héllo", "héllo", null, "x"))))
+      .toDF("id", "sents")
+      .select(col("id"), graft.functions.dup_chars(col("sents")).as("d"))
+      .orderBy("id").collect()
+    assert(edges(0).getLong(1) === 0L)
+    assert(edges(1).isNullAt(1))
+    assert(edges(2).getLong(1) === 10L) // 2 × 5 chars, null skipped
+    // SQL registration
+    graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT dup_chars(array('q','q','r')) AS d")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("vec_sum aggregates element-wise with map-side partial aggregation") {
     val df = Seq(
       (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
