@@ -47,14 +47,29 @@ package graft.dialect
   * {CURRENT ROW, UNBOUNDED FOLLOWING}; ROWS and RANGE agree on every one
   * of these once the peer group is excluded, because the rows by which
   * the two modes differ at a CURRENT ROW bound are exactly peers of the
-  * current row. Frames with k-offset bounds genuinely cut peer groups
-  * and still pass through for Spark to reject loudly, as do blocks with
-  * GROUP BY/HAVING/set-ops (the wrap would change their evaluation
-  * order). One wrap-induced limitation: table-alias-QUALIFIED column
-  * references in the outer SELECT list (`t.v` where `t` is a FROM
-  * alias) stop resolving, because the alias moves inside the derived
-  * table — Spark rejects them loudly (UNRESOLVED_COLUMN); use
-  * unqualified names alongside TIES/GROUP exclusions.
+  * current row.
+  *
+  * `k PRECEDING` / `k FOLLOWING` bounds (ROWS mode; round 11) cut peer
+  * groups, so each remaining piece of the frame becomes a prefix-
+  * aggregate DIFFERENCE over a row_number helper: rows [cur−k, ps−1]
+  * (ps = peer-group start) = prefix(ps−1) − prefix(cur−k−1), both O(n)
+  * grows-from-the-start windows, with an empty-piece guard when the
+  * offset stays inside the current peer group; mirrored DESC for the
+  * suffix. Differences are exact for sum/count/avg; min/max cannot ride
+  * a subtraction, so k-offset min/max (and RANGE/GROUPS offsets, whose
+  * units differ) pass through for Spark to reject loudly, as do blocks
+  * with GROUP BY/HAVING/set-ops (the wrap would change their evaluation
+  * order).
+  *
+  * Wrap hygiene (round 11): a star projection in the outer SELECT is
+  * rewritten to `* EXCEPT (__graft_* helpers)` so the helper columns
+  * never leak into the output schema (stars qualified by anything but
+  * the preserved FROM alias reject the whole block instead — loud
+  * UNRESOLVED, never a silent extra column); and when the FROM clause
+  * is a single (optionally aliased) relation, the derived table takes
+  * that relation's alias, so `t.v` qualified references keep resolving.
+  * Multi-relation FROMs still lose inner aliases — Spark rejects such
+  * qualified refs loudly (UNRESOLVED_COLUMN).
   */
 object WindowExclude {
 
@@ -237,12 +252,23 @@ object WindowExclude {
   private val FrameKw =
     java.util.regex.Pattern.compile("(?i)\\b(ROWS|RANGE|GROUPS)\\b")
 
+  /** One frame bound of a TIES/GROUP spec: UNBOUNDED, CURRENT ROW, or a
+    * k-row offset (`k PRECEDING` for the start, `k FOLLOWING` for the
+    * end; ROWS mode only). */
+  private sealed trait TgBound
+  private case object BUnb extends TgBound
+  private case object BCur extends TgBound
+  private final case class BOff(k: Long) extends TgBound
+
   /** One parsed `agg(args) OVER (spec EXCLUDE TIES|GROUP)` occurrence:
     * [start, end) covers the whole call, base = partition+order text,
-    * hasLeft/hasRight = which side of the peer group the frame reaches. */
+    * lo/hi = how far each side of the frame reaches past the peer group. */
   private final case class TgOcc(start: Int, end: Int, fn: String,
-      args: String, base: String, hasLeft: Boolean, hasRight: Boolean,
-      keepSelf: Boolean)
+      args: String, base: String, lo: TgBound, hi: TgBound,
+      keepSelf: Boolean) {
+    def hasOffset: Boolean =
+      lo.isInstanceOf[BOff] || hi.isInstanceOf[BOff]
+  }
 
   private def rewriteTiesGroupAll(sql: String): String = {
     var out = sql
@@ -370,9 +396,11 @@ object WindowExclude {
   private def rewriteBlock(block: String): Option[String] = {
     val fromPos = topLevelKw(block, kw("FROM"))
     if (fromPos < 0) return None
-    // the wrap changes evaluation order for these — reject loudly
+    // the wrap changes evaluation order for these — reject loudly. The
+    // scan starts at FROM: these clauses can only follow it, and a
+    // depth-0 EXCEPT before FROM is the star-EXCEPT projection (legit).
     for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"))
-      if (topLevelKw(block, kw(bad)) >= 0) return None
+      if (topLevelKw(block, kw(bad), fromPos) >= 0) return None
     val tailStart = {
       val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))
         .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
@@ -409,11 +437,17 @@ object WindowExclude {
               if (ex.find()) {
                 parseTgSpec(spec.substring(0, ex.start).trim,
                     ex.group(1).equalsIgnoreCase("TIES")) match {
-                  case Some((base, hasL, hasR, self)) =>
+                  case Some((base, lo, hi, self)) =>
                     val args = block.substring(m.end, argsClose - 1)
                     if (args.trim.toUpperCase.startsWith("DISTINCT")) return None
-                    occs += TgOcc(i, specClose, m.group(1).toLowerCase,
-                      args, base, hasL, hasR, self)
+                    val fn = m.group(1).toLowerCase
+                    val occ = TgOcc(i, specClose, fn, args, base, lo, hi, self)
+                    // k-offset pieces are computed by prefix-aggregate
+                    // DIFFERENCES, which min/max cannot ride — pass
+                    // through for Spark to reject loudly
+                    if (occ.hasOffset && (fn == "min" || fn == "max"))
+                      return None
+                    occs += occ
                     consumed = specClose
                   case None => return None
                 }
@@ -428,34 +462,97 @@ object WindowExclude {
     // occurrences inside the FROM..WHERE body (e.g. a join ON) can't ride
     // the wrap — their input would gain the helper columns they feed
     if (occs.exists(o => o.start >= fromPos && o.start < tailStart)) return None
-    // one dense_rank helper per distinct normalized window base
-    val drFor = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    // one dense_rank (plus, for k-offset frames, one row_number) helper
+    // per distinct normalized window base
+    val drFor = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
     occs.foreach { o =>
       val norm = o.base.replaceAll("\\s+", " ").trim.toUpperCase
-      if (!drFor.contains(norm))
-        drFor(norm) = (s"__graft_dr${drFor.size + 1}", o.base)
+      if (!drFor.contains(norm)) {
+        val n = drFor.size + 1
+        drFor(norm) = (s"__graft_dr$n", s"__graft_rn$n", o.base)
+      }
     }
+    val needRn = occs.filter(_.hasOffset)
+      .map(_.base.replaceAll("\\s+", " ").trim.toUpperCase).toSet
     def replFor(o: TgOcc): String = {
-      val dr = drFor(o.base.replaceAll("\\s+", " ").trim.toUpperCase)._1
+      val (dr, rn, _) = drFor(o.base.replaceAll("\\s+", " ").trim.toUpperCase)
       val om = OrderByKw.matcher(o.base)
       om.find() // guaranteed by parseTgSpec
       val pb = o.base.substring(0, om.start).trim
-      def win(f: String, a: String, ord: String) = {
-        val head = if (pb.isEmpty) "" else pb + " "
-        s"$f($a) OVER (${head}ORDER BY $dr $ord " +
-          "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-      }
+      val head = if (pb.isEmpty) "" else pb + " "
       // BOTH sides are grows-from-the-frame-start frames: the suffix
-      // aggregate is ORDER BY dr DESC over [UNBOUNDED PRECEDING,
-      // 1 PRECEDING] rather than the literal [1 FOLLOWING, UNBOUNDED
+      // aggregates are ORDER BY dr/rn DESC over [UNBOUNDED PRECEDING,
+      // k PRECEDING] rather than the literal [k FOLLOWING, UNBOUNDED
       // FOLLOWING] — Spark evaluates UnboundedPreceding frames
       // incrementally (O(n) per partition) but recomputes
       // UnboundedFollowing frames from scratch per row (O(n²): measured
       // 31.7 s vs 0.7 s on a 30k-row partition at sf0.1)
-      val left = Option.when(o.hasLeft)((f: String, a: String) =>
-        win(f, a, "ASC"))
-      val right = Option.when(o.hasRight)((f: String, a: String) =>
-        win(f, a, "DESC"))
+      def drWin(f: String, a: String, ord: String) =
+        s"$f($a) OVER (${head}ORDER BY $dr $ord " +
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      def rnWin(f: String, a: String, ord: String, skip: Long) =
+        s"$f($a) OVER (${head}ORDER BY $rn $ord " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND $skip PRECEDING)"
+      if (o.hasOffset) {
+        // k-offset path (ROWS mode, sum/count/avg): each remaining piece
+        // of the frame is a prefix DIFFERENCE — [cur−k, ps−1] =
+        // prefix(ps−1) − prefix(cur−k−1), where prefix(ps−1) is the
+        // dr-RANGE window (everything before the peer group) and
+        // prefix(cur−k−1) the rn-ROWS window (everything up to k+1 rows
+        // back); mirrored with DESC for the suffix piece. Empty-piece
+        // guard: the piece exists only when the offset reaches past the
+        // current row's own peers (k > peers-on-that-side).
+        val peersL = s"($rn - min($rn) OVER (${head}ORDER BY $dr " +
+          "RANGE BETWEEN CURRENT ROW AND CURRENT ROW))"
+        val peersR = s"(max($rn) OVER (${head}ORDER BY $dr " +
+          s"RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - $rn)"
+        def pieceCnt(b: TgBound, asc: Boolean, a: String): String = {
+          val ord = if (asc) "ASC" else "DESC"
+          val peers = if (asc) peersL else peersR
+          b match {
+            case BCur => "0"
+            case BUnb => drWin("count", a, ord)
+            case BOff(k) =>
+              s"(CASE WHEN $k > $peers THEN ${drWin("count", a, ord)} " +
+                s"- ${rnWin("count", a, ord, k + 1)} ELSE 0 END)"
+          }
+        }
+        def pieceSum(b: TgBound, asc: Boolean, a: String): String = {
+          val ord = if (asc) "ASC" else "DESC"
+          val peers = if (asc) peersL else peersR
+          b match {
+            case BCur => "0"
+            case BUnb => s"coalesce(${drWin("sum", a, ord)}, 0)"
+            case BOff(k) =>
+              s"(CASE WHEN $k > $peers THEN coalesce(${drWin("sum", a, ord)}, 0) " +
+                s"- coalesce(${rnWin("sum", a, ord, k + 1)}, 0) ELSE 0 END)"
+          }
+        }
+        val ca = if (o.args.trim == "*") "1" else o.args
+        val selfCnt =
+          if (!o.keepSelf) "0"
+          else if (o.args.trim == "*") "1"
+          else s"(CASE WHEN (${o.args}) IS NULL THEN 0 ELSE 1 END)"
+        val totalCnt = s"(${pieceCnt(o.lo, asc = true, ca)} " +
+          s"+ ${pieceCnt(o.hi, asc = false, ca)} + $selfCnt)"
+        def totalSum = {
+          val selfSum = if (o.keepSelf) s"coalesce((${o.args}), 0)" else "0"
+          s"(${pieceSum(o.lo, asc = true, o.args)} " +
+            s"+ ${pieceSum(o.hi, asc = false, o.args)} + $selfSum)"
+        }
+        o.fn match {
+          case "count" => totalCnt
+          case "sum" =>
+            s"(CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END)"
+          case "avg" =>
+            s"(CAST((CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END) " +
+              s"AS DOUBLE) / nullif($totalCnt, 0))"
+        }
+      } else {
+      val left = Option.when(o.lo == BUnb)((f: String, a: String) =>
+        drWin(f, a, "ASC"))
+      val right = Option.when(o.hi == BUnb)((f: String, a: String) =>
+        drWin(f, a, "DESC"))
       def addNullable(a: String, b: String) =
         s"(CASE WHEN $a IS NULL AND $b IS NULL THEN NULL " +
           s"ELSE coalesce($a, 0) + coalesce($b, 0) END)"
@@ -487,6 +584,7 @@ object WindowExclude {
         case "avg" =>
           s"(CAST(${sumExpr(o.args)} AS DOUBLE) / nullif(${cntExpr(o.args)}, 0))"
       }
+      }
     }
     def applyRepls(seg: String, off: Int): String = {
       var out = seg
@@ -498,37 +596,140 @@ object WindowExclude {
         }
       out
     }
-    val selectSeg = applyRepls(block.substring(0, fromPos), 0)
     val fromBody = block.substring(fromPos + 4, tailStart)
     val tailSeg = applyRepls(block.substring(tailStart), tailStart)
-    val drDefs = drFor.values
-      .map { case (name, base) => s"dense_rank() OVER ($base) AS $name" }
-      .mkString(", ")
-    Some(s"${selectSeg}FROM (SELECT *, $drDefs FROM$fromBody) __graft_ex $tailSeg")
+    val helperDefs = drFor.map { case (norm, (drName, rnName, base)) =>
+      s"dense_rank() OVER ($base) AS $drName" +
+        (if (needRn(norm)) s", row_number() OVER ($base) AS $rnName" else "")
+    }.mkString(", ")
+    val helperNames = drFor.flatMap { case (norm, (drName, rnName, _)) =>
+      drName :: (if (needRn(norm)) List(rnName) else Nil)
+    }.toSeq
+    // When the FROM clause is one plain (optionally aliased) relation,
+    // the derived table takes that relation's name/alias so qualified
+    // column references in the outer SELECT keep resolving; otherwise
+    // inner aliases move out of scope and qualified refs fail loudly
+    // (UNRESOLVED_COLUMN), never silently.
+    val wrapAlias = {
+      val whereAt = topLevelKw(fromBody, kw("WHERE"))
+      val relPart =
+        (if (whereAt >= 0) fromBody.substring(0, whereAt) else fromBody).trim
+      val SingleRel =
+        "(?is)^([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?$".r
+      relPart match {
+        case SingleRel(tbl, null) if !StopWords(tbl.toUpperCase) =>
+          tbl.split('.').last
+        case SingleRel(_, alias) if !StopWords(alias.toUpperCase) => alias
+        case _ => "__graft_ex"
+      }
+    }
+    // A star projection would silently expand to the helper columns —
+    // append `EXCEPT (helpers)` (Spark ≥3.4 star-except) so the output
+    // schema matches the un-rewritten query exactly. Qualified stars are
+    // only fixable when they name the preserved wrap alias; any other
+    // qualifier gets the wrap's loud UNRESOLVED failure, never a leak.
+    val selectSeg = fixStars(applyRepls(block.substring(0, fromPos), 0),
+      helperNames, wrapAlias) match {
+      case Some(seg) => seg
+      case None => return None // unsupported star shape: leave EXCLUDE for Spark
+    }
+    Some(s"${selectSeg}FROM (SELECT *, $helperDefs FROM$fromBody) $wrapAlias $tailSeg")
+  }
+
+  private val StopWords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "WINDOW",
+    "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON",
+    "USING", "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "NATURAL",
+    "LATERAL", "TABLESAMPLE", "VALUES", "AS", "SELECT", "FROM")
+
+  private val StarItem = java.util.regex.Pattern.compile(
+    "((?:[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*)*)\\*")
+  private val ExceptAfter = java.util.regex.Pattern.compile(
+    "(?i)\\s*EXCEPT\\s*\\(")
+  private val DistinctAll = java.util.regex.Pattern.compile(
+    "(?i)\\s*(DISTINCT|ALL)\\b")
+
+  /** Rewrite every depth-0 star projection in a SELECT segment (`seg`
+    * starts with the SELECT keyword, ends before FROM) to exclude the
+    * helper columns the TIES/GROUP wrap adds: `*` → `* EXCEPT (helpers)`
+    * (merging into an existing star-EXCEPT list), `wrapAlias.*`
+    * likewise. None = a star qualified by anything other than the wrap
+    * alias, which the wrap cannot fix silently — caller rejects the
+    * whole block. */
+  private def fixStars(seg: String, helpers: Seq[String],
+      wrapAlias: String): Option[String] = {
+    // insertion points, collected left-to-right: (pos, text)
+    val ins = scala.collection.mutable.Buffer.empty[(Int, String)]
+    var i = "SELECT".length
+    val dm = DistinctAll.matcher(seg)
+    dm.region(i, seg.length)
+    if (dm.lookingAt()) i = dm.end
+    var depth = 0
+    var boundary = true
+    while (i < seg.length) {
+      val c = seg.charAt(i)
+      if (c == '\'') { i = SqlText.literalEnd(seg, i); boundary = false }
+      else if (c == '(') { depth += 1; i += 1; boundary = false }
+      else if (c == ')') { depth -= 1; i += 1; boundary = false }
+      else if (c == ',') { if (depth == 0) boundary = true; i += 1 }
+      else if (c.isWhitespace) i += 1
+      else if (depth == 0 && boundary) {
+        val m = StarItem.matcher(seg)
+        m.region(i, seg.length)
+        if (m.lookingAt()) {
+          val qual = m.group(1).replaceAll("[\\s.]+$", "").trim
+          if (qual.nonEmpty && !qual.equalsIgnoreCase(wrapAlias)) return None
+          val em = ExceptAfter.matcher(seg)
+          em.region(m.end, seg.length)
+          if (em.lookingAt())
+            ins += ((em.end, helpers.mkString("", ", ", ", ")))
+          else
+            ins += ((m.end, s" EXCEPT (${helpers.mkString(", ")})"))
+          i = m.end
+        }
+        boundary = false
+        if (!m.lookingAt()) i += 1
+      }
+      else { boundary = false; i += 1 }
+    }
+    var out = seg
+    ins.sortBy(-_._1).foreach { case (p, t) =>
+      out = out.substring(0, p) + t + out.substring(p)
+    }
+    Some(out)
   }
 
   /** Parse a TIES/GROUP window spec body (EXCLUDE already stripped) →
-    * (base partition+order text, frame reaches left of peer group, frame
-    * reaches right of peer group, keep current row). None = out of scope. */
+    * (base partition+order text, lo bound, hi bound, keep current row).
+    * k-offset bounds are accepted in ROWS mode only (RANGE offsets are in
+    * order-key units, GROUPS offsets in peer groups — different animals).
+    * Same-side frames (both bounds preceding, or both following) never
+    * contain the current row and are out of scope. None = out of scope. */
   private def parseTgSpec(body: String, ties: Boolean)
-      : Option[(String, Boolean, Boolean, Boolean)] = {
+      : Option[(String, TgBound, TgBound, Boolean)] = {
     val fm = FrameKw.matcher(body)
-    val (base, loTxt, hiTxt) =
+    val (base, mode, loTxt, hiTxt) =
       if (fm.find()) {
         val frame = body.substring(fm.end).trim
         val b = body.substring(0, fm.start).trim
+        val md = fm.group(1).toUpperCase
         val bm = java.util.regex.Pattern.compile("(?i)^BETWEEN\\s+(.*?)\\s+AND\\s+(.*)$",
           java.util.regex.Pattern.DOTALL).matcher(frame)
-        if (bm.matches()) (b, bm.group(1).trim, bm.group(2).trim)
-        else (b, frame, "CURRENT ROW") // short form: `ROWS lo`
-      } else (body.trim, "UNBOUNDED PRECEDING", "CURRENT ROW")
+        if (bm.matches()) (b, md, bm.group(1).trim, bm.group(2).trim)
+        else (b, md, frame, "CURRENT ROW") // short form: `ROWS lo`
+      } else (body.trim, "RANGE", "UNBOUNDED PRECEDING", "CURRENT ROW")
     if (!OrderByKw.matcher(base).find()) return None
-    val loUnb = loTxt.matches("(?i)UNBOUNDED\\s+PRECEDING")
-    val hiUnb = hiTxt.matches("(?i)UNBOUNDED\\s+FOLLOWING")
-    val cur = (s: String) => s.matches("(?i)CURRENT\\s+ROW")
-    if (!loUnb && !cur(loTxt)) return None
-    if (!hiUnb && !cur(hiTxt)) return None
-    Some((base, loUnb, hiUnb, ties))
+    def bound(txt: String, side: String): Option[TgBound] =
+      if (txt.matches("(?i)CURRENT\\s+ROW") ||
+          txt.matches(s"(?i)0\\s+$side")) Some(BCur)
+      else if (txt.matches(s"(?i)UNBOUNDED\\s+$side")) Some(BUnb)
+      else if (txt.matches(s"(?i)\\d+\\s+$side"))
+        Some(BOff(txt.split("\\s+")(0).toLong))
+      else None
+    for {
+      lo <- bound(loTxt, "PRECEDING")
+      hi <- bound(hiTxt, "FOLLOWING")
+      if !(lo.isInstanceOf[BOff] || hi.isInstanceOf[BOff]) || mode == "ROWS"
+    } yield (base, lo, hi, ties)
   }
 
   private def groupEnd(sql: String, open: Int): Int = {

@@ -634,8 +634,38 @@ object DialectQueries {
       |              EXCLUDE GROUP)
       |ORDER BY o_orderkey""".stripMargin
 
+  // k-offset ROWS frames with EXCLUDE TIES/GROUP (round 11): each
+  // remaining frame piece is a prefix-aggregate difference over a
+  // row_number helper (WindowExclude k-offset path). Tie-order
+  // determinism: l_linenumber peer groups are wide and the tie order
+  // within them is engine-chosen, so per-ROW results vary — but the
+  // MULTISET of (flag, linenumber, result) rows does not, because the
+  // aggregated value (l_linenumber itself) is constant inside every
+  // peer group and rn-ranges only ever cut inside peer groups. The
+  // driver's hash compares sorted rows, i.e. exactly that multiset.
+  private val q104Sql =
+    """SELECT l_returnflag, l_linenumber,
+      |  CAST(sum(l_linenumber) OVER w AS BIGINT) AS g_sum,
+      |  CAST(count(*) OVER w AS BIGINT) AS g_cnt,
+      |  CAST(count(l_linenumber) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_linenumber
+      |    ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS BIGINT) AS t_cnt,
+      |  CAST(avg(l_linenumber) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_linenumber
+      |    ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)
+      |    AS DOUBLE) AS mixed_avg,
+      |  CAST(sum(l_linenumber) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_linenumber
+      |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS BIGINT) AS pre_ties_sum
+      |FROM lineitem WHERE l_orderkey <= 5000
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_linenumber
+      |             ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)
+      |ORDER BY l_returnflag, l_linenumber, g_sum, g_cnt, t_cnt, mixed_avg,
+      |  pre_ties_sum""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
+    Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

@@ -227,6 +227,30 @@ object TermStats {
   private val GramLen = 20
   private val GramStride = 8
 
+  /** Flag corpus-wide repeated grams: the two-level aggregate + rejoin
+    * (the DuckDB oracle's own spelling). The earlier one-pass spelling —
+    * `count(*) OVER (PARTITION BY h)` — scans the gram stream once, which
+    * wins at sf1, but funnels EVERY occurrence of one hot gram into a
+    * single window task; web-corpus boilerplate grams repeat billions of
+    * times and AQE skew-split applies to shuffle JOINS, not windows. Here
+    * the aggregate collapses map-side (partial counts, not raw grams,
+    * cross the exchange — a hot gram costs one long per map task) and the
+    * rejoin on `h` is AQE-skew-splittable, so the hot key is the join
+    * optimizer's problem, which it actually solves. The gram stream is
+    * hashed twice (the exchange carries partials Spark can't reuse for
+    * the join side) — the price of the scale-safe shape. The duplicate
+    * set is capped early: `count > 1` needs no exact count, so the
+    * partial aggregation already discards singleton-per-task keys' raw
+    * volume. */
+  private def markDup(grams: DataFrame): DataFrame = {
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), lit(1).as("__dup"))
+    grams.join(dup, Seq("h"), "left")
+      .withColumn("isdup", coalesce(col("__dup"), lit(0)))
+      .drop("__dup")
+  }
+
   /** Exact-substring duplication signal (the ExactSubstr statistic of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better"):
     * hash every `GramLen`-char gram at `GramStride` offsets, mark grams
@@ -248,16 +272,7 @@ object TermStats {
         col("text"))
       .select(col("doc_id"),
         expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $GramLen)")).as("h"))
-    // ONE pass over the gram stream: corpus-wide repetition is a window
-    // count over the hash (shuffle keyed by h, unbounded key space) — the
-    // agg-then-rejoin shape scans/hashes every gram TWICE because the
-    // aggregate's exchange carries partial counts, not raw grams, so
-    // Spark cannot reuse it for the join side.
-    grams
-      .withColumn("isdup",
-        (count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))) > 1)
-          .cast("int"))
+    markDup(grams)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
@@ -320,11 +335,7 @@ object TermStats {
          |       + least(i + ${G - 1}L, doc_len)
          |       - greatest(i - 1L, a div ${pack}L))),
          |  ${pack}L)""".stripMargin)
-    grams
-      .withColumn("isdup",
-        (count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))) > 1)
-          .cast("int"))
+    markDup(grams)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"),
         sort_array(collect_list(when(col("isdup") === 1, col("i")))).as("ps"))

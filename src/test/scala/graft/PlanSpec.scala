@@ -154,6 +154,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q22_substring_antijoin").contains("LeftAnti"))
   }
 
+  test("p44/p71: no window partitioned by the gram hash (skew-safe dup marking)") {
+    // Round-11 de-skew: duplicate-gram marking must be the map-side-
+    // collapsing aggregate + AQE-skew-splittable rejoin on h, never
+    // `count(*) OVER (PARTITION BY h)` — a hot boilerplate gram would
+    // funnel every occurrence into one window task, and AQE skew-split
+    // applies to shuffle joins, not windows.
+    Seq("p44_dup_span_grams", "p71_dup_span_removal").foreach { name =>
+      val p = plan(name)
+      assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("h#")),
+        s"$name marks duplicates with a window over the gram hash:\n$p")
+      assert(p.contains("partial_count"),
+        s"$name dup counting lost map-side partial aggregation:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$name rejoin is not an equi-join:\n$p")
+    }
+  }
+
   test("p40/p42: consumers derive from the cached token arrays; no Expand, no exploded-stream cache") {
     // Round-10 invariants of the tf-frame rewrite (5.0 → 2.6 s at sf1):
     // every consumer re-reads the SHARED token-array cache (cheap explode

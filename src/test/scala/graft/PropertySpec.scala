@@ -98,14 +98,22 @@ class PropertySpec extends AnyFunSuite {
       "", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW ",
       "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING ",
       "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING ",
+      "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING ",
+      "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING ",
+      "ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING ",
+      "ROWS 5 PRECEDING ",
+      "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING ",
+      "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING ",
       "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING ")
     val base = Gen.oneOf("ORDER BY y", "PARTITION BY p ORDER BY y DESC, z",
       "PARTITION BY p", "")
     val lit = Gen.oneOf("EXCLUDE TIES", "OVER (", "SELECT", ") FROM (",
-      "ROWS BETWEEN")
+      "ROWS BETWEEN", "2 PRECEDING")
     val shape = Gen.oneOf(
-      // plain select, subquery nesting, CAST wrap, set op, group by
+      // plain select, star, subquery nesting, CAST wrap, set op, group by
       (w: String, l: String) => s"SELECT sum(x) OVER ($w) AS s, '$l' AS c FROM t",
+      (w: String, l: String) => s"SELECT *, sum(x) OVER ($w) AS s, '$l' AS c FROM t",
+      (w: String, l: String) => s"SELECT q.*, count(x) OVER ($w), '$l' FROM t q",
       (w: String, l: String) =>
         s"SELECT * FROM (SELECT CAST(min(x) OVER ($w) AS DOUBLE) AS s, '$l' AS c FROM t) q",
       (w: String, l: String) =>

@@ -62,9 +62,13 @@ class WindowExcludeSpec extends AnyFunSuite {
       "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
     assert(!noOthers.toUpperCase.contains("EXCLUDE"))
     assert(noOthers.toUpperCase.contains("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"))
+    // k-offset TIES with min passes through (no subtraction form exists);
+    // the sum spelling is REWRITTEN since round 11 (k-offset path)
     val ties =
-      "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"
+      "SELECT min(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t"
     assert(WindowExclude.rewrite(ties) == ties)
+    assert(!WindowExclude.rewrite(ties.replace("min(", "sum("))
+      .toUpperCase.contains("EXCLUDE"))
     val range =
       "SELECT sum(x) OVER (ORDER BY y RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
     assert(WindowExclude.rewrite(range) == range)
@@ -172,12 +176,122 @@ class WindowExcludeSpec extends AnyFunSuite {
         |FROM orders WHERE o_orderkey <= 200""".stripMargin
     val rewritten = WindowExclude.rewrite(sql)
     assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
-    assert(rewritten.contains("__graft_ex"), rewritten)
+    // single-relation FROM: the wrap takes the relation's name as its
+    // alias so qualified refs keep resolving (round 11)
+    assert(rewritten.contains(") orders"), rewritten)
     // the subquery's FROM nation must NOT be wrapped
     assert(!rewritten.contains("FROM (SELECT *, dense_rank() OVER" +
       " (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS __graft_dr1 FROM nation)"))
     val rows = spark.sql(rewritten).collect()
     assert(rows.length === 200 || rows.nonEmpty)
+  }
+
+  test("wrap keeps the FROM alias: table-qualified outer refs resolve (round-10 cliff removed)") {
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(sum(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority
+        |    ORDER BY o.o_orderdate EXCLUDE GROUP) AS DOUBLE) AS s
+        |FROM orders o WHERE o.o_orderkey <= 100""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains(") o"), rewritten)
+    val rows = spark.sql(rewritten).collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("bare SELECT * never leaks helper columns (star-EXCEPT hygiene)") {
+    Tables.registerAll(spark, sfDir)
+    val base = spark.sql("SELECT * FROM nation").columns.toSeq
+    val sql =
+      """SELECT *, CAST(count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
+        | AS BIGINT) AS c
+        |FROM nation""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    val got = spark.sql(rewritten)
+    assert(got.columns.toSeq === base :+ "c",
+      s"helper columns leaked: ${got.columns.mkString(",")}")
+    // qualified star over the preserved alias: same hygiene
+    val qsql =
+      """SELECT n.*, CAST(count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
+        | AS BIGINT) AS c
+        |FROM nation n""".stripMargin
+    val qgot = spark.sql(WindowExclude.rewrite(qsql))
+    assert(qgot.columns.toSeq === base :+ "c",
+      s"helper columns leaked through n.*: ${qgot.columns.mkString(",")}")
+    // a star qualified by a NON-preserved alias cannot be fixed — the
+    // block must reject (EXCLUDE survives for Spark to reject loudly)
+    val bad = "SELECT a.*, count(*) OVER (ORDER BY a.x EXCLUDE GROUP) FROM t a JOIN u b ON a.k = b.k"
+    assert(WindowExclude.rewrite(bad) == bad)
+    // a user-written star-EXCEPT merges rather than double-EXCEPTs
+    val merged = WindowExclude.rewrite(
+      "SELECT * EXCEPT (n_name), count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS c FROM nation")
+    assert("EXCEPT".r.findAllIn(merged.toUpperCase).size === 1, merged)
+    assert(spark.sql(merged).columns.count(_.startsWith("__graft")) === 0)
+  }
+
+  test("k-offset ROWS frames with EXCLUDE TIES/GROUP match a window-free reference") {
+    Tables.registerAll(spark, sfDir)
+    // Tie-order determinism: with real peer groups (l_linenumber ties are
+    // huge), per-ROW results depend on which peer got which row_number —
+    // but the MULTISET of (flag, linenumber, result) rows does not, as
+    // long as the aggregated value is a function of the ORDER BY key:
+    // every rn-range cuts only inside peer groups, where the value is
+    // constant. Both the rewrite and the self-join reference therefore
+    // produce identical multisets under any tie order.
+    val sql =
+      """SELECT l_returnflag, l_linenumber,
+        |  CAST(sum(l_linenumber) OVER w AS BIGINT) AS g_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS g_cnt,
+        |  CAST(count(l_linenumber) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN 4 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS BIGINT) AS t_cnt,
+        |  CAST(avg(l_linenumber) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP)
+        |    AS DOUBLE) AS mixed_avg
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_linenumber
+        |             ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains("row_number() OVER"), rewritten)
+    val got = spark.sql(rewritten)
+    // reference: materialize rn/peer bounds, then aggregate the physical
+    // frame minus the peer group via an explicit range self-join
+    val ref = spark.sql(
+      """WITH b AS (
+        |  SELECT l_returnflag, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_linenumber) AS rn,
+        |    min(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_linenumber))
+        |      OVER (PARTITION BY l_returnflag, l_linenumber) AS ps,
+        |    max(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_linenumber))
+        |      OVER (PARTITION BY l_returnflag, l_linenumber) AS pe
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |SELECT a.l_returnflag, a.l_linenumber,
+        |  sum(CASE WHEN x.rn BETWEEN a.rn - 3 AND a.rn + 2
+        |           AND (x.rn < a.ps OR x.rn > a.pe) THEN x.l_linenumber END) AS g_sum,
+        |  count(CASE WHEN x.rn BETWEEN a.rn - 3 AND a.rn + 2
+        |           AND (x.rn < a.ps OR x.rn > a.pe) THEN 1 END) AS g_cnt,
+        |  count(CASE WHEN x.rn BETWEEN a.rn - 4 AND a.rn + 1
+        |           AND (x.rn < a.ps OR x.rn > a.pe OR x.rn = a.rn) THEN 1 END) AS t_cnt,
+        |  CAST(sum(CASE WHEN x.rn >= a.rn - 2
+        |           AND (x.rn < a.ps OR x.rn > a.pe) THEN x.l_linenumber END) AS DOUBLE)
+        |    / nullif(count(CASE WHEN x.rn >= a.rn - 2
+        |           AND (x.rn < a.ps OR x.rn > a.pe) THEN 1 END), 0) AS mixed_avg
+        |FROM b a JOIN b x ON a.l_returnflag = x.l_returnflag
+        |GROUP BY a.l_returnflag, a.l_linenumber, a.rn, a.ps, a.pe""".stripMargin)
+    assert(got.count() > 0 && got.count() === ref.count())
+    assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
+    // frames must both cut peer groups (boundary rows: nonempty pieces)
+    // and fall entirely inside one (interior rows: empty pieces, g_cnt=0)
+    import org.apache.spark.sql.functions.col
+    assert(got.filter(col("g_cnt") === 0).count() > 0)
+    assert(got.filter(col("g_cnt") > 0).count() > 0)
   }
 
   test("TIES/GROUP frame-grid spellings: GROUPS mode, short form, DESC + multi-column order keys") {
@@ -216,10 +330,15 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
   }
 
-  test("TIES/GROUP out-of-scope shapes pass through: k-offset frame, GROUP BY block, missing ORDER BY") {
-    val kOff =
-      "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
-    assert(WindowExclude.rewrite(kOff) == kOff)
+  test("TIES/GROUP out-of-scope shapes pass through: k-offset min/max + RANGE offsets, GROUP BY block, missing ORDER BY") {
+    // k-offset pieces are prefix-aggregate differences — min/max cannot
+    // ride a subtraction, and RANGE offsets are in order-key units
+    val kMin =
+      "SELECT min(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
+    assert(WindowExclude.rewrite(kMin) == kMin)
+    val kRange =
+      "SELECT sum(x) OVER (ORDER BY y RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
+    assert(WindowExclude.rewrite(kRange) == kRange)
     val grouped =
       "SELECT g, sum(sum(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g"
     assert(WindowExclude.rewrite(grouped) == grouped)
