@@ -33,7 +33,14 @@ import org.apache.spark.sql.SparkSession
   * Emits ONE JSON line with the load-bearing dicts LAST:
   * {"metric":"total","unit":"sec","sf":...,"samples":k,"warm":[...],
   *  "queries_cold":{warm-query:cold-sec,...},"value_cold":total,
+  *  "resampled":{mover:fresh-sec,...},
   *  "spread":{name:sec,...},"queries":{name:sec,...},"value":total}.
+  * "resampled" records the contaminated-sweep defense ([[reconcile]]): any
+  * query the previous-round comparison would flag as a REGRESSION mover is
+  * re-sampled once after the sweep and the minimum absorbs the fresh
+  * sample, so one co-tenant-loaded sample (round 10: q24/q25 latched at
+  * the 10 s early-break, 14 false movers) can no longer masquerade as a
+  * regression in either artifact.
   * "queries_cold" holds ONE pins-dropped re-run per warm-listed query
   * (shared-stage rebuild included) and "value_cold" is the suite total
   * with warm minima replaced by those cold samples — the symmetric
@@ -164,6 +171,17 @@ object Bench {
       name -> runOnce(name)
     }.toMap
     graft.pipeline.Pins.releaseAll(spark)
+    // Self-defense against contaminated sweeps (round-10: a co-tenant-
+    // loaded driver run latched q24/q25 at the 10 s early-break and
+    // produced 14 false movers — the third diagnosis cycle lost to one
+    // loaded sample). Any query the delta comparison WOULD flag as a
+    // regression mover gets ONE fresh in-process re-sample before the
+    // artifact is written; the reported minimum absorbs it. Co-tenant
+    // noise is additive, so a clean re-sample clears a false mover, while
+    // a true regression reproduces and stays flagged. Improvement movers
+    // are never re-sampled (additive noise cannot fake an improvement).
+    val (finalResults, resampledMap) = reconcile(
+      results, loadPrev(sfDir).map { case (_, q, s) => (q, s) }, runOnce)
     // ms precision everywhere: sub-ms digits are pure noise at these
     // runtimes, and the shorter line lets the driver's bounded tail window
     // keep ~3× more per-query entries.
@@ -171,21 +189,80 @@ object Bench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     // warm minima replaced by their cold re-run (failed cold re-runs keep
     // the warm number rather than dropping the query from the total)
-    val totalCold = results.map { case (name, t, _) =>
+    val totalCold = finalResults.map { case (name, t, _) =>
       coldTimes.get(name).filter(_ >= 0).getOrElse(t)
     }.filter(_ >= 0).sum
-    val qs = fmt(results.map(r => (r._1, r._2)))
-    val sp = fmt(results.map(r => (r._1, r._3)))
+    val qs = fmt(finalResults.map(r => (r._1, r._2)))
+    val sp = fmt(finalResults.map(r => (r._1, r._3)))
     val qc = fmt(coldTimes.toSeq.sortBy(_._1))
+    val rs = fmt(resampledMap.toSeq.sortBy(_._1))
     val warm = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
-    writeDelta(sfDir, results.map(r => (r._1, r._2, r._3)), ms)
+    writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms)
     spark.stop()
+  }
+
+  /** Two-sided mover predicate shared by the delta artifact and the
+    * resampling defense: ratio leaves [1/1.5, 1.5] AND the absolute delta
+    * exceeds both runs' observed spreads (noise can't read as movement). */
+  private[graft] def isMover(t: Double, p: Double, noise: Double): Boolean =
+    (t / p > 1.5 || t / p < 1.0 / 1.5) && math.abs(t - p) > noise
+
+  /** Re-sample would-be REGRESSION movers once and fold the fresh sample
+    * into the minimum (spread widened by the correction so the artifact
+    * shows the discarded latch as noise, not signal). Returns the
+    * corrected results and the {query → fresh-sample} map for the
+    * artifact's "resampled" field. Improvement movers and non-movers pass
+    * through untouched; a failed re-sample (-1) changes nothing. */
+  private[graft] def reconcile(results: Seq[(String, Double, Double)],
+      prev: Option[(Map[String, Double], Map[String, Double])],
+      resample: String => Double)
+      : (Seq[(String, Double, Double)], Map[String, Double]) = prev match {
+    case None => (results, Map.empty)
+    case Some((prevQ, prevS)) =>
+      val fresh = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val corrected = results.map { case (name, t, spread) =>
+        val regressed = prevQ.get(name).exists(p => p > 0 && t > 0 && t > p &&
+          isMover(t, p, math.max(spread, prevS.getOrElse(name, 0.0))))
+        if (!regressed) (name, t, spread)
+        else {
+          val r = resample(name)
+          fresh(name) = r
+          if (r >= 0 && r < t) (name, r, math.max(spread, t - r))
+          else (name, t, spread)
+        }
+      }
+      (corrected, fresh.toMap)
+  }
+
+  /** Previous same-sf artifact: SPARK_GRAFT_BENCH_PREV, else the newest
+    * committed BENCH_FULL_r*.json in the working directory (never the
+    * file this run is about to write). Returns (path, queries, spread). */
+  private[graft] def loadPrev(sfDir: String, prevOverride: Option[String] = None)
+      : Option[(String, Map[String, Double], Map[String, Double])] = {
+    val selfName = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")).getName
+    val prevPath = prevOverride.orElse(sys.env.get("SPARK_GRAFT_BENCH_PREV")).orElse {
+      val dir = new java.io.File(".")
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
+        .filter(_.getName != selfName)
+        .filter(f => scala.util.Try(
+          java.nio.file.Files.readString(f.toPath)).toOption
+          .exists(_.contains("\"sf\":\"" + sfDir + "\"")))
+        .sortBy(_.getName).lastOption.map(_.getPath)
+    }
+    prevPath.flatMap { pp =>
+      scala.util.Try {
+        val prevJson = java.nio.file.Files.readString(java.nio.file.Paths.get(pp))
+        (pp, parseDict(prevJson, "queries"), parseDict(prevJson, "spread"))
+      }.toOption
+    }
   }
 
   /** The full line goes to a committed repo file (the driver keeps only a
@@ -222,24 +299,8 @@ object Bench {
       cur: Seq[(String, Double, Double)], ms: Double => Double,
       prevOverride: Option[String] = None,
       outPath: String = "BENCH_DELTA.json"): Unit = {
-    // never compare a run against its own just-written artifact
-    val selfName = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")).getName
-    val prevPath = prevOverride.orElse(sys.env.get("SPARK_GRAFT_BENCH_PREV")).orElse {
-      val dir = new java.io.File(".")
-      Option(dir.listFiles()).toSeq.flatten
-        .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
-        .filter(_.getName != selfName)
-        .filter(f => scala.util.Try(
-          java.nio.file.Files.readString(f.toPath)).toOption
-          .exists(_.contains("\"sf\":\"" + sfDir + "\"")))
-        .sortBy(_.getName).lastOption.map(_.getPath)
-    }
-    prevPath.foreach { pp =>
+    loadPrev(sfDir, prevOverride).foreach { case (pp, prevQ, prevS) =>
       try {
-        val prevJson = java.nio.file.Files.readString(java.nio.file.Paths.get(pp))
-        val prevQ = parseDict(prevJson, "queries")
-        val prevS = parseDict(prevJson, "spread")
         // the mover flag is computed ONCE per entry and n_movers derived
         // from the same list — a second copy of the predicate (round-9
         // advice) let a failed query (t = -1) count as a mover while being
@@ -247,11 +308,8 @@ object Bench {
         // itself
         val entries = cur.flatMap { case (name, t, spread) =>
           prevQ.get(name).filter(p => p > 0 && t > 0).map { p =>
-            val ratio = t / p
             val noise = math.max(spread, prevS.getOrElse(name, 0.0))
-            val mover = (ratio > 1.5 || ratio < 1.0 / 1.5) &&
-              math.abs(t - p) > noise
-            (name, p, t, ratio, mover)
+            (name, p, t, t / p, isMover(t, p, noise))
           }
         }
         val movers = entries.count(_._5)

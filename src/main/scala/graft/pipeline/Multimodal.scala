@@ -209,7 +209,14 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) stubKernel(payload, mime)
       else (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
-    } catch { case _: java.io.IOException => stubKernel(payload, mime) }
+    } catch {
+      // NonFatal, not just IOException: imageio readers throw
+      // RuntimeExceptions (IllegalArgumentException, CMMException,
+      // IndexOutOfBounds) on malformed/truncated payloads, and a kernel
+      // documented TOTAL must not kill an executor task on adversarial
+      // bytes (round-11 advice)
+      case scala.util.control.NonFatal(_) => stubKernel(payload, mime)
+    }
 
   /** Partition-parallel decode of an assets frame ((asset_id, payload,
     * meta{mime, n_bytes, origin})) with a PLUGGABLE kernel — the exact
@@ -265,8 +272,9 @@ object Multimodal {
         Some((f.getSampleRate.toInt, in.getFrameLength, f.getChannels))
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // same totality posture as imageKernel: header parsers can throw
+      // unchecked exceptions on adversarial bytes
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Partition-parallel audio decode over an assets frame — same
@@ -284,6 +292,95 @@ object Multimodal {
         it.map { case (id, payload, mime, nBytes) =>
           val (sr, nf, ch) = audioKernel(payload, mime).getOrElse((0, 0L, 0))
           DecodedAudio(id, mime, nBytes, sr, nf, ch)
+        }
+      }
+  }
+
+  // ------------------------------------------------- real multi-frame arm
+  /** Decoded-frames record — the video/animation analogue of
+    * [[DecodedAsset]]: frame count plus a bounded sample of per-frame
+    * raster digests (≤10, matching the stub's frame cap). */
+  final case class DecodedFrames(
+      asset_id: Long, mime: String, n_frames: Int, frame_hashes: Seq[Long])
+
+  /** Deterministic raster digest in the portable polynomial family: fold
+    * ARGB pixels row-major at a ≤64×64 sampling stride, so huge frames
+    * cost O(4096) reads, not O(pixels). */
+  private def frameHash(img: java.awt.image.BufferedImage): Long = {
+    var acc = 0L
+    val stepX = math.max(1, img.getWidth / 64)
+    val stepY = math.max(1, img.getHeight / 64)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = (acc * PH.FoldMult + (img.getRGB(x, y) & 0xffffffffL)) % PH.P
+        x += stepX
+      }
+      y += stepY
+    }
+    acc
+  }
+
+  /** REAL pure-JVM multi-frame decode (round 11): the JDK's imageio GIF
+    * reader iterates animation frames (`getNumImages(true)` + `read(i)`),
+    * so animated-GIF payloads — the one multi-frame container the JDK
+    * ships a codec for — yield true frame counts and per-frame raster
+    * digests. Non-multi-frame mimes and undecodable payloads return None;
+    * the Dataset arm falls back to [[stubFrames]], keeping the record
+    * total. The declared p16 oracle row stays on the stub for BOTH
+    * engines (DuckDB cannot run a codec); this arm is the production
+    * sibling, spec-pinned on a real 3-frame GIF fixture. */
+  private[graft] def framesKernel(payload: Array[Byte], mime: String)
+      : Option[(Int, Seq[Long])] =
+    if (mime == null || !(mime.startsWith("video/") || mime == "image/gif")) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some((n, (0 until math.min(n, 10)).map(i => frameHash(r.read(i)))))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The stub frame pipeline as a row kernel — IDENTICAL arithmetic to
+    * [[frameSampleRaw]]'s SQL expressions (64-CHAR slices of the payload
+    * decoded as text, poly-hashed), so the Dataset arm with this fallback
+    * is testably equal to the declared query. */
+  private[graft] def stubFrames(payload: Array[Byte]): (Int, Seq[Long]) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromBytes(payload)
+    val n = math.max(1, u.numChars / 64)
+    val hashes = (0 until math.min(n, 10)).map { i =>
+      graft.functions.HashKernels.polyHash(
+        u.substring(i * 64, i * 64 + 64), PH.TokMult, PH.P)
+    }
+    (n, hashes)
+  }
+
+  /** Partition-parallel frame extraction over an assets frame — same
+    * `mapPartitions` contract as [[decodeAssets]]: real codec first
+    * ([[framesKernel]]), deterministic [[stubFrames]] fallback, so the
+    * operator is total over any payload bytes. */
+  private[graft] def decodeFrameAssets(assetsDf: DataFrame)
+      : org.apache.spark.sql.Dataset[DecodedFrames] = {
+    import assetsDf.sparkSession.implicits._
+    assetsDf
+      .select(col("asset_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mime) =>
+          val (n, hs) = framesKernel(payload, mime).getOrElse(stubFrames(payload))
+          DecodedFrames(id, mime, n, hs)
         }
       }
   }

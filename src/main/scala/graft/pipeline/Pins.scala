@@ -51,10 +51,28 @@ object Pins {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          bySession.synchronized { bySession.remove(s) }
+          purge(s)
       })
       new State
     })
+  }
+
+  /** Drop a session's registry entry entirely (the listener's eager path;
+    * also callable by a host that discards a session without stopping the
+    * shared context). Unpersists are best-effort: at application end the
+    * blocks die with the executors anyway. */
+  private[graft] def purge(s: SparkSession): Unit = {
+    val st = bySession.synchronized { bySession.remove(s) }
+    st.foreach { state =>
+      state.synchronized {
+        if (!s.sparkContext.isStopped) {
+          state.ephemeral.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+          state.shared.values.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+        }
+        state.ephemeral.clear(); state.shared.clear()
+        state.seenBefore.clear(); state.warmHits.clear()
+      }
+    }
   }
 
   /** Pin an intra-query barrier; released between queries by the harness. */

@@ -148,7 +148,9 @@ object SemanticOps {
     * mod a no-op and the extra width never receives a bit — 2^31 is the
     * sizing ceiling of this hash domain, ~75 M eval shingles at ε = 0.1%.
     * Demand beyond the clamp fails LOUDLY (raise_error) instead of the
-    * previous silent null-m cascade ([[mDerivationSql]], spec-pinned). */
+    * previous silent null-m cascade ([[mDerivationSql]], spec-pinned);
+    * the DuckDB oracle CTE mirrors the same loud error() past its ladder
+    * (round-11 advice: the engines must diverge loudly-vs-loudly). */
   private val BloomK = 3
   /** 10⁶·ln(1/(1−ε^{1/k})) for ε = 0.001, k = 3 — the scaled denominator
     * of the m-derivation; see the FP-target algebra in the scaladoc. */
@@ -263,7 +265,10 @@ object SemanticOps {
        |evalsh AS (SELECT DISTINCT shingle FROM pairs WHERE doc_id % 17 = 0),
        |mraw AS (SELECT (count(*) * ${BloomK * 1000000L} + ${BloomLnScaled - 1})
        |                  // $BloomLnScaled AS r FROM evalsh),
-       |msel AS (SELECT min(v) AS m
+       |msel AS (SELECT CASE WHEN min(v) IS NULL THEN CAST(error(
+       |             'bloom m-derivation overflow: eval shingles demand a filter '
+       |             || 'wider than the 2^31 probe domain; shard the eval set')
+       |             AS BIGINT) ELSE min(v) END AS m
        |         FROM (SELECT unnest(list_transform(range(6, 32),
        |                 p -> CAST(pow(2, p) AS BIGINT))) AS v) t, mraw
        |         WHERE t.v >= mraw.r),

@@ -34,4 +34,50 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(!json.contains("\"b\":{"), s"failed query must not enter the deltas: $json")
     assert("\"n_compared\":2".r.findFirstIn(json).isDefined, json)
   }
+
+  // Round-11 pin of the contaminated-sweep defense: a would-be REGRESSION
+  // mover is re-sampled once; a clean fresh sample clears the false mover
+  // (and the discarded latch shows up as spread, not signal), a
+  // reproducing slow sample leaves the true regression flagged, and
+  // improvements are never re-sampled (additive noise can't fake one).
+  test("reconcile: re-samples regression movers only; clean re-sample clears the latch") {
+    val prevQ = Map("latched" -> 0.45, "true_reg" -> 1.0,
+      "improved" -> 3.0, "steady" -> 2.0)
+    val prevS = Map("latched" -> 0.01, "true_reg" -> 0.02,
+      "improved" -> 0.05, "steady" -> 0.03)
+    val cur = Seq(
+      ("latched", 10.0, 0.0),   // early-break latch under co-tenant load
+      ("true_reg", 2.4, 0.01),  // genuine 2.4× regression
+      ("improved", 1.2, 0.02),  // 2.5× improvement → must NOT re-sample
+      ("steady", 2.05, 0.01))   // inside the band → untouched
+    val sampled = scala.collection.mutable.Buffer.empty[String]
+    val (out, fresh) = Bench.reconcile(cur, Some((prevQ, prevS)), {
+      case n @ "latched" => sampled += n; 0.47   // clean re-sample
+      case n @ "true_reg" => sampled += n; 2.38  // reproduces
+      case n => sampled += n; fail(s"re-sampled a non-regression: $n")
+    })
+    assert(sampled.sorted === Seq("latched", "true_reg"))
+    assert(fresh === Map("latched" -> 0.47, "true_reg" -> 2.38))
+    val m = out.map(r => r._1 -> r).toMap
+    // latch cleared: min absorbed the fresh sample, spread shows the latch
+    assert(m("latched")._2 === 0.47 && m("latched")._3 > 9.0)
+    assert(!Bench.isMover(m("latched")._2, prevQ("latched"),
+      math.max(m("latched")._3, prevS("latched")) min 0.05))
+    // true regression keeps its (slightly lower) time and stays a mover
+    assert(m("true_reg")._2 === 2.38)
+    assert(Bench.isMover(m("true_reg")._2, prevQ("true_reg"), 0.02))
+    // untouched rows pass through bit-identically
+    assert(m("improved") === ("improved", 1.2, 0.02))
+    assert(m("steady") === ("steady", 2.05, 0.01))
+  }
+
+  test("reconcile: failed re-sample and missing prev change nothing") {
+    val cur = Seq(("a", 5.0, 0.1))
+    val (noPrev, f1) = Bench.reconcile(cur, None, _ => fail("no prev → no sampling"))
+    assert(noPrev === cur && f1.isEmpty)
+    val (failedSample, f2) =
+      Bench.reconcile(cur, Some((Map("a" -> 1.0), Map.empty)), _ => -1.0)
+    assert(failedSample === cur, "a failed re-sample must keep the original")
+    assert(f2 === Map("a" -> -1.0))
+  }
 }

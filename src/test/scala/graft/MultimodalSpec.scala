@@ -143,6 +143,77 @@ class MultimodalSpec extends AnyFunSuite {
       out(1).channels === 0)
   }
 
+  test("framesKernel decodes a real 3-frame GIF; adversarial bytes fall back, never throw") {
+    import graft.pipeline.Multimodal
+    // a real animated GIF written by the JDK's own sequence writer
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { k =>
+      val img = new java.awt.image.BufferedImage(
+        8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(k, 1, 0x40C080 + k * 0x202020) // a different pixel per frame
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = baos.toByteArray
+    val decoded = Multimodal.framesKernel(gif, "image/gif")
+    assert(decoded.isDefined)
+    val (n, hashes) = decoded.get
+    assert(n === 3 && hashes.length === 3)
+    assert(hashes.distinct.length === 3, "distinct frames must digest distinctly")
+    assert(Multimodal.framesKernel(gif, "image/gif") === decoded, "must be deterministic")
+    // out-of-scope mimes and adversarial bytes: None, never a throw
+    assert(Multimodal.framesKernel(gif, "image/png") === None)
+    assert(Multimodal.framesKernel("junk".getBytes("UTF-8"), "video/mp4") === None)
+    assert(Multimodal.framesKernel(gif.take(20), "image/gif").isEmpty ||
+      Multimodal.framesKernel(gif.take(20), "image/gif").get._1 >= 0)
+    // imageKernel on truncated image bytes (RuntimeException territory for
+    // imageio readers) must ride the stub, not kill the task
+    assert(Multimodal.imageKernel(gif.take(20), "image/gif") ===
+      Multimodal.stubKernel(gif.take(20), "image/gif"))
+  }
+
+  test("decodeFrameAssets: stub fallback is bit-equal to the declared stub pipeline; real GIF rows decode") {
+    import graft.pipeline.Multimodal
+    // fallback path over the corpus's video-mime assets ≡ frameSampleRaw
+    val videoAssets = graft.pipeline.Multimodal.assets(spark, sfDir)
+      .filter(col("meta.mime") === "video/mp4")
+    val api = Multimodal.decodeFrameAssets(videoAssets)
+      .toDF().select(col("asset_id"), col("n_frames"), col("frame_hashes"))
+    val sqlArm = Multimodal.frameSampleRaw(spark, sfDir)
+      .select(col("asset_id"), col("n_frames"), col("frame_hashes"))
+    assert(api.count() > 0)
+    assert(api.exceptAll(sqlArm).count() === 0 &&
+      sqlArm.exceptAll(api).count() === 0)
+    // a real GIF row through the same Dataset arm decodes for real
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 2).foreach { k =>
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(k, k, 0xFFFFFF)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = baos.toByteArray
+    val df = spark.createDataFrame(Seq((7L, gif, "image/gif", "synth")))
+      .toDF("asset_id", "payload", "mime", "origin")
+      .select(col("asset_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          col("origin")).as("meta"))
+    val out = Multimodal.decodeFrameAssets(df).collect()
+    assert(out.length === 1 && out(0).n_frames === 2 &&
+      out(0).frame_hashes.length === 2)
+  }
+
   test("declared frame/feature queries emit scalar digests, no arrays") {
     Seq("p16_multimodal_frames", "p17_multimodal_features").foreach { n =>
       val schema = run(n).schema

@@ -53,6 +53,22 @@ class PinsSpec extends AnyFunSuite {
     Pins.releaseAll(spark)
   }
 
+  test("purge (the onApplicationEnd listener path) drops the session's whole registry eagerly") {
+    var builds = 0
+    def build = { builds += 1; spark.range(9).toDF("p") }
+    val sh = Pins.shared(spark, "/tmp/pins-spec", "stage-e")(build)
+    val e = Pins.ephemeral(spark.range(4).toDF("q"))
+    assert(builds === 1)
+    Pins.purge(spark) // what the SparkListener invokes at application end
+    assert(sh.storageLevel == StorageLevel.NONE, "purge unpersists shared stages")
+    assert(e.storageLevel == StorageLevel.NONE, "purge unpersists ephemeral pins")
+    Pins.shared(spark, "/tmp/pins-spec", "stage-e")(build)
+    assert(builds === 2, "a purged session starts from an empty registry")
+    assert(!Pins.warmKeys(spark).contains(("/tmp/pins-spec", "stage-e")),
+      "warm tracking must not survive a purge")
+    Pins.releaseAll(spark)
+  }
+
   test("an externally-unpersisted shared stage re-pins lazily on next access") {
     val sh = Pins.shared(spark, "/tmp/pins-spec", "stage-d")(spark.range(5).toDF("a"))
     sh.unpersist(blocking = true) // e.g. a user-level clearCache

@@ -156,5 +156,12 @@ class SemanticOpsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("bloom m-derivation overflow")),
       s"expected the loud overflow guard, got: $e")
+    // the DuckDB oracle must fail the same way past its ladder (round-11
+    // advice: loud-vs-loud, never loud-vs-silent-null) — pin the error()
+    // guard into the oracle text; local_check exercises the happy path
+    val oracle = SparkEntry.oracleSql("p50_bloom_decontam")
+    assert(oracle.contains("error(") &&
+      oracle.contains("bloom m-derivation overflow"),
+      "oracle msel CTE lost its loud overflow mirror")
   }
 }
