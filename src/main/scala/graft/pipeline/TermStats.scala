@@ -227,54 +227,79 @@ object TermStats {
   private val GramLen = 20
   private val GramStride = 8
 
-  /** Flag corpus-wide repeated grams: the two-level aggregate + rejoin
-    * (the DuckDB oracle's own spelling). The earlier one-pass spelling —
-    * `count(*) OVER (PARTITION BY h)` — scans the gram stream once, which
-    * wins at sf1, but funnels EVERY occurrence of one hot gram into a
-    * single window task; web-corpus boilerplate grams repeat billions of
-    * times and AQE skew-split applies to shuffle JOINS, not windows. Here
-    * the aggregate collapses map-side (partial counts, not raw grams,
-    * cross the exchange — a hot gram costs one long per map task) and the
-    * rejoin on `h` is AQE-skew-splittable, so the hot key is the join
-    * optimizer's problem, which it actually solves. The gram stream is
-    * hashed twice (the exchange carries partials Spark can't reuse for
-    * the join side) — the price of the scale-safe shape. The duplicate
-    * set is capped early: `count > 1` needs no exact count, so the
-    * partial aggregation already discards singleton-per-task keys' raw
-    * volume. */
-  private def markDup(grams: DataFrame): DataFrame = {
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("h"), lit(1).as("__dup"))
-    grams.join(dup, Seq("h"), "left")
-      .withColumn("isdup", coalesce(col("__dup"), lit(0)))
-      .drop("__dup")
+  /** The shared (doc_id, i, h) gram stream of the ExactSubstr family:
+    * every `GramLen`-char gram at `GramStride` offsets, poly-hashed. */
+  private def gramStream(s: SparkSession, dir: String): DataFrame = {
+    val PH = graft.pipeline.PortableHash
+    docs(s, dir).select(col("doc_id"),
+        explode(expr(
+          s"sequence(1, greatest(1, length(text) - ${GramLen - 1}), $GramStride)"))
+          .as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $GramLen)")).as("h"))
   }
+
+  /** ONE skew-safe aggregate over the gram stream, keyed by the gram
+    * hash: (h, c, doc1, i1) where (doc1, i1) = min(doc_id)/min(i) locate
+    * the unique occurrence EXACTLY when c = 1 (a singleton has one row,
+    * so its minima are its coordinates).
+    *
+    * This is the load-bearing shape choice of p44/p71 (round 11, third
+    * iteration — the measured ledger):
+    *  - `count(*) OVER (PARTITION BY h)` (rounds ≤10): one gram pass,
+    *    3.9 s at sf1, but every occurrence of a hot boilerplate gram
+    *    lands in ONE window task and AQE skew-split applies to shuffle
+    *    joins, not windows — a 100 TB scale-killer.
+    *  - dup-set aggregate + rejoin on h (the oracle's spelling):
+    *    skew-safe (map-side partials collapse hot keys; the rejoin is
+    *    AQE-splittable) but hashes the gram stream TWICE and measured
+    *    9.2 s at sf1 — the aggregate's exchange carries partial counts
+    *    Spark cannot reuse for the join side.
+    *  - THIS singleton-complement shape: per-doc duplicated-gram counts
+    *    are n_grams − n_singletons, and n_grams + gram POSITIONS are
+    *    pure length arithmetic needing no hashing — so the dup statistic
+    *    derives from the singleton rows of this ONE aggregate (hot keys
+    *    still collapse map-side into O(1) state per task; the per-doc
+    *    regroup is keyed by uniform doc_id) joined back to a doc-sized
+    *    frame, never to the gram stream. One gram pass, no window, no
+    *    gram-stream rejoin: 4.3/5.5 s at sf1 (within noise of the
+    *    window's 3.9 s), skew-safe at any scale. */
+  private def gramAgg(grams: DataFrame): DataFrame =
+    grams.groupBy(col("h")).agg(count(lit(1)).as("c"),
+      min(col("doc_id")).as("doc1"), min(col("i")).as("i1"))
+
+  /** Per-doc gram-position array from LENGTH ARITHMETIC alone (positions
+    * are deterministic: 1, 1+stride, …) — no explode, no hashing. */
+  private def docPositions(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("doc_len"),
+      expr(s"sequence(1L, CAST(greatest(1, length(text) - ${GramLen - 1}) AS BIGINT), ${GramStride}L)")
+        .as("ps_all"))
 
   /** Exact-substring duplication signal (the ExactSubstr statistic of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better"):
     * hash every `GramLen`-char gram at `GramStride` offsets, mark grams
     * whose hash repeats corpus-wide, report the duplicated-gram fraction
     * per document. The suffix-array construction of the paper is replaced
-    * by the hash-bucket shape that distributes: ONE shuffle keyed by gram
-    * hash (unbounded key space), the duplicate set is collision-bounded,
-    * and the rejoin is a semi-style left join on the hash — no all-pairs
-    * comparison exists. Gram volume is |corpus chars| / stride — the
-    * stride is the cost knob, exactly the sampling the paper's followups
-    * use at scale. Shares the portable polynomial kernel, so DuckDB
-    * reproduces every hash bit-for-bit. */
+    * by the hash-bucket shape that distributes: ONE map-side-collapsing
+    * aggregate keyed by gram hash ([[gramAgg]] — see its ledger for the
+    * two rejected shapes), whose SINGLETON rows complement the dup
+    * statistic (n_dup = n_grams − n_singletons, with n_grams pure length
+    * arithmetic); no all-pairs comparison, no window, no gram-stream
+    * rejoin exists. Gram volume is |corpus chars| / stride — the stride
+    * is the cost knob, exactly the sampling the paper's followups use at
+    * scale. Shares the portable polynomial kernel, so DuckDB reproduces
+    * every hash bit-for-bit (the oracle keeps its GROUP BY h HAVING +
+    * rejoin spelling — same result, DuckDB-idiomatic). */
   private def dupSpanGrams(s: SparkSession, dir: String): DataFrame = {
-    val PH = graft.pipeline.PortableHash
-    val grams = docs(s, dir).select(col("doc_id"),
-        explode(expr(
-          s"sequence(1, greatest(1, length(text) - ${GramLen - 1}), $GramStride)"))
-          .as("i"),
-        col("text"))
-      .select(col("doc_id"),
-        expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $GramLen)")).as("h"))
-    markDup(grams)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"))
+    val singles = gramAgg(gramStream(s, dir)).filter(col("c") === 1)
+      .groupBy(col("doc1")).agg(count(lit(1)).as("n_single"))
+    docPositions(s, dir)
+      .select(col("doc_id"), size(col("ps_all")).cast("long").as("n_grams"))
+      .join(singles, col("doc_id") === col("doc1"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_single"), lit(0L))).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_ratio"))
       .orderBy(col("doc_id"))
@@ -313,18 +338,12 @@ object TermStats {
     * accumulator of the element type, so a struct state has no oracle
     * spelling — the packed integer runs bit-identically in both engines
     * (end ≤ doc length ≪ 2³¹, total < 2³², product < 2⁶³). Shapes are
-    * p44's plus one collect_list bounded by grams-per-doc — the same one
-    * gram-hash shuffle, then doc-keyed aggregation; nothing new at 100 TB. */
+    * p44's plus one collect_list bounded by grams-per-doc (the SINGLETON
+    * positions the [[gramAgg]] rows carry; dup positions are the
+    * arithmetic position array minus them) — one gram-hash aggregate,
+    * then doc-keyed aggregation; nothing new at 100 TB. */
   private def dupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
-    val PH = graft.pipeline.PortableHash
     val G = GramLen
-    val grams = docs(s, dir).select(col("doc_id"),
-        explode(expr(
-          s"sequence(1, greatest(1, length(text) - ${G - 1}), $GramStride)"))
-          .as("i"),
-        col("text"))
-      .select(col("doc_id"), col("i").cast("long").as("i"),
-        expr(PH.sparkCharHash(s"substring(text, CAST(i AS INT), $G)")).as("h"))
     val pack = 4294967296L // 2^32
     // span ends clamp at doc_len: a doc shorter than G hashes one short
     // gram whose nominal span would overrun the text
@@ -335,13 +354,20 @@ object TermStats {
          |       + least(i + ${G - 1}L, doc_len)
          |       - greatest(i - 1L, a div ${pack}L))),
          |  ${pack}L)""".stripMargin)
-    markDup(grams)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("isdup")).as("n_dup"),
-        sort_array(collect_list(when(col("isdup") === 1, col("i")))).as("ps"))
-      .join(docs(s, dir).select(col("doc_id"),
-        length(col("text")).cast("long").as("doc_len")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_grams"), col("n_dup"), col("doc_len"),
+    // singleton-complement ([[gramAgg]]): dup positions per doc = the
+    // arithmetic position array MINUS the singleton positions, which the
+    // one h-keyed aggregate carries as (doc1, i1) — no gram-stream rejoin
+    val singlesPos = gramAgg(gramStream(s, dir)).filter(col("c") === 1)
+      .groupBy(col("doc1")).agg(collect_list(col("i1")).as("si"))
+    docPositions(s, dir)
+      .join(singlesPos, col("doc_id") === col("doc1"), "left")
+      .select(col("doc_id"), col("doc_len"),
+        size(col("ps_all")).cast("long").as("n_grams"),
+        // array_except keeps ps_all's ascending order (positions distinct)
+        array_except(col("ps_all"),
+          coalesce(col("si"), expr("CAST(array() AS ARRAY<BIGINT>)"))).as("ps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("ps")).cast("long").as("n_dup"), col("doc_len"),
         covered.as("covered_chars"))
       .withColumn("cleaned_len", col("doc_len") - col("covered_chars"))
       .orderBy(col("doc_id"))

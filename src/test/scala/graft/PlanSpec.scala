@@ -155,11 +155,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("p44/p71: no window partitioned by the gram hash (skew-safe dup marking)") {
-    // Round-11 de-skew: duplicate-gram marking must be the map-side-
-    // collapsing aggregate + AQE-skew-splittable rejoin on h, never
-    // `count(*) OVER (PARTITION BY h)` — a hot boilerplate gram would
-    // funnel every occurrence into one window task, and AQE skew-split
-    // applies to shuffle joins, not windows.
+    // Round-11 de-skew (singleton-complement shape, see TermStats.gramAgg
+    // ledger): duplicate-gram statistics must ride ONE map-side-collapsing
+    // aggregate keyed by h, never `count(*) OVER (PARTITION BY h)` — a hot
+    // boilerplate gram would funnel every occurrence into one window task,
+    // and AQE skew-split applies to shuffle joins, not windows. The only
+    // join is singleton-rows → doc-sized frame on uniform doc_id.
     Seq("p44_dup_span_grams", "p71_dup_span_removal").foreach { name =>
       val p = plan(name)
       assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("h#")),
@@ -168,7 +169,11 @@ class PlanSpec extends AnyFunSuite {
         s"$name dup counting lost map-side partial aggregation:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin"),
-        s"$name rejoin is not an equi-join:\n$p")
+        s"$name singleton join is not an equi-join:\n$p")
+      // the gram stream must be scanned exactly once: one Generate
+      // (explode) in the whole plan
+      assert("Generate".r.findAllIn(p).size <= 1,
+        s"$name scans the gram stream more than once:\n$p")
     }
   }
 

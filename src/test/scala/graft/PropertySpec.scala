@@ -130,6 +130,68 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("FULL dialect chain is total and literal-safe on adversarial SQL (round-11)") {
+    // The engine's whole rewrite stack (DialectRewriter.rewrite: macro
+    // expansion → literal escaping → series/type keywords → COLUMNS
+    // expansion → DialectFunctions incl. ListComprehension+WindowExclude →
+    // DialectSugar incl. AsofJoinSql → SetOpsByName → NullOrder) is ~12
+    // string-surgery passes deep; each new pass multiplies interaction
+    // surface. Over generated SQL carrying adversarial literals and
+    // comments, the chain must (a) never throw and (b) preserve every
+    // tracked literal byte-for-byte (after its one sanctioned transform,
+    // the standard-SQL → Spark escape doubling of backslashes).
+    val spark = SparkTestSession.spark
+    Tables.registerAll(spark, SparkTestSession.sfDir)
+    val rewriter = new graft.dialect.DialectRewriter(
+      spark, new graft.session.FileRegistry)
+    val trap = Gen.oneOf(
+      // pass-trigger keywords hiding inside literals
+      "EXCLUDE TIES", "OVER (", ") FROM (", "ROWS BETWEEN", "unnest(x)",
+      "GROUP BY ALL", "UNION ALL BY NAME", "QUALIFY rank() <= 1",
+      "COLUMNS('n_.*')", "::VARCHAR", "BLOB", "generate_series(1, 3)",
+      "ASOF JOIN", "list_sort([2,1])", "[x + 1 FOR x IN xs]",
+      "ORDER BY ALL", "NULLS FIRST", "-- not a comment", "it''s",
+      "try_cast(a AS INT)")
+    val litGen = Gen.oneOf(trap,
+      Gen.asciiPrintableStr.map(_.replace("'", "''").take(24)))
+    // comments carrying pass keywords (no quotes inside: a stray
+    // apostrophe in a comment is indistinguishable from a literal start
+    // for a string-level rewriter — documented out of scope)
+    val comment = Gen.oneOf("", "/* GROUP BY ALL ROWS BETWEEN x */ ",
+      "-- unnest QUALIFY generate_series\n")
+    val shape = Gen.oneOf(
+      (w: String, l: String) => s"SELECT n_name, '$l' AS c ${w}FROM nation",
+      (w: String, l: String) =>
+        s"SELECT n_regionkey, count(*) OVER (ORDER BY n_regionkey" +
+          s" RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)," +
+          s" '$l' ${w}FROM nation",
+      (w: String, l: String) =>
+        s"SELECT *, '$l' AS c FROM nation ${w}QUALIFY" +
+          s" row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2",
+      (w: String, l: String) =>
+        s"SELECT n_name::VARCHAR AS v, '$l' FROM nation ${w}UNION ALL BY NAME" +
+          s" SELECT r_name::VARCHAR AS v, '$l' FROM region",
+      (w: String, l: String) =>
+        s"SELECT list_sort([n_regionkey, 2]) AS xs, '$l' ${w}FROM nation" +
+          s" GROUP BY ALL ORDER BY ALL",
+      (w: String, l: String) =>
+        s"SELECT [x + 1 FOR x IN [1, 2]] AS ys, '$l' ${w}FROM generate_series(1, 3)",
+      (w: String, l: String) =>
+        s"SELECT COLUMNS('n_.*'), '$l' ${w}FROM nation ORDER BY n_nationkey",
+      (w: String, l: String) =>
+        s"SELECT a.n_name, '$l' FROM nation a ${w}ASOF JOIN" +
+          s" (SELECT r_regionkey, r_regionkey AS t FROM region) b" +
+          s" ON a.n_regionkey = b.r_regionkey AND a.n_nationkey >= b.t")
+    val gen = for { l <- litGen; c <- comment; sh <- shape } yield
+      (sh(c, l), l)
+    check(Prop.forAll(gen) { case (sql, l) =>
+      val out = rewriter.rewrite(sql) // must not throw
+      // the sanctioned transform: standard-SQL literals get backslashes
+      // doubled for Spark's C-style parser; otherwise byte-identical
+      out.contains(s"'${l.replace("\\", "\\\\")}'") || out.contains(s"'$l'")
+    })
+  }
+
   test("literal escape translation: Spark evaluates the DuckDB meaning") {
     // for any backslash-bearing content, escapeLiteralsForSpark('c') must
     // make Spark's parser produce exactly c (DuckDB literal semantics)
