@@ -645,6 +645,11 @@ object WindowExclude {
     "((?:[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*)*)\\*")
   private val ExceptAfter = java.util.regex.Pattern.compile(
     "(?i)\\s*EXCEPT\\s*\\(")
+  // DuckDB star sugar that is rewritten AFTER this pass (DialectSugar) —
+  // inserting EXCEPT between the star and these would corrupt the later
+  // rewrite; reject the block so EXCLUDE stays for Spark to refuse loudly
+  private val StarSugarAfter = java.util.regex.Pattern.compile(
+    "(?i)\\s*(REPLACE|EXCLUDE)\\s*\\(")
   private val DistinctAll = java.util.regex.Pattern.compile(
     "(?i)\\s*(DISTINCT|ALL)\\b")
 
@@ -678,6 +683,9 @@ object WindowExclude {
         if (m.lookingAt()) {
           val qual = m.group(1).replaceAll("[\\s.]+$", "").trim
           if (qual.nonEmpty && !qual.equalsIgnoreCase(wrapAlias)) return None
+          val sm2 = StarSugarAfter.matcher(seg)
+          sm2.region(m.end, seg.length)
+          if (sm2.lookingAt()) return None
           val em = ExceptAfter.matcher(seg)
           em.region(m.end, seg.length)
           if (em.lookingAt())

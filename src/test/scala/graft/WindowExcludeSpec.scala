@@ -229,6 +229,12 @@ class WindowExcludeSpec extends AnyFunSuite {
       "SELECT * EXCEPT (n_name), count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS c FROM nation")
     assert("EXCEPT".r.findAllIn(merged.toUpperCase).size === 1, merged)
     assert(spark.sql(merged).columns.count(_.startsWith("__graft")) === 0)
+    // DuckDB star sugar rewritten AFTER this pass (REPLACE/EXCLUDE lists)
+    // must reject the block — inserting EXCEPT between the star and the
+    // sugar would corrupt DialectSugar's later rewrite
+    val starSugar =
+      "SELECT * REPLACE (n_name AS x), count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP) FROM nation"
+    assert(WindowExclude.rewrite(starSugar) == starSugar)
   }
 
   test("k-offset ROWS frames with EXCLUDE TIES/GROUP match a window-free reference") {
