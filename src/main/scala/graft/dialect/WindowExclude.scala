@@ -49,17 +49,28 @@ package graft.dialect
   * the two modes differ at a CURRENT ROW bound are exactly peers of the
   * current row.
   *
-  * `k PRECEDING` / `k FOLLOWING` bounds (ROWS mode; round 11) cut peer
-  * groups, so each remaining piece of the frame becomes a prefix-
-  * aggregate DIFFERENCE over a row_number helper: rows [cur−k, ps−1]
-  * (ps = peer-group start) = prefix(ps−1) − prefix(cur−k−1), both O(n)
-  * grows-from-the-start windows, with an empty-piece guard when the
-  * offset stays inside the current peer group; mirrored DESC for the
-  * suffix. Differences are exact for sum/count/avg; min/max cannot ride
-  * a subtraction, so k-offset min/max (and RANGE/GROUPS offsets, whose
-  * units differ) pass through for Spark to reject loudly, as do blocks
-  * with GROUP BY/HAVING/set-ops (the wrap would change their evaluation
-  * order).
+  * `k PRECEDING` / `k FOLLOWING` bounds (round 11) are per frame mode:
+  *  - ROWS offsets cut peer groups, so each remaining piece of the
+  *    frame becomes a prefix-aggregate DIFFERENCE over a row_number
+  *    helper: rows [cur−k, ps−1] (ps = peer-group start) =
+  *    prefix(ps−1) − prefix(cur−k−1), both O(n) grows-from-the-start
+  *    windows, with an empty-piece guard when the offset stays inside
+  *    the current peer group; mirrored DESC for the suffix.
+  *    Differences are exact for sum/count/avg; min/max cannot ride a
+  *    subtraction and pass through for Spark to reject loudly.
+  *  - RANGE-mode frames (offsets included) take the per-call SUBTRACT
+  *    path (`expandSubtract`, below): no wrap, no helpers, GROUP BY
+  *    blocks and aliases unrestricted — sum/count/avg only; min/max
+  *    RANGE offsets would need "everything at the peer VALUE" cut out
+  *    of a value range, which requires an integer-typed key the
+  *    rewriter can't see, so they pass through loudly.
+  *  - GROUPS offsets are whole peer groups = dense_rank units, so the
+  *    pieces beyond the current group are integer-RANGE sliding frames
+  *    over the helper ([dr−k, dr−1] ASC / mirrored DESC) — every
+  *    aggregate rides those, min/max included.
+  * Blocks with GROUP BY/HAVING/set-ops still reject on the WRAPPED
+  * paths only (the wrap would change their evaluation order); the
+  * subtract path has no such restriction.
   *
   * Wrap hygiene (round 11): a star projection in the outer SELECT is
   * rewritten to `* EXCEPT (__graft_* helpers)` so the helper columns
@@ -241,6 +252,147 @@ object WindowExclude {
     })
   }
 
+  /** Subtract path for EXCLUDE TIES/GROUP over RANGE-mode frames
+    * (round 11). In RANGE mode the current row's ORDER-BY peers sit at
+    * value-distance 0, so every supported frame ([UNBOUNDED|k PRECEDING|
+    * CURRENT ROW] .. [CURRENT ROW|k FOLLOWING|UNBOUNDED]) contains the
+    * whole peer group — the exclusion is exactly
+    * `agg(frame) − agg(peer group) [+ current row for TIES]`, which
+    * sum/count/avg can ride (min/max cannot; they keep the wrapped
+    * dense_rank path). No derived-table wrap, no helper columns: the
+    * peer-group aggregate is `OVER (base RANGE BETWEEN CURRENT ROW AND
+    * CURRENT ROW)`, sharing the frame window's partitioning+sort, so the
+    * whole exclusion is ONE Window pass — and because nothing wraps the
+    * FROM, GROUP BY/HAVING blocks, qualified aliases and star
+    * projections all work unrestricted on this path.
+    *
+    * When a block MIXES subtract-eligible calls with wrap-needing ones
+    * (min/max, ROWS/GROUPS frames), rewriteBlock routes the RANGE
+    * non-offset calls through the wrap's dr piece windows instead —
+    * the wrap is being built anyway, and sharing its two sorted passes
+    * is measurably cheaper than adding a third window family (q103:
+    * 1.17 s vs 1.6 s at sf0.1). The subtract path fires when it saves
+    * the wrap entirely, or for RANGE k-offsets the wrap cannot express.
+    *
+    * Frame spellings keep every window incremental (no UNBOUNDED
+    * FOLLOWING upper bound, which Spark recomputes per row, O(n²)):
+    *  - hi ≠ UNBOUNDED: spell the frame directly (prefix or sliding).
+    *  - [UNB, UNB]: the whole-partition frame (computed once, O(n)).
+    *  - [CURRENT ROW, UNB]: frame − peers = total − prefix, both O(n).
+    *  - [k PRECEDING, UNB]: sequence-reversed — RANGE offsets require a
+    *    single ORDER BY key, so flip it (ASC↔DESC, NULLS LAST↔FIRST;
+    *    DuckDB defaults NULLS LAST both ways, which NullOrder pins) and
+    *    spell [UNBOUNDED PRECEDING, k FOLLOWING]; verified row-identical
+    *    on both engines including NULL order keys, whose offset frames
+    *    are their null peer group on both.
+    *
+    * Caveat shared with every decomposition in this file: DOUBLE sums
+    * accumulate in a different order than a native exclusion, so oracle
+    * queries round to the data's true scale (see q103's discipline). */
+  private def subtractExpr(fn: String, args: String, base: String,
+      lo: TgBound, hi: TgBound, keepSelf: Boolean): Option[String] = {
+    if (fn != "sum" && fn != "count" && fn != "avg") return None
+    locally {
+        def win(f: String, a: String, b: String, frame: String) =
+          s"$f($a) OVER ($b $frame)"
+        val peersF = "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        def btxt(b: TgBound, side: String) = b match {
+          case BUnb => s"UNBOUNDED $side"
+          case BCur => "CURRENT ROW"
+          case BOff(k) => s"$k $side"
+        }
+        // (frame-or-total window A, peers-or-prefix window B) per the
+        // scaladoc's spelling table; None = single-key flip unavailable
+        type W = (String, String) => String
+        def w(b: String, frame: String): W = (f, a) => win(f, a, b, frame)
+        val unbUnb = "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        val ab: Option[(W, W)] = (lo, hi) match {
+          case (BUnb, BUnb) => Some((w(base, unbUnb), w(base, peersF)))
+          case (BCur, BUnb) => Some((w(base, unbUnb),
+            w(base, "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")))
+          case (BOff(k), BUnb) =>
+            flipBase(base).map { fb =>
+              (w(fb, s"RANGE BETWEEN UNBOUNDED PRECEDING AND $k FOLLOWING"),
+                w(fb, peersF))
+            }
+          case _ =>
+            Some((w(base,
+              s"RANGE BETWEEN ${btxt(lo, "PRECEDING")} AND ${btxt(hi, "FOLLOWING")}"),
+              w(base, peersF)))
+        }
+        ab.map { case (winA, winB) =>
+          val selfCnt =
+            if (!keepSelf) "0"
+            else if (args.trim == "*") "1"
+            else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+          val cntRem = s"(${winA("count", args)} - ${winB("count", args)} + $selfCnt)"
+          def sumRem = {
+            val selfSum = if (keepSelf) s"coalesce(($args), 0)" else "0"
+            s"(CASE WHEN $cntRem > 0 THEN coalesce(${winA("sum", args)}, 0) " +
+              s"- coalesce(${winB("sum", args)}, 0) + $selfSum ELSE NULL END)"
+          }
+          fn match {
+            case "count" => cntRem
+            case "sum" => sumRem
+            case "avg" =>
+              s"(CAST($sumRem AS DOUBLE) / nullif($cntRem, 0))"
+          }
+        }
+    }
+  }
+
+  /** Sequence-reverse a single-key `[PARTITION BY …] ORDER BY key [dir]
+    * [NULLS …]` base: ASC↔DESC and NULLS LAST↔FIRST (defaults are the
+    * DuckDB/NullOrder-pinned ASC + NULLS LAST). None for multi-key order
+    * (RANGE offsets are invalid there anyway — the original EXCLUDE is
+    * left for Spark to reject loudly). */
+  private def flipBase(base: String): Option[String] = {
+    val om = OrderByKw.matcher(base)
+    if (!om.find()) return None
+    val part = base.substring(0, om.start).trim
+    var core = base.substring(om.end).trim
+    // top-level comma = multi-key
+    var i = 0
+    var depth = 0
+    while (i < core.length) {
+      core.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(core, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => return None
+        case _ => i += 1
+      }
+    }
+    var dir = "ASC"
+    var nulls = "LAST"
+    val pn = java.util.regex.Pattern.compile("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$")
+    val mn = pn.matcher(blankLits(core))
+    if (mn.find()) { nulls = mn.group(1).toUpperCase; core = core.substring(0, mn.start) }
+    val pd = java.util.regex.Pattern.compile("(?is)\\s+(ASC|DESC)\\s*$")
+    val md = pd.matcher(blankLits(core))
+    if (md.find()) { dir = md.group(1).toUpperCase; core = core.substring(0, md.start) }
+    val fDir = if (dir == "ASC") "DESC" else "ASC"
+    val fNulls = if (nulls == "LAST") "FIRST" else "LAST"
+    Some((if (part.isEmpty) "" else part + " ") +
+      s"ORDER BY $core $fDir NULLS $fNulls")
+  }
+
+  /** Blank literal contents (quotes kept, length preserved) so suffix
+    * regexes can't match keywords inside string constants. */
+  private def blankLits(s: String): String = {
+    val sb = new StringBuilder(s)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val e = SqlText.literalEnd(s, i)
+        var j = i + 1
+        while (j < e - 1) { sb.setCharAt(j, ' '); j += 1 }
+        i = e
+      } else i += 1
+    }
+    sb.toString
+  }
+
   // ---------------------------------------------------------------------
   // EXCLUDE TIES / EXCLUDE GROUP (statement-level; see object scaladoc)
   // ---------------------------------------------------------------------
@@ -258,13 +410,21 @@ object WindowExclude {
   private sealed trait TgBound
   private case object BUnb extends TgBound
   private case object BCur extends TgBound
-  private final case class BOff(k: Long) extends TgBound
+  /** k-offset bound: `txt` is the offset expression verbatim (an integer
+    * for ROWS/GROUPS, possibly an INTERVAL literal for RANGE); `kOpt` is
+    * its numeric value when it is a plain integer — the ROWS difference
+    * path and GROUPS piece path require that, RANGE passes txt through. */
+  private final case class BOff(txt: String) extends TgBound {
+    def kOpt: Option[Long] =
+      if (txt.matches("\\d+")) Some(txt.toLong) else None
+  }
 
   /** One parsed `agg(args) OVER (spec EXCLUDE TIES|GROUP)` occurrence:
     * [start, end) covers the whole call, base = partition+order text,
-    * lo/hi = how far each side of the frame reaches past the peer group. */
+    * mode = ROWS/RANGE/GROUPS, lo/hi = how far each side of the frame
+    * reaches past the peer group. */
   private final case class TgOcc(start: Int, end: Int, fn: String,
-      args: String, base: String, lo: TgBound, hi: TgBound,
+      args: String, base: String, mode: String, lo: TgBound, hi: TgBound,
       keepSelf: Boolean) {
     def hasOffset: Boolean =
       lo.isInstanceOf[BOff] || hi.isInstanceOf[BOff]
@@ -394,18 +554,6 @@ object WindowExclude {
   /** Rewrite one SELECT block that contains depth-0 EXCLUDE TIES/GROUP
     * calls. None = unsupported shape, leave the whole block untouched. */
   private def rewriteBlock(block: String): Option[String] = {
-    val fromPos = topLevelKw(block, kw("FROM"))
-    if (fromPos < 0) return None
-    // the wrap changes evaluation order for these — reject loudly. The
-    // scan starts at FROM: these clauses can only follow it, and a
-    // depth-0 EXCEPT before FROM is the star-EXCEPT projection (legit).
-    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"))
-      if (topLevelKw(block, kw(bad), fromPos) >= 0) return None
-    val tailStart = {
-      val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))
-        .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
-      if (cands.isEmpty) block.length else cands.min
-    }
     // collect every TIES/GROUP occurrence OWNED by this block's SELECT
     // (owner-stack: expression parens inherit, subquery SELECTs shadow
     // until their paren closes — a CAST-wrapped call still belongs here,
@@ -437,16 +585,31 @@ object WindowExclude {
               if (ex.find()) {
                 parseTgSpec(spec.substring(0, ex.start).trim,
                     ex.group(1).equalsIgnoreCase("TIES")) match {
-                  case Some((base, lo, hi, self)) =>
+                  case Some((base, mode, lo, hi, self)) =>
                     val args = block.substring(m.end, argsClose - 1)
                     if (args.trim.toUpperCase.startsWith("DISTINCT")) return None
                     val fn = m.group(1).toLowerCase
-                    val occ = TgOcc(i, specClose, fn, args, base, lo, hi, self)
-                    // k-offset pieces are computed by prefix-aggregate
-                    // DIFFERENCES, which min/max cannot ride — pass
-                    // through for Spark to reject loudly
-                    if (occ.hasOffset && (fn == "min" || fn == "max"))
-                      return None
+                    val occ = TgOcc(i, specClose, fn, args, base, mode,
+                      lo, hi, self)
+                    if (occ.hasOffset) {
+                      // ROWS offsets cut peer groups → prefix-aggregate
+                      // DIFFERENCES, which min/max cannot ride; RANGE
+                      // offsets ride the subtract path (sum/count/avg),
+                      // but excluding exactly the peer VALUE from a
+                      // value range for min/max needs an integer-typed
+                      // key the rewriter can't see — pass through for
+                      // Spark to reject loudly. GROUPS offsets are in
+                      // dense_rank units: every aggregate rides the
+                      // integer-RANGE piece windows below.
+                      if ((mode == "RANGE" || mode == "ROWS") &&
+                          (fn == "min" || fn == "max")) return None
+                      // ROWS/GROUPS offsets are row/peer-group counts —
+                      // must be plain integers (RANGE takes expressions)
+                      if (mode != "RANGE" && Seq(lo, hi).exists {
+                            case b: BOff => b.kOpt.isEmpty
+                            case _ => false
+                          }) return None
+                    }
                     occs += occ
                     consumed = specClose
                   case None => return None
@@ -459,22 +622,63 @@ object WindowExclude {
       }
     }
     if (occs.isEmpty) return None
+    // Route per block: a RANGE-mode sum/count/avg call can ride the
+    // wrap-free SUBTRACT path — but when the block needs the wrap anyway
+    // (min/max, ROWS/GROUPS frames), sharing the wrap's dr piece windows
+    // is measurably cheaper than adding a third window family (q103:
+    // 1.17 s vs 1.6 s at sf0.1), so subtract fires only when it saves
+    // the wrap entirely — or for RANGE k-offsets the wrap cannot express.
+    def subtractable(o: TgOcc) = o.mode == "RANGE" &&
+      (o.fn == "sum" || o.fn == "count" || o.fn == "avg")
+    val wrapForced = occs.exists(o => !subtractable(o))
+    val subExpr: Map[TgOcc, String] =
+      occs.filter(o => subtractable(o) && (!wrapForced || o.hasOffset))
+        .map { o =>
+          subtractExpr(o.fn, o.args, o.base, o.lo, o.hi, o.keepSelf) match {
+            case Some(e) => o -> e
+            case None => return None // e.g. multi-key flip: reject loudly
+          }
+        }.toMap
+    if (!wrapForced) {
+      // every call is subtract-eligible: in-place expression surgery, no
+      // derived-table wrap — so no structural constraints either (GROUP
+      // BY/HAVING/set-op blocks, aliases and stars all stay untouched)
+      var out = block
+      occs.toSeq.sortBy(-_.start).foreach { o =>
+        out = out.substring(0, o.start) + subExpr(o) + out.substring(o.end)
+      }
+      return Some(out)
+    }
+    val fromPos = topLevelKw(block, kw("FROM"))
+    if (fromPos < 0) return None
+    // the wrap changes evaluation order for these — reject loudly. The
+    // scan starts at FROM: these clauses can only follow it, and a
+    // depth-0 EXCEPT before FROM is the star-EXCEPT projection (legit).
+    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"))
+      if (topLevelKw(block, kw(bad), fromPos) >= 0) return None
+    val tailStart = {
+      val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))
+        .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
+      if (cands.isEmpty) block.length else cands.min
+    }
     // occurrences inside the FROM..WHERE body (e.g. a join ON) can't ride
     // the wrap — their input would gain the helper columns they feed
     if (occs.exists(o => o.start >= fromPos && o.start < tailStart)) return None
     // one dense_rank (plus, for k-offset frames, one row_number) helper
-    // per distinct normalized window base
+    // per distinct normalized window base — subtract-routed calls don't
+    // consume helpers, so they don't create them either
     val drFor = scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
-    occs.foreach { o =>
+    occs.filterNot(subExpr.contains).foreach { o =>
       val norm = o.base.replaceAll("\\s+", " ").trim.toUpperCase
       if (!drFor.contains(norm)) {
         val n = drFor.size + 1
         drFor(norm) = (s"__graft_dr$n", s"__graft_rn$n", o.base)
       }
     }
-    val needRn = occs.filter(_.hasOffset)
+    val needRn = occs.filter(o => o.hasOffset && o.mode == "ROWS")
       .map(_.base.replaceAll("\\s+", " ").trim.toUpperCase).toSet
-    def replFor(o: TgOcc): String = {
+    def replFor(o: TgOcc): String = subExpr.getOrElse(o, replForWrap(o))
+    def replForWrap(o: TgOcc): String = {
       val (dr, rn, _) = drFor(o.base.replaceAll("\\s+", " ").trim.toUpperCase)
       val om = OrderByKw.matcher(o.base)
       om.find() // guaranteed by parseTgSpec
@@ -493,7 +697,7 @@ object WindowExclude {
       def rnWin(f: String, a: String, ord: String, skip: Long) =
         s"$f($a) OVER (${head}ORDER BY $rn $ord " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND $skip PRECEDING)"
-      if (o.hasOffset) {
+      if (o.hasOffset && o.mode == "ROWS") {
         // k-offset path (ROWS mode, sum/count/avg): each remaining piece
         // of the frame is a prefix DIFFERENCE — [cur−k, ps−1] =
         // prefix(ps−1) − prefix(cur−k−1), where prefix(ps−1) is the
@@ -512,7 +716,8 @@ object WindowExclude {
           b match {
             case BCur => "0"
             case BUnb => drWin("count", a, ord)
-            case BOff(k) =>
+            case b @ BOff(_) =>
+              val k = b.kOpt.get // gated at occurrence collection
               s"(CASE WHEN $k > $peers THEN ${drWin("count", a, ord)} " +
                 s"- ${rnWin("count", a, ord, k + 1)} ELSE 0 END)"
           }
@@ -523,7 +728,8 @@ object WindowExclude {
           b match {
             case BCur => "0"
             case BUnb => s"coalesce(${drWin("sum", a, ord)}, 0)"
-            case BOff(k) =>
+            case b @ BOff(_) =>
+              val k = b.kOpt.get // gated at occurrence collection
               s"(CASE WHEN $k > $peers THEN coalesce(${drWin("sum", a, ord)}, 0) " +
                 s"- coalesce(${rnWin("sum", a, ord, k + 1)}, 0) ELSE 0 END)"
           }
@@ -549,10 +755,22 @@ object WindowExclude {
               s"AS DOUBLE) / nullif($totalCnt, 0))"
         }
       } else {
-      val left = Option.when(o.lo == BUnb)((f: String, a: String) =>
-        drWin(f, a, "ASC"))
-      val right = Option.when(o.hi == BUnb)((f: String, a: String) =>
-        drWin(f, a, "DESC"))
+      // piece path: UNBOUNDED/CURRENT bounds in any mode (the three modes
+      // agree there once the peer group is out), plus GROUPS k-offsets —
+      // a GROUPS offset is k whole peer groups, i.e. k dense_rank units,
+      // so the piece beyond the current group is the integer-RANGE frame
+      // [dr−k, dr−1] (mirrored DESC for the suffix): a sliding frame
+      // every aggregate can ride, min/max included — no differences.
+      def pieceWin(b: TgBound, ord: String): Option[(String, String) => String] =
+        b match {
+          case BCur => None
+          case BUnb => Some((f: String, a: String) => drWin(f, a, ord))
+          case BOff(k) => Some((f: String, a: String) =>
+            s"$f($a) OVER (${head}ORDER BY $dr $ord " +
+              s"RANGE BETWEEN $k PRECEDING AND 1 PRECEDING)")
+        }
+      val left = pieceWin(o.lo, "ASC")
+      val right = pieceWin(o.hi, "DESC")
       def addNullable(a: String, b: String) =
         s"(CASE WHEN $a IS NULL AND $b IS NULL THEN NULL " +
           s"ELSE coalesce($a, 0) + coalesce($b, 0) END)"
@@ -707,13 +925,14 @@ object WindowExclude {
   }
 
   /** Parse a TIES/GROUP window spec body (EXCLUDE already stripped) →
-    * (base partition+order text, lo bound, hi bound, keep current row).
-    * k-offset bounds are accepted in ROWS mode only (RANGE offsets are in
-    * order-key units, GROUPS offsets in peer groups — different animals).
+    * (base partition+order text, frame mode, lo bound, hi bound, keep
+    * current row). k-offset bounds are accepted in every mode — callers
+    * gate per mode×aggregate (ROWS offsets ride prefix differences,
+    * RANGE offsets the subtract path, GROUPS offsets dr-RANGE pieces).
     * Same-side frames (both bounds preceding, or both following) never
     * contain the current row and are out of scope. None = out of scope. */
   private def parseTgSpec(body: String, ties: Boolean)
-      : Option[(String, TgBound, TgBound, Boolean)] = {
+      : Option[(String, String, TgBound, TgBound, Boolean)] = {
     val fm = FrameKw.matcher(body)
     val (base, mode, loTxt, hiTxt) =
       if (fm.find()) {
@@ -730,14 +949,13 @@ object WindowExclude {
       if (txt.matches("(?i)CURRENT\\s+ROW") ||
           txt.matches(s"(?i)0\\s+$side")) Some(BCur)
       else if (txt.matches(s"(?i)UNBOUNDED\\s+$side")) Some(BUnb)
-      else if (txt.matches(s"(?i)\\d+\\s+$side"))
-        Some(BOff(txt.split("\\s+")(0).toLong))
+      else if (txt.matches(s"(?is).+\\s+$side"))
+        Some(BOff(txt.replaceAll(s"(?is)\\s+$side\\s*$$", "").trim))
       else None
     for {
       lo <- bound(loTxt, "PRECEDING")
       hi <- bound(hiTxt, "FOLLOWING")
-      if !(lo.isInstanceOf[BOff] || hi.isInstanceOf[BOff]) || mode == "ROWS"
-    } yield (base, lo, hi, ties)
+    } yield (base, mode, lo, hi, ties)
   }
 
   private def groupEnd(sql: String, open: Int): Int = {

@@ -663,9 +663,63 @@ object DialectQueries {
       |ORDER BY l_returnflag, l_linenumber, g_sum, g_cnt, t_cnt, mixed_avg,
       |  pre_ties_sum""".stripMargin
 
+  // RANGE-mode frames with EXCLUDE TIES/GROUP, k-offsets included
+  // (round 11): the subtract path — in RANGE mode every supported frame
+  // contains the whole peer group, so the exclusion is frame-aggregate
+  // minus peer-group-aggregate (+ self for TIES), one wrap-free Window
+  // pass. Covers INTERVAL offsets over a DATE key, a sliding band, and
+  // the [k PRECEDING, UNBOUNDED FOLLOWING] sequence-reversal spelling
+  // (DESC NULLS FIRST + [UNBOUNDED PRECEDING, k FOLLOWING], keeping the
+  // frame incremental — the literal UNBOUNDED FOLLOWING upper bound is
+  // O(n²) in Spark). Tie-order determinism: RANGE frames depend on the
+  // order VALUE only, so every output cell is a function of
+  // (partition, o_orderdate) — no peer-permutation sensitivity. Float
+  // discipline: integer o_custkey arguments make sums exact and
+  // flip_avg an identical IEEE division on both engines.
+  private val q105Sql =
+    """SELECT o_orderkey,
+      |  CAST(sum(o_custkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND INTERVAL 2 DAYS FOLLOWING
+      |    EXCLUDE GROUP) AS BIGINT) AS band_grp_sum,
+      |  CAST(count(*) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND INTERVAL 1 DAYS FOLLOWING
+      |    EXCLUDE TIES) AS BIGINT) AS band_ties_cnt,
+      |  CAST(avg(o_custkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE GROUP) AS DOUBLE) AS flip_avg,
+      |  CAST(sum(o_custkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 1 DAYS FOLLOWING
+      |    EXCLUDE TIES) AS BIGINT) AS pre_ties_sum
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // EXCLUDE inside a GROUP BY block (round 11): only the wrapped
+  // dense_rank path had to reject grouped blocks (the wrap would change
+  // evaluation order) — the subtract path rewrites the window call in
+  // place, so windows over aggregated rows work unrestricted. DuckDB's
+  // parser requires an explicit frame before EXCLUDE; the rewriter also
+  // accepts the bare default-frame spelling for API users.
+  private val q106Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(count(*)) OVER (ORDER BY o_orderpriority
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+      |    AS BIGINT) AS before_cnt,
+      |  CAST(avg(count(*)) OVER (ORDER BY o_orderpriority
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE TIES) AS DOUBLE) AS nongrp_avg
+      |FROM orders GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),
+    Q("q105_window_exclude_range_offsets", fns(q105Sql), Some(q105Sql)),
+    Q("q106_window_exclude_grouped", fns(q106Sql), Some(q106Sql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

@@ -103,7 +103,12 @@ class PropertySpec extends AnyFunSuite {
       "ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING ",
       "ROWS 5 PRECEDING ",
       "RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING ",
+      "RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND INTERVAL 1 DAYS FOLLOWING ",
+      "RANGE BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING ",
+      "RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING ",
       "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING ",
+      "GROUPS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING ",
+      "GROUPS BETWEEN CURRENT ROW AND 3 FOLLOWING ",
       "GROUPS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING ")
     val base = Gen.oneOf("ORDER BY y", "PARTITION BY p ORDER BY y DESC, z",
       "PARTITION BY p", "")

@@ -171,7 +171,7 @@ class WindowExcludeSpec extends AnyFunSuite {
     val sql =
       """SELECT o_orderkey,
         |  (SELECT max(n_nationkey) FROM nation) AS nmax,
-        |  CAST(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |  CAST(min(o_totalprice) OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_orderdate EXCLUDE TIES) AS DOUBLE) AS s
         |FROM orders WHERE o_orderkey <= 200""".stripMargin
     val rewritten = WindowExclude.rewrite(sql)
@@ -190,7 +190,7 @@ class WindowExcludeSpec extends AnyFunSuite {
     Tables.registerAll(spark, sfDir)
     val sql =
       """SELECT o.o_orderkey, o.o_totalprice,
-        |  CAST(sum(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority
+        |  CAST(min(o.o_totalprice) OVER (PARTITION BY o.o_orderpriority
         |    ORDER BY o.o_orderdate EXCLUDE GROUP) AS DOUBLE) AS s
         |FROM orders o WHERE o.o_orderkey <= 100""".stripMargin
     val rewritten = WindowExclude.rewrite(sql)
@@ -204,7 +204,7 @@ class WindowExcludeSpec extends AnyFunSuite {
     Tables.registerAll(spark, sfDir)
     val base = spark.sql("SELECT * FROM nation").columns.toSeq
     val sql =
-      """SELECT *, CAST(count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
+      """SELECT *, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
         | AS BIGINT) AS c
         |FROM nation""".stripMargin
     val rewritten = WindowExclude.rewrite(sql)
@@ -214,7 +214,7 @@ class WindowExcludeSpec extends AnyFunSuite {
       s"helper columns leaked: ${got.columns.mkString(",")}")
     // qualified star over the preserved alias: same hygiene
     val qsql =
-      """SELECT n.*, CAST(count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
+      """SELECT n.*, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP)
         | AS BIGINT) AS c
         |FROM nation n""".stripMargin
     val qgot = spark.sql(WindowExclude.rewrite(qsql))
@@ -222,18 +222,18 @@ class WindowExcludeSpec extends AnyFunSuite {
       s"helper columns leaked through n.*: ${qgot.columns.mkString(",")}")
     // a star qualified by a NON-preserved alias cannot be fixed — the
     // block must reject (EXCLUDE survives for Spark to reject loudly)
-    val bad = "SELECT a.*, count(*) OVER (ORDER BY a.x EXCLUDE GROUP) FROM t a JOIN u b ON a.k = b.k"
+    val bad = "SELECT a.*, min(a.x) OVER (ORDER BY a.x EXCLUDE GROUP) FROM t a JOIN u b ON a.k = b.k"
     assert(WindowExclude.rewrite(bad) == bad)
     // a user-written star-EXCEPT merges rather than double-EXCEPTs
     val merged = WindowExclude.rewrite(
-      "SELECT * EXCEPT (n_name), count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS c FROM nation")
+      "SELECT * EXCEPT (n_name), min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS c FROM nation")
     assert("EXCEPT".r.findAllIn(merged.toUpperCase).size === 1, merged)
     assert(spark.sql(merged).columns.count(_.startsWith("__graft")) === 0)
     // DuckDB star sugar rewritten AFTER this pass (REPLACE/EXCLUDE lists)
     // must reject the block — inserting EXCEPT between the star and the
     // sugar would corrupt DialectSugar's later rewrite
     val starSugar =
-      "SELECT * REPLACE (n_name AS x), count(*) OVER (ORDER BY n_regionkey EXCLUDE GROUP) FROM nation"
+      "SELECT * REPLACE (n_name AS x), min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) FROM nation"
     assert(WindowExclude.rewrite(starSugar) == starSugar)
   }
 
@@ -336,20 +336,149 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
   }
 
-  test("TIES/GROUP out-of-scope shapes pass through: k-offset min/max + RANGE offsets, GROUP BY block, missing ORDER BY") {
-    // k-offset pieces are prefix-aggregate differences — min/max cannot
-    // ride a subtraction, and RANGE offsets are in order-key units
+  test("TIES/GROUP out-of-scope shapes pass through: k-offset min/max (ROWS and RANGE), GROUP BY block with min, missing ORDER BY") {
+    // ROWS-offset pieces are prefix-aggregate differences and RANGE
+    // offsets ride the subtract path — min/max can do neither
     val kMin =
       "SELECT min(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
     assert(WindowExclude.rewrite(kMin) == kMin)
-    val kRange =
-      "SELECT sum(x) OVER (ORDER BY y RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
-    assert(WindowExclude.rewrite(kRange) == kRange)
+    val kRangeMin =
+      "SELECT min(x) OVER (ORDER BY y RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
+    assert(WindowExclude.rewrite(kRangeMin) == kRangeMin)
+    // min needs the wrap, and the wrap would change a GROUP BY block's
+    // evaluation order — reject (sum in the same block is covered by the
+    // wrap-free subtract path: see the subtract-path test)
     val grouped =
-      "SELECT g, sum(sum(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g"
+      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g"
     assert(WindowExclude.rewrite(grouped) == grouped)
     val noOrder =
       "SELECT sum(x) OVER (PARTITION BY p RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t"
     assert(WindowExclude.rewrite(noOrder) == noOrder)
+  }
+
+  test("subtract path: RANGE-mode TIES/GROUP sum/count/avg are wrap-free and match a self-join reference") {
+    Tables.registerAll(spark, sfDir)
+    // default frame, explicit RANGE offsets, and the [k PRECEDING,
+    // UNBOUNDED FOLLOWING] flip — all against an explicit value-range
+    // self-join; o_orderdate peers are wide so TIES/GROUP bite. The
+    // o_custkey argument is integer-valued, so subtraction is exact.
+    val sql =
+      """SELECT o_orderkey,
+        |  CAST(sum(o_custkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate EXCLUDE GROUP) AS BIGINT) AS dflt_grp,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND INTERVAL 1 DAYS FOLLOWING
+        |    EXCLUDE TIES) AS BIGINT) AS band_ties_cnt,
+        |  CAST(avg(o_custkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS flip_avg
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    // wrap-free: no helper columns, no derived table
+    assert(!rewritten.contains("__graft"), rewritten)
+    // no O(n^2) UNBOUNDED FOLLOWING upper bound survives (the flip case
+    // must be spelled DESC NULLS FIRST [UNB PRECEDING, k FOLLOWING])
+    assert(!rewritten.toUpperCase.contains("AND UNBOUNDED FOLLOWING EXCLUDE"))
+    assert(rewritten.contains("DESC NULLS FIRST"), rewritten)
+    val got = spark.sql(rewritten)
+    val ref = spark.sql(
+      """SELECT a.o_orderkey,
+        |  CAST(sum(CASE WHEN b.o_orderdate < a.o_orderdate
+        |         THEN b.o_custkey END) AS BIGINT) AS dflt_grp,
+        |  CAST(count(CASE WHEN b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 2 DAYS
+        |           AND a.o_orderdate + INTERVAL 1 DAYS
+        |           AND (b.o_orderdate <> a.o_orderdate OR b.rid = a.rid)
+        |         THEN 1 END) AS BIGINT) AS band_ties_cnt,
+        |  CAST(avg(CASE WHEN b.o_orderdate >= a.o_orderdate - INTERVAL 2 DAYS
+        |           AND b.o_orderdate <> a.o_orderdate
+        |         THEN b.o_custkey END) AS DOUBLE) AS flip_avg
+        |FROM (SELECT *, o_orderkey AS rid FROM orders WHERE o_orderkey <= 2000) a
+        |JOIN (SELECT *, o_orderkey AS rid FROM orders WHERE o_orderkey <= 2000) b
+        |  ON a.o_orderpriority = b.o_orderpriority
+        |GROUP BY a.o_orderkey""".stripMargin)
+    assert(got.count() > 0 && got.count() === ref.count())
+    // flip_avg is a sum/count division vs the reference's native avg —
+    // ulp noise, so compare with a float tolerance (NULLs exact)
+    import org.apache.spark.sql.functions.{abs, col}
+    val cols = Seq("dflt_grp", "band_ties_cnt", "flip_avg")
+    val joined = got.select(col("o_orderkey") +: cols.map(c => col(c).as("g_" + c)): _*)
+      .join(ref.select(col("o_orderkey") +: cols.map(c => col(c).as("r_" + c)): _*),
+        "o_orderkey")
+    assert(joined.count() === got.count())
+    val bad = joined.filter(cols.map(c =>
+      !(col("g_" + c) <=> col("r_" + c)) &&
+        !(col("g_" + c).isNotNull && col("r_" + c).isNotNull &&
+          abs(col("g_" + c).cast("double") - col("r_" + c).cast("double")) < 1e-6)
+    ).reduce(_ || _))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+    // the subtract path needs no wrap, so GROUP BY blocks are in scope
+    val grouped =
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(sum(count(*)) OVER (ORDER BY o_orderpriority EXCLUDE GROUP)
+        |    AS BIGINT) AS other_cnt
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin
+    val grewritten = WindowExclude.rewrite(grouped)
+    assert(!grewritten.toUpperCase.contains("EXCLUDE"), grewritten)
+    val g = spark.sql(grewritten)
+    val gref = spark.sql(
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        |SELECT a.o_orderpriority, a.o_orderstatus,
+        |  CAST(sum(CASE WHEN b.o_orderpriority < a.o_orderpriority
+        |         THEN b.n END) AS BIGINT) AS other_cnt
+        |FROM c a CROSS JOIN c b
+        |GROUP BY a.o_orderpriority, a.o_orderstatus""".stripMargin)
+    assert(g.count() > 0)
+    assert(g.exceptAll(gref).count() === 0 && gref.exceptAll(g).count() === 0)
+  }
+
+  test("GROUPS k-offset frames with EXCLUDE TIES/GROUP: all five aggregates match a peer-group reference") {
+    Tables.registerAll(spark, sfDir)
+    // GROUPS offsets are whole peer groups — dense_rank units — so the
+    // pieces are integer-RANGE sliding frames and min/max work too
+    val sql =
+      """SELECT o_orderkey,
+        |  CAST(sum(o_custkey) OVER w AS BIGINT) AS s,
+        |  CAST(count(*) OVER w AS BIGINT) AS c,
+        |  CAST(min(o_custkey) OVER w AS BIGINT) AS mn,
+        |  CAST(max(o_custkey) OVER w AS BIGINT) AS mx,
+        |  CAST(avg(o_custkey) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate
+        |    GROUPS BETWEEN 1 PRECEDING AND 2 FOLLOWING EXCLUDE TIES)
+        |    AS DOUBLE) AS av
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |             GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    assert(rewritten.contains("PRECEDING AND 1 PRECEDING"), rewritten)
+    val got = spark.sql(rewritten)
+    val ref = spark.sql(
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate) AS dr
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT a.o_orderkey,
+        |  CAST(sum(CASE WHEN x.dr BETWEEN a.dr - 2 AND a.dr + 1
+        |         AND x.dr <> a.dr THEN x.o_custkey END) AS BIGINT) AS s,
+        |  CAST(count(CASE WHEN x.dr BETWEEN a.dr - 2 AND a.dr + 1
+        |         AND x.dr <> a.dr THEN 1 END) AS BIGINT) AS c,
+        |  CAST(min(CASE WHEN x.dr BETWEEN a.dr - 2 AND a.dr + 1
+        |         AND x.dr <> a.dr THEN x.o_custkey END) AS BIGINT) AS mn,
+        |  CAST(max(CASE WHEN x.dr BETWEEN a.dr - 2 AND a.dr + 1
+        |         AND x.dr <> a.dr THEN x.o_custkey END) AS BIGINT) AS mx,
+        |  CAST((sum(CASE WHEN x.dr BETWEEN a.dr - 1 AND a.dr + 2
+        |         AND x.dr <> a.dr THEN x.o_custkey END)
+        |      + max(a.o_custkey)) AS DOUBLE)
+        |    / (count(CASE WHEN x.dr BETWEEN a.dr - 1 AND a.dr + 2
+        |         AND x.dr <> a.dr THEN 1 END) + 1) AS av
+        |FROM b a JOIN b x ON a.o_orderpriority = x.o_orderpriority
+        |GROUP BY a.o_orderkey, a.dr, a.o_custkey""".stripMargin)
+    assert(got.count() > 0 && got.count() === ref.count())
+    assert(got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0)
   }
 }
