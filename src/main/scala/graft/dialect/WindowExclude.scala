@@ -68,9 +68,13 @@ package graft.dialect
   *    pieces beyond the current group are integer-RANGE sliding frames
   *    over the helper ([dr−k, dr−1] ASC / mirrored DESC) — every
   *    aggregate rides those, min/max included.
-  * Blocks with GROUP BY/HAVING/set-ops still reject on the WRAPPED
-  * paths only (the wrap would change their evaluation order); the
-  * subtract path has no such restriction.
+  * Blocks with GROUP BY/HAVING still reject on the WRAPPED paths only
+  * (the wrap would change their evaluation order); the subtract path
+  * has no such restriction. Set-operation blocks (UNION / INTERSECT /
+  * EXCEPT, round 11) wrap per branch: ownership of an EXCLUDE call
+  * switches at the next SELECT keyword, so the first branch rewrites
+  * alone with the operator and later branches kept verbatim, and each
+  * later branch gets its own pass.
   *
   * Wrap hygiene (round 11): a star projection in the outer SELECT is
   * rewritten to `* EXCEPT (__graft_* helpers)` so the helper columns
@@ -651,10 +655,21 @@ object WindowExclude {
     }
     val fromPos = topLevelKw(block, kw("FROM"))
     if (fromPos < 0) return None
-    // the wrap changes evaluation order for these — reject loudly. The
-    // scan starts at FROM: these clauses can only follow it, and a
-    // depth-0 EXCEPT before FROM is the star-EXCEPT projection (legit).
-    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"))
+    // a top-level set operator splits the block into branches that wrap
+    // independently: every occurrence collected above is owned by the
+    // FIRST branch (the occurrence scan's ownership switches at the next
+    // SELECT keyword), so recurse on the head branch alone and keep the
+    // operator and the later branches verbatim — a later branch's own
+    // EXCLUDE calls get their own rewriteOne pass. The scan starts at
+    // FROM: a depth-0 EXCEPT before it is the star-EXCEPT projection.
+    val setops = Seq("UNION", "INTERSECT", "EXCEPT")
+      .map(k0 => topLevelKw(block, kw(k0), fromPos)).filter(_ >= 0)
+    if (setops.nonEmpty) {
+      val p = setops.min
+      return rewriteBlock(block.substring(0, p)).map(_ + block.substring(p))
+    }
+    // the wrap changes evaluation order for these — reject loudly
+    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY"))
       if (topLevelKw(block, kw(bad), fromPos) >= 0) return None
     val tailStart = {
       val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))

@@ -715,11 +715,44 @@ object DialectQueries {
       |FROM orders GROUP BY o_orderpriority, o_orderstatus
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  // EXCLUDE in set-operation branches (round 11): the wrapped dense_rank
+  // path rewrites each branch independently (ownership of an EXCLUDE call
+  // switches at the branch's SELECT keyword), so min/max — which cannot
+  // ride the wrap-free subtract path — work on both sides of a UNION.
+  // The trailing ORDER BY belongs to the whole union and must survive the
+  // second branch's FROM wrap untouched. RANGE frames keep every output
+  // cell a function of (partition, o_orderdate) — no tie-order
+  // sensitivity; round(·,2) recovers the exact 2-dp double sums.
+  private val q107Sql =
+    """SELECT o_orderkey,
+      |  CAST(round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES), 2)
+      |    AS DOUBLE) AS v,
+      |  CAST(min(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE GROUP) AS DOUBLE) AS m
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT o_orderkey,
+      |  CAST(round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE GROUP), 2)
+      |    AS DOUBLE) AS v,
+      |  CAST(max(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+      |    AS DOUBLE) AS m
+      |FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),
     Q("q105_window_exclude_range_offsets", fns(q105Sql), Some(q105Sql)),
     Q("q106_window_exclude_grouped", fns(q106Sql), Some(q106Sql)),
+    Q("q107_window_exclude_setop", fns(q107Sql), Some(q107Sql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

@@ -356,6 +356,45 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(WindowExclude.rewrite(noOrder) == noOrder)
   }
 
+  test("set-op branches wrap independently; operator and trailing ORDER BY survive (round 11)") {
+    Tables.registerAll(spark, sfDir)
+    def branch(status: String, fn: String, frame: String) =
+      s"""SELECT o_orderkey AS k,
+         |  $fn(o_totalprice) OVER (PARTITION BY o_orderpriority
+         |    ORDER BY o_orderdate $frame) AS m
+         |FROM orders WHERE o_orderstatus = '$status'""".stripMargin
+    val f1 = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES"
+    val f2 = "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP"
+    // min/max force the wrapped dense_rank path in BOTH branches; the
+    // trailing ORDER BY belongs to the union and must stay outside both
+    val union = branch("F", "min", f1) + "\nUNION ALL\n" +
+      branch("O", "max", f2) + "\nORDER BY k"
+    val rw = WindowExclude.rewrite(union)
+    assert(!rw.toUpperCase.contains("EXCLUDE"), rw)
+    assert(rw.toUpperCase.contains("UNION ALL"), rw)
+    assert(rw.trim.toUpperCase.endsWith("ORDER BY K"), rw)
+    val got = spark.sql(rw)
+    assert(got.columns.toSeq === Seq("k", "m")) // no helper-column leak
+    // each branch must equal its standalone rewrite (trusted by the
+    // self-join reference tests above)
+    val ref = spark.sql(WindowExclude.rewrite(branch("F", "min", f1)))
+      .unionAll(spark.sql(WindowExclude.rewrite(branch("O", "max", f2))))
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    // INTERSECT/EXCEPT branches rewrite too, each on its own pass; an
+    // EXCLUDE-free branch stays verbatim
+    val tri = WindowExclude.rewrite(
+      "SELECT min(x) OVER (ORDER BY y EXCLUDE TIES) FROM a INTERSECT " +
+      "SELECT min(x) OVER (ORDER BY y EXCLUDE GROUP) FROM b EXCEPT SELECT v FROM c")
+    assert(!tri.toUpperCase.contains("EXCLUDE"), tri)
+    assert(tri.toUpperCase.contains("INTERSECT") &&
+      tri.toUpperCase.contains("EXCEPT SELECT V FROM C"), tri)
+    // a GROUP BY branch inside a set-op still rejects on the wrapped path
+    // — and the reject stops the pass, leaving the whole statement as-is
+    val groupedBranch =
+      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g UNION ALL SELECT 1, 2"
+    assert(WindowExclude.rewrite(groupedBranch) == groupedBranch)
+  }
+
   test("subtract path: RANGE-mode TIES/GROUP sum/count/avg are wrap-free and match a self-join reference") {
     Tables.registerAll(spark, sfDir)
     // default frame, explicit RANGE offsets, and the [k PRECEDING,
