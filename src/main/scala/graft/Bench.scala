@@ -214,11 +214,14 @@ object Bench {
     (t / p > 1.5 || t / p < 1.0 / 1.5) && math.abs(t - p) > noise
 
   /** Re-sample would-be REGRESSION movers once and fold the fresh sample
-    * into the minimum (spread widened by the correction so the artifact
-    * shows the discarded latch as noise, not signal). Returns the
-    * corrected results and the {query → fresh-sample} map for the
-    * artifact's "resampled" field. Improvement movers and non-movers pass
-    * through untouched; a failed re-sample (-1) changes nothing. */
+    * into the minimum. The discarded latch is recorded ONLY in the
+    * "resampled" field; the reported spread stays the observed spread of
+    * the retained samples (round-12 — folding `t − r` into the spread
+    * inflated next round's noise floor to latch size, silently masking a
+    * genuine regression of the same query). Returns the corrected results
+    * and the {query → fresh-sample} map for the artifact's "resampled"
+    * field. Improvement movers and non-movers pass through untouched; a
+    * failed re-sample (-1) changes nothing. */
   private[graft] def reconcile(results: Seq[(String, Double, Double)],
       prev: Option[(Map[String, Double], Map[String, Double])],
       resample: String => Double)
@@ -233,7 +236,7 @@ object Bench {
         else {
           val r = resample(name)
           fresh(name) = r
-          if (r >= 0 && r < t) (name, r, math.max(spread, t - r))
+          if (r >= 0 && r < t) (name, r, spread)
           else (name, t, spread)
         }
       }
@@ -243,19 +246,27 @@ object Bench {
   /** Previous same-sf artifact: SPARK_GRAFT_BENCH_PREV, else the newest
     * committed BENCH_FULL_r*.json in the working directory (never the
     * file this run is about to write). Returns (path, queries, spread). */
-  private[graft] def loadPrev(sfDir: String, prevOverride: Option[String] = None)
+  private[graft] def loadPrev(sfDir: String, prevOverride: Option[String] = None,
+      searchDir: String = ".")
       : Option[(String, Map[String, Double], Map[String, Double])] = {
     val selfName = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")).getName
     val prevPath = prevOverride.orElse(sys.env.get("SPARK_GRAFT_BENCH_PREV")).orElse {
-      val dir = new java.io.File(".")
+      val dir = new java.io.File(searchDir)
       Option(dir.listFiles()).toSeq.flatten
         .filter(f => f.getName.matches("BENCH_FULL_r\\d+(_[^.]*)?\\.json"))
         .filter(_.getName != selfName)
         .filter(f => scala.util.Try(
           java.nio.file.Files.readString(f.toPath)).toOption
           .exists(_.contains("\"sf\":\"" + sfDir + "\"")))
-        .sortBy(_.getName).lastOption.map(_.getPath)
+        // numeric round order — lexicographic name order silently picks a
+        // stale baseline once round numbers stop being uniformly padded
+        // (r9 vs r10, or r99 vs r100)
+        .sortBy { f =>
+          val n = "_r(\\d+)".r.findFirstMatchIn(f.getName)
+            .map(_.group(1).toInt).getOrElse(-1)
+          (n, f.getName)
+        }.lastOption.map(_.getPath)
     }
     prevPath.flatMap { pp =>
       scala.util.Try {

@@ -18,6 +18,47 @@ object SqlText {
     sql.length
   }
 
+  /** End index (exclusive) of the comment starting at `start`, which must
+    * point at `--` (runs to but NOT including the newline, so the newline
+    * still reads as whitespace) or `/*` (to the matching `*/`; bracketed
+    * comments nest, per both DuckDB/Postgres and Spark's lexer). Returns
+    * `start` when no comment opens there, so callers can use it as a
+    * no-op-safe probe. */
+  def commentEnd(sql: String, start: Int): Int = {
+    if (start + 1 >= sql.length) return start
+    val c0 = sql.charAt(start); val c1 = sql.charAt(start + 1)
+    if (c0 == '-' && c1 == '-') {
+      var i = start + 2
+      while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      i
+    } else if (c0 == '/' && c1 == '*') {
+      var depth = 1
+      var i = start + 2
+      while (i < sql.length && depth > 0) {
+        if (i + 1 < sql.length && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+          depth += 1; i += 2
+        } else if (i + 1 < sql.length && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+          depth -= 1; i += 2
+        } else i += 1
+      }
+      i
+    } else start
+  }
+
+  /** First index at or after `start` that is neither whitespace nor inside
+    * a comment. */
+  def skipWsAndComments(sql: String, start: Int): Int = {
+    var i = start
+    var moved = true
+    while (moved && i < sql.length) {
+      moved = false
+      while (i < sql.length && sql.charAt(i).isWhitespace) { i += 1; moved = true }
+      val ce = commentEnd(sql, i)
+      if (ce > i) { i = ce; moved = true }
+    }
+    i
+  }
+
   /** Apply `f` to every segment of `sql` outside single-quoted literals,
     * leaving the literals byte-identical. */
   def mapOutsideLiterals(sql: String)(f: String => String): String = {

@@ -897,18 +897,27 @@ object WindowExclude {
       wrapAlias: String): Option[String] = {
     // insertion points, collected left-to-right: (pos, text)
     val ins = scala.collection.mutable.Buffer.empty[(Int, String)]
-    var i = "SELECT".length
+    // comments read as whitespace everywhere in this scanner (a '--' or
+    // '/* */' span between SELECT/comma and '*' must not clear the
+    // boundary flag, or the star silently escapes the EXCEPT rewrite and
+    // helper columns leak into the output schema)
+    var i = SqlText.skipWsAndComments(seg, "SELECT".length)
     val dm = DistinctAll.matcher(seg)
     dm.region(i, seg.length)
     if (dm.lookingAt()) i = dm.end
     var depth = 0
     var boundary = true
+    var lastSig = ' ' // previous significant (non-ws, non-comment) char
     while (i < seg.length) {
       val c = seg.charAt(i)
-      if (c == '\'') { i = SqlText.literalEnd(seg, i); boundary = false }
-      else if (c == '(') { depth += 1; i += 1; boundary = false }
-      else if (c == ')') { depth -= 1; i += 1; boundary = false }
-      else if (c == ',') { if (depth == 0) boundary = true; i += 1 }
+      val ce = SqlText.commentEnd(seg, i)
+      if (ce > i) i = ce
+      else if (c == '\'') {
+        i = SqlText.literalEnd(seg, i); boundary = false; lastSig = '\''
+      }
+      else if (c == '(') { depth += 1; i += 1; boundary = false; lastSig = c }
+      else if (c == ')') { depth -= 1; i += 1; boundary = false; lastSig = c }
+      else if (c == ',') { if (depth == 0) boundary = true; i += 1; lastSig = c }
       else if (c.isWhitespace) i += 1
       else if (depth == 0 && boundary) {
         val m = StarItem.matcher(seg)
@@ -928,9 +937,15 @@ object WindowExclude {
           i = m.end
         }
         boundary = false
-        if (!m.lookingAt()) i += 1
+        if (!m.lookingAt()) { lastSig = c; i += 1 } else lastSig = '*'
       }
-      else { boundary = false; i += 1 }
+      else {
+        // a depth-0 star right after a dot can only be a qualified star
+        // whose path the StarItem regex failed to read (e.g. a comment
+        // inside `a./*c*/*`) — reject loudly rather than leak helpers
+        if (c == '*' && depth == 0 && lastSig == '.') return None
+        boundary = false; lastSig = c; i += 1
+      }
     }
     var out = seg
     ins.sortBy(-_._1).foreach { case (p, t) =>

@@ -231,7 +231,10 @@ object TermStats {
     * every `GramLen`-char gram at `GramStride` offsets, poly-hashed. */
   private def gramStream(s: SparkSession, dir: String): DataFrame = {
     val PH = graft.pipeline.PortableHash
-    docs(s, dir).select(col("doc_id"),
+    // NULL-text docs contribute no grams (explicit, and in agreement with
+    // [[docPositions]] — both arms of the singleton complement must drop
+    // the same rows or the subtraction is garbage)
+    docs(s, dir).filter(col("text").isNotNull).select(col("doc_id"),
         explode(expr(
           s"sequence(1, greatest(1, length(text) - ${GramLen - 1}), $GramStride)"))
           .as("i"),
@@ -270,9 +273,12 @@ object TermStats {
       min(col("doc_id")).as("doc1"), min(col("i")).as("i1"))
 
   /** Per-doc gram-position array from LENGTH ARITHMETIC alone (positions
-    * are deterministic: 1, 1+stride, …) — no explode, no hashing. */
+    * are deterministic: 1, 1+stride, …) — no explode, no hashing.
+    * NULL-text docs are filtered out to match the gram-stream arm (round
+    * 12, ADVICE: keeping them yields `size(NULL) = -1` → n_grams = -1 and
+    * dup_ratio garbage under sizeOfNull's legacy default). */
   private def docPositions(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    docs(s, dir).filter(col("text").isNotNull).select(col("doc_id"),
       length(col("text")).cast("long").as("doc_len"),
       expr(s"sequence(1L, CAST(greatest(1, length(text) - ${GramLen - 1}) AS BIGINT), ${GramStride}L)")
         .as("ps_all"))
@@ -310,7 +316,7 @@ object TermStats {
     s"""WITH pos AS (
        |  SELECT doc_id, text,
        |    unnest(range(1, greatest(1, length(text) - ${GramLen - 1}) + 1, $GramStride)) AS i
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id,
        |        ${PH.duckCharHash(s"substr(text, CAST(i AS INT), $GramLen)")} AS h
        |      FROM pos),
@@ -380,7 +386,7 @@ object TermStats {
     s"""WITH pos AS (
        |  SELECT doc_id, text,
        |    unnest(range(1, greatest(1, length(text) - ${G - 1}) + 1, $GramStride)) AS i
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
        |        ${PH.duckCharHash(s"substr(text, CAST(i AS INT), $G)")} AS h
        |      FROM pos),

@@ -37,9 +37,11 @@ class BenchDeltaSpec extends AnyFunSuite {
 
   // Round-11 pin of the contaminated-sweep defense: a would-be REGRESSION
   // mover is re-sampled once; a clean fresh sample clears the false mover
-  // (and the discarded latch shows up as spread, not signal), a
-  // reproducing slow sample leaves the true regression flagged, and
-  // improvements are never re-sampled (additive noise can't fake one).
+  // (the discarded latch is recorded in "resampled" ONLY — round 12: it
+  // must NOT widen the reported spread, or it becomes next round's noise
+  // floor and masks a genuine regression), a reproducing slow sample
+  // leaves the true regression flagged, and improvements are never
+  // re-sampled (additive noise can't fake one).
   test("reconcile: re-samples regression movers only; clean re-sample clears the latch") {
     val prevQ = Map("latched" -> 0.45, "true_reg" -> 1.0,
       "improved" -> 3.0, "steady" -> 2.0)
@@ -59,16 +61,41 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert(sampled.sorted === Seq("latched", "true_reg"))
     assert(fresh === Map("latched" -> 0.47, "true_reg" -> 2.38))
     val m = out.map(r => r._1 -> r).toMap
-    // latch cleared: min absorbed the fresh sample, spread shows the latch
-    assert(m("latched")._2 === 0.47 && m("latched")._3 > 9.0)
+    // latch cleared: min absorbed the fresh sample; the spread stays the
+    // observed spread of the retained samples (the latch lives in
+    // "resampled", never in the noise floor)
+    assert(m("latched")._2 === 0.47 && m("latched")._3 === 0.0)
     assert(!Bench.isMover(m("latched")._2, prevQ("latched"),
-      math.max(m("latched")._3, prevS("latched")) min 0.05))
+      math.max(m("latched")._3, prevS("latched"))))
     // true regression keeps its (slightly lower) time and stays a mover
     assert(m("true_reg")._2 === 2.38)
     assert(Bench.isMover(m("true_reg")._2, prevQ("true_reg"), 0.02))
     // untouched rows pass through bit-identically
     assert(m("improved") === ("improved", 1.2, 0.02))
     assert(m("steady") === ("steady", 2.05, 0.01))
+  }
+
+  // Round-12 (ADVICE): previous-artifact selection must order rounds
+  // NUMERICALLY — lexicographic name order picks r9 over r10 (and r99
+  // over r100), silently feeding a stale baseline to the delta and the
+  // resampling defense.
+  test("loadPrev: picks the numerically newest round, not the lexicographic one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadprev").toFile
+    try {
+      def write(name: String, q: Double): Unit =
+        java.nio.file.Files.writeString(new java.io.File(dir, name).toPath,
+          s"""{"sf":"/tmp/sfX","spread":{"a":0.01},"queries":{"a":$q}}""" + "\n")
+      write("BENCH_FULL_r9.json", 9.0)    // lexicographically LAST
+      write("BENCH_FULL_r10.json", 10.0)
+      write("BENCH_FULL_r102.json", 102.0) // numerically newest
+      val got = Bench.loadPrev("/tmp/sfX", None, dir.getPath)
+      assert(got.isDefined)
+      val (path, q, _) = got.get
+      assert(path.endsWith("BENCH_FULL_r102.json"), path)
+      assert(q === Map("a" -> 102.0))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("reconcile: failed re-sample and missing prev change nothing") {

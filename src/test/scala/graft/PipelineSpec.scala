@@ -10,6 +10,44 @@ class PipelineSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  // Round-12 (ADVICE): the singleton-complement p44/p71 rewrite must agree
+  // with the old explode arm on NULL-text documents — keeping them gave
+  // size(NULL) = -1, i.e. n_grams = -1, n_dup = -1, dup_ratio = 1.0
+  // garbage rows. Both arms now drop NULL-text docs (as the gram explode
+  // always did), so the doc simply has no row.
+  test("p44/p71: NULL-text documents produce no rows, never -1 gram counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nulltext")
+    try {
+      import spark.implicits._
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      Seq(
+        (1L, dup, "en", "web", dup.length.toLong),
+        (2L, dup, "en", "web", dup.length.toLong),
+        (3L, null.asInstanceOf[String], "en", "web", 0L),
+        (4L, "completely unrelated short text with its own words", "en", "web", 50L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      for (name <- Seq("p44_dup_span_grams", "p71_dup_span_removal")) {
+        val out = SparkEntry.queries(name)(spark, tmp.toString).collect()
+        val ids = out.map(_.getLong(0)).toSet
+        assert(!ids.contains(3L), s"$name emitted a row for the NULL-text doc")
+        assert(ids === Set(1L, 2L, 4L), s"$name ids: $ids")
+        val nGrams = out.map(r => r.getLong(r.fieldIndex("n_grams")))
+        val nDup = out.map(r => r.getLong(r.fieldIndex("n_dup")))
+        assert(nGrams.forall(_ > 0), s"$name n_grams: ${nGrams.mkString(",")}")
+        assert(nDup.forall(_ >= 0), s"$name n_dup: ${nDup.mkString(",")}")
+        // the two identical docs mark every gram duplicated; doc 4 none
+        val byId = out.map(r => r.getLong(0) ->
+          r.getLong(r.fieldIndex("n_dup"))).toMap
+        assert(byId(1L) > 0 && byId(2L) > 0 && byId(4L) === 0, byId.toString)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("stratified sample stage: at most k docs per stratum, deterministic") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sampled = graft.pipeline.TrainingPipeline(docs)

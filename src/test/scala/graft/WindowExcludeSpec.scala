@@ -237,6 +237,40 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(WindowExclude.rewrite(starSugar) == starSugar)
   }
 
+  // Round-12 (ADVICE): a '--' or '/* */' comment between SELECT (or a
+  // comma) and '*' must not defeat the star-EXCEPT rewrite — comments read
+  // as whitespace in the fixStars scanner, so the boundary flag survives
+  // and the helper columns are excluded exactly as without the comment.
+  test("comments before a star projection never leak helper columns") {
+    Tables.registerAll(spark, sfDir)
+    val base = spark.sql("SELECT * FROM nation").columns.toSeq
+    val variants = Seq(
+      "SELECT /* cols */ *, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS BIGINT) AS c FROM nation",
+      "SELECT -- all columns\n *, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS BIGINT) AS c FROM nation",
+      "SELECT /* nested /* comment */ still one */ *, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS BIGINT) AS c FROM nation",
+      // comment between a comma and the star
+      "SELECT n_name, /* rest */ n.*, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS BIGINT) AS c FROM nation n",
+      // comment between SELECT and DISTINCT with a following star
+      "SELECT /* c */ DISTINCT *, CAST(min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS BIGINT) AS c FROM nation")
+    for (sql <- variants) {
+      val rewritten = WindowExclude.rewrite(sql)
+      assert(!rewritten.toUpperCase.contains("EXCLUDE GROUP"), rewritten)
+      val got = spark.sql(rewritten)
+      assert(got.columns.count(_.startsWith("__graft")) === 0,
+        s"helper columns leaked for:\n$sql\n→ $rewritten\n→ ${got.columns.mkString(",")}")
+      assert(got.columns.last === "c", rewritten)
+      // star expands to exactly the base columns (plus the extra explicit
+      // n_name in the comma variant) — nothing dropped, nothing added
+      val extra = if (sql.startsWith("SELECT n_name,")) 1 else 0
+      assert(got.columns.size === base.size + 1 + extra, rewritten)
+    }
+    // a comment INSIDE a qualified star path defeats the star regex — the
+    // block must reject loudly (EXCLUDE survives), never leak helpers
+    val weird =
+      "SELECT n./* ? */*, min(n_nationkey) OVER (ORDER BY n_regionkey EXCLUDE GROUP) AS c FROM nation n"
+    assert(WindowExclude.rewrite(weird) == weird)
+  }
+
   test("k-offset ROWS frames with EXCLUDE TIES/GROUP match a window-free reference") {
     Tables.registerAll(spark, sfDir)
     // Tie-order determinism: with real peer groups (l_linenumber ties are
