@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{DialectQueries, ExtendedQueries, MicroQueries, OperatorQueries, RelationalQueries, ScalarExtras, TemporalJoins, WindowExtras}
-import graft.pipeline.{Clustering, CorpusDiagnostics, CorpusOps, CurationExtras, CurationSelection, DedupQueries, Multimodal, SemanticOps, Similarity, TermStats, TextQueries, TrainingPipeline}
+import graft.pipeline.{Clustering, CorpusDiagnostics, CorpusOps, CurationExtras, CurationSelection, DedupQueries, MixtureOps, Multimodal, SemanticOps, Similarity, TermStats, TextQueries, TrainingPipeline}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       Similarity.all ++ Multimodal.all ++ TrainingPipeline.all ++
       CorpusOps.all ++ CurationExtras.all ++ CurationSelection.all ++
       Clustering.all ++ TermStats.all ++ SemanticOps.all ++
-      CorpusDiagnostics.all ++ StreamingQueries.all
+      CorpusDiagnostics.all ++ MixtureOps.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

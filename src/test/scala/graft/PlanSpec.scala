@@ -197,4 +197,30 @@ class PlanSpec extends AnyFunSuite {
         s"$name caches the exploded term stream:\n$p")
     } finally graft.pipeline.Pins.releaseAll(spark)
   }
+
+  test("p72 DSIR: log-ratio table broadcasts; bucket marginals keep map-side partials") {
+    // The 100 TB shape of importance weighting: the ≤8192-row log-ratio
+    // table must BROADCAST onto the corpus-scale (doc, bucket) frame —
+    // shuffling that frame on the Zipfian bucket key instead would funnel
+    // hot buckets — and every bucket marginal must collapse map-side.
+    val p = plan("p72_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p72 lost the log-ratio broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"p72 lost map-side partial aggregation:\n$p")
+    // the per-doc scoring aggregate is keyed by doc_id (uniform), and no
+    // window anywhere
+    assert(!p.contains("Window"), s"p72 must not window:\n$p")
+  }
+
+  test("p74 eval leak rate: raw shingles collapse before the join; no cartesian") {
+    val p = plan("p74_eval_leak_rate")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"p74 shingle membership is not an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"p74 has an all-pairs stage:\n$p")
+    assert(p.contains("partial_count"),
+      s"p74 lost map-side partial aggregation:\n$p")
+  }
 }
