@@ -68,9 +68,16 @@ package graft.dialect
   *    pieces beyond the current group are integer-RANGE sliding frames
   *    over the helper ([dr−k, dr−1] ASC / mirrored DESC) — every
   *    aggregate rides those, min/max included.
-  * Blocks with GROUP BY/HAVING still reject on the WRAPPED paths only
-  * (the wrap would change their evaluation order); the subtract path
-  * has no such restriction. Set-operation blocks (UNION / INTERSECT /
+  * Blocks with GROUP BY/HAVING take their own wrap (round 12,
+  * `rewriteGroupedBlock`): the grouped query becomes the INNER derived
+  * table — window arguments, partition keys and helpers are appended to
+  * its projection (windows in a grouped SELECT evaluate post-group, so
+  * the helpers see exactly the grouped rows) — and the outer select
+  * re-projects the declared columns with the frame pieces. Select items
+  * outside the supported grammar (one optionally-CAST-wrapped window
+  * call / bare column / explicitly aliased expression) reject loudly;
+  * the subtract path keeps handling grouped sum/count/avg wrap-free.
+  * Set-operation blocks (UNION / INTERSECT /
   * EXCEPT, round 11) wrap per branch: ownership of an EXCLUDE call
   * switches at the next SELECT keyword, so the first branch rewrites
   * alone with the operator and later branches kept verbatim, and each
@@ -668,9 +675,13 @@ object WindowExclude {
       val p = setops.min
       return rewriteBlock(block.substring(0, p)).map(_ + block.substring(p))
     }
-    // the wrap changes evaluation order for these — reject loudly
-    for (bad <- Seq("GROUP BY", "HAVING", "QUALIFY"))
-      if (topLevelKw(block, kw(bad), fromPos) >= 0) return None
+    // QUALIFY interacts with the wrap's own window set — reject loudly
+    if (topLevelKw(block, kw("QUALIFY"), fromPos) >= 0) return None
+    // grouped blocks take their own wrap (round 12): the GROUPED query
+    // becomes the inner derived table and the helpers evaluate post-group
+    if (topLevelKw(block, kw("GROUP BY"), fromPos) >= 0 ||
+        topLevelKw(block, kw("HAVING"), fromPos) >= 0)
+      return rewriteGroupedBlock(block, occs.toSeq, subExpr, fromPos)
     val tailStart = {
       val cands = Seq(kw("WINDOW"), OrderByKw, kw("LIMIT"))
         .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
@@ -698,126 +709,7 @@ object WindowExclude {
       val om = OrderByKw.matcher(o.base)
       om.find() // guaranteed by parseTgSpec
       val pb = o.base.substring(0, om.start).trim
-      val head = if (pb.isEmpty) "" else pb + " "
-      // BOTH sides are grows-from-the-frame-start frames: the suffix
-      // aggregates are ORDER BY dr/rn DESC over [UNBOUNDED PRECEDING,
-      // k PRECEDING] rather than the literal [k FOLLOWING, UNBOUNDED
-      // FOLLOWING] — Spark evaluates UnboundedPreceding frames
-      // incrementally (O(n) per partition) but recomputes
-      // UnboundedFollowing frames from scratch per row (O(n²): measured
-      // 31.7 s vs 0.7 s on a 30k-row partition at sf0.1)
-      def drWin(f: String, a: String, ord: String) =
-        s"$f($a) OVER (${head}ORDER BY $dr $ord " +
-          "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-      def rnWin(f: String, a: String, ord: String, skip: Long) =
-        s"$f($a) OVER (${head}ORDER BY $rn $ord " +
-          s"ROWS BETWEEN UNBOUNDED PRECEDING AND $skip PRECEDING)"
-      if (o.hasOffset && o.mode == "ROWS") {
-        // k-offset path (ROWS mode, sum/count/avg): each remaining piece
-        // of the frame is a prefix DIFFERENCE — [cur−k, ps−1] =
-        // prefix(ps−1) − prefix(cur−k−1), where prefix(ps−1) is the
-        // dr-RANGE window (everything before the peer group) and
-        // prefix(cur−k−1) the rn-ROWS window (everything up to k+1 rows
-        // back); mirrored with DESC for the suffix piece. Empty-piece
-        // guard: the piece exists only when the offset reaches past the
-        // current row's own peers (k > peers-on-that-side).
-        val peersL = s"($rn - min($rn) OVER (${head}ORDER BY $dr " +
-          "RANGE BETWEEN CURRENT ROW AND CURRENT ROW))"
-        val peersR = s"(max($rn) OVER (${head}ORDER BY $dr " +
-          s"RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - $rn)"
-        def pieceCnt(b: TgBound, asc: Boolean, a: String): String = {
-          val ord = if (asc) "ASC" else "DESC"
-          val peers = if (asc) peersL else peersR
-          b match {
-            case BCur => "0"
-            case BUnb => drWin("count", a, ord)
-            case b @ BOff(_) =>
-              val k = b.kOpt.get // gated at occurrence collection
-              s"(CASE WHEN $k > $peers THEN ${drWin("count", a, ord)} " +
-                s"- ${rnWin("count", a, ord, k + 1)} ELSE 0 END)"
-          }
-        }
-        def pieceSum(b: TgBound, asc: Boolean, a: String): String = {
-          val ord = if (asc) "ASC" else "DESC"
-          val peers = if (asc) peersL else peersR
-          b match {
-            case BCur => "0"
-            case BUnb => s"coalesce(${drWin("sum", a, ord)}, 0)"
-            case b @ BOff(_) =>
-              val k = b.kOpt.get // gated at occurrence collection
-              s"(CASE WHEN $k > $peers THEN coalesce(${drWin("sum", a, ord)}, 0) " +
-                s"- coalesce(${rnWin("sum", a, ord, k + 1)}, 0) ELSE 0 END)"
-          }
-        }
-        val ca = if (o.args.trim == "*") "1" else o.args
-        val selfCnt =
-          if (!o.keepSelf) "0"
-          else if (o.args.trim == "*") "1"
-          else s"(CASE WHEN (${o.args}) IS NULL THEN 0 ELSE 1 END)"
-        val totalCnt = s"(${pieceCnt(o.lo, asc = true, ca)} " +
-          s"+ ${pieceCnt(o.hi, asc = false, ca)} + $selfCnt)"
-        def totalSum = {
-          val selfSum = if (o.keepSelf) s"coalesce((${o.args}), 0)" else "0"
-          s"(${pieceSum(o.lo, asc = true, o.args)} " +
-            s"+ ${pieceSum(o.hi, asc = false, o.args)} + $selfSum)"
-        }
-        o.fn match {
-          case "count" => totalCnt
-          case "sum" =>
-            s"(CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END)"
-          case "avg" =>
-            s"(CAST((CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END) " +
-              s"AS DOUBLE) / nullif($totalCnt, 0))"
-        }
-      } else {
-      // piece path: UNBOUNDED/CURRENT bounds in any mode (the three modes
-      // agree there once the peer group is out), plus GROUPS k-offsets —
-      // a GROUPS offset is k whole peer groups, i.e. k dense_rank units,
-      // so the piece beyond the current group is the integer-RANGE frame
-      // [dr−k, dr−1] (mirrored DESC for the suffix): a sliding frame
-      // every aggregate can ride, min/max included — no differences.
-      def pieceWin(b: TgBound, ord: String): Option[(String, String) => String] =
-        b match {
-          case BCur => None
-          case BUnb => Some((f: String, a: String) => drWin(f, a, ord))
-          case BOff(k) => Some((f: String, a: String) =>
-            s"$f($a) OVER (${head}ORDER BY $dr $ord " +
-              s"RANGE BETWEEN $k PRECEDING AND 1 PRECEDING)")
-        }
-      val left = pieceWin(o.lo, "ASC")
-      val right = pieceWin(o.hi, "DESC")
-      def addNullable(a: String, b: String) =
-        s"(CASE WHEN $a IS NULL AND $b IS NULL THEN NULL " +
-          s"ELSE coalesce($a, 0) + coalesce($b, 0) END)"
-      def extremum(pick: String)(a: String, b: String) =
-        s"(CASE WHEN $a IS NULL THEN $b WHEN $b IS NULL THEN $a " +
-          s"ELSE $pick($a, $b) END)"
-      // nullable parts: the two peer-group-adjacent windows plus (TIES
-      // only) the current row's own value
-      def parts(f: String, a: String, self: String): Seq[String] =
-        left.map(_(f, a)).toSeq ++ right.map(_(f, a)) ++
-          (if (o.keepSelf) Seq(self) else Nil)
-      def fold(ps: Seq[String], empty: String,
-          combine: (String, String) => String): String =
-        if (ps.isEmpty) empty else ps.reduce(combine)
-      def sumExpr(a: String) =
-        fold(parts("sum", a, s"($a)"), "NULL", addNullable)
-      def cntExpr(a: String) = {
-        val self = if (a.trim == "*") "1"
-          else s"(CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END)"
-        fold(parts("count", a, self), "0", (x, y) => s"($x + $y)")
-      }
-      o.fn match {
-        case "sum" => sumExpr(o.args)
-        case "count" => cntExpr(o.args)
-        case "min" => fold(parts("min", o.args, s"(${o.args})"), "NULL",
-          extremum("least"))
-        case "max" => fold(parts("max", o.args, s"(${o.args})"), "NULL",
-          extremum("greatest"))
-        case "avg" =>
-          s"(CAST(${sumExpr(o.args)} AS DOUBLE) / nullif(${cntExpr(o.args)}, 0))"
-      }
-      }
+      wrapRepl(o, if (pb.isEmpty) "" else pb + " ", dr, rn)
     }
     def applyRepls(seg: String, off: Int): String = {
       var out = seg
@@ -867,6 +759,173 @@ object WindowExclude {
       case None => return None // unsupported star shape: leave EXCLUDE for Spark
     }
     Some(s"${selectSeg}FROM (SELECT *, $helperDefs FROM$fromBody) $wrapAlias $tailSeg")
+  }
+
+  /** Round-12 wrap path for blocks with top-level GROUP BY/HAVING: the
+    * grouped query becomes the INNER derived table — its projection gains
+    * the window arguments (`__graft_aK`), the partition keys
+    * (`__graft_pM`) and the dense_rank/row_number helpers (windows in a
+    * grouped SELECT evaluate post-group, so the helpers see exactly the
+    * rows the EXCLUDE frames range over) — and the OUTER select
+    * re-projects the original output columns with the frame pieces riding
+    * the helper columns. Supported select-item grammar (anything else
+    * rejects loudly — the invariant stays "never a silent schema change"):
+    *   - one `agg(args) OVER (... EXCLUDE TIES|GROUP)` call, optionally
+    *     `CAST( ... AS type)`-wrapped, optionally `AS`-aliased;
+    *   - a bare (optionally qualified) column reference;
+    *   - an arbitrary expression with an explicit top-level `AS alias`.
+    * The ORDER BY/LIMIT tail moves outside the wrap; tails carrying
+    * parenthesised expressions (`ORDER BY count(*)`) reject — the
+    * aggregate would re-bind against the outer select. */
+  private def rewriteGroupedBlock(block: String, occs: Seq[TgOcc],
+      subExpr: Map[TgOcc, String], fromPos: Int): Option[String] = {
+    if (occs.exists(_.start >= fromPos)) return None
+    // GROUP BY ALL expands in a LATER pass that would then see the helper
+    // columns as grouping candidates — out of scope
+    if (topLevelKw(block, kw("GROUP BY ALL"), fromPos) >= 0) return None
+    if (topLevelKw(block, kw("WINDOW"), fromPos) >= 0) return None
+    val tailStart = {
+      val cands = Seq(OrderByKw, kw("LIMIT"))
+        .map(p => topLevelKw(block, p, fromPos)).filter(_ >= 0)
+      if (cands.isEmpty) block.length else cands.min
+    }
+    val tail = block.substring(tailStart)
+    if (SqlText.countOutsideLiterals(tail, '(') > 0) return None
+    // ---- select items with their [start, end) offsets ----
+    var i = SqlText.skipWsAndComments(block, "SELECT".length)
+    val dm0 = DistinctAll.matcher(block)
+    dm0.region(i, fromPos)
+    if (dm0.lookingAt()) return None // DISTINCT over the wrap: out of scope
+    val ranges = scala.collection.mutable.Buffer.empty[(Int, Int)]
+    var depth = 0
+    var start = i
+    while (i < fromPos) {
+      block.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(block, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          ranges += ((start, i)); start = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    ranges += ((start, fromPos))
+    // ---- registries shared across items ----
+    val argAlias = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val partAlias =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+    val drFor =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
+    val wrapOccs = occs.filterNot(subExpr.contains)
+    if (wrapOccs.isEmpty) return None // this wrap exists FOR wrap-routed calls
+    val needRn = wrapOccs.filter(o => o.hasOffset && o.mode == "ROWS")
+      .map(_.base.replaceAll("\\s+", " ").trim.toUpperCase).toSet
+    // last depth-0 `AS alias` of an item, or None
+    def topAlias(text: String): Option[String] = {
+      var j = 0
+      var d = 0
+      var last = -1
+      val asKw = kw("AS")
+      while (j < text.length) {
+        text.charAt(j) match {
+          case '\'' => j = SqlText.literalEnd(text, j)
+          case '(' => d += 1; j += 1
+          case ')' => d -= 1; j += 1
+          case _ =>
+            if (d == 0) {
+              val m = asKw.matcher(text)
+              m.region(j, text.length)
+              if (m.lookingAt()) { last = m.end; j = m.end } else j += 1
+            } else j += 1
+        }
+      }
+      if (last < 0) None
+      else {
+        val rest = text.substring(last).trim
+        if (rest.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(rest) else None
+      }
+    }
+    val Ident = "[A-Za-z_][A-Za-z0-9_]*(\\s*\\.\\s*[A-Za-z_][A-Za-z0-9_]*)*"
+    val inner = scala.collection.mutable.Buffer.empty[String]
+    val outer = scala.collection.mutable.Buffer.empty[String]
+    for ((s0, e0) <- ranges) {
+      val text = block.substring(s0, e0)
+      val inOccs = occs.filter(o => o.start >= s0 && o.start < e0)
+      val wIn = inOccs.filterNot(subExpr.contains)
+      if (wIn.size > 1 || (wIn.size == 1 && inOccs.size != 1)) return None
+      if (wIn.size == 1) {
+        val o = wIn.head
+        val beforeTx = block.substring(s0, o.start)
+        val afterTx = block.substring(o.end, e0)
+        val castBefore = beforeTx.matches("(?is)\\s*CAST\\s*\\(\\s*")
+        val beforeOk = castBefore || beforeTx.matches("(?s)\\s*")
+        val afterOk =
+          if (castBefore)
+            afterTx.matches("(?is)\\s*AS\\s+[A-Za-z_][A-Za-z0-9_]*" +
+              "(\\s*\\([0-9,\\s]*\\))?\\s*\\)\\s*(AS\\s+[A-Za-z_][A-Za-z0-9_]*)?\\s*")
+          else afterTx.matches("(?is)\\s*(AS\\s+[A-Za-z_][A-Za-z0-9_]*)?\\s*")
+        if (!beforeOk || !afterOk) return None
+        val argRef =
+          if (o.args.trim == "*") "*"
+          else argAlias.getOrElseUpdate(o.args.replaceAll("\\s+", " ").trim,
+            s"__graft_a${argAlias.size + 1}")
+        val normB = o.base.replaceAll("\\s+", " ").trim.toUpperCase
+        val (dr, rn, _) = drFor.getOrElseUpdate(normB, {
+          val n = drFor.size + 1
+          (s"__graft_dr$n", s"__graft_rn$n", o.base)
+        })
+        val om = OrderByKw.matcher(o.base)
+        om.find() // guaranteed by parseTgSpec
+        val pb = o.base.substring(0, om.start).trim
+        val newHead =
+          if (pb.isEmpty) ""
+          else {
+            val keys = SqlText.splitTopLevel(
+              pb.replaceFirst("(?i)^PARTITION\\s+BY", ""), ',')
+            if (keys.isEmpty) return None
+            val names = keys.map { k =>
+              val norm = k.replaceAll("\\s+", " ").trim.toUpperCase
+              partAlias.getOrElseUpdate(norm,
+                (s"__graft_p${partAlias.size + 1}", k))._1
+            }
+            s"PARTITION BY ${names.mkString(", ")} "
+          }
+        val repl = wrapRepl(o.copy(args = argRef), newHead, dr, rn)
+        outer += (beforeTx + repl + afterTx).trim
+      } else if (inOccs.nonEmpty) {
+        // subtract-routed occurrences evaluate at the grouped level: the
+        // item stays INNER (and needs a referenceable name outside)
+        topAlias(text) match {
+          case Some(al) =>
+            var t = text
+            inOccs.sortBy(-_.start).foreach { o =>
+              t = t.substring(0, o.start - s0) + subExpr(o) +
+                t.substring(o.end - s0)
+            }
+            inner += t.trim
+            outer += al
+          case None => return None
+        }
+      } else topAlias(text) match {
+        case Some(al) => inner += text.trim; outer += al
+        case None =>
+          val t = text.trim
+          if (t.matches(Ident)) {
+            inner += t
+            outer += t.split('.').last.trim
+          } else return None
+      }
+    }
+    val helperDefs = drFor.map { case (norm, (drName, rnName, base)) =>
+      s"dense_rank() OVER ($base) AS $drName" +
+        (if (needRn(norm)) s", row_number() OVER ($base) AS $rnName" else "")
+    }
+    val argDefs = argAlias.map { case (a, n) => s"($a) AS $n" }
+    val partDefs = partAlias.values.map { case (n, k) => s"(${k.trim}) AS $n" }
+    val innerSel = (inner ++ argDefs ++ partDefs ++ helperDefs).mkString(", ")
+    val fromBody = block.substring(fromPos + 4, tailStart)
+    Some(s"SELECT ${outer.mkString(", ")} FROM " +
+      s"(SELECT $innerSel FROM$fromBody) __graft_gx $tail")
   }
 
   private val StopWords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "WINDOW",
@@ -1000,5 +1059,133 @@ object WindowExclude {
       }
     }
     j
+  }
+
+  /** The wrap-path replacement text for one TIES/GROUP occurrence whose
+    * frame pieces ride the helper columns: `head` is the PARTITION BY
+    * prefix the emitted windows use, `dr`/`rn` the dense_rank/row_number
+    * helper names, and `o.args` the aggregate argument AS VISIBLE AT THE
+    * EMISSION SITE (the grouped path substitutes an inner-materialized
+    * alias before calling). */
+  private def wrapRepl(o: TgOcc, head: String, dr: String, rn: String): String = {
+      // BOTH sides are grows-from-the-frame-start frames: the suffix
+      // aggregates are ORDER BY dr/rn DESC over [UNBOUNDED PRECEDING,
+      // k PRECEDING] rather than the literal [k FOLLOWING, UNBOUNDED
+      // FOLLOWING] — Spark evaluates UnboundedPreceding frames
+      // incrementally (O(n) per partition) but recomputes
+      // UnboundedFollowing frames from scratch per row (O(n²): measured
+      // 31.7 s vs 0.7 s on a 30k-row partition at sf0.1)
+      def drWin(f: String, a: String, ord: String) =
+        s"$f($a) OVER (${head}ORDER BY $dr $ord " +
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      def rnWin(f: String, a: String, ord: String, skip: Long) =
+        s"$f($a) OVER (${head}ORDER BY $rn $ord " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND $skip PRECEDING)"
+      if (o.hasOffset && o.mode == "ROWS") {
+        // k-offset path (ROWS mode, sum/count/avg): each remaining piece
+        // of the frame is a prefix DIFFERENCE — [cur−k, ps−1] =
+        // prefix(ps−1) − prefix(cur−k−1), where prefix(ps−1) is the
+        // dr-RANGE window (everything before the peer group) and
+        // prefix(cur−k−1) the rn-ROWS window (everything up to k+1 rows
+        // back); mirrored with DESC for the suffix piece. Empty-piece
+        // guard: the piece exists only when the offset reaches past the
+        // current row's own peers (k > peers-on-that-side).
+        val peersL = s"($rn - min($rn) OVER (${head}ORDER BY $dr " +
+          "RANGE BETWEEN CURRENT ROW AND CURRENT ROW))"
+        val peersR = s"(max($rn) OVER (${head}ORDER BY $dr " +
+          s"RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - $rn)"
+        def pieceCnt(b: TgBound, asc: Boolean, a: String): String = {
+          val ord = if (asc) "ASC" else "DESC"
+          val peers = if (asc) peersL else peersR
+          b match {
+            case BCur => "0"
+            case BUnb => drWin("count", a, ord)
+            case b @ BOff(_) =>
+              val k = b.kOpt.get // gated at occurrence collection
+              s"(CASE WHEN $k > $peers THEN ${drWin("count", a, ord)} " +
+                s"- ${rnWin("count", a, ord, k + 1)} ELSE 0 END)"
+          }
+        }
+        def pieceSum(b: TgBound, asc: Boolean, a: String): String = {
+          val ord = if (asc) "ASC" else "DESC"
+          val peers = if (asc) peersL else peersR
+          b match {
+            case BCur => "0"
+            case BUnb => s"coalesce(${drWin("sum", a, ord)}, 0)"
+            case b @ BOff(_) =>
+              val k = b.kOpt.get // gated at occurrence collection
+              s"(CASE WHEN $k > $peers THEN coalesce(${drWin("sum", a, ord)}, 0) " +
+                s"- coalesce(${rnWin("sum", a, ord, k + 1)}, 0) ELSE 0 END)"
+          }
+        }
+        val ca = if (o.args.trim == "*") "1" else o.args
+        val selfCnt =
+          if (!o.keepSelf) "0"
+          else if (o.args.trim == "*") "1"
+          else s"(CASE WHEN (${o.args}) IS NULL THEN 0 ELSE 1 END)"
+        val totalCnt = s"(${pieceCnt(o.lo, asc = true, ca)} " +
+          s"+ ${pieceCnt(o.hi, asc = false, ca)} + $selfCnt)"
+        def totalSum = {
+          val selfSum = if (o.keepSelf) s"coalesce((${o.args}), 0)" else "0"
+          s"(${pieceSum(o.lo, asc = true, o.args)} " +
+            s"+ ${pieceSum(o.hi, asc = false, o.args)} + $selfSum)"
+        }
+        o.fn match {
+          case "count" => totalCnt
+          case "sum" =>
+            s"(CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END)"
+          case "avg" =>
+            s"(CAST((CASE WHEN $totalCnt > 0 THEN $totalSum ELSE NULL END) " +
+              s"AS DOUBLE) / nullif($totalCnt, 0))"
+        }
+      } else {
+      // piece path: UNBOUNDED/CURRENT bounds in any mode (the three modes
+      // agree there once the peer group is out), plus GROUPS k-offsets —
+      // a GROUPS offset is k whole peer groups, i.e. k dense_rank units,
+      // so the piece beyond the current group is the integer-RANGE frame
+      // [dr−k, dr−1] (mirrored DESC for the suffix): a sliding frame
+      // every aggregate can ride, min/max included — no differences.
+      def pieceWin(b: TgBound, ord: String): Option[(String, String) => String] =
+        b match {
+          case BCur => None
+          case BUnb => Some((f: String, a: String) => drWin(f, a, ord))
+          case BOff(k) => Some((f: String, a: String) =>
+            s"$f($a) OVER (${head}ORDER BY $dr $ord " +
+              s"RANGE BETWEEN $k PRECEDING AND 1 PRECEDING)")
+        }
+      val left = pieceWin(o.lo, "ASC")
+      val right = pieceWin(o.hi, "DESC")
+      def addNullable(a: String, b: String) =
+        s"(CASE WHEN $a IS NULL AND $b IS NULL THEN NULL " +
+          s"ELSE coalesce($a, 0) + coalesce($b, 0) END)"
+      def extremum(pick: String)(a: String, b: String) =
+        s"(CASE WHEN $a IS NULL THEN $b WHEN $b IS NULL THEN $a " +
+          s"ELSE $pick($a, $b) END)"
+      // nullable parts: the two peer-group-adjacent windows plus (TIES
+      // only) the current row's own value
+      def parts(f: String, a: String, self: String): Seq[String] =
+        left.map(_(f, a)).toSeq ++ right.map(_(f, a)) ++
+          (if (o.keepSelf) Seq(self) else Nil)
+      def fold(ps: Seq[String], empty: String,
+          combine: (String, String) => String): String =
+        if (ps.isEmpty) empty else ps.reduce(combine)
+      def sumExpr(a: String) =
+        fold(parts("sum", a, s"($a)"), "NULL", addNullable)
+      def cntExpr(a: String) = {
+        val self = if (a.trim == "*") "1"
+          else s"(CASE WHEN ($a) IS NULL THEN 0 ELSE 1 END)"
+        fold(parts("count", a, self), "0", (x, y) => s"($x + $y)")
+      }
+      o.fn match {
+        case "sum" => sumExpr(o.args)
+        case "count" => cntExpr(o.args)
+        case "min" => fold(parts("min", o.args, s"(${o.args})"), "NULL",
+          extremum("least"))
+        case "max" => fold(parts("max", o.args, s"(${o.args})"), "NULL",
+          extremum("greatest"))
+        case "avg" =>
+          s"(CAST(${sumExpr(o.args)} AS DOUBLE) / nullif(${cntExpr(o.args)}, 0))"
+      }
+      }
   }
 }

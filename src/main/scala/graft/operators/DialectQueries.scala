@@ -747,12 +747,53 @@ object DialectQueries {
       |FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin
 
+  // EXCLUDE TIES/GROUP over GROUPED blocks on the WRAP path (round 12):
+  // q106 covers the wrap-free subtract route (sum/count/avg); min/max and
+  // GROUPS offsets need the dense_rank helpers, which the grouped wrap
+  // evaluates POST-GROUP inside the derived table (WindowExclude.
+  // rewriteGroupedBlock). Group key (priority, status) makes the window
+  // order keys unique within each status partition (singleton peer
+  // groups) except the CASE-bucketed ties_min column, whose RANGE frame
+  // depends only on the order VALUE — every cell is a function of
+  // (partition, order value), so no tie-order sensitivity anywhere.
+  // HAVING filters inside the wrap; sums run over integer o_custkey
+  // (exact double accumulation below 2^53).
+  private val q108Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(count(*)) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_orderpriority
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE GROUP) AS BIGINT) AS other_min,
+      |  CAST(max(sum(o_custkey)) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_orderpriority
+      |    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)
+      |    AS BIGINT) AS nb_max,
+      |  CAST(min(count(*)) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY (CASE WHEN o_orderpriority <= '2-HIGH' THEN 0 ELSE 1 END)
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE TIES) AS BIGINT) AS ties_min
+      |FROM orders
+      |GROUP BY o_orderpriority, o_orderstatus
+      |HAVING count(*) > 2
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // DuckDB 1.0.0 (the oracle) has not implemented GROUPS mode — but the
+  // window order key is UNIQUE within each partition here (one row per
+  // priority post-group), so every peer group is a single row and
+  // `GROUPS 1 PRECEDING AND 1 FOLLOWING` ≡ `ROWS 1 PRECEDING AND
+  // 1 FOLLOWING`: the oracle runs the ROWS spelling of the same frame.
+  private val q108OracleSql =
+    q108Sql.replace("GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING")
+
   val all: Seq[Q] = Seq(
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),
     Q("q105_window_exclude_range_offsets", fns(q105Sql), Some(q105Sql)),
     Q("q106_window_exclude_grouped", fns(q106Sql), Some(q106Sql)),
     Q("q107_window_exclude_setop", fns(q107Sql), Some(q107Sql)),
+    Q("q108_window_exclude_grouped_wrap", fns(q108Sql), Some(q108OracleSql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

@@ -379,12 +379,22 @@ class WindowExcludeSpec extends AnyFunSuite {
     val kRangeMin =
       "SELECT min(x) OVER (ORDER BY y RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) FROM t"
     assert(WindowExclude.rewrite(kRangeMin) == kRangeMin)
-    // min needs the wrap, and the wrap would change a GROUP BY block's
-    // evaluation order — reject (sum in the same block is covered by the
-    // wrap-free subtract path: see the subtract-path test)
-    val grouped =
-      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g"
-    assert(WindowExclude.rewrite(grouped) == grouped)
+    // grouped blocks rewrite via their own wrap since round 12 — but only
+    // under the supported item grammar; an item mixing a window call with
+    // other arithmetic must still reject
+    val groupedMixed =
+      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) + g FROM t GROUP BY g"
+    assert(WindowExclude.rewrite(groupedMixed) == groupedMixed)
+    // ORDER BY tails carrying parenthesised expressions would re-bind
+    // against the outer select — reject
+    val groupedTail =
+      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) AS m FROM t GROUP BY g ORDER BY count(*)"
+    assert(WindowExclude.rewrite(groupedTail) == groupedTail)
+    // unaliased non-trivial non-window items have no referenceable name
+    // for the outer re-projection — reject
+    val groupedNoAlias =
+      "SELECT g + 1, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) AS m FROM t GROUP BY g"
+    assert(WindowExclude.rewrite(groupedNoAlias) == groupedNoAlias)
     val noOrder =
       "SELECT sum(x) OVER (PARTITION BY p RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t"
     assert(WindowExclude.rewrite(noOrder) == noOrder)
@@ -422,11 +432,18 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(!tri.toUpperCase.contains("EXCLUDE"), tri)
     assert(tri.toUpperCase.contains("INTERSECT") &&
       tri.toUpperCase.contains("EXCEPT SELECT V FROM C"), tri)
-    // a GROUP BY branch inside a set-op still rejects on the wrapped path
-    // — and the reject stops the pass, leaving the whole statement as-is
+    // a GROUP BY branch inside a set-op rewrites via the grouped wrap
+    // (round 12), with the operator and the later branch kept verbatim
     val groupedBranch =
       "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) FROM t GROUP BY g UNION ALL SELECT 1, 2"
-    assert(WindowExclude.rewrite(groupedBranch) == groupedBranch)
+    val gb = WindowExclude.rewrite(groupedBranch)
+    assert(!gb.toUpperCase.contains("EXCLUDE"), gb)
+    assert(gb.toUpperCase.endsWith("UNION ALL SELECT 1, 2"), gb)
+    // an UNSUPPORTED grouped branch (mixed window+arithmetic item) still
+    // rejects, stopping the pass and leaving the whole statement as-is
+    val badBranch =
+      "SELECT g, min(min(x)) OVER (ORDER BY g EXCLUDE TIES) + g FROM t GROUP BY g UNION ALL SELECT 1, 2"
+    assert(WindowExclude.rewrite(badBranch) == badBranch)
   }
 
   test("subtract path: RANGE-mode TIES/GROUP sum/count/avg are wrap-free and match a self-join reference") {
@@ -506,6 +523,61 @@ class WindowExcludeSpec extends AnyFunSuite {
         |GROUP BY a.o_orderpriority, a.o_orderstatus""".stripMargin)
     assert(g.count() > 0)
     assert(g.exceptAll(gref).count() === 0 && gref.exceptAll(g).count() === 0)
+  }
+
+  // Round 12: GROUP BY/HAVING blocks rewrite via the grouped wrap — the
+  // grouped query becomes the inner derived table (helpers evaluate
+  // post-group) and the outer select re-projects with the frame pieces.
+  test("grouped blocks: EXCLUDE TIES/GROUP over grouped aggregates matches a hand-computed reference") {
+    Tables.registerAll(spark, sfDir)
+    // 5 groups, one row each post-group; ORDER BY the group key makes
+    // every row its own peer group → full frame EXCLUDE GROUP = min over
+    // all OTHER rows (the default frame would stop at the current group)
+    val sql =
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(count(*)) OVER (ORDER BY o_orderpriority
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    val rewritten = WindowExclude.rewrite(sql)
+    assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+    val got = spark.sql(rewritten).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length > 1)
+    val counts = got.map(_._2)
+    got.foreach { case (_, n, m) =>
+      // min over the multiset of counts minus ONE instance of this row's n
+      val buf = counts.toBuffer
+      buf.remove(buf.indexOf(n))
+      assert(m === buf.min, s"n=$n m=$m counts=${counts.mkString(",")}")
+    }
+    // PARTITION BY + HAVING + alias tail + TIES (keeps the current row)
+    val sql2 =
+      """SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) AS s,
+        |  sum(sum(o_totalprice)) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderpriority EXCLUDE TIES) AS w
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |HAVING count(*) > 1 ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+    val rw2 = WindowExclude.rewrite(sql2)
+    assert(!rw2.toUpperCase.contains("EXCLUDE"), rw2)
+    val rows = spark.sql(rw2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // reference: default RANGE frame [start, current group] minus peers
+    // plus self — with a unique order key per partition row, w = prefix
+    // sum up to and including this row
+    rows.groupBy(_._2).foreach { case (_, part) =>
+      val sorted = part.sortBy(_._1)
+      var acc = 0.0
+      sorted.foreach { case (_, _, s, w) =>
+        acc += s
+        assert(math.abs(w - acc) < 1e-6 * math.max(1.0, math.abs(acc)),
+          s"w=$w expected=$acc")
+      }
+    }
+    // output schema: exactly the declared columns, no helper leak
+    assert(spark.sql(rw2).columns.toSeq ===
+      Seq("o_orderpriority", "o_orderstatus", "s", "w"))
   }
 
   test("GROUPS k-offset frames with EXCLUDE TIES/GROUP: all five aggregates match a peer-group reference") {
