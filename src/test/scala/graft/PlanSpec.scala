@@ -198,6 +198,18 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.pipeline.Pins.releaseAll(spark)
   }
 
+  test("q21: supplier-count aggregate is two-level, never a multi-distinct Expand") {
+    // Two countDistinct aggregates plan through an Expand that doubles
+    // the lineitem⋈orders stream before the shuffle; the (orderkey,
+    // suppkey) pre-aggregate collapses map-side instead (sf10 measured
+    // 10.0 → 6.6 s). ROLLUP/CUBE/GROUPING SETS/UNPIVOT/sliding-window
+    // queries keep their Expands — there the operator IS an expand.
+    val p = plan("q21_exists_notexists")
+    assert(!p.contains("Expand"), s"q21 regressed to a multi-distinct Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q21 lost map-side partial aggregation:\n$p")
+  }
+
   test("p72 DSIR: log-ratio table broadcasts; bucket marginals keep map-side partials") {
     // The 100 TB shape of importance weighting: the ≤8192-row log-ratio
     // table must BROADCAST onto the corpus-scale (doc, bucket) frame —
