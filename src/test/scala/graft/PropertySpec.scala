@@ -125,6 +125,13 @@ class PropertySpec extends AnyFunSuite {
         s"SELECT avg(x) OVER ($w) FROM t UNION ALL SELECT 1 FROM u WHERE a = '$l'",
       (w: String, l: String) =>
         s"SELECT g, count(*) OVER ($w), '$l' FROM t GROUP BY g",
+      // grouped-wrap shapes (round 12): min forces the wrap; aliased
+      // aggregates, CAST wrapping, HAVING, and tails must all survive
+      (w: String, l: String) =>
+        s"SELECT g, min(min(x)) OVER ($w) AS m, '$l' AS c FROM t GROUP BY g",
+      (w: String, l: String) =>
+        s"SELECT g, count(*) AS n, CAST(max(sum(x)) OVER ($w) AS BIGINT), '$l' AS c" +
+          s" FROM t GROUP BY g HAVING count(*) > 1 ORDER BY g LIMIT 7",
       (w: String, l: String) => s"SELECT max(x) OVER ($w) AS s FROM t WHERE c <> '$l' ORDER BY s LIMIT 5")
     val gen = for {
       b <- base; f <- frame; e <- excl; l <- lit; sh <- shape
