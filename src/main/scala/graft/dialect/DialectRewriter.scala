@@ -103,6 +103,11 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
     // DuckDB query sugar Spark lacks: QUALIFY / GROUP BY ALL / ORDER BY
     // ALL / star-EXCLUDE (see DialectSugar)
     out = DialectSugar.rewrite(out)
+    // second frame-EXCLUDE pass (round 12): the QUALIFY wrap above moves
+    // the original projection into a plain inner SELECT, so EXCLUDE
+    // windows that rejected pre-sugar (QUALIFY was in their block) are
+    // now rewritable; a no-op when the first pass consumed every EXCLUDE
+    out = WindowExclude.rewrite(out)
     // UNION BY NAME needs every branch already Spark-parseable (it
     // resolves branch schemas plan-only), so it follows the passes above
     out = SetOpsByName.rewrite(spark, out)

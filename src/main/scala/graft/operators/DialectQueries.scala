@@ -31,9 +31,12 @@ object DialectQueries {
     * chain) on the Spark side and verbatim on the DuckDB side. */
   private def fns(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // mirrors DialectRewriter.rewrite's pass order, including the second
+    // frame-EXCLUDE pass after the QUALIFY wrap (round 12)
     spark.sql(graft.dialect.NullOrder.rewrite(
-      DialectSugar.rewrite(DialectFunctions.rewrite(
-        graft.dialect.SqlText.escapeLiteralsForSpark(sql)))))
+      graft.dialect.WindowExclude.rewrite(
+        DialectSugar.rewrite(DialectFunctions.rewrite(
+          graft.dialect.SqlText.escapeLiteralsForSpark(sql))))))
   }
 
   // star EXCLUDE + REPLACE on one star item: the EXCLUDE list must merge
@@ -778,6 +781,29 @@ object DialectQueries {
       |HAVING count(*) > 2
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  // EXCLUDE TIES/GROUP together with QUALIFY (round 12): the first
+  // WindowExclude pass rejects blocks containing QUALIFY (the wrap's own
+  // window set would interleave with the post-filter), but DialectSugar's
+  // QUALIFY rewrite moves the projection into a plain inner SELECT — the
+  // SECOND frame-EXCLUDE pass then rewrites it. min forces the wrapped
+  // dense_rank path; the QUALIFY predicate keeps 2 rows per partition.
+  // RANGE frames make every cell a function of (partition, o_orderdate);
+  // round(·,2) recovers the exact 2-dp double sums.
+  private val q109Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES), 2)
+      |    AS DOUBLE) AS pre_sum,
+      |  CAST(min(o_totalprice) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE GROUP) AS DOUBLE) AS other_min
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY o_orderdate, o_orderkey) <= 2
+      |ORDER BY o_orderkey""".stripMargin
+
   // DuckDB 1.0.0 (the oracle) has not implemented GROUPS mode — but the
   // window order key is UNIQUE within each partition here (one row per
   // priority post-group), so every peer group is a single row and
@@ -794,6 +820,7 @@ object DialectQueries {
     Q("q106_window_exclude_grouped", fns(q106Sql), Some(q106Sql)),
     Q("q107_window_exclude_setop", fns(q107Sql), Some(q107Sql)),
     Q("q108_window_exclude_grouped_wrap", fns(q108Sql), Some(q108OracleSql)),
+    Q("q109_window_exclude_qualify", fns(q109Sql), Some(q109Sql)),
     Q("q57_star_replace", sugar(q57Sql), Some(q57Sql)),
     Q("q100_string_similarity", fns(q100Sql), Some(q100Sql)),
     Q("q58_qualify_unprojected", sugar(q58Sql), Some(q58Sql)),

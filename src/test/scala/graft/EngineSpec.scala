@@ -17,6 +17,26 @@ class EngineSpec extends AnyFunSuite {
   private lazy val conn = engine.connect()
   private val sf = "/root/testdata/sf0.001"
 
+  test("engine path: frame EXCLUDE inside a QUALIFY query rewrites via the post-sugar pass (round 12)") {
+    Tables.registerAll(SparkTestSession.spark, sf)
+    val df = conn.queryDF(
+      """SELECT o_orderkey,
+        |  CAST(min(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS other_min
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_orderdate, o_orderkey) = 1
+        |ORDER BY o_orderkey""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 5) // one survivor per priority
+    assert(df.columns.toSeq === Seq("o_orderkey", "other_min"))
+    // the EXCLUDE window evaluated over ALL rows (pre-QUALIFY): the
+    // excluded-peer minimum must exist even though only 1 row survives
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
   test("query via parquet_scan returns Arrow IPC file bytes (bindings.test.ts:161-173)") {
     engine.files.registerFilePath("lineitem.parquet", s"$sf/lineitem.parquet")
     val df = conn.queryDF(
