@@ -180,6 +180,13 @@ class PropertySpec extends AnyFunSuite {
       (w: String, l: String) =>
         s"SELECT *, '$l' AS c FROM nation ${w}QUALIFY" +
           s" row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2",
+      // frame EXCLUDE + QUALIFY interaction (round 12: the second
+      // WindowExclude pass rewrites what the QUALIFY wrap exposes)
+      (w: String, l: String) =>
+        s"SELECT n_name, min(n_nationkey) OVER (ORDER BY n_regionkey" +
+          s" RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING" +
+          s" EXCLUDE GROUP) AS m, '$l' AS c FROM nation ${w}QUALIFY" +
+          s" row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2",
       (w: String, l: String) =>
         s"SELECT n_name::VARCHAR AS v, '$l' FROM nation ${w}UNION ALL BY NAME" +
           s" SELECT r_name::VARCHAR AS v, '$l' FROM region",
