@@ -813,7 +813,24 @@ object DialectQueries {
     q108Sql.replace("GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
       "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING")
 
+  // Named WINDOW clause (SQL:2003, duckdb test/sql/window — window.test's
+  // named-window cases): one spec shared by several functions. Spark
+  // parses the clause natively; the dialect chain must pass it through
+  // untouched (WindowExclude sees `OVER w` — no frame text — and leaves
+  // it alone). Both engines give the shared ORDER BY sum the default
+  // RANGE UNBOUNDED PRECEDING..CURRENT ROW frame.
+  private val q110Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(round(sum(o_totalprice) OVER w, 2) AS DOUBLE) AS run_price,
+      |  rank() OVER w AS rnk,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_seen
+      |FROM orders
+      |WHERE o_orderkey < 1000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q110_named_window", fns(q110Sql), Some(q110Sql)),
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),
     Q("q105_window_exclude_range_offsets", fns(q105Sql), Some(q105Sql)),

@@ -207,8 +207,213 @@ object MixtureOps {
        |LEFT JOIN leaked l ON e.doc_id = l.doc_id
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  // --------------------------------- p75 per-source quality-quantile prune
+  /** Keep the top (1 − q) of every source by a quality score — the
+    * per-domain pruning step curation pipelines run after scoring (a
+    * fixed global cutoff over-prunes clean domains and under-prunes noisy
+    * ones). The threshold is the DISCRETE per-source q-quantile (smallest
+    * score with cumulative count ≥ ⌈q·n⌉): a rank-selected DATA VALUE, so
+    * both engines pick bit-identical thresholds and the kept flag never
+    * hinges on interpolated-double ulps (the continuous-quantile spelling
+    * would: `score >= thr` flips discretely at 1-ulp threshold noise).
+    *
+    * 100 TB shape: the corpus collapses map-side onto the
+    * (source, score) HISTOGRAM — bounded by distinct score rationals per
+    * source, not rows; the cumulative window runs over that histogram
+    * only; the per-source threshold table broadcasts back. Nothing
+    * windows over corpus-scale data (contrast `percent_rank() OVER
+    * (PARTITION BY source)`, which funnels each source through one task). */
+  private val PruneQ = 0.2
+
+  private def sourceQuantilePrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = split(lower(trim(col("text"))), "\\s+")
+    val scored = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toksArr)).cast("double") /
+          size(toksArr).cast("double")).as("score"))
+    val hist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_src", sum(col("c")).over(Window.partitionBy("source")))
+    val thr = cum
+      .filter(col("cum") >= ceil(lit(PruneQ) * col("n_src").cast("double")))
+      .groupBy(col("source")).agg(min(col("score")).as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("thr"),
+        (col("score") >= col("thr")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pruneSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+       |      / CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS score
+       |  FROM documents WHERE text IS NOT NULL),
+       |hist AS (SELECT source, score, count(*) AS c FROM scored GROUP BY source, score),
+       |cum AS (
+       |  SELECT source, score,
+       |    sum(c) OVER (PARTITION BY source ORDER BY score
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n_src
+       |  FROM hist),
+       |thr AS (
+       |  SELECT source, min(score) AS thr FROM cum
+       |  WHERE cum >= ceil($PruneQ * CAST(n_src AS DOUBLE)) GROUP BY source)
+       |SELECT s.doc_id, s.source, s.score, t.thr, s.score >= t.thr AS kept
+       |FROM scored s JOIN thr t ON s.source = t.source ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------- p76 bigram LM surprisal
+  /** Mean interpolated-bigram surprisal per document — the next-order
+    * perplexity proxy above p42's unigram surprisal:
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N with λ = 0.75, averaged
+    * as −ln p over the document's bigram positions (tf-weighted over the
+    * distinct-bigram frame — identical value, bounded relation).
+    *
+    * Shapes: the per-doc bigram-tf frame and both count tables derive
+    * from the shared token arrays; the logp table is vocab²-bounded and
+    * broadcasts onto the per-doc frame (shuffling the corpus on the
+    * Zipfian bigram key is the skew trap, as p40/p42/p51). At 100 TB the
+    * LM table itself outgrows a broadcast before the corpus side hurts —
+    * the production spelling hashes the LM into fixed buckets first
+    * (exactly p72's feature hashing), trading bias for a bounded
+    * broadcast; this operator keeps the exact table and documents the
+    * cliff. */
+  private val Lambda = 0.75
+
+  private def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val t = TermStats.toks(s, dir)
+    val bg = t.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(t) >= 2
+            |  THEN transform(sequence(1, size(t) - 1),
+            |    i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bt = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bt.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val uni = t.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).as("n_tot"))
+    val logp = c2
+      .join(uni.select(col("term").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c1").as("c1w2")), Seq("w2"))
+      .crossJoin(n) // one-row aggregate
+      .select(col("w1"), col("w2"),
+        (lit(Lambda) * (col("c2").cast("double") / col("c1w1").cast("double"))
+          + lit(1.0 - Lambda) * (col("c1w2").cast("double") / col("n_tot").cast("double")))
+          .as("p"))
+    bt.join(broadcast(logp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("tf").cast("double") * -log(col("p"))) /
+          sum(col("tf").cast("double"))).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |  FROM t),
+       |bt AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+       |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM bt GROUP BY w1, w2),
+       |uni AS (SELECT unnest(t) AS term FROM t),
+       |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM uni),
+       |logp AS (
+       |  SELECT w1, w2,
+       |    CAST($Lambda AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+       |      + CAST(${1.0 - Lambda} AS DOUBLE) * (CAST(u2.c1 AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS p
+       |  FROM c2 JOIN c1 u1 ON c2.w1 = u1.term JOIN c1 u2 ON c2.w2 = u2.term
+       |  CROSS JOIN n)
+       |SELECT bt.doc_id,
+       |  CAST(sum(bt.tf) AS BIGINT) AS n_bigrams,
+       |  sum(CAST(bt.tf AS DOUBLE) * -ln(p)) / sum(CAST(bt.tf AS DOUBLE)) AS mean_surprisal
+       |FROM bt JOIN logp USING (w1, w2)
+       |GROUP BY bt.doc_id ORDER BY bt.doc_id""".stripMargin
+
+  // --------------------------------------------- p77 epoch mixture plan
+  /** Materialize p73's temperature-smoothed mixture as per-source EPOCH
+    * MULTIPLICITIES — what a trainer actually executes: every document of
+    * source s is repeated ⌊b_s⌋ or ⌈b_s⌉ times, with the fractional part
+    * resolved per-document by a deterministic LCG residual so the
+    * realized epoch count converges to b_s without any RNG state. The
+    * boost b_s = √(N/tok_s) is the α = ½ smoothing with normalization
+    * folded into the token budget; unlike the normalized q_s/p_s spelling
+    * it contains NO cross-source float reduction, so the discretization
+    * ⌊b_s·10⁶⌋ is bit-identical in both engines (a float SUM's ordering
+    * would leak ulps into the discrete copy counts).
+    *
+    * 100 TB shape: one per-source aggregate (map-side collapsing, source
+    * catalog tiny), the ≤|sources| plan table broadcasts onto the corpus,
+    * per-doc copies reduce back to the source domain. */
+  private def epochMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tok"))
+    val tot = perSrc.agg(sum(col("n_tok")).as("n_all"))
+    val plan = perSrc.crossJoin(tot) // one-row aggregate
+      .withColumn("boost",
+        sqrt(col("n_all").cast("double") / col("n_tok").cast("double")))
+      .withColumn("m", floor(col("boost") * lit(1000000.0)).cast("long"))
+    val copies = perDoc
+      .join(broadcast(plan.select(col("source"), col("m"))), Seq("source"))
+      .select(col("source"),
+        (floor(col("m") / lit(1000000L)).cast("long") +
+          when((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(1000000L)
+                 < col("m") % lit(1000000L), lit(1L)).otherwise(lit(0L)))
+          .as("copies"))
+      .groupBy(col("source")).agg(sum(col("copies")).as("n_copies"))
+    plan.select(col("source"), col("n_docs"), col("n_tok"), col("boost"))
+      .join(copies, Seq("source"))
+      .withColumn("eff_epochs",
+        col("n_copies").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private val epochPlanSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk
+      |  FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(tk) AS BIGINT) AS n_tok
+      |      FROM d GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_all FROM s),
+      |p AS (SELECT source, n_docs, n_tok,
+      |        sqrt(CAST(n_all AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS boost,
+      |        CAST(floor(sqrt(CAST(n_all AS DOUBLE) / CAST(n_tok AS DOUBLE))
+      |                   * 1000000.0) AS BIGINT) AS m
+      |      FROM s CROSS JOIN t),
+      |c AS (SELECT d.source,
+      |        CAST(floor(m / 1000000) AS BIGINT)
+      |          + (CASE WHEN (d.doc_id * 1103515245 + 12345) % 1000000
+      |                       < m % 1000000 THEN 1 ELSE 0 END) AS copies
+      |      FROM d JOIN p USING (source)),
+      |cc AS (SELECT source, CAST(sum(copies) AS BIGINT) AS n_copies
+      |       FROM c GROUP BY source)
+      |SELECT p.source, p.n_docs, p.n_tok, p.boost, cc.n_copies,
+      |  CAST(cc.n_copies AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS eff_epochs
+      |FROM p JOIN cc USING (source)
+      |ORDER BY p.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p72_dsir_weights", dsirWeights, Some(dsirSql)),
     Q("p73_source_mixture", sourceMixture, Some(sourceMixtureSql)),
-    Q("p74_eval_leak_rate", evalLeakRate, Some(evalLeakSql)))
+    Q("p74_eval_leak_rate", evalLeakRate, Some(evalLeakSql)),
+    Q("p75_source_quantile_prune", sourceQuantilePrune, Some(pruneSql)),
+    Q("p76_bigram_surprisal", bigramSurprisal, Some(bigramSql)),
+    Q("p77_epoch_mixture_plan", epochMixturePlan, Some(epochPlanSql)))
 }

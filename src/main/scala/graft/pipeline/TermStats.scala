@@ -34,7 +34,7 @@ object TermStats {
     * cached arrays is cheap and stays per-consumer), memoized per dir
     * like the LSH signature stage and disclosed through the bench's warm
     * array / cold-equivalent pass. */
-  private def toks(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def toks(s: SparkSession, dir: String): DataFrame =
     Pins.shared(s, dir, "doc-toks-lower") {
       docs(s, dir).select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("t"))

@@ -37,6 +37,34 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(1)))
   }
 
+  test("engine path: named WINDOW clause shared by several functions (round 12)") {
+    val rows = conn.queryDF(
+      """SELECT k, v,
+        |  CAST(sum(v) OVER w AS BIGINT) AS run,
+        |  rank() OVER w AS rnk
+        |FROM (VALUES (1, 10), (1, 20), (2, 40)) AS t(k, v)
+        |WINDOW w AS (ORDER BY k)
+        |ORDER BY k, v""".stripMargin).collect()
+    // shared ORDER BY window: default RANGE frame, rank over the same spec
+    assert(rows.map(r => (r.getInt(0), r.getLong(2), r.getInt(3))).toSeq ===
+      Seq((1, 30L, 1), (1, 30L, 1), (2, 70L, 3)))
+  }
+
+  test("engine path: EXCLUDE inside a named WINDOW definition inlines and rewrites") {
+    // WindowExclude.inlineNamed turns `OVER w` into the inline spec when
+    // the WINDOW clause carries an EXCLUDE, then the normal expansion
+    // runs. Hand-checked: EXCLUDE TIES keeps the current row, drops its
+    // other peers.
+    val rows = conn.queryDF(
+      """SELECT k, v, CAST(sum(v) OVER w AS BIGINT) AS s
+        |FROM (VALUES (1, 10), (1, 20), (2, 40)) AS t(k, v)
+        |WINDOW w AS (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW EXCLUDE TIES)
+        |ORDER BY k, v""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(2))).toSeq ===
+      Seq((1, 10L), (1, 20L), (2, 70L)))
+  }
+
   test("query via parquet_scan returns Arrow IPC file bytes (bindings.test.ts:161-173)") {
     engine.files.registerFilePath("lineitem.parquet", s"$sf/lineitem.parquet")
     val df = conn.queryDF(

@@ -225,6 +225,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"p72 must not window:\n$p")
   }
 
+  test("p75 quantile prune: windows run on the histogram, thresholds broadcast") {
+    // The corpus must collapse map-side onto the (source, score) histogram
+    // BEFORE any window touches it: the cumulative-count window's child
+    // chain must contain that aggregate (a window directly over the scan
+    // would funnel each source through one task at 100 TB), and the
+    // per-source threshold table must broadcast back onto the corpus.
+    val p = plan("p75_source_quantile_prune")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p75 lost the threshold broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"p75 lost map-side partial aggregation:\n$p")
+    val winIdx = p.indexOf("Window")
+    val aggBefore = p.indexOf("HashAggregate", winIdx) // children print below
+    assert(winIdx >= 0 && aggBefore >= 0,
+      s"p75 window does not sit above the histogram aggregate:\n$p")
+  }
+
+  test("p76 bigram surprisal: LM table broadcasts onto the per-doc frame") {
+    // Same posture as p42's unigram table: shuffling the corpus-scale
+    // (doc, w1, w2, tf) frame on the Zipfian bigram key is the skew trap;
+    // the vocab²-bounded logp table broadcasts instead.
+    val p = plan("p76_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p76 lost the LM-table broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"p76 lost map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"p76 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"p76 has an all-pairs stage:\n$p")
+  }
+
+  test("p77 epoch plan: per-source multiplicities broadcast; no window") {
+    val p = plan("p77_epoch_mixture_plan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p77 lost the plan-table broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"p77 lost map-side partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"p77 must not window:\n$p")
+  }
+
   test("p74 eval leak rate: raw shingles collapse before the join; no cartesian") {
     val p = plan("p74_eval_leak_rate")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
