@@ -275,13 +275,16 @@ object MixtureOps {
     * as −ln p over the document's bigram positions (tf-weighted over the
     * distinct-bigram frame — identical value, bounded relation).
     *
-    * Shapes: the per-doc bigram-tf frame and both count tables derive
-    * from the shared token arrays; the logp table is vocab²-bounded and
-    * broadcasts onto the per-doc frame (shuffling the corpus on the
-    * Zipfian bigram key is the skew trap, as p40/p42/p51). At 100 TB the
-    * LM table itself outgrows a broadcast before the corpus side hurts —
-    * the production spelling hashes the LM into fixed buckets first
-    * (exactly p72's feature hashing), trading bias for a bounded
+    * Shapes: both count tables derive from the shared token arrays with
+    * map-side collapse onto the vocab/vocab² domains; the logp table
+    * broadcasts onto the raw bigram POSITION stream and the per-doc mean
+    * collapses map-side by doc_id (documents are partition-local, so the
+    * partial aggregate emits one row per doc before the shuffle — a
+    * (doc, w1, w2) tf pre-aggregate instead shuffles every position on
+    * the Zipfian bigram key: measured 44.0 → 17.6 s at sf10). At 100 TB
+    * the LM table itself outgrows a broadcast before the corpus side
+    * hurts — the production spelling hashes the LM into fixed buckets
+    * first (exactly p72's feature hashing), trading bias for a bounded
     * broadcast; this operator keeps the exact table and documents the
     * cliff. */
   private val Lambda = 0.75
@@ -296,9 +299,7 @@ object MixtureOps {
             |  ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin))
           .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bt = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
-    val c2 = bt.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val uni = t.select(explode(col("t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
     val n = uni.agg(sum(col("c1")).as("n_tot"))
@@ -310,11 +311,10 @@ object MixtureOps {
         (lit(Lambda) * (col("c2").cast("double") / col("c1w1").cast("double"))
           + lit(1.0 - Lambda) * (col("c1w2").cast("double") / col("n_tot").cast("double")))
           .as("p"))
-    bt.join(broadcast(logp), Seq("w1", "w2"))
+    bg.join(broadcast(logp), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"),
-        (sum(col("tf").cast("double") * -log(col("p"))) /
-          sum(col("tf").cast("double"))).as("mean_surprisal"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(-log(col("p"))) / count(lit(1)).cast("double")).as("mean_surprisal"))
       .orderBy(col("doc_id"))
   }
 
@@ -325,8 +325,7 @@ object MixtureOps {
        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
        |  FROM t),
-       |bt AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
-       |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM bt GROUP BY w1, w2),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
        |uni AS (SELECT unnest(t) AS term FROM t),
        |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY term),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM uni),
@@ -336,11 +335,11 @@ object MixtureOps {
        |      + CAST(${1.0 - Lambda} AS DOUBLE) * (CAST(u2.c1 AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS p
        |  FROM c2 JOIN c1 u1 ON c2.w1 = u1.term JOIN c1 u2 ON c2.w2 = u2.term
        |  CROSS JOIN n)
-       |SELECT bt.doc_id,
-       |  CAST(sum(bt.tf) AS BIGINT) AS n_bigrams,
-       |  sum(CAST(bt.tf AS DOUBLE) * -ln(p)) / sum(CAST(bt.tf AS DOUBLE)) AS mean_surprisal
-       |FROM bt JOIN logp USING (w1, w2)
-       |GROUP BY bt.doc_id ORDER BY bt.doc_id""".stripMargin
+       |SELECT bg.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  sum(-ln(p)) / CAST(count(*) AS DOUBLE) AS mean_surprisal
+       |FROM bg JOIN logp USING (w1, w2)
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
   // --------------------------------------------- p77 epoch mixture plan
   /** Materialize p73's temperature-smoothed mixture as per-source EPOCH
