@@ -78,6 +78,9 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
       }
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)} ${tempView(df)}")
     })
+    // FROM-first query syntax normalizes before any pass that assumes a
+    // SELECT-first block shape (QUALIFY wrap, star sugar, EXCLUDE windows)
+    out = FromFirst.rewrite(out)
     // Keyword-level rewrites run only OUTSIDE string literals — a literal
     // containing the word BLOB or a series call must pass through untouched.
     out = SqlText.mapOutsideLiterals(out) { seg =>

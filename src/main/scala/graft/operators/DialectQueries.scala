@@ -36,7 +36,8 @@ object DialectQueries {
     spark.sql(graft.dialect.NullOrder.rewrite(
       graft.dialect.WindowExclude.rewrite(
         DialectSugar.rewrite(DialectFunctions.rewrite(
-          graft.dialect.SqlText.escapeLiteralsForSpark(sql))))))
+          graft.dialect.FromFirst.rewrite(
+            graft.dialect.SqlText.escapeLiteralsForSpark(sql)))))))
   }
 
   // star EXCLUDE + REPLACE on one star item: the EXCLUDE list must merge
@@ -829,7 +830,21 @@ object DialectQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  // DuckDB FROM-first syntax (round 12): leading FROM, optional SELECT
+  // directly after the from-list (DuckDB 1.0 grammar verified: SELECT may
+  // NOT follow WHERE). FromFirst relocates the SELECT clause / synthesizes
+  // SELECT *; the oracle runs the original text natively.
+  private val q111Sql =
+    """FROM lineitem
+      |SELECT l_returnflag,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q111_from_first", fns(q111Sql), Some(q111Sql)),
     Q("q110_named_window", fns(q110Sql), Some(q110Sql)),
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),
     Q("q104_window_exclude_offsets", fns(q104Sql), Some(q104Sql)),

@@ -65,6 +65,20 @@ class EngineSpec extends AnyFunSuite {
       Seq((1, 10L), (1, 20L), (2, 70L)))
   }
 
+  test("engine path: FROM-first syntax (bare, relocated SELECT, subquery) (round 12)") {
+    Tables.registerAll(SparkTestSession.spark, sf)
+    assert(conn.queryDF("FROM region").collect().length === 5)
+    val rows = conn.queryDF(
+      """FROM (VALUES (1, 10), (2, 20), (3, 30)) AS t(k, v)
+        |SELECT k, v WHERE k > 1 ORDER BY k""".stripMargin).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 3))
+    // FROM-first inside a subquery, composed with an outer aggregate
+    val agg = conn.queryDF(
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM (FROM nation WHERE n_regionkey = 0)")
+      .collect().head.getLong(0)
+    assert(agg === 5)
+  }
+
   test("query via parquet_scan returns Arrow IPC file bytes (bindings.test.ts:161-173)") {
     engine.files.registerFilePath("lineitem.parquet", s"$sf/lineitem.parquet")
     val df = conn.queryDF(

@@ -200,7 +200,16 @@ class PropertySpec extends AnyFunSuite {
       (w: String, l: String) =>
         s"SELECT a.n_name, '$l' FROM nation a ${w}ASOF JOIN" +
           s" (SELECT r_regionkey, r_regionkey AS t FROM region) b" +
-          s" ON a.n_regionkey = b.r_regionkey AND a.n_nationkey >= b.t")
+          s" ON a.n_regionkey = b.r_regionkey AND a.n_nationkey >= b.t",
+      // FROM-first shapes (round 12): bare, relocated SELECT, set-op
+      // branches, and FROM-first feeding QUALIFY sugar
+      (w: String, l: String) => s"FROM nation ${w}SELECT n_name, '$l' AS c WHERE n_regionkey >= 0",
+      (w: String, l: String) => s"FROM nation ${w}WHERE n_name <> '$l'",
+      (w: String, l: String) =>
+        s"FROM nation SELECT n_name AS v, '$l' AS c ${w}UNION ALL FROM region SELECT r_name AS v, '$l' AS c",
+      (w: String, l: String) =>
+        s"FROM nation ${w}SELECT n_name, '$l' AS c QUALIFY" +
+          s" row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2")
     val gen = for { l <- litGen; c <- comment; sh <- shape } yield
       (sh(c, l), l)
     check(Prop.forAll(gen) { case (sql, l) =>
