@@ -74,9 +74,12 @@ object DialectFunctions {
     // transform/filter/array text the remaining passes treat as ordinary
     // calls (and their contents may use list_* spellings mapped below)
     val sql1 = ListComprehension.rewrite(sql)
-    // frame EXCLUDE clauses first: the expansion emits plain sum/count/...
-    // OVER text that the remaining passes treat like any other window call
-    var out = SqlText.mapOutsideLiterals(WindowExclude.rewrite(sql1)) { seg =>
+    // window FILTER folds before the EXCLUDE expansion (so
+    // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
+    // clauses: both emit plain sum/count/... OVER text that the remaining
+    // passes treat like any other window call
+    var out = SqlText.mapOutsideLiterals(
+        WindowExclude.rewrite(WindowFilter.rewrite(sql1))) { seg =>
       namePatterns.foldLeft(seg) { case (s, (p, repl)) =>
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }

@@ -843,7 +843,31 @@ object DialectQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // Window-function FILTER clause (round 12): Spark rejects window
+  // aggregates with a filter predicate; WindowFilter folds the predicate
+  // into a CASE argument (exact for NULL-ignoring aggregates). The third
+  // column composes FILTER with a frame EXCLUDE — WindowFilter runs
+  // before the EXCLUDE expansion so both rewrites stack. ROWS frames on
+  // the unique (o_orderdate, o_orderkey) order make every cell
+  // deterministic; round(·,2) recovers exact 2-dp sums.
+  private val q112Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+      |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_f,
+      |  CAST(round(sum(o_totalprice) FILTER (WHERE o_totalprice > 1000)
+      |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS big_sum,
+      |  CAST(min(o_custkey) FILTER (WHERE o_orderstatus <> 'P')
+      |    OVER (PARTITION BY o_orderpriority ORDER BY o_custkey
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |          EXCLUDE GROUP) AS BIGINT) AS other_min
+      |FROM orders
+      |WHERE o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q112_window_filter", fns(q112Sql), Some(q112Sql)),
     Q("q111_from_first", fns(q111Sql), Some(q111Sql)),
     Q("q110_named_window", fns(q110Sql), Some(q110Sql)),
     Q("q103_window_exclude_ties", fns(q103Sql), Some(q103Sql)),

@@ -201,6 +201,15 @@ class PropertySpec extends AnyFunSuite {
         s"SELECT a.n_name, '$l' FROM nation a ${w}ASOF JOIN" +
           s" (SELECT r_regionkey, r_regionkey AS t FROM region) b" +
           s" ON a.n_regionkey = b.r_regionkey AND a.n_nationkey >= b.t",
+      // window FILTER shapes (round 12): plain fold, count(*), and the
+      // FILTER + frame-EXCLUDE composition
+      (w: String, l: String) =>
+        s"SELECT n_name, CAST(count(*) FILTER (WHERE n_name <> '$l')" +
+          s" OVER (ORDER BY n_nationkey) AS BIGINT) AS n, '$l' ${w}FROM nation",
+      (w: String, l: String) =>
+        s"SELECT min(n_nationkey) FILTER (WHERE n_name <> '$l')" +
+          s" OVER (ORDER BY n_regionkey RANGE BETWEEN UNBOUNDED PRECEDING" +
+          s" AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS m, '$l' ${w}FROM nation",
       // FROM-first shapes (round 12): bare, relocated SELECT, set-op
       // branches, and FROM-first feeding QUALIFY sugar
       (w: String, l: String) => s"FROM nation ${w}SELECT n_name, '$l' AS c WHERE n_regionkey >= 0",
