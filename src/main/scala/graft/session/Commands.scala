@@ -40,6 +40,25 @@ object Commands {
   private val InsertReturning =
     """(?is)\s*INSERT\s+INTO\s+([\w.`"]+)\s*(\([^)]*\))?\s+(.+?)\s+RETURNING\s+(.+?)\s*""".r
   private val Explain = """(?is)\s*EXPLAIN\s+(ANALYZE\s+)?(.+)""".r
+  // Utility statements accepted for script portability. CREATE/DROP INDEX
+  // are perf hints with no Spark counterpart (no secondary indexes —
+  // Catalyst prunes via parquet statistics instead); CHECKPOINT flushes
+  // DuckDB's WAL (writes here materialize immediately); VACUUM is a stub
+  // even in DuckDB; ANALYZE recomputes table stats (Spark's CBO reads
+  // file-level stats at plan time and AQE re-plans at runtime). All are
+  // documented no-ops returning an empty result, like the reference.
+  private val CreateIndex =
+    """(?is)\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w`"]+\s+ON\s+.+""".r
+  private val DropIndex = """(?is)\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?[\w`"]+\s*""".r
+  private val Checkpoint = """(?is)\s*(?:FORCE\s+)?CHECKPOINT\s*[\w`"]*\s*""".r
+  private val Vacuum = """(?is)\s*VACUUM(?:\s+.*)?""".r
+  private val Analyze = """(?is)\s*ANALYZE\s*[\w.`"]*\s*""".r
+  // Session options: SET/RESET maintain the engine's setting map (DuckDB
+  // names, read back via current_setting('name') — substituted by the
+  // Connection before the dialect rewrite).
+  private val SetOpt =
+    """(?is)\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?([\w.]+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*""".r
+  private val ResetOpt = """(?is)\s*RESET\s+([\w.]+)\s*""".r
 
   /** Returns Some(result) when the SQL is a command handled here. */
   def dispatch(conn: Connection, sql: String): Option[DataFrame] = sql match {
@@ -63,6 +82,15 @@ object Commands {
       Some(updateSet(conn, table, setList, Option(cond)))
     case InsertReturning(table, colList, source, returning) =>
       Some(insertReturning(conn, table, Option(colList), source, returning))
+    case CreateIndex() | DropIndex() | Checkpoint() | Vacuum() | Analyze() =>
+      Some(conn.engine.spark.emptyDataFrame)
+    case SetOpt(name, value) =>
+      conn.engine.settings.put(name.toLowerCase,
+        value.trim.stripPrefix("'").stripSuffix("'"))
+      Some(conn.engine.spark.emptyDataFrame)
+    case ResetOpt(name) =>
+      conn.engine.settings.remove(name.toLowerCase)
+      Some(conn.engine.spark.emptyDataFrame)
     case _ =>
       conn.engine.macros.dispatch(sql) match {
         case Some(name) =>

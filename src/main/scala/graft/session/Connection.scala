@@ -23,7 +23,59 @@ final class Connection(val engine: Engine) {
   @volatile private var activeStream: Option[ResultStream] = None
 
   /** The dialect-rewritten form of `sql` (used by EXPLAIN dispatch). */
-  private[session] def rewriteSql(sql: String): String = rewriter.rewrite(sql)
+  private[session] def rewriteSql(sql: String): String =
+    rewriter.rewrite(substituteSettings(sql))
+
+  /** Inline `current_setting('name')` from the engine's SET/RESET map —
+    * numerics as numeric literals, everything else as a string literal;
+    * unknown names error, like DuckDB. Call sites inside string literals
+    * or comments are untouched (manual scan — the quoted NAME is itself a
+    * literal, so a segment-based outside-literals map can never see the
+    * whole call). */
+  private def substituteSettings(sql: String): String = {
+    val S = graft.dialect.SqlText
+    // java StringBuilder: scala's lacks append(CharSequence, from, to) and
+    // silently ADAPTS the three arguments into a tuple (appending its
+    // toString) — the bug class this comment exists to keep out
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          val e = S.literalEnd(sql, i); sb.append(sql, i, e); i = e
+        case '-' | '/' =>
+          val ce = S.commentEnd(sql, i)
+          if (ce > i) { sb.append(sql, i, ce); i = ce }
+          else { sb.append(sql.charAt(i)); i += 1 }
+        case c if (c == 'c' || c == 'C') &&
+            (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_')) &&
+            sql.regionMatches(true, i, "current_setting", 0, 15) =>
+          val p = S.skipWsAndComments(sql, i + 15)
+          var matched = false
+          if (p < sql.length && sql.charAt(p) == '(') {
+            val q = S.skipWsAndComments(sql, p + 1)
+            if (q < sql.length && sql.charAt(q) == '\'') {
+              val qe = S.literalEnd(sql, q)
+              val r = S.skipWsAndComments(sql, qe)
+              if (r < sql.length && sql.charAt(r) == ')') {
+                val name = sql.substring(q + 1, qe - 1).toLowerCase
+                val v = engine.settings.get(name)
+                if (v == null)
+                  throw new IllegalArgumentException(s"unrecognized setting: $name")
+                sb.append(
+                  if (v.matches("-?\\d+(\\.\\d+)?")) v
+                  else "'" + v.replace("'", "''") + "'")
+                i = r + 1
+                matched = true
+              }
+            }
+          }
+          if (!matched) { sb.append(sql.charAt(i)); i += 1 }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   // ------------------------------------------------------------------ query
   /** Run SQL, return the DataFrame (the engine-native form). */
@@ -31,7 +83,7 @@ final class Connection(val engine: Engine) {
     val trimmed = sql.trim.stripSuffix(";")
     Commands.dispatch(this, trimmed).getOrElse(
       org.apache.spark.sql.graftbridge.CasePreserve.fix(
-        spark.sql(rewriter.rewrite(trimmed))))
+        spark.sql(rewriteSql(trimmed))))
   }
 
   /** Run SQL, materialize as an Arrow IPC file buffer (reference

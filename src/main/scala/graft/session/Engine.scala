@@ -35,6 +35,14 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
     * DROP MACRO dispatch in Commands; expansion in DialectRewriter). */
   val macros = new graft.dialect.MacroRegistry
 
+  /** Session options maintained by SET/RESET (DuckDB option names) and
+    * read back via `current_setting('name')`. Pre-seeded with the
+    * engine-truthful defaults; unknown names read as errors, like DuckDB. */
+  val settings = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  settings.put("threads",
+    (if (config.maximumThreads > 0) config.maximumThreads
+     else Runtime.getRuntime.availableProcessors).toString)
+
   private def buildSession(): SparkSession = config.existingSession.getOrElse {
     val n = if (config.maximumThreads > 0) config.maximumThreads.toString else "*"
     val warehouse = Files.createTempDirectory("graft-warehouse-")
