@@ -325,7 +325,17 @@ object Bench {
         }
         val movers = entries.count(_._5)
         val deltas = entries.map { case (name, p, t, ratio, mover) =>
-          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover}"""
+          // one-sided-defense closure (round-12): reconcile re-samples
+          // REGRESSION movers, but a latched sample in the PREVIOUS
+          // round's artifact reads as a big improvement this round with
+          // nothing re-verifying it. The latch signature is a recorded
+          // previous spread at least as large as the previous minimum
+          // (one sample dominated the min). Not conditioned on the mover
+          // flag: the latch-sized prev spread inflates the noise floor
+          // and SUPPRESSES the flag — which is itself the defect being
+          // annotated.
+          val suspect = ratio < 1.0 / 1.5 && prevS.getOrElse(name, 0.0) >= p
+          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover${if (suspect) ",\"prev_suspect\":true" else ""}}"""
         }
         val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${deltas.mkString(",")}}}"""
         java.nio.file.Files.writeString(

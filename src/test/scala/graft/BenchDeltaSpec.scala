@@ -98,6 +98,29 @@ class BenchDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("improvement mover with a latch-like previous spread is flagged prev_suspect") {
+    // One-sided-defense closure (round-12 advice): reconcile re-verifies
+    // regression movers, but a latched PREVIOUS sample reads as a big
+    // improvement this round. The latch signature — previous spread ≥
+    // previous minimum — marks such improvements "prev_suspect" in the
+    // artifact rather than celebrating them.
+    val prev = Files.createTempFile("bench-prev", ".json")
+    Files.writeString(prev,
+      """{"metric":"total","unit":"sec","sf":"/x","samples":3,""" +
+        """"spread":{"lat":10.0,"ok":0.02},""" +
+        """"queries":{"lat":9.5,"ok":3.0},"value":12.5}""" + "\n")
+    val out = Files.createTempFile("bench-delta", ".json")
+    Bench.writeDelta("/x", Seq(
+        ("lat", 2.0, 0.05),  // big "improvement" vs a latched prev → suspect
+        ("ok", 1.0, 0.02)),  // genuine improvement, tight prev spread
+      ms, prevOverride = Some(prev.toString), outPath = out.toString)
+    val json = Files.readString(out)
+    assert(json.contains("\"lat\":{") && json.contains("\"prev_suspect\":true"), json)
+    val okEntry = "\"ok\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(!okEntry.contains("prev_suspect"),
+      s"genuine improvement must not be flagged: $okEntry")
+  }
+
   test("reconcile: failed re-sample and missing prev change nothing") {
     val cur = Seq(("a", 5.0, 0.1))
     val (noPrev, f1) = Bench.reconcile(cur, None, _ => fail("no prev → no sampling"))
