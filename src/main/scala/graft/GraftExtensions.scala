@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "regexp_replace_first(s, re, rep) - replace the FIRST regex match (DuckDB regexp_replace default)"),
       es => { arity("regexp_replace_first", 3)(es)
         functions.RegexpReplaceFirst(es(0), es(1), es(2)) }))
+    ext.injectFunction((FunctionIdentifier("graft_slice"),
+      info("graft_slice",
+        "graft_slice(e, lo, hi) - DuckDB bracket slice (1-based inclusive, negatives from end) over STRING or ARRAY"),
+      es => { arity("graft_slice", 3)(es)
+        functions.GraftSlice(es(0), es(1), es(2)) }))
+    ext.injectFunction((FunctionIdentifier("graft_extract"),
+      info("graft_extract",
+        "graft_extract(e, i) - DuckDB bracket extraction over STRING (char), ARRAY or MAP (element_at)"),
+      es => { arity("graft_extract", 2)(es)
+        functions.GraftExtract(es(0), es(1)) }))
     Seq("jaccard" -> "jaccard", "hamming" -> "hamming",
       "mismatches" -> "hamming", "jaro_similarity" -> "jaro",
       "jaro_winkler_similarity" -> "jaro_winkler",

@@ -52,8 +52,9 @@ object ListComprehension {
         }
       } else if (c == '[') {
         // indexing position. Two DuckDB forms need rewriting, both 1-based:
-        //  - slice `l[a:b]` (ends inclusive, either open) → list_slice text,
-        //    folded to slice() by the function pass that runs after this one
+        //  - slice `e[a:b]` (ends inclusive, either open, negatives from
+        //    the end, clamping) → graft_slice, a native expression that
+        //    dispatches STRING vs ARRAY after resolution (text can't)
         //  - element index `l[i]` → element_at (Spark's bracket is 0-BASED;
         //    element_at is 1-based and takes negative from-the-end indexes,
         //    exactly DuckDB's bracket semantics)
@@ -69,8 +70,10 @@ object ListComprehension {
           case Some((lo, hi)) if v.nonEmpty =>
             sb.setLength(vs)
             val lo2 = if (lo.isEmpty) "1" else lo
-            val hi2 = if (hi.isEmpty) s"size($v)" else hi
-            sb.append(s"list_slice($v, $lo2, $hi2)")
+            // open upper bound: INT_MAX, clamped to the length inside
+            // graft_slice (size()/length() dispatch lives there)
+            val hi2 = if (hi.isEmpty) "2147483647" else hi
+            sb.append(s"graft_slice($v, $lo2, $hi2)")
             i = close + 1
           case None if close >= 0 && v.trim.equalsIgnoreCase("array") &&
               inner0.trim.nonEmpty =>
@@ -79,9 +82,12 @@ object ListComprehension {
             sb.append(translate(inner0))
             i = close + 1
           case None if close >= 0 && v.nonEmpty && inner0.trim.nonEmpty &&
-              !inner0.trim.startsWith("'") && !isTypeWord(v) =>
+              !inner0.trim.startsWith("'") &&
+              !(isTypeWord(v) && inTypePosition(sb, vs)) =>
             sb.setLength(vs)
-            sb.append(s"element_at($v, ${inner0.trim})")
+            // graft_extract = element_at for arrays/maps (unchanged
+            // semantics) + DuckDB char extraction for strings
+            sb.append(s"graft_extract($v, ${inner0.trim})")
             i = close + 1
           case _ => sb.append(c); i += 1
         }
@@ -116,6 +122,21 @@ object ListComprehension {
 
   private def isTypeWord(v: String): Boolean =
     TypeWords.contains(v.trim.toLowerCase)
+
+  /** A type word only BLOCKS the index rewrite in a type position: right
+    * after `::` or the keyword AS (cast targets — the pinned `CAST(x AS
+    * VARCHAR[3])` shape). Elsewhere a type-named identifier is an ordinary
+    * column (`text[5]` extracts the 5th character of column `text`). */
+  private def inTypePosition(sb: StringBuilder, vs: Int): Boolean = {
+    var i = vs - 1
+    while (i >= 0 && sb.charAt(i).isWhitespace) i -= 1
+    if (i >= 1 && sb.charAt(i) == ':' && sb.charAt(i - 1) == ':') return true
+    if (i >= 1 && (sb.charAt(i) == 's' || sb.charAt(i) == 'S') &&
+        (sb.charAt(i - 1) == 'a' || sb.charAt(i - 1) == 'A') &&
+        (i - 2 < 0 || !(sb.charAt(i - 2).isLetterOrDigit || sb.charAt(i - 2) == '_')))
+      return true
+    false
+  }
 
   /** If the bracket content is a slice (`lo:hi` with exactly one top-level
     * single colon — `::` casts don't count), the two bound texts. */
@@ -159,6 +180,14 @@ object ListComprehension {
         }
         if (found < 0) return i + 1
         i = found - 1
+      } else if (ch == '\'') {
+        // walk back over a string literal ('hello'[2:4] slices the
+        // literal); '' doubling scans as literal-close + literal-open,
+        // which lands on the same opening quote
+        var j = i - 1
+        while (j >= 0 && sb.charAt(j) != '\'') j -= 1
+        if (j < 0) return i + 1
+        i = j - 1
       } else if (ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`' ||
           ch == '"') i -= 1
       else return i + 1

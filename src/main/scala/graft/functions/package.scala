@@ -92,6 +92,13 @@ package object functions {
     ExprBridge.registerFunction(spark, "regexp_replace_first",
       es => { arity("regexp_replace_first", 3)(es)
         RegexpReplaceFirst(es(0), es(1), es(2)) })
+    // DuckDB bracket-slice semantics for strings AND lists (the dialect
+    // layer emits this for `expr[a:b]` — type dispatch happens after
+    // resolution, which SQL text cannot do)
+    ExprBridge.registerFunction(spark, "graft_slice",
+      es => { arity("graft_slice", 3)(es); GraftSlice(es(0), es(1), es(2)) })
+    ExprBridge.registerFunction(spark, "graft_extract",
+      es => { arity("graft_extract", 2)(es); GraftExtract(es(0), es(1)) })
     // replace-ALL alias the dialect layer emits for DuckDB's 'g' option —
     // a distinct name so the regexp_replace scanner can't re-match it
     ExprBridge.registerFunction(spark, "regexp_replace_all",

@@ -866,7 +866,23 @@ object DialectQueries {
       |WHERE o_orderkey < 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  // Bracket slice/extract over strings and lists (round 12): DuckDB's
+  // `e[a:b]` / `e[i]` — 1-based inclusive, negatives from the end,
+  // clamping, lo > hi = empty — via the type-dispatching graft_slice /
+  // graft_extract expressions. The oracle runs the bracket syntax
+  // natively; semantics pinned empirically on DuckDB 1.0.
+  private val q113Sql =
+    """SELECT doc_id,
+      |  text[1:40] AS head40,
+      |  text[-10:] AS tail10,
+      |  text[5] AS ch5,
+      |  array_to_string((regexp_split_to_array(trim(text), '\s+'))[2:4], ' ') AS midtoks
+      |FROM documents
+      |WHERE doc_id % 7 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q113_bracket_slice", fns(q113Sql), Some(q113Sql)),
     Q("q112_window_filter", fns(q112Sql), Some(q112Sql)),
     Q("q111_from_first", fns(q111Sql), Some(q111Sql)),
     Q("q110_named_window", fns(q110Sql), Some(q110Sql)),

@@ -17,15 +17,15 @@ class ListComprehensionSpec extends AnyFunSuite {
       "SELECT CASE WHEN a THEN array(1) ELSE array(2) END")
   }
 
-  test("element indexing becomes 1-based element_at; struct access is left alone") {
+  test("element indexing becomes 1-based graft_extract; struct access is left alone") {
     // DuckDB brackets are 1-based (and take negative from-the-end indexes);
     // Spark's bracket is 0-based, so passthrough would silently shift by one
     assert(ListComprehension.rewrite("SELECT l[1] FROM t") ==
-      "SELECT element_at(l, 1) FROM t")
+      "SELECT graft_extract(l, 1) FROM t")
     assert(ListComprehension.rewrite("SELECT l[-1] FROM t") ==
-      "SELECT element_at(l, -1) FROM t")
+      "SELECT graft_extract(l, -1) FROM t")
     assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") ==
-      "SELECT element_at(f(x), 2) FROM t")
+      "SELECT graft_extract(f(x), 2) FROM t")
     // string keys = struct/map field access, Spark-native
     assert(ListComprehension.rewrite("SELECT s['k'] FROM t") == "SELECT s['k'] FROM t")
     // type spellings and empty brackets are not indexes
@@ -37,21 +37,21 @@ class ListComprehensionSpec extends AnyFunSuite {
     assert(ListComprehension.rewrite("SELECT ARRAY[1, 2]") == "SELECT array(1, 2)")
   }
 
-  test("bracket slices map to list_slice (1-based inclusive, open ends)") {
+  test("bracket slices map to graft_slice (1-based inclusive, open ends, type-dispatched)") {
     assert(ListComprehension.rewrite("SELECT l[2:4] FROM t") ==
-      "SELECT list_slice(l, 2, 4) FROM t")
+      "SELECT graft_slice(l, 2, 4) FROM t")
     assert(ListComprehension.rewrite("SELECT l[:3] FROM t") ==
-      "SELECT list_slice(l, 1, 3) FROM t")
+      "SELECT graft_slice(l, 1, 3) FROM t")
     assert(ListComprehension.rewrite("SELECT l[2:] FROM t") ==
-      "SELECT list_slice(l, 2, size(l)) FROM t")
+      "SELECT graft_slice(l, 2, 2147483647) FROM t")
     assert(ListComprehension.rewrite("SELECT f(x)[2:3] FROM t") ==
-      "SELECT list_slice(f(x), 2, 3) FROM t")
+      "SELECT graft_slice(f(x), 2, 3) FROM t")
     // casts inside an index are NOT slices — they are 1-based element indexes
     assert(ListComprehension.rewrite("SELECT l[i::INT] FROM t") ==
-      "SELECT element_at(l, i::INT) FROM t")
+      "SELECT graft_extract(l, i::INT) FROM t")
     // a literal bracket sliced in place: literal folds first, then slice
     assert(ListComprehension.rewrite("SELECT [1, 2, 3][1:2]") ==
-      "SELECT list_slice(array(1, 2, 3), 1, 2)")
+      "SELECT graft_slice(array(1, 2, 3), 1, 2)")
   }
 
   test("comprehension without IF maps to transform") {
