@@ -70,10 +70,11 @@ object DialectFunctions {
     }
 
   def rewrite(sql: String): String = {
-    // bracket list literals / comprehensions first: they emit plain
-    // transform/filter/array text the remaining passes treat as ordinary
-    // calls (and their contents may use list_* spellings mapped below)
-    val sql1 = ListComprehension.rewrite(sql)
+    // struct/map literal sugar first ({'a': 1} / MAP {...} /
+    // struct_pack(:=)), then bracket list literals / comprehensions: both
+    // emit plain named_struct/map/transform/array text the remaining
+    // passes treat as ordinary calls
+    val sql1 = ListComprehension.rewrite(StructSyntax.rewrite(sql))
     // window FILTER folds before the EXCLUDE expansion (so
     // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
     // clauses: both emit plain sum/count/... OVER text that the remaining

@@ -881,7 +881,22 @@ object DialectQueries {
       |WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // Struct/map literal sugar (round 12): {'k': v} → named_struct, MAP
+  // {...} → map(), struct_pack(:=) → named_struct. Outputs flatten to
+  // scalars (field access / map_keys / map_values + list extract) — map
+  // BRACKET extraction is list-valued in DuckDB 1.0 and scalar in Spark,
+  // documented out of scope, so the oracle never brackets a map.
+  private val q114Sql =
+    """SELECT n_nationkey,
+      |  ({'k': n_nationkey, 'nm': n_name}).k + 1 AS k1,
+      |  ({'k': n_nationkey, 'nm': n_name}).nm AS nm,
+      |  (struct_pack(lo := n_name[1:2], n := n_regionkey)).lo AS lo2,
+      |  array_to_string(map_keys(MAP {'a': n_regionkey, 'b': n_nationkey}), ',') AS mk,
+      |  CAST((map_values(MAP {'a': n_regionkey, 'b': n_nationkey}))[2] AS BIGINT) AS mv2
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q114_struct_map_literals", fns(q114Sql), Some(q114Sql)),
     Q("q113_bracket_slice", fns(q113Sql), Some(q113Sql)),
     Q("q112_window_filter", fns(q112Sql), Some(q112Sql)),
     Q("q111_from_first", fns(q111Sql), Some(q111Sql)),

@@ -201,6 +201,11 @@ class PropertySpec extends AnyFunSuite {
         s"SELECT a.n_name, '$l' FROM nation a ${w}ASOF JOIN" +
           s" (SELECT r_regionkey, r_regionkey AS t FROM region) b" +
           s" ON a.n_regionkey = b.r_regionkey AND a.n_nationkey >= b.t",
+      // struct/map literal + bracket-slice shapes (round 12)
+      (w: String, l: String) =>
+        s"SELECT ({'k': n_nationkey, 's': '$l'}).k AS k, n_name[1:3] AS pre, '$l' ${w}FROM nation",
+      (w: String, l: String) =>
+        s"SELECT element_at(MAP {'a': n_regionkey}, 'a') AS v, '$l' ${w}FROM nation",
       // window FILTER shapes (round 12): plain fold, count(*), and the
       // FILTER + frame-EXCLUDE composition
       (w: String, l: String) =>
