@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_extract(e, i) - DuckDB bracket extraction over STRING (char), ARRAY or MAP (element_at)"),
       es => { arity("graft_extract", 2)(es)
         functions.GraftExtract(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_icast"),
+      info("graft_icast",
+        "graft_icast(e, 'int') - DuckDB numeric-to-integer CAST (rounds: half-even from float, half-away from decimal/string)"),
+      es => { arity("graft_icast", 2)(es)
+        functions.GraftIntCast(es(0), functions.icastTarget(es(1))) }))
     Seq("jaccard" -> "jaccard", "hamming" -> "hamming",
       "mismatches" -> "hamming", "jaro_similarity" -> "jaro",
       "jaro_winkler_similarity" -> "jaro_winkler",

@@ -74,7 +74,11 @@ object DialectFunctions {
     // struct_pack(:=)), then bracket list literals / comprehensions: both
     // emit plain named_struct/map/transform/array text the remaining
     // passes treat as ordinary calls
-    val sql1 = ListComprehension.rewrite(StructSyntax.rewrite(sql))
+    // integer-target casts rewrite to the rounding graft_icast BEFORE the
+    // remaining passes emit their own (truncating, integral-valued) CAST
+    // text — only USER-written casts get DuckDB rounding semantics
+    val sql1 = IntCastSyntax.rewrite(
+      ListComprehension.rewrite(StructSyntax.rewrite(sql)))
     // window FILTER folds before the EXCLUDE expansion (so
     // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
     // clauses: both emit plain sum/count/... OVER text that the remaining
@@ -187,6 +191,27 @@ object DialectFunctions {
     out = rewriteCalls(out, "epoch_ms") {
       case Seq(e) if isIntegerShaped(e) => Some(s"timestamp_millis(CAST($e AS BIGINT))")
       case Seq(e) => Some(s"unix_millis(CAST($e AS TIMESTAMP))")
+      case _ => None
+    }
+    // Day-of-week numbering and the EPOCH field (pinned on DuckDB 1.0):
+    // dow/dayofweek = Sunday 0..Saturday 6 (Spark's dayofweek is Sunday 1);
+    // isodow = Monday 1..Sunday 7 (Spark's weekday is Monday 0); epoch =
+    // seconds since 1970 as DOUBLE (Spark has no EPOCH extract field).
+    // extract(field FROM e) normalizes to date_part first — the trailing
+    // ')' is shared, so only the head text changes.
+    out = SqlText.mapOutsideLiterals(out) { seg =>
+      """(?i)\bextract\s*\(\s*(dow|dayofweek|isodow|epoch)\s+FROM\s+""".r
+        .replaceAllIn(seg, m => s"date_part('${m.group(1).toLowerCase}', ")
+    }
+    out = rewriteCalls(out, "date_part|datepart") {
+      case Seq(f, e) if isLiteral(f) =>
+        f.trim.stripPrefix("'").stripSuffix("'").toLowerCase match {
+          case "dow" | "dayofweek" => Some(s"(dayofweek($e) - 1)")
+          case "isodow" => Some(s"(weekday($e) + 1)")
+          case "epoch" =>
+            Some(s"(CAST(unix_micros(CAST($e AS TIMESTAMP)) AS DOUBLE) / 1000000.0D)")
+          case _ => None
+        }
       case _ => None
     }
     out = rewriteCalls(out, "strptime") {
@@ -611,7 +636,10 @@ object DialectFunctions {
     val t = arg.trim
     t.matches("[+-]?\\d+") ||
       t.matches("(?is).*::\\s*(?:tinyint|smallint|int|integer|bigint|hugeint|u?int\\d*)\\s*") ||
-      t.matches("(?is)cast\\s*\\(.*\\bas\\s+(?:tinyint|smallint|int|integer|bigint|hugeint)\\s*\\)\\s*")
+      t.matches("(?is)cast\\s*\\(.*\\bas\\s+(?:tinyint|smallint|int|integer|bigint|hugeint)\\s*\\)\\s*") ||
+      // IntCastSyntax runs first, so user-written integer casts arrive as
+      // graft_icast(x, 'bigint') text
+      t.matches("(?is)graft_icast\\s*\\(.*'(?:tinyint|smallint|int|bigint)'\\s*\\)\\s*")
   }
 
   private def isLiteral(arg: String): Boolean = {

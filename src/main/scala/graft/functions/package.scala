@@ -63,6 +63,28 @@ package object functions {
     es
   }
 
+  /** The integral target of a graft_icast, from its string-literal tag. */
+  private[graft] def icastTarget(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[StringType] && l.value != null =>
+        l.value.toString.toLowerCase match {
+          case "tinyint" => ByteType
+          case "smallint" => ShortType
+          case "int" | "integer" => IntegerType
+          case "bigint" => LongType
+          case other =>
+            throw new IllegalArgumentException(s"graft_icast: unknown target $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_icast target must be a string literal, got $other")
+    }
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     // exception-free TRY_CAST(string AS integral) — see TryParse.scala
     if (!spark.experimental.extraOptimizations.contains(TryCastParseRule))
@@ -99,6 +121,8 @@ package object functions {
       es => { arity("graft_slice", 3)(es); GraftSlice(es(0), es(1), es(2)) })
     ExprBridge.registerFunction(spark, "graft_extract",
       es => { arity("graft_extract", 2)(es); GraftExtract(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_icast",
+      es => { arity("graft_icast", 2)(es); GraftIntCast(es(0), icastTarget(es(1))) })
     // replace-ALL alias the dialect layer emits for DuckDB's 'g' option —
     // a distinct name so the regexp_replace scanner can't re-match it
     ExprBridge.registerFunction(spark, "regexp_replace_all",

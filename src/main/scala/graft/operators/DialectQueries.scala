@@ -895,7 +895,34 @@ object DialectQueries {
       |  CAST((map_values(MAP {'a': n_regionkey, 'b': n_nationkey}))[2] AS BIGINT) AS mv2
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // Day-of-week numbering + EPOCH extract field (round 12): DuckDB
+  // dow/dayofweek = Sunday 0, isodow = Monday 1..Sunday 7, epoch = DOUBLE
+  // seconds — all differ from (or are missing in) Spark's native fields;
+  // DialectFunctions renumbers via dayofweek/weekday and unix_micros.
+  private val q115Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow,
+      |  CAST(date_part('dayofweek', o_orderdate) AS INTEGER) AS dow2,
+      |  CAST(extract(isodow FROM o_orderdate) AS INTEGER) AS iso,
+      |  CAST(date_part('epoch', o_orderdate) AS DOUBLE) AS ep,
+      |  CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  // Numeric→integer CAST rounding (round 12): DuckDB ROUNDS where Spark
+  // truncates — half-even from DOUBLE, half-away from DECIMAL/VARCHAR
+  // (graft_icast via IntCastSyntax; modes pinned empirically on 1.0).
+  // o_totalprice is a 2-dp DOUBLE, so the DECIMAL(18,2) hop is exact and
+  // the int casts exercise genuine fractional rounding.
+  private val q116Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS INT) AS p_int,
+      |  (o_totalprice / 7)::BIGINT AS p_div,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS INT) AS p_dec
+      |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q116_int_cast_rounding", fns(q116Sql), Some(q116Sql)),
+    Q("q115_dow_epoch", fns(q115Sql), Some(q115Sql)),
     Q("q114_struct_map_literals", fns(q114Sql), Some(q114Sql)),
     Q("q113_bracket_slice", fns(q113Sql), Some(q113Sql)),
     Q("q112_window_filter", fns(q112Sql), Some(q112Sql)),

@@ -189,8 +189,10 @@ class DialectFunctionsSpec extends AnyFunSuite {
     // integer-shaped argument → epoch_ms(BIGINT) overload
     assert(DialectFunctions.rewrite("SELECT epoch_ms(86400000)") ===
       "SELECT timestamp_millis(CAST(86400000 AS BIGINT))")
+    // the :: cast arrives as graft_icast text (IntCastSyntax runs first)
+    // and must still pick the BIGINT overload
     assert(DialectFunctions.rewrite("SELECT epoch_ms(x::BIGINT)") ===
-      "SELECT timestamp_millis(CAST(x::BIGINT AS BIGINT))")
+      "SELECT timestamp_millis(CAST(graft_icast(x, 'bigint') AS BIGINT))")
     // everything else stays on the timestamp → ms overload
     assert(DialectFunctions.rewrite("SELECT epoch_ms(ts)") ===
       "SELECT unix_millis(CAST(ts AS TIMESTAMP))")
