@@ -79,12 +79,33 @@ object DialectFunctions {
     // text — only USER-written casts get DuckDB rounding semantics
     val sql1 = IntCastSyntax.rewrite(
       ListComprehension.rewrite(StructSyntax.rewrite(sql)))
+    // DuckDB string-function edges (pinned on 1.0, found by differential
+    // probing): concat SKIPS NULL arguments and casts everything to
+    // VARCHAR (Spark's concat is null-intolerant and array-overloaded);
+    // left/right accept negative n = drop |n| characters from the OTHER
+    // end. left/right reuse graft_slice's clamping; the emissions use
+    // different names, so the call scanners cannot re-match their output.
+    var sql2 = rewriteCalls(sql1, "concat") {
+      case args if args.nonEmpty =>
+        Some(s"concat_ws('', ${args.map(a => s"CAST($a AS STRING)").mkString(", ")})")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "left") {
+      case Seq(s, n) => Some(s"graft_slice($s, 1, CASE WHEN ($n) < 0" +
+        s" THEN greatest(0, length($s) + ($n)) ELSE ($n) END)")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "right") {
+      case Seq(s, n) => Some(s"graft_slice($s, CASE WHEN ($n) < 0" +
+        s" THEN 1 - ($n) ELSE greatest(1, length($s) - ($n) + 1) END, 2147483647)")
+      case _ => None
+    }
     // window FILTER folds before the EXCLUDE expansion (so
     // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
     // clauses: both emit plain sum/count/... OVER text that the remaining
     // passes treat like any other window call
     var out = SqlText.mapOutsideLiterals(
-        WindowExclude.rewrite(WindowFilter.rewrite(sql1))) { seg =>
+        WindowExclude.rewrite(WindowFilter.rewrite(sql2))) { seg =>
       namePatterns.foldLeft(seg) { case (s, (p, repl)) =>
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }
