@@ -802,6 +802,12 @@ object WindowExclude {
     while (i < fromPos) {
       block.charAt(i) match {
         case '\'' => i = SqlText.literalEnd(block, i)
+        case '-' | '/' =>
+          // comment-aware like the sibling scanners (starInsert, FromFirst,
+          // WindowFilter): a ',' or paren inside -- / /* */ must not split
+          // items or corrupt depth tracking
+          val ce = SqlText.commentEnd(block, i)
+          if (ce > i) i = ce else i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case ',' if depth == 0 =>
@@ -829,6 +835,8 @@ object WindowExclude {
       while (j < text.length) {
         text.charAt(j) match {
           case '\'' => j = SqlText.literalEnd(text, j)
+          case '-' | '/' if SqlText.commentEnd(text, j) > j =>
+            j = SqlText.commentEnd(text, j)
           case '(' => d += 1; j += 1
           case ')' => d -= 1; j += 1
           case _ =>

@@ -136,7 +136,12 @@ object MixtureOps {
     * source catalog is tiny at any corpus size (the only all-reduce is
     * over the per-source aggregate). */
   private def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    // NULL text must drop on BOTH sides: under legacy sizeOfNull (the
+    // default outside Engine sessions) size(split(NULL)) = -1 would be
+    // summed into n_tok while the oracle's len(regexp_split_to_array)
+    // is NULL and skipped by sum — same bug class as TermStats r12.
     val perSrc = docs(s, dir)
+      .filter(col("text").isNotNull)
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
       .groupBy(col("source"))
@@ -156,7 +161,7 @@ object MixtureOps {
     """WITH s AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok
-      |  FROM documents GROUP BY source),
+      |  FROM documents WHERE text IS NOT NULL GROUP BY source),
       |t AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS n_all FROM s),
       |z AS (SELECT source, n_docs, n_tok,
       |        CAST(n_tok AS DOUBLE) / n_all AS p_nat
@@ -358,6 +363,7 @@ object MixtureOps {
     * per-doc copies reduce back to the source domain. */
   private def epochMixturePlan(s: SparkSession, dir: String): DataFrame = {
     val perDoc = docs(s, dir)
+      .filter(col("text").isNotNull) // see sourceMixture: legacy sizeOfNull
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
     val perSrc = perDoc.groupBy(col("source"))
@@ -386,7 +392,7 @@ object MixtureOps {
     """WITH d AS (
       |  SELECT doc_id, source,
       |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |        CAST(sum(tk) AS BIGINT) AS n_tok
       |      FROM d GROUP BY source),

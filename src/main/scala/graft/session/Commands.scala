@@ -47,8 +47,13 @@ object Commands {
   // even in DuckDB; ANALYZE recomputes table stats (Spark's CBO reads
   // file-level stats at plan time and AQE re-plans at runtime). All are
   // documented no-ops returning an empty result, like the reference.
+  // CREATE UNIQUE INDEX is NOT a perf-only no-op: DuckDB enforces the
+  // uniqueness constraint on later INSERTs. Accepting it silently would
+  // let inserts succeed that the reference rejects, so it loud-rejects.
+  private val CreateUniqueIndex =
+    """(?is)\s*CREATE\s+UNIQUE\s+INDEX\s+.+""".r
   private val CreateIndex =
-    """(?is)\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w`"]+\s+ON\s+.+""".r
+    """(?is)\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w`"]+\s+ON\s+.+""".r
   private val DropIndex = """(?is)\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?[\w`"]+\s*""".r
   private val Checkpoint = """(?is)\s*(?:FORCE\s+)?CHECKPOINT\s*[\w`"]*\s*""".r
   private val Vacuum = """(?is)\s*VACUUM(?:\s+.*)?""".r
@@ -82,14 +87,33 @@ object Commands {
       Some(updateSet(conn, table, setList, Option(cond)))
     case InsertReturning(table, colList, source, returning) =>
       Some(insertReturning(conn, table, Option(colList), source, returning))
+    case CreateUniqueIndex() =>
+      throw new UnsupportedOperationException(
+        "CREATE UNIQUE INDEX is not supported: the engine cannot enforce " +
+          "the uniqueness constraint on later INSERTs (DuckDB would), so " +
+          "accepting it silently would be a correctness divergence. Use a " +
+          "plain CREATE INDEX (accepted as a no-op) or enforce uniqueness " +
+          "in the query layer.")
     case CreateIndex() | DropIndex() | Checkpoint() | Vacuum() | Analyze() =>
       Some(conn.engine.spark.emptyDataFrame)
     case SetOpt(name, value) =>
-      conn.engine.settings.put(name.toLowerCase,
-        value.trim.stripPrefix("'").stripSuffix("'"))
+      val raw = value.trim
+      // A quoted value: strip the outer quotes, then collapse the SQL
+      // escape '' back to ' — SET s = 'it''s' must store it's.
+      val v =
+        if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'')
+          raw.substring(1, raw.length - 1).replace("''", "'")
+        else raw
+      conn.engine.settings.put(name.toLowerCase, v)
       Some(conn.engine.spark.emptyDataFrame)
     case ResetOpt(name) =>
-      conn.engine.settings.remove(name.toLowerCase)
+      // DuckDB's RESET restores the option's default; the name stays
+      // readable via current_setting() afterwards.
+      val key = name.toLowerCase
+      conn.engine.defaultSettings.get(key) match {
+        case Some(d) => conn.engine.settings.put(key, d)
+        case None => conn.engine.settings.remove(key)
+      }
       Some(conn.engine.spark.emptyDataFrame)
     case _ =>
       conn.engine.macros.dispatch(sql) match {

@@ -39,9 +39,39 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
     * read back via `current_setting('name')`. Pre-seeded with the
     * engine-truthful defaults; unknown names read as errors, like DuckDB. */
   val settings = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  settings.put("threads",
-    (if (config.maximumThreads > 0) config.maximumThreads
-     else Runtime.getRuntime.availableProcessors).toString)
+
+  /** Defaults for the common DuckDB options: DuckDB returns an option's
+    * default from current_setting() even when it was never SET, and RESET
+    * restores the default rather than making the name unreadable. Values
+    * are engine-truthful where the engine has a real counterpart (threads,
+    * memory_limit from the JVM heap, UTC session timezone) and DuckDB's
+    * shipped defaults otherwise. Genuinely unknown names still error. */
+  val defaultSettings: Map[String, String] = {
+    val threads =
+      (if (config.maximumThreads > 0) config.maximumThreads
+       else Runtime.getRuntime.availableProcessors).toString
+    val memGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    val mem = f"$memGiB%.1f GiB"
+    Map(
+      "threads" -> threads,
+      "worker_threads" -> threads,
+      "memory_limit" -> mem,
+      "max_memory" -> mem,
+      "timezone" -> "UTC",
+      "default_order" -> "asc",
+      "default_null_order" -> "nulls_last",
+      "enable_progress_bar" -> "false",
+      "preserve_insertion_order" -> "true",
+      "enable_object_cache" -> "false",
+      "enable_external_access" -> "true",
+      "access_mode" -> "automatic",
+      "checkpoint_threshold" -> "16.0 MiB",
+      "wal_autocheckpoint" -> "16.0 MiB",
+      "temp_directory" -> System.getProperty("java.io.tmpdir", "/tmp"),
+      "schema" -> "main",
+      "search_path" -> "")
+  }
+  defaultSettings.foreach { case (k, v) => settings.put(k, v) }
 
   private def buildSession(): SparkSession = config.existingSession.getOrElse {
     val n = if (config.maximumThreads > 0) config.maximumThreads.toString else "*"

@@ -48,6 +48,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // Round-13 (ADVICE): p73/p77 must drop NULL-text docs on BOTH the Spark
+  // and the oracle side — under legacy sizeOfNull, size(split(NULL)) = -1
+  // would be summed into n_tok while the oracle's len(regexp_split_to_array)
+  // is NULL and skipped by sum. Same bug class fixed in TermStats r12.
+  test("p73/p77: NULL-text documents are excluded from mixture token counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nulltext-mix")
+    try {
+      import spark.implicits._
+      Seq(
+        (1L, "one two three four", "en", "web", 18L),
+        (2L, null.asInstanceOf[String], "en", "web", 0L),
+        (3L, "alpha beta", "en", "book", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val mix = run2("p73_source_mixture", tmp.toString)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_tok")))).toMap
+      // the NULL-text doc contributes neither a doc nor tokens (never -1)
+      assert(mix("web") === ((1L, 4L)), mix.toString)
+      assert(mix("book") === ((1L, 2L)), mix.toString)
+      val plan = run2("p77_epoch_mixture_plan", tmp.toString)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_tok")))).toMap
+      assert(plan("web") === ((1L, 4L)), plan.toString)
+      assert(plan("book") === ((1L, 2L)), plan.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def run2(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
+
   test("stratified sample stage: at most k docs per stratum, deterministic") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sampled = graft.pipeline.TrainingPipeline(docs)

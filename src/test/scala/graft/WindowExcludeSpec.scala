@@ -580,6 +580,55 @@ class WindowExcludeSpec extends AnyFunSuite {
       Seq("o_orderpriority", "o_orderstatus", "s", "w"))
   }
 
+  // Round-13 (ADVICE): the grouped-wrap select-item scan must be
+  // comment-aware like the sibling scanners — a ',' or parenthesis inside
+  // a -- / /* */ comment must not mis-split items or corrupt depth
+  // tracking (which could emit garbled SQL, violating the "reject loudly,
+  // never silently" invariant).
+  test("comments with commas/parens inside a grouped EXCLUDE select list") {
+    Tables.registerAll(spark, sfDir)
+    val plain =
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(count(*)) OVER (ORDER BY o_orderpriority
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    val expect = spark.sql(WindowExclude.rewrite(plain)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expect.nonEmpty)
+    val variants = Seq(
+      // block comment with a comma and an unbalanced paren between items
+      """SELECT o_orderpriority, /* a, b ( */ count(*) AS n,
+        |  CAST(min(count(*)) OVER (ORDER BY o_orderpriority
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      // line comment with ',' and ')' at the end of an item
+      """SELECT o_orderpriority, count(*) AS n, -- t, ) x
+        |  CAST(min(count(*)) OVER (ORDER BY o_orderpriority
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      // a bogus 'AS zz' inside a comment must not clobber the real alias
+      """SELECT o_orderpriority, count(*) AS n /* AS zz */,
+        |  CAST(min(count(*)) OVER (ORDER BY o_orderpriority
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    for (sql <- variants) {
+      val rewritten = WindowExclude.rewrite(sql)
+      if (rewritten != sql) { // rewrote: must be valid AND correct
+        assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+        val got = spark.sql(rewritten).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === expect, s"for:\n$sql\n→ $rewritten")
+        assert(spark.sql(rewritten).columns.count(_.startsWith("__graft")) === 0,
+          rewritten)
+      }
+      // unchanged = loud reject downstream — acceptable; garbled SQL is not
+    }
+  }
+
   test("GROUPS k-offset frames with EXCLUDE TIES/GROUP: all five aggregates match a peer-group reference") {
     Tables.registerAll(spark, sfDir)
     // GROUPS offsets are whole peer groups — dense_rank units — so the
