@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => functions.TryCastParseRule)
     // grouped exact percentile without the data-sized agg buffer
     ext.injectOptimizerRule(_ => functions.ExactQuantileRule)
+    // always-on eliminator for the DuckDB-parity quantile markers
+    // (quantile_disc/quantile/median/quantile_cont, QuantileAggs.scala) —
+    // ordered AFTER ExactQuantileRule so the histogram shape wins
+    ext.injectOptimizerRule(_ => functions.QuantileFallbackRule)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       es => { arity("vec_dot", 2)(es); functions.VecDot(es(0), es(1)) }))
@@ -92,6 +96,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info(name, s"$name(a, b) - DuckDB byte-level text similarity"),
         es => { arity(name, 2)(es); functions.StringSimilarity(es(0), es(1), kind) }))
     }
+    // DuckDB-parity quantile family (QuantileAggs.scala): quantile_disc
+    // keeps the input type, median is DECIMAL-discrete, quantile_cont is
+    // DECIMAL-truncating; `median`/`quantile_cont` intentionally replace
+    // the builtins (DuckDB-identical on non-DECIMAL inputs)
+    def qArgs(name: String)(es: Seq[Expression]): (Expression, Expression) = {
+      require(es.length == 1 || es.length == 2,
+        s"$name requires 1 or 2 arguments, got ${es.length}")
+      (es.head, if (es.length == 2) es(1) else Literal(0.5))
+    }
+    for (name <- Seq("quantile_disc", "quantile"))
+      ext.injectFunction((FunctionIdentifier(name),
+        info(name, s"$name(x[, q]) - DuckDB discrete quantile (type-preserving; q defaults to 0.5)"),
+        es => { val (x, q) = qArgs(name)(es); functions.GraftQuantileDisc(x, q) }))
+    ext.injectFunction((FunctionIdentifier("median"),
+      info("median", "median(x) - DuckDB median (DECIMAL inputs are discrete and keep their type)"),
+      es => { arity("median", 1)(es); functions.GraftMedian(es.head) }))
+    ext.injectFunction((FunctionIdentifier("quantile_cont"),
+      info("quantile_cont", "quantile_cont(x[, q]) - DuckDB interpolated quantile (DECIMAL inputs truncate at their scale)"),
+      es => { val (x, q) = qArgs("quantile_cont")(es); functions.GraftQuantileCont(x, q) }))
     ext.injectFunction((FunctionIdentifier("regexp_replace_all"),
       info("regexp_replace_all",
         "regexp_replace_all(s, re, rep) - replace every regex match (DuckDB regexp_replace 'g')"),

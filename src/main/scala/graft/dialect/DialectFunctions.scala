@@ -53,10 +53,10 @@ object DialectFunctions {
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
-    // quantile_cont is the exact interpolated quantile, like Spark's
-    // percentile (arg_max/arg_min live in rewriteCalls below — their
-    // 3-arg top-n form needs argument surgery, not a name swap)
-    "quantile_cont" -> "percentile",
+    // quantile_cont/quantile_disc/quantile/median resolve to the engine's
+    // native DuckDB-parity markers (functions/QuantileAggs.scala) — no
+    // name rewrite here (arg_max/arg_min live in rewriteCalls below —
+    // their 3-arg top-n form needs argument surgery, not a name swap)
     // string position: both 1-based, same argument order
     "strpos" -> "instr",
     // string predicates/joins: same argument shapes and semantics

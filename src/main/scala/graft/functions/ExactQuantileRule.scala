@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, NumericType}
 
 /** Rewrites exact-percentile aggregates — grouped AND global — into the
   * histogram + spillable-window shape, removing the data-sized aggregation
@@ -82,12 +82,13 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
 
   private case class Pct(ae: AggregateExpression, value: Expression,
       qs: Seq[Double], isArray: Boolean, filter: Option[Expression],
-      distinct: Boolean) {
-    /** Branches are shared per (measure, FILTER, DISTINCT): each such
-      * triple has its own histogram (the filter changes which rows count;
-      * DISTINCT changes the counts to 1). */
-    def branchKey: (Expression, Option[Expression], Boolean) =
-      (value.canonicalized, filter.map(_.canonicalized), distinct)
+      distinct: Boolean, discrete: Boolean = false) {
+    /** Branches are shared per (measure, FILTER, DISTINCT, discrete): each
+      * such tuple has its own histogram (the filter changes which rows
+      * count; DISTINCT changes the counts to 1; discrete keeps the NATIVE
+      * value type where continuous casts to DOUBLE). */
+    def branchKey: (Expression, Option[Expression], Boolean, Boolean) =
+      (value.canonicalized, filter.map(_.canonicalized), distinct, discrete)
   }
 
   /** The Percentile calls this rule handles; None = not rewritable.
@@ -112,6 +113,37 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
             value.dataType.isInstanceOf[NumericType] && value.deterministic =>
         Some(Pct(ae, value, arr.toDoubleArray().toSeq, isArray = true,
           ae.filter, ae.isDistinct))
+      // The DuckDB-parity markers (QuantileAggs.scala). Discrete keeps the
+      // NATIVE value type through the histogram — the selection statistic
+      // is the same conditional lower-straddle min, at rank ceil(q·n).
+      case GraftQuantileDisc(value, pctLit)
+          if filterOk && value.deterministic &&
+            RowOrdering.isOrderable(value.dataType) =>
+        QuantileMarker.percentages(QuantileMarker.foldedPercentage(pctLit))
+          .map { case (qs, isArray) =>
+            Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct, discrete = true)
+          }
+      case GraftMedian(value) if filterOk && value.deterministic =>
+        value.dataType match {
+          case _: DecimalType => // DuckDB: discrete-lower, DECIMAL-typed
+            Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
+              ae.isDistinct, discrete = true))
+          case _: NumericType => // interpolated, like Spark's percentile
+            Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
+              ae.isDistinct))
+          case _ => None
+        }
+      // cont over DECIMAL needs the truncated-unscaled interpolation — the
+      // collect_list fallback (QuantileFallbackRule) carries that; only the
+      // double-interpolating shape routes through the histogram here
+      case GraftQuantileCont(value, pctLit)
+          if filterOk && value.deterministic &&
+            value.dataType.isInstanceOf[NumericType] &&
+            !value.dataType.isInstanceOf[DecimalType] =>
+        QuantileMarker.percentages(QuantileMarker.foldedPercentage(pctLit))
+          .map { case (qs, isArray) =>
+            Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct)
+          }
       case _ => None
     }
   }
@@ -240,7 +272,11 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val qkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
       Alias(g, s"__qk${j}_$i")()
     }
-    val vAlias = Alias(Cast(value, DoubleType), s"__v$j")()
+    // discrete selection keeps the NATIVE type (DuckDB preserves it);
+    // continuous interpolation arithmetic needs DOUBLE
+    val vAlias =
+      if (p0.discrete) Alias(value, s"__v$j")()
+      else Alias(Cast(value, DoubleType), s"__v$j")()
     // FILTER clause applies before the histogram, on the raw child rows
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
     val keyed = Project(qkAliases :+ vAlias, base)
@@ -278,7 +314,9 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
   private def globalBranch(child: LogicalPlan, group: Seq[Pct], j: Int)
       : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
     val p0 = group.head
-    val vAlias = Alias(Cast(p0.value, DoubleType), s"__v$j")()
+    val vAlias =
+      if (p0.discrete) Alias(p0.value, s"__v$j")()
+      else Alias(Cast(p0.value, DoubleType), s"__v$j")()
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
     val keyed = Project(Seq(vAlias), base)
     val vAttr = vAlias.toAttribute
@@ -349,6 +387,8 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       vAttr: Attribute, cumAttr: Attribute, nAttr: Attribute,
       group: Seq[Pct], j: Int)
       : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    if (group.head.discrete)
+      return finishDiscrete(rows, qkAttrs, vAttr, cumAttr, nAttr, group, j)
     // pos materialized before the final aggregate (Spark's own Percentile
     // rank arithmetic); one triple per (measure expression, quantile)
     val posAliases: Seq[Seq[Alias]] = group.zipWithIndex.map { case (p, m) =>
@@ -403,6 +443,67 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
           If(IsNull(guard), Literal(null, p.ae.dataType),
             CreateArray(interps.map(KnownNotNull)))
         else interps.head
+      Alias(out, s"__pct${j}_$m")()
+    }
+    val right = Project(qkAttrs ++ aeAliases, qAgg)
+    val aeAttrOf = group.zip(aeAliases).map { case (p, a) =>
+      p.ae.canonicalized -> a.toAttribute
+    }.toMap
+    (right, qkAttrs, aeAttrOf)
+  }
+
+  /** The DISCRETE variant of steps 3+ (QuantileAggs markers): no
+    * interpolation — the statistic is the single lower-straddle
+    * conditional min at 1-based rank max(1, ceil(q·n)), evaluated on the
+    * NATIVE value type (the histogram kept it native; Min orders any
+    * orderable type). Two aggregates per quantile (selection + the
+    * rank-min presence guard) instead of the continuous three. */
+  private def finishDiscrete(rows: LogicalPlan, qkAttrs: Seq[Attribute],
+      vAttr: Attribute, cumAttr: Attribute, nAttr: Attribute,
+      group: Seq[Pct], j: Int)
+      : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    val rankAliases: Seq[Seq[Alias]] = group.zipWithIndex.map { case (p, m) =>
+      p.qs.zipWithIndex.map { case (q, i) =>
+        Alias(Greatest(Seq(Literal(1L),
+          Ceil(Multiply(Literal(q), Cast(nAttr, DoubleType))))),
+          s"__rank${j}_${m}_$i")()
+      }
+    }
+    val ranked = Project(
+      (qkAttrs :+ vAttr :+ cumAttr) ++ rankAliases.flatten, rows)
+
+    def condMin(rank: Expression, name: String): Alias =
+      Alias(AggregateExpression(
+        Min(If(GreaterThanOrEqual(cumAttr, rank), vAttr,
+          Literal(null, vAttr.dataType))), Complete, isDistinct = false), name)()
+
+    val quantAggs: Seq[Alias] = group.zipWithIndex.flatMap { case (p, m) =>
+      p.qs.indices.flatMap { i =>
+        val rank = rankAliases(m)(i).toAttribute
+        Seq(
+          condMin(rank, s"__sel${j}_${m}_$i"),
+          // rank is group-constant and non-null iff the branch aggregated
+          // any histogram row — the all-NULL-measure guard
+          Alias(AggregateExpression(Min(rank), Complete, isDistinct = false),
+            s"__present${j}_${m}_$i")())
+      }
+    }
+    val qAgg = Aggregate(qkAttrs,
+      (qkAttrs ++ quantAggs).map(_.asInstanceOf[NamedExpression]), ranked, None)
+    val quantAttrs = quantAggs.map(_.toAttribute)
+
+    var off = 0
+    val aeAliases = group.zipWithIndex.map { case (p, m) =>
+      val sels: Seq[Expression] = p.qs.indices.map(i => quantAttrs(off + 2 * i))
+      val guard = quantAttrs(off + 1)
+      off += 2 * p.qs.size
+      val out: Expression =
+        if (p.isArray)
+          // markers declare ArrayType(dt, containsNull = true), so the
+          // plain CreateArray matches (inside a populated group rank <= n
+          // always selects, but the declared type stays permissive)
+          If(IsNull(guard), Literal(null, p.ae.dataType), CreateArray(sels))
+        else sels.head
       Alias(out, s"__pct${j}_$m")()
     }
     val right = Project(qkAttrs ++ aeAliases, qAgg)

@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** DuckDB's exact-quantile aggregate family with DuckDB's TYPE semantics —
+  * Spark's builtins agree on the selection math but not on types:
+  *
+  *  - `quantile_disc(x, q)` (alias `quantile`): the discrete quantile — the
+  *    element at 1-based sorted index max(1, ceil(q·n)) (differentially
+  *    probed against duckdb 1.0.0 over a (n × q) grid: identical to SQL
+  *    PERCENTILE_DISC). DuckDB PRESERVES THE INPUT TYPE (INT→INT,
+  *    DECIMAL→DECIMAL, DATE→DATE, VARCHAR→VARCHAR) and supports any
+  *    orderable input; Spark's `percentile_disc` casts to DOUBLE and only
+  *    takes numerics, hence this native family. A list-typed q returns a
+  *    list. Reference surface: duckdb quantile_disc/quantile
+  *    (aggregate_function catalog; wasm exposes it through RunQuery).
+  *  - `median(x)`: DuckDB interpolates for non-DECIMAL numerics (= Spark's
+  *    `median`) but is DISCRETE-LOWER for DECIMAL inputs, keeping the
+  *    DECIMAL type (probed: median of DECIMALs [1,4] = 1, not 2.5).
+  *  - `quantile_cont(x, q)`: interpolated; for DECIMAL inputs DuckDB
+  *    computes lo + (hi−lo)·frac in DOUBLE over the UNSCALED values and
+  *    truncates the exact result TOWARD ZERO back to the input scale
+  *    (probed: 200 randomized (n, scale, q) trials, 0 mismatches — plain
+  *    rounding and increment-truncation both fail on negatives).
+  *
+  * These are resolution-time MARKERS: they carry DuckDB's type contract
+  * through analysis and are ALWAYS eliminated in the optimizer —
+  * [[ExactQuantileRule]] rewrites them into the scale-safe histogram +
+  * conditional-min shape (no data-sized buffer; the discrete statistic is
+  * the lower-straddle min the rule already computes), and
+  * [[QuantileFallbackRule]] rewrites whatever that rule bailed on into a
+  * collect_list composite (exact, but per-group-sized state — the same
+  * memory class as Spark's own Percentile buffer, acceptable only as the
+  * correctness fallback). A marker that survives to physical planning
+  * throws loudly (window-function position is not supported).
+  */
+abstract class QuantileMarker extends DeclarativeAggregate {
+  protected def funcName: String
+
+  override def nullable: Boolean = true
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Nil
+  private def unplanned: Nothing = throw new IllegalStateException(
+    s"$funcName must be rewritten by the graft optimizer rules before " +
+      "execution; it is supported in aggregate position only (not as a " +
+      "window function). Is graft.functions.registerAll / GraftExtensions " +
+      "active in this session?")
+  override lazy val initialValues: Seq[Expression] = unplanned
+  override lazy val updateExpressions: Seq[Expression] = unplanned
+  override lazy val mergeExpressions: Seq[Expression] = unplanned
+  override lazy val evaluateExpression: Expression = unplanned
+}
+
+object QuantileMarker {
+  /** Coerce the user's percentage spelling (0.5 parses as DECIMAL(1,1);
+    * [0.25, 0.5] as ARRAY<DECIMAL>) to DOUBLE / ARRAY<DOUBLE> and fold it
+    * — the markers skip ImplicitCastInputTypes (AbstractDataType is
+    * private[sql]), so the coercion lives here. */
+  def foldedPercentage(e: Expression): Expression = {
+    val n = e.dataType match {
+      case DoubleType | ArrayType(DoubleType, _) => e
+      case ArrayType(_, _) => Cast(e, ArrayType(DoubleType))
+      case _ => Cast(e, DoubleType)
+    }
+    if (n.foldable && !n.isInstanceOf[Literal])
+      Literal.create(n.eval(), n.dataType)
+    else n
+  }
+
+  /** The q-list of a (constant-folded) percentage argument: scalar double
+    * → (Seq(q), isArray=false); array<double> literal → (qs, true). */
+  def percentages(e: Expression): Option[(Seq[Double], Boolean)] = e match {
+    case Literal(q: Double, DoubleType) if q >= 0.0 && q <= 1.0 =>
+      Some((Seq(q), false))
+    case Literal(arr: ArrayData, ArrayType(DoubleType, _))
+        if arr.numElements() > 0 &&
+          (0 until arr.numElements()).forall(i => !arr.isNullAt(i)) &&
+          arr.toDoubleArray().forall(q => q >= 0.0 && q <= 1.0) =>
+      Some((arr.toDoubleArray().toSeq, true))
+    case _ => None
+  }
+
+  /** Percentage argument check shared by the markers: foldable, coercible
+    * to double or array<double>, non-null, in [0, 1]. */
+  def checkPercentage(funcName: String, e: Expression): TypeCheckResult =
+    if (!e.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$funcName quantile position must be a constant, got ${e.sql}")
+    else scala.util.Try(percentages(foldedPercentage(e))).toOption.flatten match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"$funcName quantile position must be a non-null DOUBLE or " +
+          s"LIST(DOUBLE) within [0, 1], got ${e.sql}")
+    }
+}
+
+/** `quantile_disc(x, q)` / `quantile(x, q)` — see [[QuantileMarker]]. */
+case class GraftQuantileDisc(child: Expression, percentageExpression: Expression)
+    extends QuantileMarker {
+  override protected def funcName: String = "quantile_disc"
+  override def children: Seq[Expression] = Seq(child, percentageExpression)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!RowOrdering.isOrderable(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"quantile_disc input must be orderable, got ${child.dataType.sql}")
+    else QuantileMarker.checkPercentage("quantile_disc", percentageExpression)
+  override def dataType: DataType = percentageExpression.dataType match {
+    case ArrayType(_, _) => ArrayType(child.dataType, containsNull = true)
+    case _ => child.dataType
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), percentageExpression = newChildren(1))
+}
+
+/** `median(x)` with DuckDB's DECIMAL-discrete semantics — see
+  * [[QuantileMarker]]. Non-DECIMAL numerics interpolate (Spark-identical);
+  * DECIMAL is discrete-lower and keeps the DECIMAL type. */
+case class GraftMedian(child: Expression) extends QuantileMarker {
+  override protected def funcName: String = "median"
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"median needs a numeric input, got ${other.sql}")
+  }
+  override def dataType: DataType = child.dataType match {
+    case d: DecimalType => d
+    case _ => DoubleType
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `quantile_cont(x, q)` with DuckDB's DECIMAL truncated-interpolation —
+  * see [[QuantileMarker]]. Non-DECIMAL = Spark's `percentile`. DECIMAL
+  * precision is capped at 18 (long-backed unscaled arithmetic); DuckDB's
+  * hugeint-backed wider decimals loud-reject rather than silently losing
+  * precision. */
+case class GraftQuantileCont(child: Expression, percentageExpression: Expression)
+    extends QuantileMarker {
+  override protected def funcName: String = "quantile_cont"
+  override def children: Seq[Expression] = Seq(child, percentageExpression)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case d: DecimalType if d.precision > 18 =>
+      TypeCheckResult.TypeCheckFailure(
+        "quantile_cont over DECIMAL is supported up to precision 18 " +
+          s"(long-backed unscaled interpolation), got ${d.sql}")
+    case _: NumericType | NullType =>
+      QuantileMarker.checkPercentage("quantile_cont", percentageExpression)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantile_cont needs a numeric input, got ${other.sql}")
+  }
+  override def dataType: DataType = {
+    val elem = child.dataType match {
+      case d: DecimalType => d
+      case _ => DoubleType
+    }
+    percentageExpression.dataType match {
+      case ArrayType(_, _) => ArrayType(elem, containsNull = true)
+      case _ => elem
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), percentageExpression = newChildren(1))
+}
+
+/** The always-on correctness fallback for [[QuantileMarker]]s that
+  * [[ExactQuantileRule]] bailed on (nondeterministic child, grouping sets,
+  * disabled rewrite, …): rewrite each marker AggregateExpression — in
+  * aggregate position — into a composite over builtins:
+  *
+  *   sorted = sort_array(collect_list(x))   n = count(x)
+  *   disc   = element_at(sorted, max(1, ceil(q·n)))
+  *   cont   = interpolate straddle elements (DECIMAL: truncated unscaled)
+  *
+  * collect_list carries the marker's DISTINCT/FILTER unchanged; count uses
+  * the same pair so the index and the array always agree. Per-group state
+  * is data-sized — the documented fallback trade. */
+object QuantileFallbackRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case agg @ Aggregate(_, aggExprs, _, _)
+          if aggExprs.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[QuantileMarker]
+            case _ => false
+          }) =>
+        agg.copy(aggregateExpressions = aggExprs.map { ne =>
+          ne.transformUp {
+            case ae: AggregateExpression
+                if ae.aggregateFunction.isInstanceOf[QuantileMarker] =>
+              rewriteMarker(ae)
+          }.asInstanceOf[NamedExpression]
+        })
+    }
+    // a marker anywhere else (window position) has no rewrite — fail the
+    // query loudly instead of letting physical planning produce a cryptic
+    // error (or worse, a silent wrong answer)
+    rewritten.foreach { node =>
+      node match {
+        case _: Aggregate => // handled above
+        case other => other.expressions.foreach(_.foreach {
+          case m: QuantileMarker => throw new UnsupportedOperationException(
+            s"${m.prettyName} is supported in aggregate position only " +
+              "(DuckDB-parity quantiles are not available as window " +
+              "functions in this engine)")
+          case _ =>
+        })
+      }
+    }
+    rewritten
+  }
+
+  private def ae(f: AggregateFunction, model: AggregateExpression): Expression =
+    AggregateExpression(f, Complete, model.isDistinct, model.filter)
+
+  private def rewriteMarker(model: AggregateExpression): Expression = {
+    val marker = model.aggregateFunction.asInstanceOf[QuantileMarker]
+    marker match {
+      case GraftQuantileDisc(x, pct) =>
+        val folded = QuantileMarker.foldedPercentage(pct)
+        val (qs, isArray) = QuantileMarker.percentages(folded).getOrElse(
+          throw new IllegalStateException(
+            s"quantile_disc position did not fold to a literal: ${pct.sql}"))
+        composite(x, model, qs, isArray, discSelect)
+      case GraftMedian(x) => x.dataType match {
+        case _: DecimalType => composite(x, model, Seq(0.5), isArray = false,
+          discSelect)
+        case _ => ae(new Percentile(x, Literal(0.5, DoubleType)), model)
+      }
+      case GraftQuantileCont(x, pct) => x.dataType match {
+        case d: DecimalType =>
+          val folded = QuantileMarker.foldedPercentage(pct)
+          val (qs, isArray) = QuantileMarker.percentages(folded).get
+          composite(x, model, qs, isArray, contDecimalSelect(d))
+        case _ =>
+          ae(new Percentile(x, QuantileMarker.foldedPercentage(pct)), model)
+      }
+    }
+  }
+
+  /** Shared shape: guard on n = 0, per-q selection over the sorted array. */
+  private def composite(x: Expression, model: AggregateExpression,
+      qs: Seq[Double], isArray: Boolean,
+      select: (Expression, Expression, Double) => Expression): Expression = {
+    val sorted = new SortArray(ae(CollectList(x), model), Literal(true))
+    val n = ae(Count(Seq(x)), model)
+    val sels = qs.map(q => select(sorted, n, q))
+    val out: Expression = if (isArray) CreateArray(sels) else sels.head
+    val dt =
+      if (isArray) ArrayType(sels.head.dataType, containsNull = true)
+      else sels.head.dataType
+    If(EqualTo(n, Literal(0L)), Literal(null, dt), out)
+  }
+
+  /** element_at(sorted, max(1, ceil(q·n))) — the discrete statistic. */
+  private def discSelect(
+      sorted: Expression, n: Expression, q: Double): Expression = {
+    val idx = Greatest(Seq(Literal(1L),
+      Ceil(Multiply(Literal(q), Cast(n, DoubleType)))))
+    new ElementAt(sorted, Cast(idx, IntegerType))
+  }
+
+  /** DuckDB DECIMAL interpolation: straddle elements at floor(pos)+1 /
+    * ceil(pos)+1 with pos = q·(n−1); exact = lo_u + (hi_u − lo_u)·frac in
+    * DOUBLE over the unscaled longs; truncate TOWARD ZERO; re-scale. */
+  private def contDecimalSelect(d: DecimalType)(
+      sorted: Expression, n: Expression, q: Double): Expression = {
+    val pos = Multiply(Literal(q),
+      Subtract(Cast(n, DoubleType), Literal(1.0)))
+    val f = Floor(pos) // LongType
+    val frac = Subtract(pos, Cast(f, DoubleType))
+    val lo = new ElementAt(sorted, Cast(Add(f, Literal(1L)), IntegerType))
+    val hi = new ElementAt(sorted, Cast(Add(Ceil(pos), Literal(1L)), IntegerType))
+    val pow10 = Literal(Decimal(BigDecimal(10).pow(d.scale), d.scale + 1, 0),
+      DecimalType(d.scale + 1, 0))
+    def unscaled(e: Expression): Expression =
+      Cast(Multiply(e, pow10), LongType) // integral value at scale s: exact
+    val loU = unscaled(lo)
+    val dU = Subtract(unscaled(hi), loU)
+    val exact = Add(Cast(loU, DoubleType), Multiply(Cast(dU, DoubleType), frac))
+    val resU = Cast(exact, LongType) // Cast double→long truncates toward zero
+    MakeDecimal(resU, d.precision, d.scale)
+  }
+}

@@ -95,6 +95,12 @@ package object functions {
     if (!spark.experimental.extraOptimizations.contains(ExactQuantileRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ExactQuantileRule
+    // always-on eliminator for the DuckDB-parity quantile markers this
+    // file registers below (quantile_disc/quantile/median/quantile_cont);
+    // runs AFTER ExactQuantileRule so the histogram shape wins when it can
+    if (!spark.experimental.extraOptimizations.contains(QuantileFallbackRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ QuantileFallbackRule
     ExprBridge.registerFunction(spark, "vec_dot",
       es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "vec_norm",
@@ -149,6 +155,28 @@ package object functions {
             es(0), es(1), Some(es(2)))
         else { arity(name, 2)(es); StringSimilarity(es(0), es(1), kind) })
     }
+    // DuckDB-parity quantile family (see QuantileAggs.scala): selection
+    // math matches Spark's builtins, TYPES do not — quantile_disc keeps
+    // the input type (Spark's percentile_disc casts to DOUBLE), median is
+    // DECIMAL-discrete, quantile_cont is DECIMAL-truncating. `median` and
+    // `quantile_cont` intentionally REPLACE Spark's builtins in engine
+    // sessions (the levenshtein precedent: the engine surface promises
+    // DuckDB semantics; non-DECIMAL behavior is identical).
+    def oneOrTwo(name: String)(
+        es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+      require(es.length == 1 || es.length == 2,
+        s"$name requires 1 or 2 arguments, got ${es.length}")
+      (es.head,
+        if (es.length == 2) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0.5))
+    }
+    for (name <- Seq("quantile_disc", "quantile"))
+      ExprBridge.registerFunction(spark, name,
+        es => { val (x, q) = oneOrTwo(name)(es); GraftQuantileDisc(x, q) })
+    ExprBridge.registerFunction(spark, "median",
+      es => { arity("median", 1)(es); GraftMedian(es.head) })
+    ExprBridge.registerFunction(spark, "quantile_cont",
+      es => { val (x, q) = oneOrTwo("quantile_cont")(es); GraftQuantileCont(x, q) })
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

@@ -920,7 +920,54 @@ object DialectQueries {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS INT) AS p_dec
       |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin
 
+  // Exact discrete quantiles (round 13): DuckDB's quantile_disc /
+  // quantile keep the INPUT type (INT, VARCHAR, TIMESTAMP) and select the
+  // element at 1-based rank max(1, ceil(q·n)) — Spark's percentile_disc
+  // agrees on the rank but casts to DOUBLE and rejects non-numerics, so
+  // the engine resolves these to its native markers
+  // (functions/QuantileAggs.scala) and rewrites them into the histogram +
+  // conditional-min shape (ExactQuantileRule) — no data-sized buffer.
+  // Grouped AND global forms, plus DISTINCT and the bare `quantile` alias.
+  private val q117Sql =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS k,
+      |    CAST(quantile_disc(o_custkey, 0.25) AS BIGINT) AS qd25,
+      |    CAST(quantile(o_custkey, 0.5) AS BIGINT) AS qmed,
+      |    CAST(quantile_disc(DISTINCT o_custkey, 0.5) AS BIGINT) AS qdd,
+      |    quantile_disc(o_orderstatus, 0.5) AS qstr,
+      |    quantile_disc(o_orderdate, 0.5) AS qts
+      |  FROM orders GROUP BY o_orderpriority),
+      |a AS (
+      |  SELECT 'ALL' AS k,
+      |    CAST(quantile_disc(o_custkey, 0.25) AS BIGINT) AS qd25,
+      |    CAST(quantile(o_custkey, 0.5) AS BIGINT) AS qmed,
+      |    CAST(quantile_disc(DISTINCT o_custkey, 0.5) AS BIGINT) AS qdd,
+      |    quantile_disc(o_orderstatus, 0.5) AS qstr,
+      |    quantile_disc(o_orderdate, 0.5) AS qts
+      |  FROM orders)
+      |SELECT * FROM g UNION ALL SELECT * FROM a ORDER BY k""".stripMargin
+
+  // DECIMAL quantile semantics (round 13): DuckDB's median over DECIMAL is
+  // DISCRETE-LOWER (keeps the type; NOT the interpolated midpoint), and
+  // quantile_cont over DECIMAL truncates the exact interpolation TOWARD
+  // ZERO at the input scale (differentially probed, 200 randomized trials
+  // — plain rounding and increment-truncation both fail on negatives,
+  // which `25.5 - l_quantity` exercises). Outputs CAST to DOUBLE so the
+  // comparator sees plain floats; the semantic difference survives the
+  // cast. l_quantity/l_extendedprice are 2-dp-exact DOUBLEs, so the
+  // DECIMAL hops are exact on both engines.
+  private val q118Sql =
+    """SELECT l_returnflag,
+      |  CAST(median(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS med_dec,
+      |  CAST(median(l_quantity) AS DOUBLE) AS med_dbl,
+      |  CAST(quantile_cont(CAST(l_extendedprice AS DECIMAL(14,2)), 0.25) AS DOUBLE) AS qc_dec,
+      |  CAST(quantile_cont(CAST(25.5 - l_quantity AS DECIMAL(12,2)), 0.1) AS DOUBLE) AS qc_neg,
+      |  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS qc_dbl
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q118_decimal_quantiles", fns(q118Sql), Some(q118Sql)),
+    Q("q117_quantile_disc", fns(q117Sql), Some(q117Sql)),
     Q("q116_int_cast_rounding", fns(q116Sql), Some(q116Sql)),
     Q("q115_dow_epoch", fns(q115Sql), Some(q115Sql)),
     Q("q114_struct_map_literals", fns(q114Sql), Some(q114Sql)),
