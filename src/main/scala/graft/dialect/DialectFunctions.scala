@@ -35,8 +35,14 @@ object DialectFunctions {
     "regexp_split_to_array" -> "split",
     "list_contains" -> "array_contains",
     "list_has" -> "array_contains",
-    "list_extract" -> "element_at",
-    "list_element" -> "element_at",
+    // list/map extraction routes through graft_extract (round 13): the
+    // type-dispatched native expression — scalar for lists (unchanged),
+    // LIST-valued for maps (m['k'] → [v] / [] in DuckDB 1.0; element_at
+    // and map_extract are DuckDB's map-only spellings of the same thing)
+    "list_extract" -> "graft_extract",
+    "list_element" -> "graft_extract",
+    "element_at" -> "graft_extract",
+    "map_extract" -> "graft_extract",
     "list_distinct" -> "array_distinct",
     "list_sort" -> "sort_array",
     "list_transform" -> "transform",

@@ -58,9 +58,12 @@ object ListComprehension {
         //  - element index `l[i]` → element_at (Spark's bracket is 0-BASED;
         //    element_at is 1-based and takes negative from-the-end indexes,
         //    exactly DuckDB's bracket semantics)
-        // Left untouched: string-literal keys (struct/map field access —
-        // Spark-native), empty brackets and bare type names (`INT[]` list
-        // type spellings in DDL).
+        //  - string-literal keys `e['k']` → graft_extract too (round 13):
+        //    struct field access stays scalar, but MAP bracket extraction
+        //    is LIST-valued in DuckDB 1.0 — the type dispatch needs
+        //    resolution, which text cannot do
+        // Left untouched: empty brackets and bare type names (`INT[]`
+        // list type spellings in DDL).
         val close = matchingBracket(sql, i)
         val inner0 = if (close < 0) "" else rewrite(sql.substring(i + 1, close))
         val parts = if (close < 0) None else sliceParts(inner0)
@@ -82,7 +85,6 @@ object ListComprehension {
             sb.append(translate(inner0))
             i = close + 1
           case None if close >= 0 && v.nonEmpty && inner0.trim.nonEmpty &&
-              !inner0.trim.startsWith("'") &&
               !(isTypeWord(v) && inTypePosition(sb, vs)) =>
             sb.setLength(vs)
             // graft_extract = element_at for arrays/maps (unchanged

@@ -66,7 +66,9 @@ object StructSyntax {
   }
 
   /** `named_struct(...)`/`map(...)` text for the brace body, or None when
-    * the body is not a quoted-key literal. */
+    * the body is not a literal. Struct keys must be quoted strings
+    * (unquoted struct keys are left for Spark's loud parse error); MAP
+    * keys are arbitrary expressions in DuckDB (`MAP {1: v}`). */
   private def translate(inner: String, isMap: Boolean): Option[String] = {
     val items = SqlText.splitTopLevel(inner, ',')
     if (items.isEmpty || items.forall(_.trim.isEmpty)) return None
@@ -76,13 +78,20 @@ object StructSyntax {
         case c =>
           val k = item.substring(0, c).trim
           val v = item.substring(c + 1).trim
-          if (!k.startsWith("'") || !k.endsWith("'") || k.length < 2 ||
-              v.isEmpty) return None
+          val quoted = k.startsWith("'") && k.endsWith("'") && k.length >= 2
+          if (k.isEmpty || v.isEmpty || (!isMap && !quoted)) return None
           (k, v)
       }
     }
-    val args = pairs.map { case (k, v) => s"$k, $v" }.mkString(", ")
-    Some(if (isMap) s"map($args)" else s"named_struct($args)")
+    // MAP emits the two-array constructor: plain `map(k, v)` would collide
+    // with the later rewriteCalls pass that treats 2-argument map() as
+    // DuckDB's map(keys_list, values_list) form (single-pair literals
+    // were silently miscompiled before round 13)
+    if (isMap)
+      Some(s"map_from_arrays(array(${pairs.map(_._1).mkString(", ")}), " +
+        s"array(${pairs.map(_._2).mkString(", ")}))")
+    else
+      Some(s"named_struct(${pairs.map { case (k, v) => s"$k, $v" }.mkString(", ")})")
   }
 
   /** Index of the single top-level `:` (a `::` cast is not a separator),

@@ -16,8 +16,14 @@ import org.apache.spark.sql.types._
   *     NULL out of range (non-ANSI), matching DuckDB's list extract
   *     (index 0 errors in Spark where DuckDB yields NULL — loud, and
   *     identical to the previous element_at emission);
-  *   - MAP: ElementAt with the key cast to the map's key type (the
-  *     implicit cast the SQL-text form used to get).
+  *   - MAP: LIST-valued, DuckDB 1.0 semantics (round 13) — `m['k']` /
+  *     `element_at(m, k)` / `map_extract(m, k)` all return a
+  *     single-element list `[v]` when the key is present (including
+  *     `[NULL]` for a present NULL value) and the EMPTY list when the key
+  *     is missing, the key is NULL, or the map itself is NULL (all three
+  *     probed on duckdb 1.0.0). The guarded ElementAt only evaluates on
+  *     the present branch, so ANSI's missing-key error path is never
+  *     taken.
   */
 case class GraftExtract(e: Expression, idx: Expression)
     extends RuntimeReplaceable with BinaryLike[Expression] {
@@ -31,8 +37,28 @@ case class GraftExtract(e: Expression, idx: Expression)
 
   override lazy val replacement: Expression = e.dataType match {
     case _: StringType => GraftSlice(e, idx, idx).replacement
+    case _: StructType => idx match {
+      // struct bracket access s['field'] is SCALAR in DuckDB (only MAP
+      // brackets are list-valued); resolved case-insensitively like the
+      // engine's column resolution
+      case Literal(s, _: StringType) if s != null =>
+        ExtractValue(e, Literal(s.toString),
+          org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
+      case other => throw new IllegalArgumentException(
+        s"struct bracket access needs a string-literal field name, got $other")
+    }
     case _: ArrayType => ElementAt(e, Cast(idx, IntegerType))
-    case m: MapType => ElementAt(e, Cast(idx, m.keyType))
+    case m: MapType =>
+      val key = Cast(idx, m.keyType)
+      val out = ArrayType(m.valueType, containsNull = true)
+      // null-safe presence test: ArrayContains is NULL for a NULL map or
+      // NULL key — both are "miss" (empty list) in DuckDB
+      val present = Coalesce(Seq(
+        ArrayContains(MapKeys(e), key), Literal(false)))
+      If(present,
+        CreateArray(Seq(ElementAt(e, key))),
+        Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any]), out))
     case other => throw new IllegalArgumentException(
       s"index brackets need a STRING, ARRAY or MAP operand, got ${other.simpleString}")
   }

@@ -883,9 +883,8 @@ object DialectQueries {
 
   // Struct/map literal sugar (round 12): {'k': v} → named_struct, MAP
   // {...} → map(), struct_pack(:=) → named_struct. Outputs flatten to
-  // scalars (field access / map_keys / map_values + list extract) — map
-  // BRACKET extraction is list-valued in DuckDB 1.0 and scalar in Spark,
-  // documented out of scope, so the oracle never brackets a map.
+  // scalars (field access / map_keys / map_values + list extract); map
+  // BRACKET extraction (list-valued in DuckDB 1.0) is oracled by q119.
   private val q114Sql =
     """SELECT n_nationkey,
       |  ({'k': n_nationkey, 'nm': n_name}).k + 1 AS k1,
@@ -965,7 +964,24 @@ object DialectQueries {
       |  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS qc_dbl
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // Map bracket extraction (round 13): LIST-valued in DuckDB 1.0 — m['k']
+  // / element_at / map_extract give [v] on hit ([NULL] for a present NULL
+  // value) and [] when the key misses or the key/map is NULL (all probed).
+  // The engine's graft_extract map branch now emits the guarded
+  // list shape; lists compare directly (both sides read back through the
+  // oracle engine, so the normalization is identical).
+  private val q119Sql =
+    """SELECT n_nationkey,
+      |  (MAP {'a': n_nationkey, 'b': n_regionkey})['a'] AS hit,
+      |  (MAP {'a': n_nationkey})['zz'] AS miss,
+      |  (MAP {1: n_regionkey, 2: n_nationkey})[2] AS int_key,
+      |  map_extract(MAP {'a': n_nationkey, 'b': n_regionkey}, 'b') AS me,
+      |  element_at(MAP {'a': n_nationkey}, 'a') AS ea,
+      |  CAST((MAP {'a': n_nationkey, 'b': n_regionkey})['b'][1] AS BIGINT) AS chain
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q119_map_bracket_list", fns(q119Sql), Some(q119Sql)),
     Q("q118_decimal_quantiles", fns(q118Sql), Some(q118Sql)),
     Q("q117_quantile_disc", fns(q117Sql), Some(q117Sql)),
     Q("q116_int_cast_rounding", fns(q116Sql), Some(q116Sql)),

@@ -20,7 +20,7 @@ class DialectFunctionsSpec extends AnyFunSuite {
     val out = DialectFunctions.rewrite(
       "SELECT unnest(list_distinct(xs)), list_contains(xs, 'a'), LIST_EXTRACT(xs, 1)")
     assert(out ===
-      "SELECT explode(array_distinct(xs)), array_contains(xs, 'a'), element_at(xs, 1)")
+      "SELECT explode(array_distinct(xs)), array_contains(xs, 'a'), graft_extract(xs, 1)")
   }
 
   test("function names inside string literals are untouched") {
@@ -249,7 +249,7 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(DialectFunctions.rewrite("SELECT struct_extract(s, 'k')") ===
       "SELECT (s)['k']")
     assert(DialectFunctions.rewrite("SELECT list_extract(list_value(1, 2, 3), 2)") ===
-      "SELECT element_at(array(1, 2, 3), 2)")
+      "SELECT graft_extract(array(1, 2, 3), 2)")
     prepare()
     val r = conn.queryDF(
       "SELECT struct_extract(struct_pack(a := 7, b := 'x'), 'a') AS v").collect().head

@@ -27,7 +27,10 @@ class ListComprehensionSpec extends AnyFunSuite {
     assert(ListComprehension.rewrite("SELECT f(x)[2] FROM t") ==
       "SELECT graft_extract(f(x), 2) FROM t")
     // string keys = struct/map field access, Spark-native
-    assert(ListComprehension.rewrite("SELECT s['k'] FROM t") == "SELECT s['k'] FROM t")
+    // round 13: string-literal brackets route through graft_extract too —
+    // struct access stays scalar there, MAP brackets become list-valued
+    assert(ListComprehension.rewrite("SELECT s['k'] FROM t") ==
+      "SELECT graft_extract(s, 'k') FROM t")
     // type spellings and empty brackets are not indexes
     assert(ListComprehension.rewrite("SELECT CAST(x AS INT[]) FROM t") ==
       "SELECT CAST(x AS INT[]) FROM t")

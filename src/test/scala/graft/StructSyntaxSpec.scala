@@ -15,9 +15,16 @@ class StructSyntaxSpec extends AnyFunSuite {
     assert(rw("SELECT ({'a': 1}).a") === "SELECT (named_struct('a', 1)).a")
   }
 
-  test("MAP literal becomes map(); bare braces after other words stay structs") {
+  test("MAP literal becomes map_from_arrays(); bare braces after other words stay structs") {
+    // the two-array constructor: a plain 2-arg map() emission would
+    // collide with the map(keys, values) rewriteCalls pass (single-pair
+    // literals were miscompiled to map_from_arrays before round 13)
     assert(rw("SELECT MAP {'k1': 10, 'k2': 20} AS m") ===
-      "SELECT map('k1', 10, 'k2', 20) AS m")
+      "SELECT map_from_arrays(array('k1', 'k2'), array(10, 20)) AS m")
+    assert(rw("SELECT MAP {'solo': 1} AS m") ===
+      "SELECT map_from_arrays(array('solo'), array(1)) AS m")
+    assert(rw("SELECT MAP {1: 'x', 2: 'y'} AS m") ===
+      "SELECT map_from_arrays(array(1, 2), array('x', 'y')) AS m")
     assert(rw("SELECT remap {'k': 1} AS s") ===
       "SELECT remap named_struct('k', 1) AS s")
   }
@@ -46,8 +53,11 @@ class StructSyntaxSpec extends AnyFunSuite {
     val conn = engine.connect()
     val r = conn.queryDF(
       "SELECT ({'a': 41, 'b': 'x'}).a + 1 AS v, " +
-        "element_at(MAP {'k1': 10, 'k2': 20}, 'k2') AS m").collect().head
+        "element_at(MAP {'k1': 10, 'k2': 20}, 'k2') AS m, " +
+        "element_at(MAP {'k1': 10}, 'zz') AS miss").collect().head
     assert(r.get(0) === 42)
-    assert(r.get(1) === 20)
+    // DuckDB 1.0: map extraction is LIST-valued — [v] on hit, [] on miss
+    assert(r.getSeq[Int](1) === Seq(20))
+    assert(r.getSeq[Int](2) === Seq.empty)
   }
 }
