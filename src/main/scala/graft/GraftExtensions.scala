@@ -115,6 +115,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantile_cont"),
       info("quantile_cont", "quantile_cont(x[, q]) - DuckDB interpolated quantile (DECIMAL inputs truncate at their scale)"),
       es => { val (x, q) = qArgs("quantile_cont")(es); functions.GraftQuantileCont(x, q) }))
+    for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
+      ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
+        info(s"graft_strict_$kind",
+          s"graft_strict_$kind(x) - $kind with DuckDB's loud out-of-domain error"),
+        es => { arity(s"graft_strict_$kind", 1)(es)
+          functions.StrictMathCheck(es.head, kind) }))
     ext.injectFunction((FunctionIdentifier("regexp_replace_all"),
       info("regexp_replace_all",
         "regexp_replace_all(s, re, rep) - replace every regex match (DuckDB regexp_replace 'g')"),

@@ -177,6 +177,11 @@ package object functions {
       es => { arity("median", 1)(es); GraftMedian(es.head) })
     ExprBridge.registerFunction(spark, "quantile_cont",
       es => { val (x, q) = oneOrTwo("quantile_cont")(es); GraftQuantileCont(x, q) })
+    // strict-math kernels (SET strict_math = true rewrites ln/log10/log2/
+    // sqrt/asin/acos here — DuckDB's loud out-of-domain errors)
+    for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
+      ExprBridge.registerFunction(spark, s"graft_strict_$kind",
+        es => { arity(s"graft_strict_$kind", 1)(es); StrictMathCheck(es.head, kind) })
     ExprBridge.registerFunction(spark, "graft_polyhash",
       es => {
         arity("graft_polyhash", 3)(es)

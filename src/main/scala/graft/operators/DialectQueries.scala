@@ -980,7 +980,19 @@ object DialectQueries {
       |  CAST((MAP {'a': n_nationkey, 'b': n_regionkey})['b'][1] AS BIGINT) AS chain
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // Logarithm bases (round 13 differential probe): DuckDB's 1-argument
+  // log(x) is BASE 10 where Spark's is ln — silently divergent before the
+  // dialect rewrite to log10; 2-argument log(b, x) agrees natively.
+  private val q120Sql =
+    """SELECT n_nationkey,
+      |  CAST(log(n_nationkey + 1) AS DOUBLE) AS lg,
+      |  CAST(log(2, n_nationkey + 1) AS DOUBLE) AS lgb,
+      |  CAST(ln(n_nationkey + 1) AS DOUBLE) AS lnv,
+      |  CAST(log2(n_nationkey + 1) AS DOUBLE) AS lg2
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q120_log_bases", fns(q120Sql), Some(q120Sql)),
     Q("q119_map_bracket_list", fns(q119Sql), Some(q119Sql)),
     Q("q118_decimal_quantiles", fns(q118Sql), Some(q118Sql)),
     Q("q117_quantile_disc", fns(q117Sql), Some(q117Sql)),

@@ -22,9 +22,15 @@ final class Connection(val engine: Engine) {
   private val statements = mutable.Map[Long, PreparedStatement]()
   @volatile private var activeStream: Option[ResultStream] = None
 
-  /** The dialect-rewritten form of `sql` (used by EXPLAIN dispatch). */
-  private[session] def rewriteSql(sql: String): String =
-    rewriter.rewrite(substituteSettings(sql))
+  /** The dialect-rewritten form of `sql` (used by EXPLAIN dispatch).
+    * With `SET strict_math = true`, out-of-domain math (ln(0), sqrt(-1),
+    * asin(2), …) errors loudly like DuckDB instead of yielding NULL/NaN —
+    * the pass runs AFTER the dialect chain so DuckDB's 1-arg log has
+    * already become log10 (see functions/StrictMath.scala). */
+  private[session] def rewriteSql(sql: String): String = {
+    val base = rewriter.rewrite(substituteSettings(sql))
+    if (engine.strictMath) graft.dialect.StrictMathText.rewrite(base) else base
+  }
 
   /** Inline `current_setting('name')` from the engine's SET/RESET map —
     * numerics as numeric literals, everything else as a string literal;

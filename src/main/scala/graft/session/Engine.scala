@@ -69,9 +69,18 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
       "wal_autocheckpoint" -> "16.0 MiB",
       "temp_directory" -> System.getProperty("java.io.tmpdir", "/tmp"),
       "schema" -> "main",
-      "search_path" -> "")
+      "search_path" -> "",
+      // engine-specific: loud DuckDB-style out-of-domain math errors
+      // (ln(0), sqrt(-1), asin(2), …) — default off = Spark-lenient NULLs
+      "strict_math" -> "false")
   }
   defaultSettings.foreach { case (k, v) => settings.put(k, v) }
+
+  /** `SET strict_math = true` → out-of-domain math errors loudly like
+    * DuckDB (see functions/StrictMath.scala). */
+  def strictMath: Boolean =
+    Seq("true", "on", "1").contains(
+      String.valueOf(settings.getOrDefault("strict_math", "false")).toLowerCase)
 
   private def buildSession(): SparkSession = config.existingSession.getOrElse {
     val n = if (config.maximumThreads > 0) config.maximumThreads.toString else "*"
