@@ -115,6 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantile_cont"),
       info("quantile_cont", "quantile_cont(x[, q]) - DuckDB interpolated quantile (DECIMAL inputs truncate at their scale)"),
       es => { val (x, q) = qArgs("quantile_cont")(es); functions.GraftQuantileCont(x, q) }))
+    ext.injectFunction((FunctionIdentifier("graft_fdiv"),
+      info("graft_fdiv",
+        "graft_fdiv(a, b) - DuckDB // division (integral truncating; DOUBLE when either operand is fractional)"),
+      es => { arity("graft_fdiv", 2)(es); functions.GraftFloorDiv(es(0), es(1)) }))
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
       ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
         info(s"graft_strict_$kind",

@@ -123,9 +123,12 @@ object DialectFunctions {
         p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
       }
     }
-    // DuckDB's `//` integer-division operator → Spark's `div` keyword
-    // (both truncate toward zero on integral types; DuckDB's DOUBLE //
-    // degenerates to plain division in 1.0 — out of scope, integral only)
+    // DuckDB's `//` division operator → Spark's `div` keyword, which
+    // preserves the multiplicative precedence and grouping; the engine's
+    // parse-level hook (graftbridge.ParsedSql, round 13) then swaps the
+    // parsed IntegralDivide for graft_fdiv so fractional operands
+    // degenerate to plain DOUBLE division exactly like DuckDB 1.0
+    // (integral operands keep truncating integer division)
     out = SqlText.mapOutsideLiterals(out)(_.replace("//", " div "))
     out = rewriteQuantified(out)
     out = rewriteCalls(out, "string_split|str_split") {

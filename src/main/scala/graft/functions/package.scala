@@ -177,6 +177,11 @@ package object functions {
       es => { arity("median", 1)(es); GraftMedian(es.head) })
     ExprBridge.registerFunction(spark, "quantile_cont",
       es => { val (x, q) = oneOrTwo("quantile_cont")(es); GraftQuantileCont(x, q) })
+    // DuckDB's // operator (parse-level hook, see graftbridge.ParsedSql):
+    // integral operands divide integrally, fractional operands degenerate
+    // to plain DOUBLE division
+    ExprBridge.registerFunction(spark, "graft_fdiv",
+      es => { arity("graft_fdiv", 2)(es); GraftFloorDiv(es(0), es(1)) })
     // strict-math kernels (SET strict_math = true rewrites ln/log10/log2/
     // sqrt/asin/acos here — DuckDB's loud out-of-domain errors)
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))

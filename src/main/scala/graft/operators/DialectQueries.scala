@@ -32,8 +32,11 @@ object DialectQueries {
   private def fns(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     // mirrors DialectRewriter.rewrite's pass order, including the second
-    // frame-EXCLUDE pass after the QUALIFY wrap (round 12)
-    spark.sql(graft.dialect.NullOrder.rewrite(
+    // frame-EXCLUDE pass after the QUALIFY wrap (round 12); ParsedSql is
+    // the engine's parse-level `//`-semantics hook (Connection.queryDF
+    // routes through the same call)
+    org.apache.spark.sql.graftbridge.ParsedSql.sql(spark,
+      graft.dialect.NullOrder.rewrite(
       graft.dialect.WindowExclude.rewrite(
         DialectSugar.rewrite(DialectFunctions.rewrite(
           graft.dialect.FromFirst.rewrite(
@@ -991,7 +994,21 @@ object DialectQueries {
       |  CAST(log2(n_nationkey + 1) AS DOUBLE) AS lg2
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // `//` fractional-operand parity (round 13): DuckDB 1.0's // on any
+  // fractional operand (DOUBLE, or DECIMAL at any scale) is PLAIN DOUBLE
+  // division; only integral//integral truncates. Spark's div silently
+  // truncated DECIMAL operands before the parse-level graft_fdiv hook.
+  // Precedence is pinned too: a * b // c groups as (a*b)//c.
+  private val q121Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey // 3 AS BIGINT) AS int_div,
+      |  o_totalprice // 7 AS frac_div,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) // 7 AS dec_div,
+      |  CAST(o_orderkey + 1 // 2 * 3 AS BIGINT) AS prec
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q121_floordiv_fractional", fns(q121Sql), Some(q121Sql)),
     Q("q120_log_bases", fns(q120Sql), Some(q120Sql)),
     Q("q119_map_bracket_list", fns(q119Sql), Some(q119Sql)),
     Q("q118_decimal_quantiles", fns(q118Sql), Some(q118Sql)),

@@ -89,7 +89,9 @@ final class Connection(val engine: Engine) {
     val trimmed = sql.trim.stripSuffix(";")
     Commands.dispatch(this, trimmed).getOrElse(
       org.apache.spark.sql.graftbridge.CasePreserve.fix(
-        spark.sql(rewriteSql(trimmed))))
+        // ParsedSql (not plain spark.sql): the parse-level IntegralDivide →
+        // graft_fdiv hook gives `//` DuckDB's fractional-operand semantics
+        org.apache.spark.sql.graftbridge.ParsedSql.sql(spark, rewriteSql(trimmed))))
   }
 
   /** Run SQL, materialize as an Arrow IPC file buffer (reference

@@ -158,6 +158,30 @@ object CasePreserve {
   }
 }
 
+/** `spark.sql` with a parse-level hook for operator spellings whose
+  * SEMANTICS depend on resolved types — text rewrites preserve precedence
+  * but cannot type-dispatch, and optimizer rules run too late to change an
+  * expression's resolved type. The one current rewrite: DuckDB's `//`
+  * (dialect-rewritten to the `div` keyword, which Spark parses straight to
+  * IntegralDivide, bypassing the function registry) becomes the engine's
+  * `graft_fdiv`, whose analysis-time replacement keeps integral semantics
+  * for integral operands and degenerates to plain DOUBLE division when
+  * either operand is fractional — DuckDB 1.0's probed behavior. Applied
+  * only on the engine's SQL path (Connection.queryDF / the oracle-query
+  * chain); plain spark.sql keeps Spark's `div`. */
+object ParsedSql {
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = cs.sessionState.sqlParser.parsePlan(text)
+    val fixed = plan.transformAllExpressions {
+      case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide =>
+        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("graft_fdiv"), Seq(d.left, d.right), false, None, false, Nil, false)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, fixed)
+  }
+}
+
 /** Column ↔ Expression bridge (Spark 4 wraps Columns in ColumnNodes; the
   * classic converters are package-private-ish) + SQL function registration
   * for the engine's native expressions. */
