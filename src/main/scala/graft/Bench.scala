@@ -131,6 +131,33 @@ object Bench {
       return
     }
 
+    // Host-health control block (round-13: the r12 host-window proof was a
+    // manual checkout-r10-and-re-run experiment). Three pinned cheap
+    // queries run right after warm-up; their geometric-mean ratio vs the
+    // previous same-sf artifact stamps this run, and a bad window
+    // (ratio outside [1/1.4, 1.4]) suppresses mover analysis — movers
+    // measured through a co-tenant-loaded or otherwise shifted host window
+    // are noise, not signal (the r12 sf1 "8 movers" were exactly this).
+    val prevArt = loadPrev(sfDir)
+    val controlNames = Seq("q01", "q24", "q84")
+      .flatMap(p => names.find(_.startsWith(p)))
+    val controlTimes: Seq[(String, Double)] = controlNames.map { n =>
+      // min of two samples: one loaded control must not condemn the window
+      val ts = Seq(runOnce(n), runOnce(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    val hostHealth: Option[Double] = prevArt.flatMap { case (_, prevQ, _) =>
+      val ratios = controlTimes.flatMap { case (n, t) =>
+        prevQ.get(n).filter(p => p > 0 && t > 0).map(t / _)
+      }
+      if (ratios.isEmpty) None
+      else Some(math.exp(ratios.map(math.log).sum / ratios.size))
+    }
+    val healthy = hostHealth.forall(h => h <= 1.4 && h >= 1.0 / 1.4)
+    if (!healthy) System.err.println(
+      s"[bench] HOST WINDOW SUSPECT: control ratio ${hostHealth.get} vs " +
+        s"${prevArt.map(_._1).getOrElse("?")} — mover analysis suppressed")
+
     val warmQueries = Seq.newBuilder[String]
     val results = names.map { name =>
       // Early-break on heavy queries (first clean sample > 10 s): compute-
@@ -180,8 +207,13 @@ object Bench {
     // noise is additive, so a clean re-sample clears a false mover, while
     // a true regression reproduces and stays flagged. Improvement movers
     // are never re-sampled (additive noise cannot fake an improvement).
+    // mover re-sampling only makes sense through a healthy host window —
+    // under a shifted window every query reads as a mover and the defense
+    // would burn a full extra sweep chasing noise
     val (finalResults, resampledMap) = reconcile(
-      results, loadPrev(sfDir).map { case (_, q, s) => (q, s) }, runOnce)
+      results,
+      if (healthy) prevArt.map { case (_, q, s) => (q, s) } else None,
+      runOnce)
     // ms precision everywhere: sub-ms digits are pure noise at these
     // runtimes, and the shorter line lets the driver's bounded tail window
     // keep ~3× more per-query entries.
@@ -200,10 +232,17 @@ object Bench {
     val qc = fmt(coldTimes.toSeq.sortBy(_._1))
     val rs = fmt(resampledMap.toSeq.sortBy(_._1))
     val warm = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val hh = hostHealth match {
+      case Some(h) =>
+        s""""host_health":{"controls":${fmt(controlTimes)},"ratio":${ms(h)},"healthy":$healthy},"""
+      case None => // no previous same-sf artifact: controls recorded, no ratio
+        s""""host_health":{"controls":${fmt(controlTimes)}},"""
+    }
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
-    writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms)
+    writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms,
+      resampled = resampledMap, hostHealth = hostHealth)
     spark.stop()
   }
 
@@ -220,8 +259,17 @@ object Bench {
     * inflated next round's noise floor to latch size, silently masking a
     * genuine regression of the same query). Returns the corrected results
     * and the {query → fresh-sample} map for the artifact's "resampled"
-    * field. Improvement movers and non-movers pass through untouched; a
-    * failed re-sample (-1) changes nothing. */
+    * field.
+    *
+    * Round-13 (r12 verdict): IMPROVEMENT movers whose PREVIOUS sample
+    * carries the latch signature (previous spread ≥ previous minimum —
+    * one loaded sample dominated that min) also get one fresh sample.
+    * The re-sample cannot re-verify the previous number, but two
+    * independent fast samples this round make the improvement credible
+    * instead of annotation-only; the fresh value flows into the delta
+    * entry as "verify" next to "prev_suspect". Ordinary improvements are
+    * still never re-sampled (additive noise cannot fake one). A failed
+    * re-sample (-1) changes nothing. */
   private[graft] def reconcile(results: Seq[(String, Double, Double)],
       prev: Option[(Map[String, Double], Map[String, Double])],
       resample: String => Double)
@@ -230,9 +278,13 @@ object Bench {
     case Some((prevQ, prevS)) =>
       val fresh = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val corrected = results.map { case (name, t, spread) =>
+        val noise = math.max(spread, prevS.getOrElse(name, 0.0))
         val regressed = prevQ.get(name).exists(p => p > 0 && t > 0 && t > p &&
-          isMover(t, p, math.max(spread, prevS.getOrElse(name, 0.0))))
-        if (!regressed) (name, t, spread)
+          isMover(t, p, noise))
+        val suspectImprovement = prevQ.get(name).exists(p =>
+          p > 0 && t > 0 && t < p && (t / p < 1.0 / 1.5) &&
+            prevS.getOrElse(name, 0.0) >= p)
+        if (!regressed && !suspectImprovement) (name, t, spread)
         else {
           val r = resample(name)
           fresh(name) = r
@@ -309,9 +361,17 @@ object Bench {
   private[graft] def writeDelta(sfDir: String,
       cur: Seq[(String, Double, Double)], ms: Double => Double,
       prevOverride: Option[String] = None,
-      outPath: String = "BENCH_DELTA.json"): Unit = {
+      outPath: String = "BENCH_DELTA.json",
+      resampled: Map[String, Double] = Map.empty,
+      hostHealth: Option[Double] = None): Unit = {
     loadPrev(sfDir, prevOverride).foreach { case (pp, prevQ, prevS) =>
       try {
+        // Host-window gate (round-13): when the control-query ratio says
+        // this run's host window differs from the previous artifact's,
+        // per-query mover flags are NOISE — suppress them all and stamp
+        // the artifact, instead of handing the next round 8 phantom
+        // movers to chase (the r12 sf1 re-measure).
+        val healthy = hostHealth.forall(h => h <= 1.4 && h >= 1.0 / 1.4)
         // the mover flag is computed ONCE per entry and n_movers derived
         // from the same list — a second copy of the predicate (round-9
         // advice) let a failed query (t = -1) count as a mover while being
@@ -320,7 +380,7 @@ object Bench {
         val entries = cur.flatMap { case (name, t, spread) =>
           prevQ.get(name).filter(p => p > 0 && t > 0).map { p =>
             val noise = math.max(spread, prevS.getOrElse(name, 0.0))
-            (name, p, t, t / p, isMover(t, p, noise))
+            (name, p, t, t / p, healthy && isMover(t, p, noise))
           }
         }
         val movers = entries.count(_._5)
@@ -333,14 +393,21 @@ object Bench {
           // (one sample dominated the min). Not conditioned on the mover
           // flag: the latch-sized prev spread inflates the noise floor
           // and SUPPRESSES the flag — which is itself the defect being
-          // annotated.
+          // annotated. Round-13: reconcile now takes one fresh sample for
+          // these rows; it lands here as "verify" — a second independent
+          // fast sample behind the improvement claim.
           val suspect = ratio < 1.0 / 1.5 && prevS.getOrElse(name, 0.0) >= p
-          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover${if (suspect) ",\"prev_suspect\":true" else ""}}"""
+          val verify = if (suspect) resampled.get(name)
+            .map(r => s""","verify":${ms(r)}""").getOrElse("") else ""
+          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover${if (suspect) ",\"prev_suspect\":true" else ""}$verify}"""
         }
-        val json = s"""{"prev_artifact":"$pp","sf":"$sfDir","n_compared":${entries.size},"n_movers":$movers,"deltas":{${deltas.mkString(",")}}}"""
+        val hh = hostHealth.map(h =>
+          s""""host_health":${ms(h)},"host_unhealthy":${!healthy},""").getOrElse("")
+        val json = s"""{"prev_artifact":"$pp","sf":"$sfDir",$hh"n_compared":${entries.size},"n_movers":$movers,"deltas":{${deltas.mkString(",")}}}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(outPath), json + "\n")
-        System.err.println(s"[bench] delta vs $pp: ${entries.size} compared, $movers mover(s)")
+        System.err.println(s"[bench] delta vs $pp: ${entries.size} compared, $movers mover(s)" +
+          (if (!healthy) " [HOST WINDOW SUSPECT — movers suppressed]" else ""))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] delta against $pp failed: ${e.getMessage}")
       }

@@ -40,8 +40,9 @@ class BenchDeltaSpec extends AnyFunSuite {
   // (the discarded latch is recorded in "resampled" ONLY — round 12: it
   // must NOT widen the reported spread, or it becomes next round's noise
   // floor and masks a genuine regression), a reproducing slow sample
-  // leaves the true regression flagged, and improvements are never
-  // re-sampled (additive noise can't fake one).
+  // leaves the true regression flagged, and ORDINARY improvements are
+  // never re-sampled (additive noise can't fake one; latched-previous
+  // improvements are the round-13 exception, tested below).
   test("reconcile: re-samples regression movers only; clean re-sample clears the latch") {
     val prevQ = Map("latched" -> 0.45, "true_reg" -> 1.0,
       "improved" -> 3.0, "steady" -> 2.0)
@@ -119,6 +120,69 @@ class BenchDeltaSpec extends AnyFunSuite {
     val okEntry = "\"ok\":\\{[^}]*\\}".r.findFirstIn(json).get
     assert(!okEntry.contains("prev_suspect"),
       s"genuine improvement must not be flagged: $okEntry")
+  }
+
+  // Round-13 (r12 verdict): the improvement-side latch defense is no
+  // longer annotation-only — a latched-PREVIOUS improvement mover gets one
+  // fresh in-process sample, and the delta entry carries it as "verify"
+  // next to "prev_suspect", so the improvement claim rests on two
+  // independent fast samples instead of one.
+  test("latched-previous improvement is re-verified; verify lands in the delta") {
+    val prevQ = Map("lat" -> 9.5, "ok" -> 3.0)
+    val prevS = Map("lat" -> 10.0, "ok" -> 0.02) // lat: spread >= min = latch
+    val cur = Seq(("lat", 2.0, 0.05), ("ok", 1.0, 0.02))
+    val sampled = scala.collection.mutable.Buffer.empty[String]
+    val (out, fresh) = Bench.reconcile(cur, Some((prevQ, prevS)), {
+      case n @ "lat" => sampled += n; 1.95
+      case n => fail(s"ordinary improvement must not re-sample: $n")
+    })
+    assert(sampled === Seq("lat"))
+    assert(fresh === Map("lat" -> 1.95))
+    // fresh sample folds into the minimum (it was faster)
+    assert(out.find(_._1 == "lat").get._2 === 1.95)
+    // ...and writeDelta carries it as "verify" on the prev_suspect row
+    val prev = Files.createTempFile("bench-prev", ".json")
+    Files.writeString(prev,
+      """{"sf":"/x","spread":{"lat":10.0,"ok":0.02},""" +
+        """"queries":{"lat":9.5,"ok":3.0}}""" + "\n")
+    val outFile = Files.createTempFile("bench-delta", ".json")
+    Bench.writeDelta("/x", out, ms, prevOverride = Some(prev.toString),
+      outPath = outFile.toString, resampled = fresh)
+    val json = Files.readString(outFile)
+    val latEntry = "\"lat\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(latEntry.contains("\"prev_suspect\":true") &&
+      latEntry.contains("\"verify\":1.95"), latEntry)
+    val okEntry = "\"ok\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(!okEntry.contains("verify"), okEntry)
+  }
+
+  // Round-13: a bad host window (control-query ratio outside [1/1.4, 1.4]
+  // vs the previous artifact) suppresses every mover flag — movers
+  // measured through a shifted window are noise (the r12 sf1 re-measure's
+  // 8 phantom movers), and the artifact says so explicitly.
+  test("host-unhealthy window suppresses mover flags and stamps the artifact") {
+    val prev = Files.createTempFile("bench-prev", ".json")
+    Files.writeString(prev,
+      """{"sf":"/x","spread":{"a":0.01,"b":0.01},""" +
+        """"queries":{"a":1.0,"b":2.0}}""" + "\n")
+    def run(health: Option[Double]): String = {
+      val out = Files.createTempFile("bench-delta", ".json")
+      Bench.writeDelta("/x", Seq(("a", 2.5, 0.02), ("b", 2.1, 0.02)),
+        ms, prevOverride = Some(prev.toString), outPath = out.toString,
+        hostHealth = health)
+      Files.readString(out)
+    }
+    val bad = run(Some(2.1))
+    assert(bad.contains("\"host_unhealthy\":true") &&
+      bad.contains("\"host_health\":2.1"), bad)
+    assert(!bad.contains("\"mover\":true") &&
+      bad.contains("\"n_movers\":0"), bad)
+    val good = run(Some(1.05))
+    assert(good.contains("\"host_unhealthy\":false"), good)
+    assert(good.contains("\"mover\":true"), good) // a is a real 2.5x mover
+    val noHealth = run(None) // no controls matched → no gate, no stamp
+    assert(!noHealth.contains("host_unhealthy") &&
+      noHealth.contains("\"mover\":true"), noHealth)
   }
 
   test("reconcile: failed re-sample and missing prev change nothing") {
