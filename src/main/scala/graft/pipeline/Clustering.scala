@@ -28,6 +28,18 @@ object Clustering {
   private[pipeline] val K = 8
   private[pipeline] val Dim = 64
 
+  /** Ceiling on the centroid-table size [[assign]] will materialize to the
+    * driver (2^17 cells × 64 dims × 8 B ≈ 67 MB — comfortably inside any
+    * driver, and the per-row k×dim argmin loop stays ~10^7 integer ops).
+    * The k = ⌈√n⌉ consumers (SemDeDup) cross this at n ≈ 1.7×10^10
+    * vectors; beyond it the right shape is a TWO-LEVEL assignment (coarse
+    * k' = ⌈k^(1/2)⌉ centroids broadcast first, then a fine argmin within
+    * the coarse cell's centroid subset, shipped as a cell-keyed
+    * broadcast), which no current consumer needs — so the ceiling is a
+    * LOUD error naming the knob rather than silent driver pressure
+    * (round-13, r12 verdict watch item). */
+  private[graft] val MaxCells: Int = 1 << 17
+
   /** (vec_id, q: array<bigint>) — shared quantization stage, pinned and
     * memoized per dir ([[Pins.shared]]): both Lloyd iterations re-read it
     * within a query, and the embedding-family queries (p38/p49/p53/…)
@@ -58,7 +70,16 @@ object Clustering {
     * HashAggregate) vs ~2 s fused. MLlib's KMeans collects centroids per
     * Lloyd round for the same reason. */
   private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val rows = cents.select(col("cell").cast("long").as("cell"), col("c")).collect()
+    // limit(MaxCells + 1): if the collected set fits the ceiling, the
+    // limit was a no-op and the table is COMPLETE; if not, the collect
+    // was bounded and the error below fires before driver pressure
+    val rows = cents.select(col("cell").cast("long").as("cell"), col("c"))
+      .limit(MaxCells + 1).collect()
+    require(rows.length <= MaxCells,
+      s"k-means centroid table exceeds Clustering.MaxCells = $MaxCells " +
+        "(the broadcast-assignment ceiling: k x dim x 8B must stay " +
+        "driver-sized). This needs the two-level coarse-then-fine " +
+        "assignment documented at Clustering.MaxCells, or a smaller k.")
     val nc = graft.functions.nearest_cell(col("q"),
       rows.map(_.getLong(0)).toSeq,
       rows.map(_.getSeq[Long](1)).toSeq)

