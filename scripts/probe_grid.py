@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Differential-probing wave 3 (round 13): a SYSTEMATIC grid of scalar
+expressions over edge inputs, evaluated in python-duckdb (the driver's
+oracle engine) and pinned into a TSV fixture that ProbeGridSpec replays
+through the engine's SQL path. The technique found 6 silent divergences in
+round 12 (concat NULLs, negative-n left/right, dow numbering, cast
+rounding, split_part negatives, epoch field) and 2 more while building
+round 13 (1-arg log base, single-pair MAP literal miscompile) — this file
+makes it a repeatable grid instead of ad-hoc waves.
+
+Usage: python3 scripts/probe_grid.py  →  src/test/resources/probe_grid.tsv
+Lines: <category>\t<sql>\t<normalized expected>
+Values are normalized identically on both sides (see norm() here and
+ProbeGridSpec.norm): NULL literal, floats to 6dp with trailing zeros
+stripped, lists bracketed, timestamps without fractional seconds.
+"""
+import duckdb, math, datetime, decimal, os
+
+con = duckdb.connect()
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        if math.isinf(v): return "Infinity" if v > 0 else "-Infinity"
+        s = f"{round(v, 6):.6f}".rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
+    if isinstance(v, decimal.Decimal):
+        return norm(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(norm(x) for x in v) + "]"
+    return str(v)
+
+PROBES = []
+def p(cat, *sqls):
+    for s in sqls:
+        PROBES.append((cat, s))
+
+# ---------------------------------------------------------------- strings
+p("string",
+  "upper('straße')", "lower('ÅBC')", "length('')", "length('héllo')",
+  "reverse('abc')", "reverse('')",
+  "trim('  x  ')", "ltrim('xxay', 'x')", "rtrim('yaxx', 'x')",
+  "trim('xyxAx', 'xy')",
+  "lpad('ab', 5, '-')", "lpad('abcdef', 3, '-')", "lpad('ab', 0, '-')",
+  "rpad('ab', 5, '*')", "rpad('abcdef', 2, '*')",
+  "repeat('ab', 3)", "repeat('ab', 0)", "repeat('ab', -2)",
+  "substr('hello', 2)", "substr('hello', 2, 2)", "substr('hello', 0, 3)",
+  "substr('hello', -3)", "substr('hello', -3, 2)", "substr('hello', 99)",
+  "replace('aaa', 'a', 'bb')", "replace('abc', '', 'x')",
+  "instr('hello', 'l')", "instr('hello', 'z')", "instr('', 'a')",
+  "strpos('hello', 'll')",
+  "contains('hello', 'ell')", "contains('hello', '')",
+  "starts_with('hello', 'he')", "ends_with('hello', 'lo')",
+  "ascii('A')", "ascii('')", "chr(97)",
+  "concat_ws('-', 'a', NULL, 'b')", "concat_ws('-', NULL, NULL)",
+  "split_part('a,b,c', ',', 2)", "split_part('a,b,c', ',', 9)",
+  "translate('abcb', 'bc', 'xy')",
+  "position('ll' IN 'hello')",
+  "left('hello', 2)", "right('hello', 2)",
+  "md5('abc')",
+  "format('{} + {}', 1, 2)",
+  "string_split('a,,b', ',')",
+  "regexp_extract('ab12cd', '[0-9]+')",
+  "regexp_extract('ab12cd', '([a-z]+)([0-9]+)', 2)",
+  "regexp_matches('abc', '^a')",
+  "levenshtein('kitten', 'sitting')",
+  "hamming('abc', 'abd')",
+  "jaccard('abc', 'bcd')",
+  # round-13 follow-ups: the substr clamp window and the trim-chars swap
+  "substr('hello', -2, 5)", "substr('hello', -5, 3)",
+  "substr('hello', 0, 1)", "substr('hello', -1, 1)",
+  "substr('hello', -7, 3)", "substr('hello', 0, 99)",
+  "btrim('xyAyx', 'xy')")
+
+# --------------------------------------------------------------- numerics
+p("numeric",
+  "round(2.5)", "round(-2.5)", "round(3.5)", "round(2.5::DOUBLE)",
+  "round(-2.5::DOUBLE)", "round(1.25, 1)", "round(1.35, 1)",
+  "round(1234.5678, -2)", "round(1234.5678::DOUBLE, -2)",
+  "ceil(-1.5)", "floor(-1.5)", "ceiling(2.1)",
+  "trunc(1.9)", "trunc(-1.9)",
+  "abs(-5)", "abs(-5.5)", "sign(-3)", "sign(0)", "sign(2.5)",
+  "7 % 3", "-7 % 3", "7 % -3", "-7.5 % 2",
+  "mod(7, 3)", "mod(-7, 3)",
+  "greatest(1, NULL, 3)", "least(1, NULL, 3)",
+  "greatest('a', 'b')", "least(1.5, 2)",
+  "power(2, 10)", "power(2, -1)", "power(-2, 3)",
+  "exp(0)", "exp(1)",
+  "log10(1000)", "log2(8)", "ln(exp(2))", "log(100)", "log(2, 8)",
+  "sqrt(16)", "cbrt(27)",
+  "pi()",
+  "degrees(pi())", "radians(180)",
+  "atan2(1, 1)", "atan(1)", "sin(0)", "cos(0)", "tan(0)",
+  "gamma(5)", "lgamma(5)", "factorial(5)",
+  "bit_count(7)", "bit_count(-1::TINYINT)",
+  "xor(5, 3)", "5 & 3", "5 | 3", "~5", "1 << 4", "256 >> 2",
+  "isnan('nan'::DOUBLE)", "isinf(1.0/0.0)", "isfinite(1.0)",
+  "1.0/0.0", "-1.0/0.0", "0.0/0.0", "1/0", "1 % 0",
+  "even(2.5)", "even(-2.5)", "even(3)", "even(2)", "even(-2)", "even(0.1)",
+  "fdiv(7.5, 2)", "fmod(7.5, 2)", "fdiv(-7.5, 2)", "fmod(-7.5, 2)",
+  "fmod(7.5, -2)", "fdiv(7, 2)", "fmod(7, 3)",
+  "gamma(0.5)", "lgamma(0.5)", "gamma(10)",
+  "bit_count(-1::SMALLINT)", "bit_count(-1)", "bit_count(-1::BIGINT)",
+  "trunc(-1.9::DOUBLE)", "trunc(2.7::DOUBLE)")
+
+# -------------------------------------------------------------- date/time
+p("datetime",
+  "date_trunc('week', DATE '2024-03-14')",
+  "date_trunc('quarter', DATE '2024-05-14')",
+  "date_trunc('month', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('hour', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('year', DATE '2024-03-14')",
+  "last_day(DATE '2024-02-05')", "last_day(DATE '2023-02-05')",
+  "date_part('week', DATE '2024-01-01')",
+  "date_part('week', DATE '2021-01-01')",
+  "date_part('quarter', DATE '2024-05-14')",
+  "date_part('day', DATE '2024-03-14')",
+  "date_part('year', DATE '2024-03-14')",
+  "date_part('hour', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_part('minute', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_part('second', TIMESTAMP '2024-03-14 10:11:12')",
+  "datediff('day', DATE '2024-01-01', DATE '2024-03-01')",
+  "datediff('month', DATE '2024-01-15', DATE '2024-03-14')",
+  "datediff('year', DATE '2020-06-01', DATE '2024-01-01')",
+  "date_diff('day', DATE '2024-01-01', DATE '2024-03-01')",
+  "make_date(2024, 2, 29)",
+  "DATE '2024-01-31' + 1", "DATE '2024-03-01' - 1",
+  "DATE '2024-03-01' - DATE '2024-02-01'",
+  "CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)",
+  "TIMESTAMP '2024-03-14 10:11:12' + INTERVAL 90 MINUTE",
+  "strftime(DATE '2024-03-14', '%Y/%m/%d')",
+  "strftime(TIMESTAMP '2024-03-14 09:05:00', '%H:%M')",
+  "dayname(DATE '2024-03-14')", "monthname(DATE '2024-03-14')",
+  "week(DATE '2024-01-01')",
+  "yearweek(DATE '2024-01-01')",
+  "dayofmonth(DATE '2024-03-14')",
+  "weekofyear(DATE '2024-01-01')",
+  "epoch(TIMESTAMP '2024-03-14 10:11:12')",
+  "epoch_ms(TIMESTAMP '1970-01-01 00:00:01.5')",
+  "greatest(DATE '2024-01-01', DATE '2023-01-01')",
+  "yearweek(DATE '2021-01-01')", "week(DATE '2021-01-01')",
+  "date_trunc('hour', DATE '2024-03-14')")
+
+# ------------------------------------------------------------------ lists
+p("list",
+  "list_contains([1,2,3], 2)", "list_contains([1,2,3], 9)",
+  "list_contains([1,NULL], NULL::INTEGER)",
+  "list_position([4,5,6], 5)", "list_position([4,5,6], 9)",
+  "len([1,2,3])", "len([])",
+  "array_length([1,2,3])",
+  "list_sort([3,1,2])", "list_sort([3,NULL,1])",
+  "list_reverse_sort([1,3,2])",
+  # list_distinct's ORDER is unspecified in duckdb — compare sorted; the
+  # pinned semantic is that NULL elements are DROPPED
+  "list_sort(list_distinct([1,2,2,3]))", "list_sort(list_distinct([NULL,1,NULL]))",
+  "list_unique([1,2,2,3])", "list_unique([NULL,1,NULL,2])",
+  "flatten([[1,2],[3]])", "flatten([[],[1]])",
+  "list_concat([1,2],[3])",
+  "list_append([1,2], 3)", "list_prepend(0, [1,2])",
+  "list_max([1,9,3])", "list_min([1,9,3])", "list_sum([1,2,3])",
+  "list_sum([])",
+  "array_to_string([1,2,3], '-')",
+  "list_slice([1,2,3,4], 2, 3)", "[1,2,3,4][2:3]",
+  "[1,2,3][-1]", "['a','b'][1]",
+  "range(1, 5)", "range(5, 1, -1)", "range(3)", "range(1, 1)",
+  "range(1, 10, 3)", "range(5, 1, 2)", "range(0)",
+  "generate_series(1, 5)", "generate_series(1, 9, 3)",
+  "list_transform([1,2,3], x -> x * 2)",
+  "list_filter([1,2,3,4], x -> x % 2 = 0)",
+  "list_aggregate([1,2,3], 'sum')",
+  "list_reverse([1,2,3])",
+  "array_to_string(list_value(1,2), ',')")
+
+# ------------------------------------------------------------ conversions
+p("cast",
+  "CAST('42' AS INTEGER)", "TRY_CAST('x' AS INTEGER)",
+  "CAST(' 42 ' AS INTEGER)",
+  "CAST('3.9' AS INTEGER)", "CAST(3.9 AS INTEGER)",
+  "CAST(-3.5 AS INTEGER)", "CAST(2.5::DOUBLE AS INTEGER)",
+  "CAST(TRUE AS INTEGER)", "CAST(1 AS BOOLEAN)",
+  "CAST('true' AS BOOLEAN)", "TRY_CAST('yes' AS BOOLEAN)",
+  "TRY_CAST('T' AS BOOLEAN)", "TRY_CAST('f' AS BOOLEAN)",
+  "TRY_CAST('1' AS BOOLEAN)", "TRY_CAST('0' AS BOOLEAN)",
+  "TRY_CAST(' true ' AS BOOLEAN)", "TRY_CAST('on' AS BOOLEAN)",
+  "CAST(DATE '2024-03-14' AS VARCHAR)",
+  "CAST('2024-03-14' AS DATE)",
+  "CAST(1.5 AS VARCHAR)", "CAST(CAST(1.5 AS DOUBLE) AS VARCHAR)",
+  "nullif(3, 3)", "nullif(3, 4)",
+  "coalesce(NULL, NULL, 7)",
+  "ifnull(NULL, 5)",
+  "if(2 > 1, 'y', 'n')")
+
+out_path = os.path.join(os.path.dirname(__file__),
+                        "..", "src", "test", "resources", "probe_grid.tsv")
+os.makedirs(os.path.dirname(out_path), exist_ok=True)
+rows, skipped = [], []
+for cat, sql in PROBES:
+    try:
+        v = con.sql(f"SELECT ({sql}) AS v").fetchone()[0]
+        rows.append((cat, sql, norm(v)))
+    except Exception as e:
+        skipped.append((sql, str(e).split("\n")[0][:90]))
+with open(out_path, "w") as f:
+    f.write("# category\tsql\texpected — generated by scripts/probe_grid.py "
+            "against duckdb %s\n" % duckdb.__version__)
+    for cat, sql, exp in rows:
+        assert "\t" not in sql and "\t" not in exp, sql
+        f.write(f"{cat}\t{sql}\t{exp}\n")
+print(f"{len(rows)} probes written to {out_path}; {len(skipped)} skipped")
+for s, e in skipped:
+    print("  skipped:", s, "→", e)

@@ -115,6 +115,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantile_cont"),
       info("quantile_cont", "quantile_cont(x[, q]) - DuckDB interpolated quantile (DECIMAL inputs truncate at their scale)"),
       es => { val (x, q) = qArgs("quantile_cont")(es); functions.GraftQuantileCont(x, q) }))
+    ext.injectFunction((FunctionIdentifier("graft_len"),
+      info("graft_len", "graft_len(e) - DuckDB len over STRING, LIST or MAP"),
+      es => { arity("graft_len", 1)(es); functions.GraftLen(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_bit_count"),
+      info("graft_bit_count", "graft_bit_count(x) - bit count within the operand's own width"),
+      es => { arity("graft_bit_count", 1)(es); functions.GraftBitCount(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_date_trunc"),
+      info("graft_date_trunc", "graft_date_trunc(field, x) - DuckDB date_trunc (DATE stays DATE at day-or-coarser)"),
+      es => { arity("graft_date_trunc", 2)(es); functions.GraftDateTrunc(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_gamma"),
+      info("graft_gamma", "graft_gamma(x) - gamma function (Lanczos)"),
+      es => { arity("graft_gamma", 1)(es); functions.GraftGamma(es.head, log = false) }))
+    ext.injectFunction((FunctionIdentifier("graft_lgamma"),
+      info("graft_lgamma", "graft_lgamma(x) - log-gamma function (Lanczos)"),
+      es => { arity("graft_lgamma", 1)(es); functions.GraftGamma(es.head, log = true) }))
+    ext.injectFunction((FunctionIdentifier("graft_try_bool"),
+      info("graft_try_bool", "graft_try_bool(e) - TRY_CAST to BOOLEAN with DuckDB's accepted strings"),
+      es => { arity("graft_try_bool", 1)(es); functions.GraftTryBool(es.head) }))
     ext.injectFunction((FunctionIdentifier("graft_fdiv"),
       info("graft_fdiv",
         "graft_fdiv(a, b) - DuckDB // division (integral truncating; DOUBLE when either operand is fractional)"),

@@ -43,17 +43,30 @@ object DialectFunctions {
     "list_element" -> "graft_extract",
     "element_at" -> "graft_extract",
     "map_extract" -> "graft_extract",
-    "list_distinct" -> "array_distinct",
-    "list_sort" -> "sort_array",
+    // round-13 probe grid: DuckDB list_sort defaults NULLS LAST —
+    // array_sort's default, NOT sort_array's (nulls first); list_distinct
+    // and list_prepend live in rewriteCalls (NULL-dropping / arg swap)
+    "list_sort" -> "array_sort",
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list_concat" -> "concat",
     "list_cat" -> "concat",
     "list_append" -> "array_append",
-    "list_prepend" -> "array_prepend",
     "list_max" -> "array_max",
     "list_min" -> "array_min",
     "list_reverse" -> "reverse",
+    // round-13 probe grid: DuckDB len() spans VARCHAR and LIST/MAP —
+    // type-dispatched natively; week() is ISO like Spark's weekofyear;
+    // bit_count counts within the operand's own width; gamma/lgamma have
+    // no Spark builtin (Lanczos kernels); date_trunc keeps DATE for DATE
+    // inputs at day-or-coarser fields
+    "len" -> "graft_len",
+    "week" -> "weekofyear",
+    "bit_count" -> "graft_bit_count",
+    "gamma" -> "graft_gamma",
+    "lgamma" -> "graft_lgamma",
+    "date_trunc" -> "graft_date_trunc",
+    "datetrunc" -> "graft_date_trunc",
     // C-style printf formatting: Spark's format_string IS printf semantics
     "printf" -> "format_string",
     "array_length" -> "size",
@@ -113,6 +126,115 @@ object DialectFunctions {
       case Seq(x) => Some(s"log10($x)")
       case _ => None
     }
+    // ---- round-13 probe-grid parity fixes (scripts/probe_grid.py) ----
+    // ltrim/rtrim/trim with a character set: DuckDB is (string, chars),
+    // Spark's 2-arg builtins are (trimStr, srcStr) — swapped SILENTLY.
+    // Emitted as the TRIM keyword syntax so the fixed-point scan can't
+    // re-match its own output (rewriteCalls reruns until no change).
+    sql2 = rewriteCalls(sql2, "ltrim") {
+      case Seq(s, cs) => Some(s"TRIM(LEADING $cs FROM $s)")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "rtrim") {
+      case Seq(s, cs) => Some(s"TRIM(TRAILING $cs FROM $s)")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "trim|btrim") {
+      case Seq(s, cs) => Some(s"TRIM(BOTH $cs FROM $s)")
+      case _ => None
+    }
+    // substr with a start at or below 0: DuckDB's window is
+    // [pos, pos+len) in 1-based space, clamped to [1, ∞) — the clamp
+    // CONSUMES length (substr('hello', 0, 3) = 'he'); Spark treats
+    // non-positive starts as position 1 with the full length. Positive
+    // starts agree (the FROM/FOR spelling dodges the fixed-point rescan).
+    sql2 = rewriteCalls(sql2, "substr|substring") {
+      case Seq(s, i, n) =>
+        val pos = s"(CASE WHEN ($i) < 0 THEN length($s) + ($i) + 1 ELSE ($i) END)"
+        Some(s"(CASE WHEN ($i) >= 1 THEN substring($s FROM ($i) FOR ($n)) " +
+          s"WHEN $pos + ($n) <= 1 THEN '' " +
+          s"ELSE graft_slice($s, greatest($pos, 0), $pos + ($n) - 1) END)")
+      case _ => None
+    }
+    // 1-arg trunc = toward zero (Spark's trunc is the date function)
+    sql2 = rewriteCalls(sql2, "trunc") {
+      case Seq(x) =>
+        Some(s"(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END)")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "xor") {
+      case Seq(a, b) => Some(s"(($a) ^ ($b))")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "isinf") {
+      case Seq(x) =>
+        Some(s"(abs(CAST(($x) AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "isfinite") {
+      case Seq(x) =>
+        Some(s"(NOT (isnan(CAST(($x) AS DOUBLE)) OR " +
+          s"abs(CAST(($x) AS DOUBLE)) = CAST('Infinity' AS DOUBLE)))")
+      case _ => None
+    }
+    // even(x): round away from zero to the next even number (DOUBLE)
+    sql2 = rewriteCalls(sql2, "even") {
+      case Seq(x) => Some(s"CAST(CASE WHEN ($x) >= 0 THEN 2 * ceil(($x) / 2.0D)" +
+        s" ELSE -(2 * ceil((-($x)) / 2.0D)) END AS DOUBLE)")
+      case _ => None
+    }
+    // fdiv = floor division in DOUBLE; fmod = floored (sign-of-divisor)
+    // remainder — both probed on 1.0 (fmod(-7.5, 2) = 0.5, NOT C fmod)
+    sql2 = rewriteCalls(sql2, "fdiv") {
+      case Seq(a, b) => Some(s"CAST(floor(CAST(($a) AS DOUBLE) / ($b)) AS DOUBLE)")
+      case _ => None
+    }
+    // fmod is FLOOR mod (sign of the divisor — probed: fmod(-7.5, 2) =
+    // 0.5, fmod(7.5, -2) = -0.5; neither C fmod nor Spark's pmod)
+    sql2 = rewriteCalls(sql2, "fmod") {
+      case Seq(a, b) =>
+        Some(s"(CAST(($a) AS DOUBLE) - CAST(($b) AS DOUBLE) * " +
+          s"floor(CAST(($a) AS DOUBLE) / CAST(($b) AS DOUBLE)))")
+      case _ => None
+    }
+    // TRY_CAST(e AS BOOLEAN): literal inputs constant-fold before the
+    // optimizer-rule defense can run, so the engine path dispatches at
+    // analysis via graft_try_bool (strings: DuckDB's exact accepted set)
+    sql2 = rewriteCalls(sql2, "try_cast") {
+      case Seq(a) =>
+        val m = java.util.regex.Pattern
+          .compile("(?is)^(.*\\S)\\s+AS\\s+BOOLEAN\\s*$").matcher(a)
+        if (m.matches()) Some(s"graft_try_bool(${m.group(1)})") else None
+      case _ => None
+    }
+    // epoch(ts) = DOUBLE seconds (the epoch_ms / date_part('epoch')
+    // siblings have their own rewrites below)
+    sql2 = rewriteCalls(sql2, "epoch") {
+      case Seq(x) =>
+        Some(s"(CAST(unix_micros(CAST(($x) AS TIMESTAMP)) AS DOUBLE) / 1000000.0D)")
+      case _ => None
+    }
+    // yearweek = ISO year (the year of the ISO week's Thursday) * 100 +
+    // ISO week — yearweek(DATE '2021-01-01') = 202053
+    sql2 = rewriteCalls(sql2, "yearweek") {
+      case Seq(x) =>
+        val iso = s"(CASE WHEN dayofweek(CAST(($x) AS DATE)) = 1 THEN 7" +
+          s" ELSE dayofweek(CAST(($x) AS DATE)) - 1 END)"
+        Some(s"(year(date_add(CAST(($x) AS DATE), 4 - $iso)) * 100 + " +
+          s"weekofyear(CAST(($x) AS DATE)))")
+      case _ => None
+    }
+    // DuckDB fmt-style format('{} {:d}', …) → format_string (%-style):
+    // literal templates with only {} / {:d} placeholders translate; other
+    // templates pass through for a loud UNRESOLVED_ROUTINE
+    sql2 = rewriteCalls(sql2, "format") {
+      case fmt +: rest if rest.nonEmpty && isLiteral(fmt) &&
+          !fmt.replace("{}", "").replace("{:d}", "").contains("{") =>
+        val body = fmt.trim.stripPrefix("'").stripSuffix("'")
+          .replace("%", "%%").replace("{}", "%s").replace("{:d}", "%d")
+        Some(s"format_string('$body', ${rest.mkString(", ")})")
+      case _ => None
+    }
     // window FILTER folds before the EXCLUDE expansion (so
     // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
     // clauses: both emit plain sum/count/... OVER text that the remaining
@@ -130,6 +252,9 @@ object DialectFunctions {
     // degenerate to plain DOUBLE division exactly like DuckDB 1.0
     // (integral operands keep truncating integer division)
     out = SqlText.mapOutsideLiterals(out)(_.replace("//", " div "))
+    // DuckDB's prefix @ = abs (call-shaped spelling only; `@` appears
+    // nowhere in Spark's grammar, so the plain replace is unambiguous)
+    out = SqlText.mapOutsideLiterals(out)(_.replace("@(", "abs("))
     out = rewriteQuantified(out)
     out = rewriteCalls(out, "string_split|str_split") {
       case Seq(e, sep) if isLiteral(sep) =>
@@ -315,9 +440,11 @@ object DialectFunctions {
       case Seq(l, x) => Some(s"array_position($l, $x)")
       case _ => None
     }
-    // list_unique = count of distinct elements
+    // list_unique = count of distinct NON-NULL elements (round-13 probe:
+    // duckdb excludes NULL from the count)
     out = rewriteCalls(out, "list_unique") {
-      case Seq(l) => Some(s"size(array_distinct($l))")
+      case Seq(l) =>
+        Some(s"size(filter(array_distinct($l), __lu -> __lu IS NOT NULL))")
       case _ => None
     }
     out = rewriteCalls(out, "array_pop_back") {
@@ -353,6 +480,36 @@ object DialectFunctions {
     out = rewriteCalls(out, "range", skipInFromClause = true) {
       case Seq(n) => Some(rangeSql("CAST(0 AS BIGINT)", s"CAST($n AS BIGINT)"))
       case Seq(a, b) => Some(rangeSql(s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)"))
+      // 3-arg stepped range (round-13 probe grid): end-EXCLUSIVE with an
+      // arbitrary step; sequence() is end-inclusive and errors when the
+      // boundaries oppose the step, so shrink the end by one step-sign and
+      // guard the empty cases explicitly
+      case Seq(a, b, st) =>
+        val (aa, bb, ss) =
+          (s"CAST($a AS BIGINT)", s"CAST($b AS BIGINT)", s"CAST($st AS BIGINT)")
+        Some(s"(CASE WHEN $ss > 0 AND $aa < $bb THEN sequence($aa, $bb - 1, $ss) " +
+          s"WHEN $ss < 0 AND $aa > $bb THEN sequence($aa, $bb + 1, $ss) " +
+          s"ELSE slice(sequence(CAST(0 AS BIGINT), CAST(0 AS BIGINT)), 1, 0) END)")
+      case _ => None
+    }
+    // round-13 probe grid: DuckDB list_distinct DROPS NULL elements (and
+    // returns an unspecified order — callers sort); list_prepend takes
+    // (element, list) where array_prepend is (list, element); list_sum
+    // follows the list_aggregate('sum') path (NULL for an empty list)
+    out = rewriteCalls(out, "list_distinct") {
+      case Seq(l) => Some(s"filter(array_distinct($l), __ld -> __ld IS NOT NULL)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "list_prepend") {
+      case Seq(e, l) => Some(s"array_prepend($l, $e)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "list_reverse_sort") {
+      case Seq(l) => Some(s"sort_array($l, false)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "list_sum") {
+      case Seq(l) => Some(s"list_aggregate($l, 'sum')")
       case _ => None
     }
     // time_bucket(INTERVAL 'n unit', ts) — fixed-width bucket truncation

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types._
+
+/** Type-dispatched parity kernels surfaced by the round-13 differential
+  * probe grid (scripts/probe_grid.py / ProbeGridSpec) — each exists
+  * because DuckDB's behavior depends on the RESOLVED argument type, which
+  * the text layer cannot see:
+  *
+  *  - [[GraftLen]]: DuckDB `len` counts characters of VARCHAR and elements
+  *    of LIST/MAP; Spark's `len` is string-only.
+  *  - [[GraftBitCount]]: DuckDB counts bits within the operand's own
+  *    width (bit_count(-1::TINYINT) = 8); Spark sign-extends to LONG (=64).
+  *  - [[GraftDateTrunc]]: DuckDB date_trunc returns DATE for DATE input
+  *    truncated to day-or-coarser fields; Spark always returns TIMESTAMP.
+  *  - [[GammaFn]] + registrations: gamma/lgamma have no Spark builtin
+  *    (and commons-math is not on the classpath); Lanczos g=7 gives ~15
+  *    significant digits — far inside the oracle's 6-dp comparison.
+  */
+case class GraftLen(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType => Length(child)
+    case BinaryType => Length(child) // bytes, like DuckDB's len(BLOB)
+    case _: ArrayType | _: MapType => Size(child)
+    case other => throw new IllegalArgumentException(
+      s"len() needs a STRING, LIST or MAP operand, got ${other.simpleString}")
+  }
+}
+
+case class GraftBitCount(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  private def masked(bits: Int): Expression =
+    BitwiseCount(BitwiseAnd(Cast(child, LongType),
+      Literal((1L << bits) - 1)))
+  override lazy val replacement: Expression = child.dataType match {
+    case ByteType => masked(8)
+    case ShortType => masked(16)
+    case IntegerType => masked(32)
+    case LongType | BooleanType => BitwiseCount(child)
+    case other => throw new IllegalArgumentException(
+      s"bit_count() needs an integral operand, got ${other.simpleString}")
+  }
+}
+
+case class GraftDateTrunc(format: Expression, child: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override def left: Expression = format
+  override def right: Expression = child
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(format = newLeft, child = newRight)
+  private val dateFields =
+    Set("day", "week", "month", "quarter", "year")
+  override lazy val replacement: Expression = {
+    val f = format match {
+      case Literal(s, _: StringType) if s != null => s.toString.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"date_trunc field must be a string literal, got $other")
+    }
+    // TruncTimestamp / ts-casts are TimeZoneAware: the replacement is not
+    // a plan child, so the analyzer's ResolveTimeZone never visits it —
+    // the session zone must be bound here explicitly
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    def truncTs(e: Expression): Expression =
+      TruncTimestamp(Literal(f), e, tz)
+    val ts = child.dataType match {
+      case DateType => Cast(child, TimestampType, tz)
+      case _ => child
+    }
+    // DuckDB returns DATE for day-or-coarser fields REGARDLESS of the
+    // input type (date_trunc('month', TIMESTAMP …) is a DATE); finer
+    // fields return TIMESTAMP
+    if (dateFields(f)) Cast(truncTs(ts), DateType, tz) else truncTs(ts)
+  }
+}
+
+/** TRY_CAST(e AS BOOLEAN) with DuckDB's VARCHAR acceptance set — exactly
+  * {true, false, t, f, 1, 0} case-insensitively, NO whitespace trimming
+  * (Spark additionally accepts y/yes/n/no and trims). Non-string inputs
+  * keep Spark's TRY cast. Routed here by the dialect because literal
+  * TRY_CASTs constant-fold before any optimizer-rule defense runs. */
+case class GraftTryBool(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType =>
+      val low = Lower(child)
+      def in(vals: String*): Expression =
+        In(low, vals.map(v => Literal(v): Expression))
+      CaseWhen(Seq(
+        (in("true", "t", "1"), Literal(true)),
+        (in("false", "f", "0"), Literal(false))),
+        Literal(null, BooleanType))
+    case _ =>
+      TryEval(Cast(child, BooleanType, None, EvalMode.ANSI))
+  }
+}
+
+/** Lanczos (g = 7, n = 9) gamma/log-gamma — the standard published
+  * coefficients (Numerical Recipes / Boost's reference table). */
+object GammaFn {
+  private val C = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def gamma(x: Double): Double =
+    if (x.isNaN) Double.NaN
+    else if (x < 0.5) math.Pi / (math.sin(math.Pi * x) * gamma(1.0 - x))
+    else {
+      val z = x - 1.0
+      var a = C(0)
+      val t = z + 7.5
+      var i = 1
+      while (i < 9) { a += C(i) / (z + i); i += 1 }
+      math.sqrt(2.0 * math.Pi) * math.pow(t, z + 0.5) * math.exp(-t) * a
+    }
+
+  def lgamma(x: Double): Double =
+    if (x.isNaN) Double.NaN
+    else if (x < 0.5)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = C(0)
+      val t = z + 7.5
+      var i = 1
+      while (i < 9) { a += C(i) / (z + i); i += 1 }
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+}
+
+case class GraftGamma(child: Expression, log: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression =
+    StaticInvoke(GammaFn.getClass, DoubleType,
+      if (log) "lgamma" else "gamma",
+      Seq(Cast(child, DoubleType)), Seq(DoubleType), returnNullable = false)
+}

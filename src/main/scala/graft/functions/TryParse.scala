@@ -148,7 +148,7 @@ object NumericParseable {
   * SLOWER than the native path (extra boxing layer over the same parser),
   * so there is nothing to eliminate here. */
 object TryCastParseRule extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{EvalMode, If, Literal, TryEval}
+  import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EvalMode, If, In, Literal, Lower, TryEval}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -172,5 +172,20 @@ object TryCastParseRule extends Rule[LogicalPlan] {
         If(NumericParseable(c.child, floating),
           TryEval(Cast(c.child, c.dataType, c.timeZoneId, EvalMode.ANSI)),
           Literal(null, c.dataType))
+
+      // DuckDB's VARCHAR→BOOLEAN accepts exactly {true, false, t, f, 1, 0}
+      // case-insensitively, with NO whitespace trimming; Spark additionally
+      // accepts y/yes/n/no and trims — a silent-divergence class found by
+      // the round-13 probe grid (TRY_CAST('yes' AS BOOLEAN): NULL vs true).
+      case c: Cast if c.isTryCast && c.child.resolved &&
+          c.child.dataType.isInstanceOf[StringType] &&
+          c.dataType == BooleanType =>
+        val low = Lower(c.child)
+        def in(vals: String*): Expression =
+          In(low, vals.map(v => Literal(v): Expression))
+        CaseWhen(Seq(
+          (in("true", "t", "1"), Literal(true)),
+          (in("false", "f", "0"), Literal(false))),
+          Literal(null, BooleanType))
     }
 }

@@ -182,6 +182,20 @@ package object functions {
     // to plain DOUBLE division
     ExprBridge.registerFunction(spark, "graft_fdiv",
       es => { arity("graft_fdiv", 2)(es); GraftFloorDiv(es(0), es(1)) })
+    // round-13 probe-grid parity kernels (type-dispatched after
+    // resolution — see DialectParityFns.scala)
+    ExprBridge.registerFunction(spark, "graft_len",
+      es => { arity("graft_len", 1)(es); GraftLen(es.head) })
+    ExprBridge.registerFunction(spark, "graft_bit_count",
+      es => { arity("graft_bit_count", 1)(es); GraftBitCount(es.head) })
+    ExprBridge.registerFunction(spark, "graft_date_trunc",
+      es => { arity("graft_date_trunc", 2)(es); GraftDateTrunc(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_gamma",
+      es => { arity("graft_gamma", 1)(es); GraftGamma(es.head, log = false) })
+    ExprBridge.registerFunction(spark, "graft_lgamma",
+      es => { arity("graft_lgamma", 1)(es); GraftGamma(es.head, log = true) })
+    ExprBridge.registerFunction(spark, "graft_try_bool",
+      es => { arity("graft_try_bool", 1)(es); GraftTryBool(es.head) })
     // strict-math kernels (SET strict_math = true rewrites ln/log10/log2/
     // sqrt/asin/acos here — DuckDB's loud out-of-domain errors)
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))

@@ -177,6 +177,18 @@ object ParsedSql {
       case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide =>
         new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
           Seq("graft_fdiv"), Seq(d.left, d.right), false, None, false, Nil, false)
+      // DuckDB yields NULL for division/modulo by zero at EVERY type;
+      // Spark's ANSI `/` and `%` throw. try_divide/try_mod are exactly
+      // Divide/Remainder with EvalMode.TRY — same typing, NULL on zero
+      // (round-13 probe grid: 1/0, 1.0/0.0, 1 % 0 all NULL in DuckDB).
+      case d: org.apache.spark.sql.catalyst.expressions.Divide
+          if d.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("try_divide"), Seq(d.left, d.right), false, None, false, Nil, false)
+      case r: org.apache.spark.sql.catalyst.expressions.Remainder
+          if r.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("try_mod"), Seq(r.left, r.right), false, None, false, Nil, false)
     }
     org.apache.spark.sql.classic.Dataset.ofRows(cs, fixed)
   }

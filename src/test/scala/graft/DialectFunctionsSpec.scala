@@ -19,8 +19,10 @@ class DialectFunctionsSpec extends AnyFunSuite {
   test("name map rewrites list functions and unnest") {
     val out = DialectFunctions.rewrite(
       "SELECT unnest(list_distinct(xs)), list_contains(xs, 'a'), LIST_EXTRACT(xs, 1)")
+    // list_distinct drops NULL elements since round 13 (probe grid)
     assert(out ===
-      "SELECT explode(array_distinct(xs)), array_contains(xs, 'a'), graft_extract(xs, 1)")
+      "SELECT explode(filter(array_distinct(xs), __ld -> __ld IS NOT NULL)), " +
+        "array_contains(xs, 'a'), graft_extract(xs, 1)")
   }
 
   test("function names inside string literals are untouched") {
@@ -285,8 +287,9 @@ class DialectFunctionsSpec extends AnyFunSuite {
     // DuckDB 1.0.0 contract: 0 when absent (same as Spark array_position)
     assert(DialectFunctions.rewrite("SELECT list_position(l, 'x')") ===
       "SELECT array_position(l, 'x')")
+    // round 13: NULL elements excluded from the count, like duckdb
     assert(DialectFunctions.rewrite("SELECT list_unique(l)") ===
-      "SELECT size(array_distinct(l))")
+      "SELECT size(filter(array_distinct(l), __lu -> __lu IS NOT NULL))")
     assert(DialectFunctions.rewrite("SELECT array_pop_back(l), array_pop_front(l)") ===
       "SELECT slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1)")
     // boundary-exact date_diff: truncate both ends to the part first
