@@ -131,32 +131,19 @@ object Bench {
       return
     }
 
-    // Host-health control block (round-13: the r12 host-window proof was a
-    // manual checkout-r10-and-re-run experiment). Three pinned cheap
-    // queries run right after warm-up; their geometric-mean ratio vs the
-    // previous same-sf artifact stamps this run, and a bad window
-    // (ratio outside [1/1.4, 1.4]) suppresses mover analysis — movers
-    // measured through a co-tenant-loaded or otherwise shifted host window
-    // are noise, not signal (the r12 sf1 "8 movers" were exactly this).
+    // Host-health control names (round-13: the r12 host-window proof was
+    // a manual checkout-r10-and-re-run experiment). The health ratio is
+    // computed AFTER the sweep from the sweep's OWN minima of these
+    // queries vs the previous same-sf artifact; a separate early control
+    // run carries a cold-start bias (first cut measured controls at
+    // 1.86× right after warm-up while the same queries read 1.05× inside
+    // the sweep — a false "unhealthy" that suppressed real signal).
+    // A window outside [1/1.4, 1.4] suppresses mover analysis — movers
+    // measured through a co-tenant-loaded or otherwise shifted window are
+    // noise, not signal (the r12 sf1 "8 movers" were exactly this).
     val prevArt = loadPrev(sfDir)
     val controlNames = Seq("q01", "q24", "q84")
       .flatMap(p => names.find(_.startsWith(p)))
-    val controlTimes: Seq[(String, Double)] = controlNames.map { n =>
-      // min of two samples: one loaded control must not condemn the window
-      val ts = Seq(runOnce(n), runOnce(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-    val hostHealth: Option[Double] = prevArt.flatMap { case (_, prevQ, _) =>
-      val ratios = controlTimes.flatMap { case (n, t) =>
-        prevQ.get(n).filter(p => p > 0 && t > 0).map(t / _)
-      }
-      if (ratios.isEmpty) None
-      else Some(math.exp(ratios.map(math.log).sum / ratios.size))
-    }
-    val healthy = hostHealth.forall(h => h <= 1.4 && h >= 1.0 / 1.4)
-    if (!healthy) System.err.println(
-      s"[bench] HOST WINDOW SUSPECT: control ratio ${hostHealth.get} vs " +
-        s"${prevArt.map(_._1).getOrElse("?")} — mover analysis suppressed")
 
     val warmQueries = Seq.newBuilder[String]
     val results = names.map { name =>
@@ -207,6 +194,19 @@ object Bench {
     // noise is additive, so a clean re-sample clears a false mover, while
     // a true regression reproduces and stays flagged. Improvement movers
     // are never re-sampled (additive noise cannot fake an improvement).
+    val controlTimes: Seq[(String, Double)] =
+      controlNames.map(n => n -> results.find(_._1 == n).map(_._2).getOrElse(-1.0))
+    val hostHealth: Option[Double] = prevArt.flatMap { case (_, prevQ, _) =>
+      val ratios = controlTimes.flatMap { case (n, t) =>
+        prevQ.get(n).filter(p => p > 0 && t > 0).map(t / _)
+      }
+      if (ratios.isEmpty) None
+      else Some(math.exp(ratios.map(math.log).sum / ratios.size))
+    }
+    val healthy = hostHealth.forall(h => h <= 1.4 && h >= 1.0 / 1.4)
+    if (!healthy) System.err.println(
+      s"[bench] HOST WINDOW SUSPECT: control ratio ${hostHealth.get} vs " +
+        s"${prevArt.map(_._1).getOrElse("?")} — mover analysis suppressed")
     // mover re-sampling only makes sense through a healthy host window —
     // under a shifted window every query reads as a mover and the defense
     // would burn a full extra sweep chasing noise
