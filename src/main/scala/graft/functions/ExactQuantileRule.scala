@@ -82,13 +82,18 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
 
   private case class Pct(ae: AggregateExpression, value: Expression,
       qs: Seq[Double], isArray: Boolean, filter: Option[Expression],
-      distinct: Boolean, discrete: Boolean = false) {
-    /** Branches are shared per (measure, FILTER, DISTINCT, discrete): each
-      * such tuple has its own histogram (the filter changes which rows
-      * count; DISTINCT changes the counts to 1; discrete keeps the NATIVE
-      * value type where continuous casts to DOUBLE). */
-    def branchKey: (Expression, Option[Expression], Boolean, Boolean) =
-      (value.canonicalized, filter.map(_.canonicalized), distinct, discrete)
+      distinct: Boolean, discrete: Boolean = false,
+      decimalCont: Boolean = false) {
+    /** Keep the value's NATIVE type through the histogram? (discrete
+      * selection and DECIMAL truncated interpolation both need it; plain
+      * continuous interpolation casts to DOUBLE.) */
+    def native: Boolean = discrete || decimalCont
+    /** Branches are shared per (measure, FILTER, DISTINCT, native-mode):
+      * each such tuple has its own histogram (the filter changes which
+      * rows count; DISTINCT changes the counts to 1). */
+    def branchKey: (Expression, Option[Expression], Boolean, Boolean, Boolean) =
+      (value.canonicalized, filter.map(_.canonicalized), distinct, discrete,
+        decimalCont)
   }
 
   /** The Percentile calls this rule handles; None = not rewritable.
@@ -133,16 +138,18 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
               ae.isDistinct))
           case _ => None
         }
-      // cont over DECIMAL needs the truncated-unscaled interpolation — the
-      // collect_list fallback (QuantileFallbackRule) carries that; only the
-      // double-interpolating shape routes through the histogram here
+      // cont over DECIMAL keeps the native DECIMAL through the histogram
+      // and applies the truncated-unscaled interpolation in the final
+      // projection (round-13: the collect_list fallback carried it first,
+      // but per-group array state is the exact memory cliff this rule
+      // exists to remove); plain numerics interpolate in DOUBLE
       case GraftQuantileCont(value, pctLit)
           if filterOk && value.deterministic &&
-            value.dataType.isInstanceOf[NumericType] &&
-            !value.dataType.isInstanceOf[DecimalType] =>
+            value.dataType.isInstanceOf[NumericType] =>
         QuantileMarker.percentages(QuantileMarker.foldedPercentage(pctLit))
           .map { case (qs, isArray) =>
-            Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct)
+            Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct,
+              decimalCont = value.dataType.isInstanceOf[DecimalType])
           }
       case _ => None
     }
@@ -272,10 +279,10 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val qkAliases = groupingExprs.zipWithIndex.map { case (g, i) =>
       Alias(g, s"__qk${j}_$i")()
     }
-    // discrete selection keeps the NATIVE type (DuckDB preserves it);
-    // continuous interpolation arithmetic needs DOUBLE
+    // discrete selection and DECIMAL truncated interpolation keep the
+    // NATIVE type; plain continuous interpolation arithmetic needs DOUBLE
     val vAlias =
-      if (p0.discrete) Alias(value, s"__v$j")()
+      if (p0.native) Alias(value, s"__v$j")()
       else Alias(Cast(value, DoubleType), s"__v$j")()
     // FILTER clause applies before the histogram, on the raw child rows
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
@@ -315,7 +322,7 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
     val p0 = group.head
     val vAlias =
-      if (p0.discrete) Alias(p0.value, s"__v$j")()
+      if (p0.native) Alias(p0.value, s"__v$j")()
       else Alias(Cast(p0.value, DoubleType), s"__v$j")()
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
     val keyed = Project(Seq(vAlias), base)
@@ -400,10 +407,12 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val posed = Project(
       (qkAttrs :+ vAttr :+ cumAttr) ++ posAliases.flatten, rows)
 
+    // vAttr is DOUBLE on the plain-cont path and native DECIMAL for the
+    // truncated-interpolation mode — the null literal must follow it
     def condMin(rank: Expression, name: String): Alias =
       Alias(AggregateExpression(
         Min(If(GreaterThanOrEqual(cumAttr, rank), vAttr,
-          Literal(null, DoubleType))), Complete, isDistinct = false), name)()
+          Literal(null, vAttr.dataType))), Complete, isDistinct = false), name)()
 
     val quantAggs: Seq[Alias] = group.zipWithIndex.flatMap { case (p, m) =>
       p.qs.indices.flatMap { i =>
@@ -427,14 +436,24 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
         val lo = quantAttrs(off + 3 * i); val hi = quantAttrs(off + 3 * i + 1)
         val pos = quantAttrs(off + 3 * i + 2)
         val frac = Subtract(pos, Cast(Floor(pos), DoubleType))
-        Add(lo, Multiply(frac, Subtract(hi, lo)))
+        p.value.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType if p.decimalCont =>
+            // DuckDB's DECIMAL quantile_cont: truncated interpolation over
+            // the unscaled values, keeping the DECIMAL type (lo/hi are
+            // native here — the branch skipped the DOUBLE cast)
+            QuantileFallbackRule.truncDecimalInterp(lo, hi, frac, d)
+          case _ => Add(lo, Multiply(frac, Subtract(hi, lo)))
+        }
       }
       // posmin of the first quantile is NULL exactly when the group had no
       // non-NULL measure (the branch aggregated zero histogram rows)
       val guard = quantAttrs(off + 2)
       off += 3 * p.qs.size
       val out: Expression =
-        if (p.isArray)
+        if (p.isArray && p.decimalCont)
+          // the marker declares ArrayType(d, containsNull = true)
+          If(IsNull(guard), Literal(null, p.ae.dataType), CreateArray(interps))
+        else if (p.isArray)
           // the builtin returns NULL — not an array of NULLs — for all-NULL
           // groups; inside a populated group every element is provably
           // non-null (rank floor(pos)+1 <= n always has a straddler), which

@@ -166,6 +166,16 @@ class QuantileParitySpec extends AnyFunSuite {
       spark.sql(sql).queryExecution.executedPlan.toString)
     assert(fbPlan.contains("collect_list"),
       s"disabled rewrite must fall back to the composite:\n$fbPlan")
+    // DECIMAL quantile_cont routes through the histogram too (round-13:
+    // the collect_list fallback is per-group data-sized state — the exact
+    // memory cliff the rule exists to remove)
+    val decSql = "SELECT l_returnflag, " +
+      "quantile_cont(CAST(l_quantity AS DECIMAL(12,2)), 0.25) AS qc " +
+      "FROM lineitem GROUP BY l_returnflag"
+    val decPlan = withRule(on = true)(
+      spark.sql(decSql).queryExecution.executedPlan.toString)
+    assert(!decPlan.contains("collect_list") && !decPlan.contains("percentile"),
+      s"decimal cont must use the histogram shape:\n$decPlan")
   }
 
   test("quantile_disc in window position loud-rejects") {
