@@ -241,8 +241,13 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
-    writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms,
-      resampled = resampledMap, hostHealth = hostHealth)
+    // a SPARK_GRAFT_ONLY-filtered run is a smoke/iteration run: its delta
+    // is meaningless (n_compared = the filter size) and it CLOBBERS the
+    // committed round delta — this guard closed a second clobber class
+    // after BENCH_OUT discipline closed the artifact one (round 13)
+    if (only.isEmpty)
+      writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms,
+        resampled = resampledMap, hostHealth = hostHealth)
     spark.stop()
   }
 
