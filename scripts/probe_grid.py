@@ -198,6 +198,87 @@ p("cast",
   "ifnull(NULL, 5)",
   "if(2 > 1, 'y', 'n')")
 
+# ----------------------------------------------------------- aggregates
+# scalar-subquery form runs identically in both engines; list-returning
+# aggregates go through list_sort so unspecified orders can't flake
+def agg(expr_, vals, t="t(x)"):
+    return f"(SELECT {expr_} FROM (VALUES {vals}) {t})"
+
+p("agg",
+  agg("bool_and(x)", "(true),(true)"), agg("bool_and(x)", "(true),(false)"),
+  agg("bool_and(x)", "(true),(NULL)"), agg("bool_or(x)", "(false),(NULL)"),
+  agg("bool_or(x)", "(false),(false)"),
+  agg("bit_and(x)", "(7),(5)"), agg("bit_or(x)", "(1),(4)"),
+  agg("bit_xor(x)", "(5),(3)"),
+  agg("product(x)", "(2.0),(3.0),(NULL)"),
+  agg("product(x)", "(2),(4)"),
+  agg("count(*)", "(1),(NULL)"), agg("count(x)", "(1),(NULL)"),
+  agg("count(DISTINCT x)", "(1),(1),(2),(NULL)"),
+  agg("sum(x)", "(NULL::INTEGER)"),
+  agg("CAST(sum(x) AS BIGINT)", "(1),(2),(NULL)"),
+  agg("sum(DISTINCT x)", "(1.5),(1.5),(2.5)"),
+  agg("avg(x)", "(1),(2)"),
+  agg("min(x)", "('b'),('a'),(NULL)"), agg("max(x)", "('b'),('a')"),
+  agg("arg_max(x, y)", "(  'a', 1),('b', 3),('c', 2)", "t(x, y)"),
+  agg("arg_min(x, y)", "('a', 1),('b', 3),('c', NULL)", "t(x, y)"),
+  agg("arg_max(x, y)", "('a', NULL),('b', 2)", "t(x, y)"),
+  agg("mode(x)", "(1),(2),(2),(3)"),
+  agg("CAST(stddev(x) AS DOUBLE)", "(1.0),(2.0),(3.0),(4.0)"),
+  agg("CAST(stddev_pop(x) AS DOUBLE)", "(1.0),(2.0),(3.0),(4.0)"),
+  agg("CAST(stddev_samp(x) AS DOUBLE)", "(1.0),(2.0)"),
+  agg("CAST(var_pop(x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("CAST(var_samp(x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("CAST(variance(x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("CAST(skewness(x) AS DOUBLE)", "(1.0),(2.0),(2.0),(9.0)"),
+  agg("CAST(kurtosis(x) AS DOUBLE)", "(1.0),(2.0),(2.0),(9.0),(3.0)"),
+  agg("CAST(covar_pop(x, y) AS DOUBLE)", "(1.0, 2.0),(2.0, 4.0),(3.0, 5.0)", "t(x, y)"),
+  agg("CAST(covar_samp(x, y) AS DOUBLE)", "(1.0, 2.0),(2.0, 4.0),(3.0, 5.0)", "t(x, y)"),
+  agg("CAST(corr(x, y) AS DOUBLE)", "(1.0, 2.0),(2.0, 4.0),(3.0, 5.0)", "t(x, y)"),
+  agg("CAST(regr_slope(y, x) AS DOUBLE)", "(1.0, 2.0),(2.0, 4.0),(3.0, 5.0)", "t(x, y)"),
+  agg("CAST(regr_intercept(y, x) AS DOUBLE)", "(1.0, 2.0),(2.0, 4.0),(3.0, 5.0)", "t(x, y)"),
+  agg("string_agg(x, '-')", "('a'),('b'),(NULL),('c')"),
+  agg("string_agg(x)", "('a'),('b')"),
+  agg("list_sort(list(x))", "(3),(1),(NULL),(2)"),
+  agg("CAST(fsum(x) AS DOUBLE)", "(1.5),(2.5)"),
+  agg("CAST(favg(x) AS DOUBLE)", "(1.0),(2.0)"),
+  agg("CAST(geomean(x) AS DOUBLE)", "(2.0),(8.0)"),
+  agg("CAST(entropy(x) AS DOUBLE)", "(1),(1),(2),(2)"),
+  agg("CAST(entropy(x) AS DOUBLE)", "(1),(1),(1),(2)"),
+  agg("any_value(x)", "(7)"),
+  agg("CAST(quantile_disc(x, 0.5) FILTER (WHERE x > 1) AS BIGINT)", "(1),(2),(3)"),
+  # small-n skewness/kurtosis: the sample corrections divide by n-2 / n-3
+  agg("CAST(skewness(x) AS DOUBLE)", "(1.0),(2.0)"),
+  agg("CAST(kurtosis(x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("CAST(skewness(x) AS DOUBLE)", "(1.0),(5.0),(2.0),(8.0),(3.0)"),
+  agg("CAST(kurtosis(x) AS DOUBLE)", "(1.0),(5.0),(2.0),(8.0),(3.0),(9.0)"))
+
+# ----------------------------------------------------------- windows
+def win(outer, inner, vals, t="t(x)"):
+    return (f"(SELECT {outer} FROM (SELECT {inner} AS r, x "
+            f"FROM (VALUES {vals}) {t}) s)")
+
+p("window",
+  win("list_sort(list(r))", "ntile(3) OVER (ORDER BY x)",
+      "(1),(2),(3),(4),(5),(6),(7)"),
+  win("list_sort(list(r))", "CAST(percent_rank() OVER (ORDER BY x) AS DOUBLE)",
+      "(10),(20),(30)"),
+  win("list_sort(list(r))", "CAST(cume_dist() OVER (ORDER BY x) AS DOUBLE)",
+      "(10),(20),(20)"),
+  win("list_sort(list(r))", "rank() OVER (ORDER BY x)", "(1),(2),(2),(3)"),
+  win("list_sort(list(r))", "dense_rank() OVER (ORDER BY x)", "(1),(2),(2),(3)"),
+  win("list_sort(list(r))", "row_number() OVER (ORDER BY x)", "(5),(3),(4)"),
+  win("max(r)", "lag(x) OVER (ORDER BY x)", "(1),(2),(3)"),
+  win("min(r)", "lag(x, 1, -1) OVER (ORDER BY x)", "(1),(2),(3)"),
+  win("max(r)", "lead(x, 2) OVER (ORDER BY x)", "(1),(2),(3)"),
+  win("list_sort(list(r))", "first_value(x) OVER (ORDER BY x)", "(2),(1),(3)"),
+  win("list_sort(list(r))", "last_value(x) OVER (ORDER BY x)", "(2),(1),(3)"),
+  win("list_sort(list(r))", "nth_value(x, 2) OVER (ORDER BY x)", "(2),(1),(3)"),
+  win("list_sort(list(r))",
+      "CAST(sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)",
+      "(1),(2),(3)"),
+  win("list_sort(list(r))",
+      "CAST(count(*) OVER (PARTITION BY x % 2) AS BIGINT)", "(1),(2),(3),(4)"))
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

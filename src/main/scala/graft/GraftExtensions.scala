@@ -130,6 +130,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_lgamma"),
       info("graft_lgamma", "graft_lgamma(x) - log-gamma function (Lanczos)"),
       es => { arity("graft_lgamma", 1)(es); functions.GraftGamma(es.head, log = true) }))
+    ext.injectFunction((FunctionIdentifier("graft_skew_raw"),
+      info("graft_skew_raw", "graft_skew_raw(x) - population skewness (dialect-internal)"),
+      es => { arity("graft_skew_raw", 1)(es)
+        org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_kurt_raw"),
+      info("graft_kurt_raw", "graft_kurt_raw(x) - population excess kurtosis (dialect-internal)"),
+      es => { arity("graft_kurt_raw", 1)(es)
+        org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(es.head) }))
     ext.injectFunction((FunctionIdentifier("graft_try_bool"),
       info("graft_try_bool", "graft_try_bool(e) - TRY_CAST to BOOLEAN with DuckDB's accepted strings"),
       es => { arity("graft_try_bool", 1)(es); functions.GraftTryBool(es.head) }))

@@ -224,6 +224,37 @@ object DialectFunctions {
           s"weekofyear(CAST(($x) AS DATE)))")
       case _ => None
     }
+    // DuckDB's skewness/kurtosis are SAMPLE-corrected where Spark's are
+    // population statistics (probed: skewness ratio = √(n(n−1))/(n−2);
+    // kurtosis G2 = ((n+1)·g2 + 6)(n−1)/((n−2)(n−3)) — verified
+    // numerically). graft_skew_raw/graft_kurt_raw are registered aliases
+    // of Spark's builtins so the fixed-point scan can't re-match.
+    // Divisions go through the NULL-on-zero hook, so n too small → NULL
+    // exactly like DuckDB.
+    sql2 = rewriteCalls(sql2, "skewness") {
+      case Seq(x) => Some(s"(graft_skew_raw($x) * " +
+        s"sqrt(CAST(count($x) AS DOUBLE) * (count($x) - 1.0)) / (count($x) - 2.0))")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "kurtosis") {
+      case Seq(x) => Some(s"(((count($x) + 1.0) * graft_kurt_raw($x) + 6.0) * " +
+        s"(count($x) - 1.0) / ((count($x) - 2.0) * (count($x) - 3.0)))")
+      case _ => None
+    }
+    // Kahan-compensated fsum/favg accumulate in DOUBLE (the 6-dp oracle
+    // band absorbs the compensation); geomean = exp(mean of logs)
+    sql2 = rewriteCalls(sql2, "fsum|sumkahan|kahan_sum") {
+      case Seq(x) => Some(s"sum(CAST(($x) AS DOUBLE))")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "favg") {
+      case Seq(x) => Some(s"avg(CAST(($x) AS DOUBLE))")
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "geomean|geometric_mean") {
+      case Seq(x) => Some(s"exp(avg(ln(CAST(($x) AS DOUBLE))))")
+      case _ => None
+    }
     // DuckDB fmt-style format('{} {:d}', …) → format_string (%-style):
     // literal templates with only {} / {:d} placeholders translate; other
     // templates pass through for a loud UNRESOLVED_ROUTINE
@@ -541,7 +572,11 @@ object DialectFunctions {
     out = rewriteCalls(out, "list|array_agg") {
       case Seq(a) => parseOrdered(a) match {
         case Ordered(v, keys, asc) => Some(orderedCollectExpr(v, keys, asc))
-        case NoOrder => Some(s"collect_list($a)")
+        case NoOrder =>
+          // DuckDB's list() KEEPS NULL elements; collect_list drops them
+          // (round-13 probe grid) — collect non-null struct wrappers and
+          // unwrap, preserving arrival order on both engines
+          Some(s"transform(collect_list(named_struct('v', $a)), __lg -> __lg.v)")
         case UnsupportedOrder => None
       }
       case _ => None

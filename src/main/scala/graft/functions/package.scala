@@ -196,6 +196,15 @@ package object functions {
       es => { arity("graft_lgamma", 1)(es); GraftGamma(es.head, log = true) })
     ExprBridge.registerFunction(spark, "graft_try_bool",
       es => { arity("graft_try_bool", 1)(es); GraftTryBool(es.head) })
+    // re-spellings of Spark's population skewness/kurtosis: the dialect's
+    // sample-correction composites reference these so the fixed-point text
+    // scan cannot re-match its own emission
+    ExprBridge.registerFunction(spark, "graft_skew_raw",
+      es => { arity("graft_skew_raw", 1)(es)
+        org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(es.head) })
+    ExprBridge.registerFunction(spark, "graft_kurt_raw",
+      es => { arity("graft_kurt_raw", 1)(es)
+        org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(es.head) })
     // strict-math kernels (SET strict_math = true rewrites ln/log10/log2/
     // sqrt/asin/acos here — DuckDB's loud out-of-domain errors)
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))

@@ -170,27 +170,37 @@ object CasePreserve {
   * only on the engine's SQL path (Connection.queryDF / the oracle-query
   * chain); plain spark.sql keeps Spark's `div`. */
 object ParsedSql {
-  def sql(spark: SparkSession, text: String): DataFrame = {
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val plan = cs.sessionState.sqlParser.parsePlan(text)
-    val fixed = plan.transformAllExpressions {
-      case d: org.apache.spark.sql.catalyst.expressions.IntegralDivide =>
-        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-          Seq("graft_fdiv"), Seq(d.left, d.right), false, None, false, Nil, false)
+  import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, IntegralDivide, Remainder, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def fn(name: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      Seq(name), args, false, None, false, Nil, false)
+
+  /** The operator rewrites, applied RECURSIVELY through subquery
+    * expressions — transformAllExpressions alone does not descend into a
+    * ScalarSubquery/Exists/ListQuery's nested plan, which left `//`, `/`
+    * and `%` inside subqueries on Spark semantics (found by the round-13
+    * aggregate probe grid, which runs everything as scalar subqueries). */
+  private def fixPlan(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case se: SubqueryExpression => se.withNewPlan(fixPlan(se.plan))
+      case d: IntegralDivide => fn("graft_fdiv", Seq(d.left, d.right))
       // DuckDB yields NULL for division/modulo by zero at EVERY type;
       // Spark's ANSI `/` and `%` throw. try_divide/try_mod are exactly
       // Divide/Remainder with EvalMode.TRY — same typing, NULL on zero
       // (round-13 probe grid: 1/0, 1.0/0.0, 1 % 0 all NULL in DuckDB).
-      case d: org.apache.spark.sql.catalyst.expressions.Divide
-          if d.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
-        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-          Seq("try_divide"), Seq(d.left, d.right), false, None, false, Nil, false)
-      case r: org.apache.spark.sql.catalyst.expressions.Remainder
-          if r.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
-        new org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
-          Seq("try_mod"), Seq(r.left, r.right), false, None, false, Nil, false)
+      case d: Divide if d.evalMode != EvalMode.TRY =>
+        fn("try_divide", Seq(d.left, d.right))
+      case r: Remainder if r.evalMode != EvalMode.TRY =>
+        fn("try_mod", Seq(r.left, r.right))
     }
-    org.apache.spark.sql.classic.Dataset.ofRows(cs, fixed)
+
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      fixPlan(cs.sessionState.sqlParser.parsePlan(text)))
   }
 }
 
