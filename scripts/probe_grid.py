@@ -244,6 +244,11 @@ p("agg",
   agg("CAST(geomean(x) AS DOUBLE)", "(2.0),(8.0)"),
   agg("CAST(entropy(x) AS DOUBLE)", "(1),(1),(2),(2)"),
   agg("CAST(entropy(x) AS DOUBLE)", "(1),(1),(1),(2)"),
+  agg("CAST(entropy(x) AS DOUBLE)", "(NULL::INTEGER)"),
+  agg("CAST(entropy(x) AS DOUBLE)", "(1),(NULL),(1),(2)"),
+  agg("CAST(entropy(x) AS DOUBLE)", "('a'),('b'),('a')"),
+  agg("CAST(entropy(DISTINCT x) AS DOUBLE)", "(1),(1),(2)"),
+  agg("CAST(entropy(x) FILTER (WHERE x > 1) AS DOUBLE)", "(1),(2),(2),(3)"),
   agg("any_value(x)", "(7)"),
   agg("CAST(quantile_disc(x, 0.5) FILTER (WHERE x > 1) AS BIGINT)", "(1),(2),(3)"),
   # small-n skewness/kurtosis: the sample corrections divide by n-2 / n-3

@@ -109,6 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         info(name, s"$name(x[, q]) - DuckDB discrete quantile (type-preserving; q defaults to 0.5)"),
         es => { val (x, q) = qArgs(name)(es); functions.GraftQuantileDisc(x, q) }))
+    ext.injectFunction((FunctionIdentifier("entropy"),
+      info("entropy", "entropy(x) - Shannon entropy (log2) of the value distribution"),
+      es => { arity("entropy", 1)(es); functions.GraftEntropy(es.head) }))
     ext.injectFunction((FunctionIdentifier("median"),
       info("median", "median(x) - DuckDB median (DECIMAL inputs are discrete and keep their type)"),
       es => { arity("median", 1)(es); functions.GraftMedian(es.head) }))

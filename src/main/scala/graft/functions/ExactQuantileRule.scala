@@ -83,17 +83,17 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
   private case class Pct(ae: AggregateExpression, value: Expression,
       qs: Seq[Double], isArray: Boolean, filter: Option[Expression],
       distinct: Boolean, discrete: Boolean = false,
-      decimalCont: Boolean = false) {
+      decimalCont: Boolean = false, entropy: Boolean = false) {
     /** Keep the value's NATIVE type through the histogram? (discrete
-      * selection and DECIMAL truncated interpolation both need it; plain
-      * continuous interpolation casts to DOUBLE.) */
-    def native: Boolean = discrete || decimalCont
-    /** Branches are shared per (measure, FILTER, DISTINCT, native-mode):
-      * each such tuple has its own histogram (the filter changes which
-      * rows count; DISTINCT changes the counts to 1). */
-    def branchKey: (Expression, Option[Expression], Boolean, Boolean, Boolean) =
+      * selection, DECIMAL truncated interpolation and entropy all need
+      * it; plain continuous interpolation casts to DOUBLE.) */
+    def native: Boolean = discrete || decimalCont || entropy
+    /** Branches are shared per (measure, FILTER, DISTINCT, mode): each
+      * such tuple has its own histogram (the filter changes which rows
+      * count; DISTINCT changes the counts to 1). */
+    def branchKey: (Expression, Option[Expression], Boolean, Boolean, Boolean, Boolean) =
       (value.canonicalized, filter.map(_.canonicalized), distinct, discrete,
-        decimalCont)
+        decimalCont, entropy)
   }
 
   /** The Percentile calls this rule handles; None = not rewritable.
@@ -128,6 +128,13 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
           .map { case (qs, isArray) =>
             Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct, discrete = true)
           }
+      // entropy rides the same (group, value) histogram with NO window at
+      // all: two plain aggregations over the counts (QuantileAggs.scala)
+      case GraftEntropy(value)
+          if filterOk && value.deterministic &&
+            RowOrdering.isOrderable(value.dataType) =>
+        Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
+          ae.isDistinct, entropy = true))
       case GraftMedian(value) if filterOk && value.deterministic =>
         value.dataType match {
           case _: DecimalType => // DuckDB: discrete-lower, DECIMAL-typed
@@ -244,6 +251,10 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val residAttrOf = residual.zip(residAttrs).map {
       case (ae, a) => ae.canonicalized -> a
     }.toMap
+    // duckdb's entropy of an all-NULL group is 0.0 — such groups are
+    // ABSENT from the histogram branch and surface NULL through the
+    // LeftOuter stitch, so the replacement coalesces them back to 0.0
+    val entropyAes = pcts.filter(_.entropy).map(_.ae.canonicalized).toSet
     val finalProjs = aggExprs.map { ne =>
       val noAggs = ne match {
         case a: Alias => a.child
@@ -251,7 +262,9 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       }
       val replacedAggs = noAggs.transformUp {
         case ae: AggregateExpression if pctAttr.contains(ae.canonicalized) =>
-          pctAttr(ae.canonicalized)
+          if (entropyAes(ae.canonicalized))
+            Coalesce(Seq(pctAttr(ae.canonicalized), Literal(0.0)))
+          else pctAttr(ae.canonicalized)
         case ae: AggregateExpression => residAttrOf(ae.canonicalized)
       }
       val replaced = replacedAggs.transformDown {
@@ -298,6 +311,7 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       (qkAttrs :+ vAttr :+ cAlias).map(_.asInstanceOf[NamedExpression]),
       Filter(IsNotNull(vAttr), keyed), None)
     val cAttr = cAlias.toAttribute
+    if (p0.entropy) return finishEntropy(hist, qkAttrs, cAttr, group, j)
 
     // 2. running and total counts over the per-group window (external,
     // spillable sort — the memory story of the whole rewrite)
@@ -335,6 +349,7 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       Seq(vAttr, cAlias).map(_.asInstanceOf[NamedExpression]),
       Filter(IsNotNull(vAttr), keyed), None)
     val cAttr = cAlias.toAttribute
+    if (p0.entropy) return finishEntropy(hist, Nil, cAttr, group, j)
 
     // 2a. range-partition by value; partition i holds values strictly below
     // partition i+1, so (partition id, within-partition running sum) plus a
@@ -463,6 +478,37 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
             CreateArray(interps.map(KnownNotNull)))
         else interps.head
       Alias(out, s"__pct${j}_$m")()
+    }
+    val right = Project(qkAttrs ++ aeAliases, qAgg)
+    val aeAttrOf = group.zip(aeAliases).map { case (p, a) =>
+      p.ae.canonicalized -> a.toAttribute
+    }.toMap
+    (right, qkAttrs, aeAttrOf)
+  }
+
+  /** Entropy finisher: straight off the (group, value) histogram — two
+    * map-side-combining aggregations (Σ c·log₂c and Σ c), no window, no
+    * sort. H = log₂(n) − (Σ c·log₂ c)/n; an all-NULL group never reaches
+    * the branch and surfaces NULL through the stitch join (grouped) or
+    * NULL sums (global). */
+  private def finishEntropy(hist: LogicalPlan, qkAttrs: Seq[Attribute],
+      cAttr: Attribute, group: Seq[Pct], j: Int)
+      : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
+    val cD = Cast(cAttr, DoubleType)
+    val sclcAlias = Alias(AggregateExpression(
+      Sum(Multiply(cD, Log2(cD))), Complete, isDistinct = false), s"__sclc$j")()
+    val nAlias = Alias(AggregateExpression(
+      Sum(cAttr), Complete, isDistinct = false), s"__en$j")()
+    val qAgg = Aggregate(qkAttrs,
+      (qkAttrs :+ sclcAlias :+ nAlias).map(_.asInstanceOf[NamedExpression]),
+      hist, None)
+    val nD = Cast(nAlias.toAttribute, DoubleType)
+    // duckdb: entropy of an empty/all-NULL group is 0.0 (the grouped
+    // stitch additionally coalesces absent groups to 0.0 in rewrite())
+    val h: Expression = Coalesce(Seq(Subtract(Log2(nD),
+      Divide(sclcAlias.toAttribute, nD, EvalMode.TRY)), Literal(0.0)))
+    val aeAliases = group.zipWithIndex.map { case (_, m) =>
+      Alias(h, s"__pct${j}_$m")()
     }
     val right = Project(qkAttrs ++ aeAliases, qAgg)
     val aeAttrOf = group.zip(aeAliases).map { case (p, a) =>

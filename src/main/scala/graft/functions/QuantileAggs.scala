@@ -172,6 +172,28 @@ case class GraftQuantileCont(child: Expression, percentageExpression: Expression
     copy(child = newChildren(0), percentageExpression = newChildren(1))
 }
 
+/** `entropy(x)` — Shannon entropy (log₂) of the VALUE DISTRIBUTION:
+  * H = log₂(n) − (Σ c_v·log₂ c_v)/n over per-distinct-value counts c_v.
+  * DuckDB ships it (docs/sql/functions/aggregates); Spark has no
+  * counterpart because the state is a value→count map. The engine's
+  * scale path is the (group, value) histogram + two plain aggregations
+  * (ExactQuantileRule — NO window, NO data-sized buffer); the fallback
+  * composite computes the same from a collected list (O(d·n) per group,
+  * correctness-only). NULLs are skipped like every aggregate; an
+  * empty/all-NULL group is NULL. */
+case class GraftEntropy(child: Expression) extends QuantileMarker {
+  override protected def funcName: String = "entropy"
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (RowOrdering.isOrderable(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"entropy input must be groupable, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** The always-on correctness fallback for [[QuantileMarker]]s that
   * [[ExactQuantileRule]] bailed on (nondeterministic child, grouping sets,
   * disabled rewrite, …): rewrite each marker AggregateExpression — in
@@ -245,6 +267,35 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
         case _ =>
           ae(new Percentile(x, QuantileMarker.foldedPercentage(pct)), model)
       }
+      case GraftEntropy(x) =>
+        // H = log2(n) − (Σ_v c_v·log2 c_v)/n from the collected list:
+        // per-distinct-value counts via size(filter(...)) — O(d·n) per
+        // group, the correctness-only fallback (the histogram path in
+        // ExactQuantileRule is the scale shape)
+        val lst = ae(CollectList(x), model)
+        val n = Cast(ae(Count(Seq(x)), model), DoubleType)
+        val lam1 = {
+          val v = NamedLambdaVariable("__ev", x.dataType, nullable = true)
+          val y = NamedLambdaVariable("__ey", x.dataType, nullable = true)
+          val cnt = Cast(Size(new ArrayFilter(lst,
+            LambdaFunction(EqualTo(y, v), Seq(y)))), DoubleType)
+          LambdaFunction(Multiply(cnt, Log2(cnt)), Seq(v))
+        }
+        val sumClogC = new ArrayAggregate(
+          ArrayTransform(ArrayDistinct(lst), lam1),
+          Literal(0.0),
+          {
+            val acc = NamedLambdaVariable("__ea", DoubleType, nullable = true)
+            val e = NamedLambdaVariable("__ee", DoubleType, nullable = true)
+            LambdaFunction(Add(acc, e), Seq(acc, e))
+          },
+          {
+            val acc = NamedLambdaVariable("__ef", DoubleType, nullable = true)
+            LambdaFunction(acc, Seq(acc))
+          })
+        // duckdb: entropy of an EMPTY/all-NULL group is 0.0, not NULL
+        If(EqualTo(n, Literal(0.0)), Literal(0.0),
+          Subtract(Log2(n), Divide(sumClogC, n, EvalMode.TRY)))
     }
   }
 

@@ -177,6 +177,8 @@ package object functions {
       es => { arity("median", 1)(es); GraftMedian(es.head) })
     ExprBridge.registerFunction(spark, "quantile_cont",
       es => { val (x, q) = oneOrTwo("quantile_cont")(es); GraftQuantileCont(x, q) })
+    ExprBridge.registerFunction(spark, "entropy",
+      es => { arity("entropy", 1)(es); GraftEntropy(es.head) })
     // DuckDB's // operator (parse-level hook, see graftbridge.ParsedSql):
     // integral operands divide integrally, fractional operands degenerate
     // to plain DOUBLE division

@@ -1007,7 +1007,21 @@ object DialectQueries {
       |  CAST(o_orderkey + 1 // 2 * 3 AS BIGINT) AS prec
       |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
 
+  // Shannon entropy (round 13): DuckDB's entropy(x) is log₂ entropy of
+  // the value distribution — a map-state aggregate Spark lacks. The
+  // engine computes it from the (group, value) histogram with two plain
+  // map-side-combining aggregations (ExactQuantileRule.finishEntropy) —
+  // no window, no data-sized buffer; all-NULL groups are 0.0 like DuckDB.
+  private val q122Sql =
+    """SELECT l_returnflag,
+      |  CAST(entropy(l_linestatus) AS DOUBLE) AS h_status,
+      |  CAST(entropy(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS h_qty,
+      |  CAST(entropy(DISTINCT l_linestatus) AS DOUBLE) AS h_dist,
+      |  CAST(entropy(l_linestatus) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS h_filt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q122_entropy", fns(q122Sql), Some(q122Sql)),
     Q("q121_floordiv_fractional", fns(q121Sql), Some(q121Sql)),
     Q("q120_log_bases", fns(q120Sql), Some(q120Sql)),
     Q("q119_map_bracket_list", fns(q119Sql), Some(q119Sql)),

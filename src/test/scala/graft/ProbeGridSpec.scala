@@ -24,13 +24,7 @@ class ProbeGridSpec extends AnyFunSuite {
     "DATE '2024-03-01' - DATE '2024-02-01'" ->
       ("DATE−DATE is BIGINT days in DuckDB, INTERVAL in Spark — infix " +
         "type dispatch out of scope; datediff('day', …) agrees on both " +
-        "(COVERAGE boundary)"),
-    "(SELECT CAST(entropy(x) AS DOUBLE) FROM (VALUES (1),(1),(2),(2)) t(x))" ->
-      ("entropy needs per-distinct-value counts (map-state aggregate) — " +
-        "unmapped, loud UNRESOLVED_ROUTINE (COVERAGE boundary)"),
-    "(SELECT CAST(entropy(x) AS DOUBLE) FROM (VALUES (1),(1),(1),(2)) t(x))" ->
-      ("entropy needs per-distinct-value counts (map-state aggregate) — " +
-        "unmapped, loud UNRESOLVED_ROUTINE (COVERAGE boundary)"))
+        "(COVERAGE boundary)"))
 
   /** Mirror of probe_grid.py's norm(). */
   private def norm(v: Any): String = v match {
