@@ -198,6 +198,44 @@ p("cast",
   "ifnull(NULL, 5)",
   "if(2 > 1, 'y', 'n')")
 
+# ----------------------------------------------------------- wave 3c
+p("list",
+  "list_has_any([1,2],[2,3])", "list_has_any([1,2],[3,4])",
+  "list_has_all([1,2,3],[2,3])", "list_has_all([1,2],[2,9])",
+  "list_has_all([1,2],[])",
+  "list_has_all([1,2],[NULL::INT])", "list_has_all([1,NULL],[1])",
+  "list_has_all([],[])",
+  "list_sort(list_intersect([1,2,3],[2,3,4]))",
+  "list_resize([1,2],4)", "list_resize([1,2,3],2)", "list_resize([1,2],0)",
+  "list_resize([1,2],4,9)")
+p("string",
+  "regexp_extract_all('a1b22c', '[0-9]+')",
+  "regexp_extract_all('a1b22c', '([a-z])([0-9]+)', 2)",
+  "regexp_split_to_array('a1b22c', '[0-9]+')",
+  "strlen('héllo')", "strlen('')",
+  "unicode('héllo')", "ord('h')", "unicode('')",
+  "nfc_normalize('e\\u0301') = 'é'",
+  "length(nfc_normalize('e\\u0301'))",
+  "to_base(255, 16)", "to_base(5, 2)", "bin(5)", "hex(255)",
+  "substr('héllo', 2, 2)", "upper('héllo')", "left('héllo', 2)")
+p("numeric",
+  "gcd(12, 18)", "gcd(-12, 18)", "gcd(0, 5)",
+  "lcm(4, 6)", "lcm(0, 5)",
+  "greatest_common_divisor(21, 14)", "least_common_multiple(3, 5)")
+p("map",
+  "map_keys(MAP {'b': 1, 'a': 2})",
+  "map_values(MAP {'b': 1, 'a': 2})",
+  "cardinality(MAP {'a': 1, 'b': 2})",
+  "element_at(MAP {'a': 1}, 'a')[1] + 1",
+  "(map_entries(MAP {'a': 7})[1]).value",
+  "(map_entries(MAP {'a': 7})[1]).key")
+p("datetime",
+  "try_strptime('14.03.2024', '%d.%m.%Y')",
+  "try_strptime('garbage', '%d.%m.%Y')",
+  "strptime('2024-03-14 09:30', '%Y-%m-%d %H:%M')",
+  "TRY_CAST('03/14/2024' AS DATE)",
+  "TRY_CAST('2024-03-14' AS DATE)")
+
 # ----------------------------------------------------------- aggregates
 # scalar-subquery form runs identically in both engines; list-returning
 # aggregates go through list_sort so unspecified orders can't flake

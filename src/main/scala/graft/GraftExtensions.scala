@@ -141,6 +141,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_kurt_raw", "graft_kurt_raw(x) - population excess kurtosis (dialect-internal)"),
       es => { arity("graft_kurt_raw", 1)(es)
         org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_gcd"),
+      info("graft_gcd", "graft_gcd(a, b) - greatest common divisor"),
+      es => { arity("graft_gcd", 2)(es); functions.GraftGcd(es(0), es(1), lcm = false) }))
+    ext.injectFunction((FunctionIdentifier("graft_lcm"),
+      info("graft_lcm", "graft_lcm(a, b) - least common multiple"),
+      es => { arity("graft_lcm", 2)(es); functions.GraftGcd(es(0), es(1), lcm = true) }))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
+      es => { arity("graft_nfc", 1)(es); functions.GraftNfcNormalize(es.head) }))
     ext.injectFunction((FunctionIdentifier("graft_try_bool"),
       info("graft_try_bool", "graft_try_bool(e) - TRY_CAST to BOOLEAN with DuckDB's accepted strings"),
       es => { arity("graft_try_bool", 1)(es); functions.GraftTryBool(es.head) }))

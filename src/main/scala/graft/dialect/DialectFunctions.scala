@@ -61,6 +61,13 @@ object DialectFunctions {
     // no Spark builtin (Lanczos kernels); date_trunc keeps DATE for DATE
     // inputs at day-or-coarser fields
     "len" -> "graft_len",
+    // wave-3c (round-13 grid): byte length, first-codepoint, list set ops,
+    // NFC normalization (JVM Normalizer kernel)
+    "strlen" -> "octet_length",
+    "list_intersect" -> "array_intersect",
+    "list_has_any" -> "arrays_overlap",
+    "array_has_any" -> "arrays_overlap",
+    "nfc_normalize" -> "graft_nfc",
     "week" -> "weekofyear",
     "bit_count" -> "graft_bit_count",
     "gamma" -> "graft_gamma",
@@ -412,6 +419,60 @@ object DialectFunctions {
         Some(s"to_timestamp($e, ${javaPatternLit(fmt)})")
       case _ => None
     }
+    // exception-free variant (round-13 grid): NULL on unparseable input
+    out = rewriteCalls(out, "try_strptime") {
+      case Seq(e, fmt) if isLiteral(fmt) =>
+        Some(s"try_to_timestamp($e, ${javaPatternLit(fmt)})")
+      case _ => None
+    }
+    // ---- wave-3c list/string/math parity (round-13 probe grid) ----
+    // has_all ignores NULL needle elements (probed) and is vacuously true
+    // on an empty needle; array_except coerces the empty-literal NullType
+    // where a forall/array_contains lambda cannot
+    out = rewriteCalls(out, "list_has_all") {
+      case Seq(a, b) => Some(
+        s"(size(array_except(filter($b, __hb -> __hb IS NOT NULL), $a)) = 0)")
+      case _ => None
+    }
+    // unicode/ord: first code point, -1 for the EMPTY string (ascii('')
+    // is 0 in both engines — only these two spellings return -1)
+    out = rewriteCalls(out, "unicode|ord") {
+      case Seq(x) =>
+        Some(s"(CASE WHEN length($x) = 0 THEN -1 ELSE ascii($x) END)")
+      case _ => None
+    }
+    // list_resize(l, n[, fill]): truncate or pad to n elements (DuckDB
+    // pads with NULL unless a fill value is given); sequence() can't take
+    // n = 0, so the empty case short-circuits via slice
+    out = rewriteCalls(out, "list_resize") {
+      case Seq(l, n) => Some(s"(CASE WHEN ($n) <= 0 THEN slice($l, 1, 0) " +
+        s"ELSE transform(sequence(1, CAST(($n) AS INT)), __lr -> " +
+        s"CASE WHEN __lr <= size($l) THEN element_at($l, __lr) ELSE NULL END) END)")
+      case Seq(l, n, v) => Some(s"(CASE WHEN ($n) <= 0 THEN slice($l, 1, 0) " +
+        s"ELSE transform(sequence(1, CAST(($n) AS INT)), __lr -> " +
+        s"CASE WHEN __lr <= size($l) THEN element_at($l, __lr) ELSE ($v) END) END)")
+      case _ => None
+    }
+    // DuckDB's 2-arg regexp_extract_all returns FULL matches (group 0);
+    // Spark's 2-arg form defaults to group 1 — same fix as regexp_extract
+    out = rewriteCalls(out, "regexp_extract_all") {
+      case Seq(s, p) => Some(s"regexp_extract_all($s, $p, 0)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "to_base") {
+      case Seq(x, b) => Some(s"conv(CAST(($x) AS BIGINT), 10, $b)")
+      case _ => None
+    }
+    for (nm <- Seq("gcd", "greatest_common_divisor"))
+      out = rewriteCalls(out, nm) {
+        case Seq(a, b) => Some(s"graft_gcd($a, $b)")
+        case _ => None
+      }
+    for (nm <- Seq("lcm", "least_common_multiple"))
+      out = rewriteCalls(out, nm) {
+        case Seq(a, b) => Some(s"graft_lcm($a, $b)")
+        case _ => None
+      }
     // struct_pack(k := v, ...) → named_struct('k', v, ...); struct_extract
     // (s, 'k') → (s)['k'] (Spark's UnresolvedExtractValue resolves string
     // keys against structs)

@@ -198,6 +198,12 @@ package object functions {
       es => { arity("graft_lgamma", 1)(es); GraftGamma(es.head, log = true) })
     ExprBridge.registerFunction(spark, "graft_try_bool",
       es => { arity("graft_try_bool", 1)(es); GraftTryBool(es.head) })
+    ExprBridge.registerFunction(spark, "graft_gcd",
+      es => { arity("graft_gcd", 2)(es); GraftGcd(es(0), es(1), lcm = false) })
+    ExprBridge.registerFunction(spark, "graft_lcm",
+      es => { arity("graft_lcm", 2)(es); GraftGcd(es(0), es(1), lcm = true) })
+    ExprBridge.registerFunction(spark, "graft_nfc",
+      es => { arity("graft_nfc", 1)(es); GraftNfcNormalize(es.head) })
     // re-spellings of Spark's population skewness/kurtosis: the dialect's
     // sample-correction composites reference these so the fixed-point text
     // scan cannot re-match its own emission
