@@ -141,6 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_kurt_raw", "graft_kurt_raw(x) - population excess kurtosis (dialect-internal)"),
       es => { arity("graft_kurt_raw", 1)(es)
         org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_cast_bool"),
+      info("graft_cast_bool", "graft_cast_bool(e) - CAST to BOOLEAN with DuckDB's strict VARCHAR set"),
+      es => { arity("graft_cast_bool", 1)(es); functions.GraftCastBool(es.head) }))
     ext.injectFunction((FunctionIdentifier("graft_gcd"),
       info("graft_gcd", "graft_gcd(a, b) - greatest common divisor"),
       es => { arity("graft_gcd", 2)(es); functions.GraftGcd(es(0), es(1), lcm = false) }))

@@ -105,6 +105,33 @@ case class GraftTryBool(child: Expression)
   }
 }
 
+/** Plain CAST(e AS BOOLEAN) with DuckDB's VARCHAR strictness: exactly
+  * {true, false, t, f, 1, 0} case-insensitively, no trimming; anything
+  * else ERRORS loudly with DuckDB's message (Spark's ANSI cast silently
+  * accepts y/yes/n/no and trims — a value-vs-error divergence). NULL stays
+  * NULL; non-string inputs keep Spark's cast. Routed by the engine's
+  * parse-level hook (graftbridge.ParsedSql) because the operand type is
+  * unknown in text. */
+case class GraftCastBool(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType =>
+      val low = Lower(child)
+      def in(vals: String*): Expression =
+        In(low, vals.map(v => Literal(v): Expression))
+      CaseWhen(Seq(
+        (IsNull(child), Literal(null, BooleanType)),
+        (in("true", "t", "1"), Literal(true)),
+        (in("false", "f", "0"), Literal(false))),
+        Cast(RaiseError(Concat(Seq(
+          Literal("Conversion Error: Could not convert string '"),
+          child, Literal("' to BOOL")))), BooleanType))
+    case _ => Cast(child, BooleanType)
+  }
+}
+
 /** Lanczos (g = 7, n = 9) gamma/log-gamma — the standard published
   * coefficients (Numerical Recipes / Boost's reference table). */
 object GammaFn {

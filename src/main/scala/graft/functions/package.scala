@@ -198,6 +198,8 @@ package object functions {
       es => { arity("graft_lgamma", 1)(es); GraftGamma(es.head, log = true) })
     ExprBridge.registerFunction(spark, "graft_try_bool",
       es => { arity("graft_try_bool", 1)(es); GraftTryBool(es.head) })
+    ExprBridge.registerFunction(spark, "graft_cast_bool",
+      es => { arity("graft_cast_bool", 1)(es); GraftCastBool(es.head) })
     ExprBridge.registerFunction(spark, "graft_gcd",
       es => { arity("graft_gcd", 2)(es); GraftGcd(es(0), es(1), lcm = false) })
     ExprBridge.registerFunction(spark, "graft_lcm",

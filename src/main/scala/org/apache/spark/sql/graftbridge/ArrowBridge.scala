@@ -195,6 +195,14 @@ object ParsedSql {
         fn("try_divide", Seq(d.left, d.right))
       case r: Remainder if r.evalMode != EvalMode.TRY =>
         fn("try_mod", Seq(r.left, r.right))
+      // plain CAST(e AS BOOLEAN): DuckDB's strict VARCHAR set (errors on
+      // 'yes'/'no'/padded where Spark's ANSI cast silently accepts);
+      // graft_cast_bool dispatches on the resolved type — non-strings
+      // keep Spark's cast (TRY casts are handled in the dialect layer)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == org.apache.spark.sql.types.BooleanType &&
+            !c.isTryCast =>
+        fn("graft_cast_bool", Seq(c.child))
     }
 
   def sql(spark: SparkSession, text: String): DataFrame = {

@@ -176,6 +176,14 @@ class QuantileParitySpec extends AnyFunSuite {
       spark.sql(decSql).queryExecution.executedPlan.toString)
     assert(!decPlan.contains("collect_list") && !decPlan.contains("percentile"),
       s"decimal cont must use the histogram shape:\n$decPlan")
+    // entropy: two plain aggregations off the histogram — NO window, NO
+    // collected list anywhere in the plan (the 100 TB shape)
+    val entSql = "SELECT l_returnflag, entropy(l_linestatus) AS h " +
+      "FROM lineitem GROUP BY l_returnflag"
+    val entPlan = withRule(on = true)(
+      spark.sql(entSql).queryExecution.executedPlan.toString)
+    assert(!entPlan.contains("collect_list") && !entPlan.contains("Window"),
+      s"entropy must be pure aggregation:\n$entPlan")
   }
 
   test("quantile_disc in window position loud-rejects") {
