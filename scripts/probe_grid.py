@@ -236,6 +236,23 @@ p("datetime",
   "TRY_CAST('03/14/2024' AS DATE)",
   "TRY_CAST('2024-03-14' AS DATE)")
 
+p("json",
+  """json_extract('{"a": {"b": 7}}', '$.a.b')""",
+  """json_extract('{"a": 1}', 'a')""",
+  """json_extract('{"a": {"b": 7}}', '/a/b')""",
+  """json_extract('{"a": [1,2,3]}', '$.a[1]')""",
+  """json_extract('{"a": {"b": 7}}', '$.a')""",
+  """json_extract_string('{"a": "x"}', '$.a')""",
+  """json_extract_string('{"a": 5}', 'a')""",
+  """json_extract_path_text('{"a": {"b": "y"}}', '/a/b')""",
+  """json_array_length('[1,2,3]')""",
+  """json_array_length('[]')""",
+  """json_valid('{"a": 1}')""",
+  """json_valid('nope{')""",
+  """json_valid('1')""",
+  """json_keys('{"a": 1, "b": 2}')""",
+  """'{"a": {"b": 7}}' -> 'a' ->> 'b'""")
+
 # ----------------------------------------------------------- aggregates
 # scalar-subquery form runs identically in both engines; list-returning
 # aggregates go through list_sort so unspecified orders can't flake

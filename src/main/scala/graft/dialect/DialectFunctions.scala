@@ -68,6 +68,7 @@ object DialectFunctions {
     "list_has_any" -> "arrays_overlap",
     "array_has_any" -> "arrays_overlap",
     "nfc_normalize" -> "graft_nfc",
+    "json_keys" -> "json_object_keys",
     "week" -> "weekofyear",
     "bit_count" -> "graft_bit_count",
     "gamma" -> "graft_gamma",
@@ -423,6 +424,31 @@ object DialectFunctions {
     out = rewriteCalls(out, "try_strptime") {
       case Seq(e, fmt) if isLiteral(fmt) =>
         Some(s"try_to_timestamp($e, ${javaPatternLit(fmt)})")
+      case _ => None
+    }
+    // ---- wave-3d JSON functions (round-13 probe grid) ----
+    // DuckDB accepts '$.a.b', bare 'a.b' and '/a/b' path spellings;
+    // Spark's get_json_object wants the '$'-rooted JSONPath. Documented
+    // divergence: duck's json_extract keeps STRING leaves JSON-quoted
+    // ('"x"') where get_json_object unquotes — json_extract_string (the
+    // ->> twin) matches exactly and is the spelling the corpus uses.
+    def jsonPath(p: String): String = {
+      val raw = p.trim.stripPrefix("'").stripSuffix("'")
+      val norm =
+        if (raw.startsWith("$")) raw
+        else if (raw.startsWith("/")) "$" + raw.replace("/", ".")
+        else "$." + raw
+      "'" + norm + "'"
+    }
+    for (nm <- Seq("json_extract|json_extract_path",
+        "json_extract_string|json_extract_path_text"))
+      out = rewriteCalls(out, nm) {
+        case Seq(j, p) if isLiteral(p) =>
+          Some(s"get_json_object($j, ${jsonPath(p)})")
+        case _ => None
+      }
+    out = rewriteCalls(out, "json_valid") {
+      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
       case _ => None
     }
     // ---- wave-3c list/string/math parity (round-13 probe grid) ----
