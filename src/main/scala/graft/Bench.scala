@@ -150,7 +150,15 @@ object Bench {
       // Early-break on heavy queries (first clean sample > 10 s): compute-
       // dominated runs don't need repeat sampling, and the break mirrors
       // bench_duck.py so min-over-k is taken over the SAME k on both sides.
+      // Round-13 latch defense: when the PREVIOUS round measured this
+      // query comfortably under the cutoff, a first sample crossing it is
+      // far more likely a cold/loaded sample than a real 2× jump — keep
+      // sampling instead of latching the outlier as the single
+      // measurement (the r10 q24/q25 false movers and the r13 q68 "10.05 s"
+      // — actually 4.5 s, proven by a checkout control — were all this).
       graft.pipeline.Pins.resetWarmTracking(spark)
+      val knownLight = prevArt.exists(_._2.get(name)
+        .exists(p => p > 0 && p < HeavyCutoffSec * 0.7))
       val times = Seq.newBuilder[Double]
       var taken = 0
       var break_ = false
@@ -158,7 +166,7 @@ object Bench {
         val t = runOnce(name)
         times += t
         taken += 1
-        if (t >= HeavyCutoffSec) break_ = true
+        if (t >= HeavyCutoffSec && !knownLight) break_ = true
       }
       if (graft.pipeline.Pins.warmKeys(spark).nonEmpty) warmQueries += name
       val ok = times.result().filter(_ >= 0)
