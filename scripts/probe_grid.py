@@ -253,6 +253,29 @@ p("json",
   """json_keys('{"a": 1, "b": 2}')""",
   """'{"a": {"b": 7}}' -> 'a' ->> 'b'""")
 
+p("predicate",
+  "'abc' LIKE 'a%'", "'ABC' ILIKE 'a%'", "'abc' NOT LIKE 'x%'",
+  "'a_c' LIKE 'a\\_c' ESCAPE '\\'",
+  "like_escape('a_c', 'a\\_c', '\\')",
+  "'abc' SIMILAR TO 'a.c'", "'abc' GLOB 'a*'",
+  "prefix('abcd', 'ab')", "suffix('abcd', 'cd')",
+  "'b' IN ('a', 'b')", "'z' NOT IN ('a', 'b')",
+  "NULL IS DISTINCT FROM 1", "1 IS NOT DISTINCT FROM 1",
+  "'a' BETWEEN 'a' AND 'b'")
+p("datetime",
+  "isodow(DATE '2024-03-14')", "isodow(DATE '2024-03-17')",
+  "dayofyear(DATE '2024-03-14')", "quarter(DATE '2024-05-01')",
+  "century(DATE '2024-01-01')", "century(DATE '2000-06-01')",
+  "decade(DATE '2024-01-01')", "millennium(DATE '2024-01-01')",
+  "julian(DATE '2024-01-01')", "julian(DATE '1970-01-01')",
+  "make_timestamp(2024, 3, 14, 10, 30, 0.5)",
+  "date_part('minute', INTERVAL 90 MINUTE)",
+  "EXTRACT(HOUR FROM INTERVAL 90 MINUTE)")
+p("numeric",
+  "cot(1.0)", "cot(0.5)",
+  "string_to_array('a,b', ',')[1]")
+p("list", "array_reverse([1,2,3])")
+
 # ----------------------------------------------------------- aggregates
 # scalar-subquery form runs identically in both engines; list-returning
 # aggregates go through list_sort so unspecified orders can't flake

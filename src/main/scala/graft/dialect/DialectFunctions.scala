@@ -69,6 +69,10 @@ object DialectFunctions {
     "array_has_any" -> "arrays_overlap",
     "nfc_normalize" -> "graft_nfc",
     "json_keys" -> "json_object_keys",
+    // wave-3e: predicate/temporal function spellings
+    "prefix" -> "startswith",
+    "suffix" -> "endswith",
+    "array_reverse" -> "reverse",
     "week" -> "weekofyear",
     "bit_count" -> "graft_bit_count",
     "gamma" -> "graft_gamma",
@@ -295,7 +299,43 @@ object DialectFunctions {
     // nowhere in Spark's grammar, so the plain replace is unambiguous)
     out = SqlText.mapOutsideLiterals(out)(_.replace("@(", "abs("))
     out = rewriteQuantified(out)
-    out = rewriteCalls(out, "string_split|str_split") {
+    // ---- wave-3e (round-13 grid) ----
+    // the ESCAPE clause takes a bare string literal — parenthesizing it
+    // is a parse error, so only literal escapes rewrite (others stay loud)
+    out = rewriteCalls(out, "like_escape") {
+      case Seq(s, pat, esc) if isLiteral(esc) =>
+        Some(s"(($s) LIKE ($pat) ESCAPE ${esc.trim})")
+      case _ => None
+    }
+    out = rewriteCalls(out, "not_like_escape") {
+      case Seq(s, pat, esc) if isLiteral(esc) =>
+        Some(s"(($s) NOT LIKE ($pat) ESCAPE ${esc.trim})")
+      case _ => None
+    }
+    out = rewriteCalls(out, "isodow") {
+      case Seq(x) => Some(s"(CASE WHEN dayofweek(CAST(($x) AS DATE)) = 1 " +
+        s"THEN 7 ELSE dayofweek(CAST(($x) AS DATE)) - 1 END)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "century") {
+      case Seq(x) => Some(s"CAST(ceil(year(CAST(($x) AS DATE)) / 100.0D) AS BIGINT)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "decade") {
+      case Seq(x) => Some(s"CAST(floor(year(CAST(($x) AS DATE)) / 10.0D) AS BIGINT)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "millennium") {
+      case Seq(x) => Some(s"CAST(ceil(year(CAST(($x) AS DATE)) / 1000.0D) AS BIGINT)")
+      case _ => None
+    }
+    // Julian Day at midnight of the DATE: JD(1970-01-01) = 2440588
+    out = rewriteCalls(out, "julian") {
+      case Seq(x) => Some(s"(CAST(datediff(CAST(($x) AS DATE), " +
+        s"DATE '1970-01-01') AS DOUBLE) + 2440588.0D)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "string_split|str_split|string_to_array") {
       case Seq(e, sep) if isLiteral(sep) =>
         Some(s"split($e, ${quoteRegexLiteral(sep)})")
       case _ => None
@@ -818,20 +858,24 @@ object DialectFunctions {
     sb.append(sql.substring(last)).toString
   }
 
-  /** `<ident> [NOT] <OP> '<literal>'` → `[NOT] regexp_like(ident,
-    * '^pattern$')`, for the pattern operators Spark lacks (SIMILAR TO,
-    * GLOB). Literal patterns only; non-literal patterns pass through and
-    * surface Spark's own parse error. */
+  /** `<ident or string literal> [NOT] <OP> '<literal>'` → `[NOT]
+    * regexp_like(operand, '^pattern$')`, for the pattern operators Spark
+    * lacks (SIMILAR TO, GLOB). Literal patterns only; non-literal
+    * patterns (and parenthesized operands) pass through and surface
+    * Spark's own parse error. */
   private def rewriteMatchOp(sql: String, opPattern: String,
       translate: String => String): String = {
     val re = java.util.regex.Pattern.compile(
-      "(?i)" + """([\w.`"]+)\s+(NOT\s+)?""" + "(?:" + opPattern + ")" +
+      "(?i)" + """((?:[\w.`"]+|'(?:[^']|'')*'))\s+(NOT\s+)?""" + "(?:" + opPattern + ")" +
         """\s+'((?:[^']|'')*)'""")
     val m = re.matcher(sql)
     val sb = new StringBuilder
     var last = 0
     while (m.find()) {
-      if (insideLiteral(sql, m.start())) sb.append(sql.substring(last, m.end()))
+      // the inside-a-literal test points at the gap AFTER the operand:
+      // m.start() may BE the opening quote of a string-literal operand,
+      // which insideLiteral counts as inside its own literal
+      if (insideLiteral(sql, m.end(1))) sb.append(sql.substring(last, m.end()))
       else {
         val neg = if (m.group(2) != null) "NOT " else ""
         // the pattern text arrives ALREADY literal-escaped for Spark (the

@@ -24,7 +24,12 @@ class ProbeGridSpec extends AnyFunSuite {
     "DATE '2024-03-01' - DATE '2024-02-01'" ->
       ("DATE−DATE is BIGINT days in DuckDB, INTERVAL in Spark — infix " +
         "type dispatch out of scope; datediff('day', …) agrees on both " +
-        "(COVERAGE boundary)"))
+        "(COVERAGE boundary)"),
+    "EXTRACT(HOUR FROM INTERVAL 90 MINUTE)" ->
+      ("Spark cannot extract a COARSER field from a narrow-precision " +
+        "interval literal (DayTimeIntervalType(MINUTE, MINUTE)); DuckDB " +
+        "normalizes — loud INVALID_EXTRACT_FIELD, and the " +
+        "date_part('minute', …) spelling agrees on both"))
 
   /** Mirror of probe_grid.py's norm(). */
   private def norm(v: Any): String = v match {
