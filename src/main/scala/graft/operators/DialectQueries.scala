@@ -970,18 +970,32 @@ object DialectQueries {
   // Map bracket extraction (round 13): LIST-valued in DuckDB 1.0 — m['k']
   // / element_at / map_extract give [v] on hit ([NULL] for a present NULL
   // value) and [] when the key misses or the key/map is NULL (all probed).
-  // The engine's graft_extract map branch now emits the guarded
-  // list shape; lists compare directly (both sides read back through the
-  // oracle engine, so the normalization is identical).
+  // The engine's graft_extract map branch emits the guarded list shape.
+  // Round 14: the oracle row flattens every LIST column to
+  // `len:joined` text (the q87/q97 precedent) because the driver's
+  // pandas-based row sort cannot hash ndarray cells — `0:` (miss/[]),
+  // `1:` ([NULL], the nullv column exercises a present NULL value) and
+  // `1:v` ([v]) stay distinguishable through the flattening.
   private val q119Sql =
-    """SELECT n_nationkey,
-      |  (MAP {'a': n_nationkey, 'b': n_regionkey})['a'] AS hit,
-      |  (MAP {'a': n_nationkey})['zz'] AS miss,
-      |  (MAP {1: n_regionkey, 2: n_nationkey})[2] AS int_key,
-      |  map_extract(MAP {'a': n_nationkey, 'b': n_regionkey}, 'b') AS me,
-      |  element_at(MAP {'a': n_nationkey}, 'a') AS ea,
-      |  CAST((MAP {'a': n_nationkey, 'b': n_regionkey})['b'][1] AS BIGINT) AS chain
-      |FROM nation ORDER BY n_nationkey""".stripMargin
+    """WITH b AS (
+      |  SELECT n_nationkey,
+      |    (MAP {'a': n_nationkey, 'b': n_regionkey})['a'] AS hit,
+      |    (MAP {'a': n_nationkey})['zz'] AS miss,
+      |    (MAP {1: n_regionkey, 2: n_nationkey})[2] AS int_key,
+      |    (MAP {'a': CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END})['a'] AS nullv,
+      |    map_extract(MAP {'a': n_nationkey, 'b': n_regionkey}, 'b') AS me,
+      |    element_at(MAP {'a': n_nationkey}, 'a') AS ea,
+      |    CAST((MAP {'a': n_nationkey, 'b': n_regionkey})['b'][1] AS BIGINT) AS chain
+      |  FROM nation)
+      |SELECT n_nationkey,
+      |  concat(CAST(len(hit) AS STRING), ':', coalesce(array_to_string(hit, ','), '')) AS hit,
+      |  concat(CAST(len(miss) AS STRING), ':', coalesce(array_to_string(miss, ','), '')) AS miss,
+      |  concat(CAST(len(int_key) AS STRING), ':', coalesce(array_to_string(int_key, ','), '')) AS int_key,
+      |  concat(CAST(len(nullv) AS STRING), ':', coalesce(array_to_string(nullv, ','), '')) AS nullv,
+      |  concat(CAST(len(me) AS STRING), ':', coalesce(array_to_string(me, ','), '')) AS me,
+      |  concat(CAST(len(ea) AS STRING), ':', coalesce(array_to_string(ea, ','), '')) AS ea,
+      |  chain
+      |FROM b ORDER BY n_nationkey""".stripMargin
 
   // Logarithm bases (round 13 differential probe): DuckDB's 1-argument
   // log(x) is BASE 10 where Spark's is ln — silently divergent before the
