@@ -362,6 +362,106 @@ p("window",
   win("list_sort(list(r))",
       "CAST(count(*) OVER (PARTITION BY x % 2) AS BIGINT)", "(1),(2),(3),(4)"))
 
+# ----------------------------------------------------------- wave 4
+# (round 14) the families wave 3 didn't reach: simple case mapping,
+# date_trunc's full alias set + coarse fields, json_valid edges, zero
+# divisors at every spelling, DATE−DATE/interval infix arithmetic, nested
+# list/struct/map compositions, interval comparisons, string ordering
+# edges, aggregate NULL/overflow edges.
+p("string",
+  "lower('ẞ')", "upper('µ')", "upper('ı')", "lower('İ')",
+  "lower('ΑΣ')", "upper('ﬁt')", "upper('ŉx')", "lower('Ǆ')",
+  "ucase('abc')", "lcase('ABC')",
+  "upper('ÿz')", "lower('ÐÞ')", "upper('œ')",
+  # ordering/collation edges: DuckDB compares raw bytes (codepoints)
+  "'a' < 'B'", "'A' < 'a'", "'z' < 'é'", "'ab' < 'b'",
+  "greatest('a', 'B')", "least('A', 'a')",
+  "'abc' = 'ABC'", "'ß' = 'ss'")
+p("datetime",
+  "date_trunc('decade', DATE '1987-06-05')",
+  "date_trunc('century', DATE '1987-06-05')",
+  "date_trunc('century', DATE '2000-06-05')",
+  "date_trunc('century', DATE '2001-06-05')",
+  "date_trunc('millennium', DATE '1987-06-05')",
+  "date_trunc('decade', TIMESTAMP '1987-06-05 04:03:02')",
+  "date_trunc('isoyear', DATE '2021-01-01')",
+  "date_trunc('isoyear', DATE '2016-01-01')",
+  "date_trunc('isoyear', DATE '1987-06-05')",
+  "date_trunc('milliseconds', TIMESTAMP '1987-06-05 04:03:02.123456')",
+  "date_trunc('epoch', TIMESTAMP '1987-06-05 04:03:02.123456')",
+  "date_trunc('yrs', DATE '2024-03-14')",
+  "date_trunc('mons', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('d', DATE '2024-03-14')",
+  "date_trunc('weeks', DATE '2024-03-14')",
+  "date_trunc('hrs', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('mins', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('secs', TIMESTAMP '2024-03-14 10:11:12.9')",
+  # infix date arithmetic through graft_sub
+  "DATE '2024-03-01' - DATE '2024-02-01'",
+  "DATE '2024-01-01' - DATE '2024-03-01'",
+  "DATE '2024-03-01' - 1",
+  "DATE '2024-03-01' - INTERVAL 1 DAY",
+  "TIMESTAMP '2024-03-01 10:00:00' - INTERVAL 90 MINUTE",
+  "DATE '2024-03-31' - INTERVAL 1 MONTH",
+  "(DATE '2024-03-01' - DATE '2024-02-01') + 1",
+  # interval comparisons
+  "INTERVAL 2 DAY > INTERVAL 90 MINUTE",
+  "INTERVAL 1 DAY = INTERVAL 24 HOUR",
+  "INTERVAL 90 MINUTE < INTERVAL 2 HOUR")
+p("numeric",
+  "7 // 0", "7.5 // 0", "CAST(7 AS DECIMAL(5,2)) // 0",
+  "CAST(7 AS DOUBLE) / 0", "CAST(7 AS DOUBLE) % 0",
+  "CAST(-7 AS DOUBLE) / CAST(0 AS DOUBLE)",
+  "7 // 2.5", "-7 // 2",
+  "fmod(7.5, 0)", "fdiv(7.5, 0)",
+  "gcd(0, 0)", "lcm(0, 0)", "gcd(7, 7)", "lcm(-4, 6)",
+  "CAST(1 AS TINYINT) - CAST(2 AS TINYINT)",
+  "1 - 2.5", "1.5 - CAST(1 AS DOUBLE)",
+  "CAST(10.50 AS DECIMAL(12,2)) - 3",
+  "CAST(10.50 AS DECIMAL(12,2)) - CAST(0.123 AS DECIMAL(6,3))")
+p("list",
+  # nested list/struct/map compositions
+  "list_transform([[1,2],[3]], l -> len(l))",
+  "list_transform([1,2,3], x -> [x, x+1])[2]",
+  "flatten(list_transform([1,2], x -> [x]))",
+  "list_filter(list_transform([1,2,3], x -> x*x), v -> v > 2)",
+  "[{'a': 1}, {'a': 2}][2].a",
+  "list_transform([{'a': 1}, {'a': 4}], s -> s.a)",
+  "map_values(MAP {'k': [1,2]})[1][2]",
+  "len(map_keys(MAP {'a': 1, 'b': 2}))",
+  "list_sort([[2],[1,2],[1]])",
+  "list_contains([[1],[2]], [2])",
+  "list_position([[1],[2],[3]], [3])",
+  "list_unique([[1],[1],[2]])",
+  "[1,2,3][2:2]", "[1,2,3][:2]", "[1,2,3][2:]",
+  "list_slice([1,2,3,4,5], 2, -2)",
+  "list_aggregate([[1],[2,3]], 'count')",
+  "struct_extract({'x': {'y': 9}}, 'x').y",
+  "{'x': [1,2]}.x[1]")
+p("agg",
+  # NULL/overflow edges: sum over BIGINT near the boundary (DuckDB
+  # widens to HUGEINT — CAST pins the comparable shape), avg precision,
+  # all-NULL groups, count_if, bit aggregates over negatives
+  agg("CAST(sum(x) AS BIGINT)", "(9223372036854775806),(1)"),
+  agg("CAST(sum(x) AS DOUBLE)", "(1.5e308),(1.5e308)"),
+  agg("CAST(avg(x) AS DOUBLE)", "(1),(2),(NULL)"),
+  agg("CAST(avg(x) AS DOUBLE)", "(NULL::INTEGER)"),
+  agg("bit_and(x)", "(-1),(-2)"), agg("bit_or(x)", "(-8),(1)"),
+  agg("bit_xor(x)", "(NULL::INTEGER)"),
+  agg("bool_and(x)", "(NULL::BOOLEAN)"),
+  agg("count_if(x)", "(true),(false),(NULL)"),
+  agg("CAST(median(x) AS DOUBLE)", "(1),(2),(3),(4)"),
+  agg("CAST(median(x) AS BIGINT)", "(NULL::INTEGER)"),
+  agg("mode(x)", "('a'),('b'),('a')"),
+  agg("CAST(quantile_cont(x, 0.5) AS DOUBLE)", "(1.0),(2.0),(4.0)"),
+  agg("CAST(quantile_disc(x, 0.0) AS BIGINT)", "(5),(1),(3)"),
+  agg("CAST(quantile_disc(x, 1.0) AS BIGINT)", "(5),(1),(3)"),
+  agg("string_agg(x, '-' ORDER BY x DESC)", "('a'),('c'),('b')"),
+  agg("CAST(sum(x) FILTER (WHERE x > 1) AS BIGINT)", "(1),(2),(NULL),(3)"),
+  agg("max(x)", "(DATE '2024-01-01'),(DATE '2023-05-05')"),
+  agg("CAST(max(x) - min(x) AS BIGINT)",
+      "(DATE '2024-01-03'),(DATE '2024-01-01')"))
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -372,6 +472,9 @@ for cat, sql in PROBES:
         rows.append((cat, sql, norm(v)))
     except Exception as e:
         skipped.append((sql, str(e).split("\n")[0][:90]))
+        # a Not-implemented class error ABORTS the duckdb transaction and
+        # would poison every later probe — start fresh
+        con = duckdb.connect()
 with open(out_path, "w") as f:
     f.write("# category\tsql\texpected — generated by scripts/probe_grid.py "
             "against duckdb %s\n" % duckdb.__version__)

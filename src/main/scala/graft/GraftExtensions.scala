@@ -153,6 +153,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
       es => { arity("graft_nfc", 1)(es); functions.GraftNfcNormalize(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_upper"),
+      info("graft_upper", "graft_upper(s) - utf8proc simple-mapping uppercase"),
+      es => { arity("graft_upper", 1)(es); functions.GraftCaseMap(es.head, upper = true) }))
+    ext.injectFunction((FunctionIdentifier("graft_lower"),
+      info("graft_lower", "graft_lower(s) - utf8proc simple-mapping lowercase"),
+      es => { arity("graft_lower", 1)(es); functions.GraftCaseMap(es.head, upper = false) }))
     ext.injectFunction((FunctionIdentifier("graft_try_bool"),
       info("graft_try_bool", "graft_try_bool(e) - TRY_CAST to BOOLEAN with DuckDB's accepted strings"),
       es => { arity("graft_try_bool", 1)(es); functions.GraftTryBool(es.head) }))
@@ -160,6 +166,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_fdiv",
         "graft_fdiv(a, b) - DuckDB // division (integral truncating; DOUBLE when either operand is fractional)"),
       es => { arity("graft_fdiv", 2)(es); functions.GraftFloorDiv(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_sub"),
+      info("graft_sub",
+        "graft_sub(a, b) - infix minus with DuckDB's type dispatch (DATE - DATE is BIGINT days)"),
+      es => { arity("graft_sub", 2)(es); functions.GraftSub(es(0), es(1)) }))
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
       ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
         info(s"graft_strict_$kind",

@@ -68,6 +68,12 @@ object DialectFunctions {
     "list_has_any" -> "arrays_overlap",
     "array_has_any" -> "arrays_overlap",
     "nfc_normalize" -> "graft_nfc",
+    // round 14: utf8proc SIMPLE case mapping (ß→ẞ, never length-changing)
+    // vs the JVM's full mapping (ß→SS) — probed over SpecialCasing.txt
+    "upper" -> "graft_upper",
+    "ucase" -> "graft_upper",
+    "lower" -> "graft_lower",
+    "lcase" -> "graft_lower",
     "json_keys" -> "json_object_keys",
     // wave-3e: predicate/temporal function spellings
     "prefix" -> "startswith",
@@ -487,8 +493,16 @@ object DialectFunctions {
           Some(s"get_json_object($j, ${jsonPath(p)})")
         case _ => None
       }
+    // json_valid: get_json_object(j, '$') IS NOT NULL misreports two
+    // probed DuckDB cases — a JSON null document ('null', valid JSON but
+    // get_json_object returns NULL for it → false) and a NULL input
+    // (NULL in DuckDB, not false). Whitespace-padded ' null ' is also
+    // valid (probed), hence the trim.
     out = rewriteCalls(out, "json_valid") {
-      case Seq(j) => Some(s"(get_json_object($j, '$$') IS NOT NULL)")
+      case Seq(j) => Some(
+        s"(CASE WHEN $j IS NULL THEN CAST(NULL AS BOOLEAN) " +
+          s"WHEN trim($j) = 'null' THEN true " +
+          s"ELSE get_json_object($j, '$$') IS NOT NULL END)")
       case _ => None
     }
     // ---- wave-3c list/string/math parity (round-13 probe grid) ----
@@ -574,10 +588,12 @@ object DialectFunctions {
       case _ => None
     }
     // list_slice: DuckDB's (list, begin, end) is 1-based INCLUSIVE on both
-    // ends; Spark's slice takes (start, LENGTH). Negative indices are not
-    // translated (pass through → Spark errors loudly).
+    // ends with NEGATIVE indices resolving from the end and lo>hi clamping
+    // to empty — exactly the bracket-slice contract, so route through the
+    // same kernel (round-14 grid: list_slice([1,2,3,4,5], 2, -2) = [2,3,4],
+    // which the old positive-only slice() fold rejected loudly).
     out = rewriteCalls(out, "list_slice|array_slice") {
-      case Seq(l, b, e) => Some(s"slice($l, $b, ($e) - ($b) + 1)")
+      case Seq(l, b, e) => Some(s"graft_slice($l, $b, $e)")
       case _ => None
     }
     // list_position: DuckDB 1.0.0 (the reference baseline) returns 0 when
@@ -875,7 +891,19 @@ object DialectFunctions {
       // the inside-a-literal test points at the gap AFTER the operand:
       // m.start() may BE the opening quote of a string-literal operand,
       // which insideLiteral counts as inside its own literal
-      if (insideLiteral(sql, m.end(1))) sb.append(sql.substring(last, m.end()))
+      //
+      // DuckDB binds [NOT] SIMILAR TO / GLOB below binary operators
+      // (`a || 'x' SIMILAR TO p` matches the CONCATENATION) — when the
+      // operand is preceded by an operator, group(1) is only the
+      // rightmost token and rewriting would silently drop the left side;
+      // pass through so Spark's own parse error surfaces loudly
+      def precededByOperator: Boolean = {
+        var i = m.start() - 1
+        while (i >= 0 && Character.isWhitespace(sql.charAt(i))) i -= 1
+        i >= 0 && "|+-*/%^&!~<>=".indexOf(sql.charAt(i)) >= 0
+      }
+      if (insideLiteral(sql, m.end(1)) || precededByOperator)
+        sb.append(sql.substring(last, m.end()))
       else {
         val neg = if (m.group(2) != null) "NOT " else ""
         // the pattern text arrives ALREADY literal-escaped for Spark (the

@@ -57,11 +57,39 @@ case class GraftDateTrunc(format: Expression, child: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(format = newLeft, child = newRight)
-  private val dateFields =
-    Set("day", "week", "month", "quarter", "year")
+  // DuckDB's full accepted alias set (probed exhaustively — 'epoch'
+  // truncates to whole seconds, probed on a .123456 timestamp); any
+  // spelling outside it must FAIL LOUDLY like DuckDB's Not-implemented
+  // error, not fall through to TruncTimestamp's silent NULL
+  private val canonical: Map[String, String] = {
+    def m(c: String, sp: String*) = sp.map(_ -> c)
+    (m("year", "year", "years", "yr", "yrs", "y") ++
+      m("month", "month", "months", "mon", "mons") ++
+      m("day", "day", "days", "d", "dayofmonth") ++
+      m("week", "week", "weeks", "w", "weekofyear") ++
+      m("quarter", "quarter", "quarters") ++
+      m("hour", "hour", "hours", "hr", "hrs", "h") ++
+      m("minute", "minute", "minutes", "min", "mins", "m") ++
+      m("second", "second", "seconds", "sec", "secs", "s", "epoch") ++
+      m("millisecond", "millisecond", "milliseconds", "ms", "msec", "msecs") ++
+      m("microsecond", "microsecond", "microseconds", "us", "usec", "usecs") ++
+      m("decade", "decade", "decades", "dec", "decs") ++
+      m("century", "century", "centuries", "cent", "c") ++
+      m("millennium", "millennium", "millenniums", "millennia", "mil", "mils") ++
+      m("isoyear", "isoyear")).toMap
+  }
+  private val dateFields = Set("day", "week", "month", "quarter", "year",
+    "decade", "century", "millennium", "isoyear")
+  // floor-multiple year widths (probed: century(2000)=2000, century(2001)
+  // =2000, decade(1987)=1980, millennium(1987)=1000)
+  private val yearSpans = Map("decade" -> 10, "century" -> 100,
+    "millennium" -> 1000)
   override lazy val replacement: Expression = {
     val f = format match {
-      case Literal(s, _: StringType) if s != null => s.toString.toLowerCase
+      case Literal(s, _: StringType) if s != null =>
+        canonical.getOrElse(s.toString.toLowerCase,
+          throw new IllegalArgumentException(
+            s"date_trunc: unrecognized field '$s'"))
       case other => throw new IllegalArgumentException(
         s"date_trunc field must be a string literal, got $other")
     }
@@ -75,10 +103,26 @@ case class GraftDateTrunc(format: Expression, child: Expression)
       case DateType => Cast(child, TimestampType, tz)
       case _ => child
     }
-    // DuckDB returns DATE for day-or-coarser fields REGARDLESS of the
-    // input type (date_trunc('month', TIMESTAMP …) is a DATE); finer
-    // fields return TIMESTAMP
-    if (dateFields(f)) Cast(truncTs(ts), DateType, tz) else truncTs(ts)
+    val asDate = Cast(ts, DateType, tz)
+    f match {
+      case span if yearSpans.contains(span) =>
+        // Jan 1 of the floor multiple of the span width (built
+        // post-analysis: coercions spelled out, IntegralDivide → LONG)
+        val n = Literal(yearSpans(span).toLong)
+        val yrs = Multiply(
+          IntegralDivide(Cast(Year(asDate), LongType), n), n)
+        MakeDate(Cast(yrs, IntegerType), Literal(1), Literal(1))
+      case "isoyear" =>
+        // Monday of the ISO week containing Jan 4 of the ISO year
+        // (probed: isoyear(2021-01-01) = 2019-12-30)
+        TruncDate(MakeDate(YearOfWeek(asDate), Literal(1), Literal(4)),
+          Literal("week"))
+      // DuckDB returns DATE for day-or-coarser fields REGARDLESS of the
+      // input type (date_trunc('month', TIMESTAMP …) is a DATE); finer
+      // fields return TIMESTAMP
+      case d if dateFields(d) => Cast(truncTs(ts), DateType, tz)
+      case _ => truncTs(ts)
+    }
   }
 }
 

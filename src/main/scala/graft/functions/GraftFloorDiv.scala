@@ -29,11 +29,18 @@ case class GraftFloorDiv(left: Expression, right: Expression)
     case _ => false
   }
 
+  // TRY semantics: DuckDB's `x // 0` is NULL at every type (probed —
+  // including DOUBLE, where 7.5 // 0 is NULL, not Infinity), the same
+  // NULL-on-zero parity ParsedSql gives `/` and `%`. NOTE the TryEval
+  // wrapper is load-bearing: EvalMode.TRY alone still THROWS at
+  // DivModLike.eval — Spark's own try_divide is TryEval-wrapped too.
+  private val tryCtx = NumericEvalContext(EvalMode.TRY)
+
   override lazy val replacement: Expression =
     if (fractional(left.dataType) || fractional(right.dataType))
-      Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+      TryEval(Divide(Cast(left, DoubleType), Cast(right, DoubleType), tryCtx))
     else
       // built post-analysis, so the type coercion the analyzer would have
       // inserted is spelled out: IntegralDivide wants same-type operands
-      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+      TryEval(IntegralDivide(Cast(left, LongType), Cast(right, LongType), tryCtx))
 }

@@ -13,15 +13,66 @@ import org.apache.spark.unsafe.types.UTF8String
 object MathStringFns {
   @scala.annotation.tailrec
   def gcd(a: Long, b: Long): Long =
-    if (b == 0L) math.abs(a) else gcd(b, a % b)
+    if (b == 0L) {
+      // abs(Long.MinValue) wraps negative; DuckDB errors loudly instead
+      if (a == Long.MinValue) throw new ArithmeticException(
+        "Out of Range Error: Overflow on abs(-9223372036854775808)")
+      math.abs(a)
+    } else gcd(b, a % b)
 
   def lcm(a: Long, b: Long): Long =
-    if (a == 0L || b == 0L) 0L else math.abs(a / gcd(a, b) * b)
+    if (a == 0L || b == 0L) 0L
+    else {
+      // DuckDB's BIGINT lcm errors on overflow rather than wrapping
+      val m =
+        try Math.multiplyExact(a / gcd(a, b), b)
+        catch { case _: ArithmeticException => throw new ArithmeticException(
+          "Out of Range Error: lcm value is out of range") }
+      if (m == Long.MinValue) throw new ArithmeticException(
+        "Out of Range Error: lcm value is out of range")
+      math.abs(m)
+    }
 
   def nfc(s: UTF8String): UTF8String =
     if (s == null) null
     else UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Codepoint-wise SIMPLE case mapping, matching DuckDB's utf8proc:
+    * never length-changing (upper('ﬁ') stays 'ﬁ', lower('ΑΣ') is 'ασ' with
+    * a plain sigma — probed), unlike the JVM's String.toUpperCase full
+    * mapping (ß→SS). The one codepoint where utf8proc and Java's simple
+    * tables disagree (probed over the SpecialCasing.txt inventory):
+    * ß → U+1E9E ẞ, which Unicode leaves unmapped but utf8proc maps. */
+  def upperSimple(s: UTF8String): UTF8String = mapCase(s, upper = true)
+  def lowerSimple(s: UTF8String): UTF8String = mapCase(s, upper = false)
+
+  private def mapCase(s: UTF8String, upper: Boolean): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val m =
+        if (upper) { if (cp == 0xDF) 0x1E9E else Character.toUpperCase(cp) }
+        else Character.toLowerCase(cp)
+      sb.appendCodePoint(m)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** upper()/lower() with utf8proc's simple (non-length-changing) mapping. */
+case class GraftCaseMap(child: Expression, upper: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass, StringType,
+      if (upper) "upperSimple" else "lowerSimple",
+      Seq(Cast(child, StringType)), Seq(StringType))
 }
 
 case class GraftGcd(left: Expression, right: Expression, lcm: Boolean)

@@ -184,6 +184,8 @@ package object functions {
     // to plain DOUBLE division
     ExprBridge.registerFunction(spark, "graft_fdiv",
       es => { arity("graft_fdiv", 2)(es); GraftFloorDiv(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_sub",
+      es => { arity("graft_sub", 2)(es); GraftSub(es(0), es(1)) })
     // round-13 probe-grid parity kernels (type-dispatched after
     // resolution — see DialectParityFns.scala)
     ExprBridge.registerFunction(spark, "graft_len",
@@ -206,6 +208,10 @@ package object functions {
       es => { arity("graft_lcm", 2)(es); GraftGcd(es(0), es(1), lcm = true) })
     ExprBridge.registerFunction(spark, "graft_nfc",
       es => { arity("graft_nfc", 1)(es); GraftNfcNormalize(es.head) })
+    ExprBridge.registerFunction(spark, "graft_upper",
+      es => { arity("graft_upper", 1)(es); GraftCaseMap(es.head, upper = true) })
+    ExprBridge.registerFunction(spark, "graft_lower",
+      es => { arity("graft_lower", 1)(es); GraftCaseMap(es.head, upper = false) })
     // re-spellings of Spark's population skewness/kurtosis: the dialect's
     // sample-correction composites reference these so the fixed-point text
     // scan cannot re-match its own emission

@@ -1034,7 +1034,41 @@ object DialectQueries {
       |  CAST(entropy(l_linestatus) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS h_filt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // Infix date arithmetic (round 14): DATE − DATE is BIGINT days in
+  // DuckDB (INTERVAL in Spark) — the parse-level graft_sub marker
+  // type-dispatches on the RESOLVED operand types; DATE − int stays DATE,
+  // DATE − INTERVAL is a TIMESTAMP (probed — DuckDB midnight-anchors).
+  private val q123Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS days_since,
+      |  CAST(CAST(o_orderdate AS DATE) - 30 AS DATE) AS back30,
+      |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS TIMESTAMP) AS back_ts,
+      |  (CAST(o_orderdate AS DATE) - DATE '1995-01-01') // 7 AS weeks_since,
+      |  CAST(CAST(o_orderdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS zero_days
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+
+  // Simple case mapping + coarse date_trunc + json_valid edges (round 14):
+  // upper follows utf8proc's SIMPLE mapping (ß→U+1E9E ẞ, never
+  // length-changing — the JVM's full mapping emits SS); date_trunc gains
+  // decade/century/millennium/isoyear and DuckDB's alias spellings;
+  // json_valid treats a JSON null document as valid and NULL input as NULL.
+  private val q124Sql =
+    """SELECT n_nationkey,
+      |  upper(n_name || 'ß') AS up,
+      |  lower(n_name || 'İ') AS lo,
+      |  CAST(date_trunc('decade', DATE '1970-01-01' + n_nationkey * 500) AS DATE) AS dec_t,
+      |  CAST(date_trunc('century', DATE '1900-01-01' + n_nationkey * 2000) AS DATE) AS cen_t,
+      |  CAST(date_trunc('isoyear', DATE '2016-01-01' + n_nationkey) AS DATE) AS iso_t,
+      |  CAST(date_trunc('mons', DATE '2024-03-14' + n_nationkey * 11) AS DATE) AS mon_t,
+      |  json_valid(CASE WHEN n_nationkey % 4 = 0 THEN 'null'
+      |                  WHEN n_nationkey % 4 = 1 THEN '{"a": 1}'
+      |                  WHEN n_nationkey % 4 = 2 THEN NULL
+      |                  ELSE 'nope{' END) AS jv
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q124_case_trunc_json", fns(q124Sql), Some(q124Sql)),
+    Q("q123_date_arith", fns(q123Sql), Some(q123Sql)),
     Q("q122_entropy", fns(q122Sql), Some(q122Sql)),
     Q("q121_floordiv_fractional", fns(q121Sql), Some(q121Sql)),
     Q("q120_log_bases", fns(q120Sql), Some(q120Sql)),

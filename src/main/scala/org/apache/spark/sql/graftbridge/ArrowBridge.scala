@@ -170,7 +170,7 @@ object CasePreserve {
   * only on the engine's SQL path (Connection.queryDF / the oracle-query
   * chain); plain spark.sql keeps Spark's `div`. */
 object ParsedSql {
-  import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, IntegralDivide, Remainder, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, IntegralDivide, Remainder, SubqueryExpression, Subtract}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   private def fn(name: String,
@@ -187,6 +187,10 @@ object ParsedSql {
     plan.transformAllExpressions {
       case se: SubqueryExpression => se.withNewPlan(fixPlan(se.plan))
       case d: IntegralDivide => fn("graft_fdiv", Seq(d.left, d.right))
+      // DATE − DATE is BIGINT days in DuckDB, an INTERVAL in Spark — a
+      // resolved-type dispatch (graft_sub reproduces Spark's analyzer
+      // dispatch for every other operand combination)
+      case s: Subtract => fn("graft_sub", Seq(s.left, s.right))
       // DuckDB yields NULL for division/modulo by zero at EVERY type;
       // Spark's ANSI `/` and `%` throw. try_divide/try_mod are exactly
       // Divide/Remainder with EvalMode.TRY — same typing, NULL on zero

@@ -281,9 +281,120 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("SIMILAR TO / GLOB after a binary operator passes through loudly " +
+      "(DuckDB binds the match below ||; rewriting only the rightmost " +
+      "token would silently drop the left side — round-14 ADVICE)") {
+    val sql = "SELECT 'x' || 'abc' SIMILAR TO 'xa.*' AS v"
+    assert(DialectFunctions.rewrite(sql) === sql)
+    val ident = "SELECT a || b SIMILAR TO 'p' AS v"
+    assert(DialectFunctions.rewrite(ident) === ident)
+    val arith = "SELECT a - b GLOB 'p*' AS v"
+    assert(DialectFunctions.rewrite(arith) === arith)
+    // unpreceded literal operand still rewrites
+    assert(DialectFunctions.rewrite("SELECT 'abc' SIMILAR TO 'a.c' AS v") ===
+      "SELECT regexp_like('abc', '^(?:a.c)$') AS v")
+    prepare()
+    // the pass-through surfaces Spark's own loud parse error
+    intercept[Exception] {
+      conn.queryDF("SELECT 'x' || 'abc' SIMILAR TO 'xa.*' AS v").collect()
+    }
+  }
+
+  test("json_valid: JSON null document is valid, NULL input is NULL " +
+      "(round-14 ADVICE; probed)") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT json_valid('null') AS a, json_valid(NULL) AS b, " +
+        "json_valid(' null ') AS c, json_valid('nul') AS d, " +
+        "json_valid('{\"a\": 1}') AS e, json_valid('nope{') AS f").collect().head
+    assert(r.getBoolean(0) === true)
+    assert(r.isNullAt(1))
+    assert(r.getBoolean(2) === true)
+    assert(r.getBoolean(3) === false)
+    assert(r.getBoolean(4) === true)
+    assert(r.getBoolean(5) === false)
+  }
+
+  test("date_trunc: coarse fields, alias spellings, loud unknown field " +
+      "(round-14 ADVICE; probed against duckdb)") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT date_trunc('decade', DATE '1987-06-05') AS a, " +
+        "date_trunc('century', DATE '2001-06-05') AS b, " +
+        "date_trunc('millennium', DATE '1987-06-05') AS c, " +
+        "date_trunc('isoyear', DATE '2021-01-01') AS d, " +
+        "CAST(date_trunc('milliseconds', TIMESTAMP '1987-06-05 04:03:02.123456') AS STRING) AS e, " +
+        "CAST(date_trunc('epoch', TIMESTAMP '1987-06-05 04:03:02.123456') AS STRING) AS f")
+      .collect().head
+    assert(r.get(0).toString === "1980-01-01")
+    assert(r.get(1).toString === "2000-01-01")
+    assert(r.get(2).toString === "1000-01-01")
+    assert(r.get(3).toString === "2019-12-30")
+    assert(r.getString(4) === "1987-06-05 04:03:02.123")
+    assert(r.getString(5) === "1987-06-05 04:03:02")
+    val e = intercept[Exception] {
+      conn.queryDF("SELECT date_trunc('era', DATE '1987-06-05') AS v").collect()
+    }
+    assert(e.getMessage.contains("unrecognized field"))
+  }
+
+  test("gcd/lcm error loudly on Long overflow instead of wrapping " +
+      "(round-14 ADVICE; DuckDB 'Out of Range')") {
+    prepare()
+    assert(conn.queryDF("SELECT lcm(4, 6) AS v").collect().head.getLong(0) === 12L)
+    val e1 = intercept[Exception] {
+      conn.queryDF("SELECT lcm(4611686018427387904, 3) AS v").collect()
+    }
+    assert(e1.getMessage.contains("Out of Range"))
+    val e2 = intercept[Exception] {
+      conn.queryDF("SELECT gcd(-9223372036854775808, 0) AS v").collect()
+    }
+    assert(e2.getMessage.contains("Out of Range"))
+  }
+
+  test("infix minus type-dispatches like DuckDB (graft_sub): DATE-DATE " +
+      "is BIGINT days, DATE-INTERVAL a timestamp, numerics widen") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT DATE '2024-03-01' - DATE '2024-02-01' AS a, " +
+        "DATE '2024-03-01' - 1 AS b, " +
+        "CAST(DATE '2024-03-01' - INTERVAL 1 DAY AS STRING) AS c, " +
+        "CAST(TIMESTAMP '2024-03-01 10:00:00' - INTERVAL 90 MINUTE AS STRING) AS d, " +
+        "25.5 - CAST(3 AS DOUBLE) AS e, " +
+        "CAST(10.50 AS DECIMAL(12,2)) - 3 AS f").collect().head
+    assert(r.getLong(0) === 29L)
+    assert(r.get(1).toString === "2024-02-29")
+    assert(r.getString(2) === "2024-02-29 00:00:00")
+    assert(r.getString(3) === "2024-03-01 08:30:00")
+    assert(r.getDouble(4) === 22.5)
+    assert(r.getDecimal(5).toPlainString === "7.50")
+    // plain spark.sql keeps Spark's interval semantics (hook is engine-scoped)
+    val sparkSide = SparkTestSession.spark
+      .sql("SELECT DATE '2024-03-01' - DATE '2024-02-01' AS v")
+      .schema.head.dataType.typeName
+    assert(sparkSide.startsWith("interval"))
+  }
+
+  test("upper/lower use utf8proc's simple mapping (ß→ẞ, never " +
+      "length-changing; round 14)") {
+    prepare()
+    val r = conn.queryDF(
+      "SELECT upper('straße') AS a, lower('ẞ') AS b, upper('ﬁt') AS c, " +
+        "lower('ΑΣ') AS d, ucase('abc') AS e, lcase('ABC') AS f").collect().head
+    assert(r.getString(0) === "STRAẞE")
+    assert(r.getString(1) === "ß")
+    assert(r.getString(2) === "ﬁT")
+    assert(r.getString(3) === "ασ")   // plain sigma, no final-form rule
+    assert(r.getString(4) === "ABC")
+    assert(r.getString(5) === "abc")
+    // plain spark.sql keeps the JVM full mapping (engine-scoped)
+    assert(SparkTestSession.spark.sql("SELECT upper('straße') AS v")
+      .collect().head.getString(0) === "STRASSE")
+  }
+
   test("list_slice / list_position / list_unique / pops / date_diff rewrites") {
     assert(DialectFunctions.rewrite("SELECT list_slice(l, 2, 4)") ===
-      "SELECT slice(l, 2, (4) - (2) + 1)")
+      "SELECT graft_slice(l, 2, 4)")
     // DuckDB 1.0.0 contract: 0 when absent (same as Spark array_position)
     assert(DialectFunctions.rewrite("SELECT list_position(l, 'x')") ===
       "SELECT array_position(l, 'x')")

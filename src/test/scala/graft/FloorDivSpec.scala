@@ -31,6 +31,13 @@ class FloorDivSpec extends AnyFunSuite {
     assert(one("SELECT CAST(-7.5 AS DOUBLE) // 2") === -3.75)
   }
 
+  test("// by zero is NULL at every type (DuckDB parity; round-14 ADVICE)") {
+    assert(one("SELECT 7 // 0") === null)
+    assert(one("SELECT 7.5 // 0") === null)
+    assert(one("SELECT CAST(7 AS DECIMAL(5,2)) // 0") === null)
+    assert(one("SELECT CAST(7 AS DOUBLE) // CAST(0 AS DOUBLE)") === null)
+  }
+
   test("// keeps multiplicative precedence: a * b // c = (a*b) // c") {
     assert(one("SELECT 4 * 3 // 5") === 2L)   // (12)//5, not 4*(3//5)=0
     assert(one("SELECT 10 + 1 // 2 * 3") === 10L) // 10 + ((1//2)*3)

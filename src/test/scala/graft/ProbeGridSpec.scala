@@ -18,13 +18,8 @@ class ProbeGridSpec extends AnyFunSuite {
 
   /** sql → short reason; each must correspond to a documented boundary. */
   private val knownDivergences: Map[String, String] = Map(
-    "upper('straße')" ->
-      ("JVM uppercasing maps ß→SS; DuckDB (utf8proc) emits U+1E9E ẞ — " +
-        "COVERAGE 'Known semantic boundaries'"),
-    "DATE '2024-03-01' - DATE '2024-02-01'" ->
-      ("DATE−DATE is BIGINT days in DuckDB, INTERVAL in Spark — infix " +
-        "type dispatch out of scope; datediff('day', …) agrees on both " +
-        "(COVERAGE boundary)"),
+    // round 14 closed the former upper('straße') (graft_upper simple
+    // mapping) and DATE−DATE (graft_sub BIGINT days) divergences
     "EXTRACT(HOUR FROM INTERVAL 90 MINUTE)" ->
       ("Spark cannot extract a COARSER field from a narrow-precision " +
         "interval literal (DayTimeIntervalType(MINUTE, MINUTE)); DuckDB " +
