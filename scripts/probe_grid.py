@@ -462,6 +462,33 @@ p("agg",
   agg("CAST(max(x) - min(x) AS BIGINT)",
       "(DATE '2024-01-03'),(DATE '2024-01-01')"))
 
+# round-14 quantile type edges: median over VARCHAR (discrete-lower,
+# type-preserving), DATE/TIMESTAMP (microsecond interpolation → TIMESTAMP),
+# quantile_cont over wide DECIMAL (unscaled-double arithmetic) and
+# timestamps. Grid norm() strips fractional seconds — whole-second cases
+# here; the .5-microsecond midpoint is pinned in QuantileParitySpec.
+p("agg",
+  agg("median(x)", "('a'),('b'),('c'),('d')"),
+  agg("median(x)", "('b'),('a'),('c')"),
+  agg("median(x)", "(TIMESTAMP '2024-01-01 00:00:00'),(TIMESTAMP '2024-01-02 00:00:00')"),
+  agg("median(x)", "(DATE '2024-01-01'),(DATE '2024-01-03')"),
+  agg("median(x)", "(DATE '2024-01-01'),(DATE '2024-01-02'),(DATE '2024-01-05')"),
+  agg("median(DISTINCT x)", "('a'),('a'),('b'),('z')"),
+  agg("quantile_cont(x, 0.5)",
+      "(TIMESTAMP '2024-01-01 00:00:00'),(TIMESTAMP '2024-01-02 00:00:02')"),
+  agg("quantile_cont(x, 0.25)",
+      "(TIMESTAMP '2024-01-01 00:00:00'),(TIMESTAMP '2024-01-01 00:00:04'),(TIMESTAMP '2024-01-02 00:00:00')"),
+  agg("CAST(quantile_cont(x, 0.3) AS DOUBLE)",
+      "(CAST(1.5 AS DECIMAL(25,2))),(CAST(4.25 AS DECIMAL(25,2))),(CAST(9 AS DECIMAL(25,2)))"),
+  agg("CAST(quantile_cont(x, 0.25) AS VARCHAR)",
+      "(CAST('123456789012345678901.123' AS DECIMAL(38,3))),(CAST('123456789012345678909.125' AS DECIMAL(38,3)))"),
+  agg("CAST(quantile_cont(x, 0.5) AS VARCHAR)",
+      "(CAST('1000000000000000000000000000000' AS DECIMAL(38,0))),(CAST('1000000000000000000000000000003' AS DECIMAL(38,0)))"),
+  agg("CAST(quantile_cont(x, [0.25, 0.75])[1] AS VARCHAR)",
+      "(CAST(-1.37 AS DECIMAL(30,5))),(CAST(4.25001 AS DECIMAL(30,5))),(CAST(9.1 AS DECIMAL(30,5)))"),
+  agg("median(x)", "(NULL::VARCHAR)"),
+  agg("median(x)", "(NULL::TIMESTAMP)"))
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -83,18 +83,28 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
   private case class Pct(ae: AggregateExpression, value: Expression,
       qs: Seq[Double], isArray: Boolean, filter: Option[Expression],
       distinct: Boolean, discrete: Boolean = false,
-      decimalCont: Boolean = false, entropy: Boolean = false) {
+      decimalCont: Boolean = false, entropy: Boolean = false,
+      tsCont: Boolean = false) {
     /** Keep the value's NATIVE type through the histogram? (discrete
-      * selection, DECIMAL truncated interpolation and entropy all need
-      * it; plain continuous interpolation casts to DOUBLE.) */
-    def native: Boolean = discrete || decimalCont || entropy
+      * selection, DECIMAL truncated interpolation, timestamp
+      * interpolation and entropy all need it; plain continuous
+      * interpolation casts to DOUBLE.) */
+    def native: Boolean = discrete || decimalCont || entropy || tsCont
     /** Branches are shared per (measure, FILTER, DISTINCT, mode): each
       * such tuple has its own histogram (the filter changes which rows
       * count; DISTINCT changes the counts to 1). */
-    def branchKey: (Expression, Option[Expression], Boolean, Boolean, Boolean, Boolean) =
+    def branchKey: (Expression, Option[Expression], Boolean, Boolean, Boolean, Boolean, Boolean) =
       (value.canonicalized, filter.map(_.canonicalized), distinct, discrete,
-        decimalCont, entropy)
+        decimalCont, entropy, tsCont)
   }
+
+  private def isTsLike(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
 
   /** The Percentile calls this rule handles; None = not rewritable.
     * DISTINCT rewrites with unit histogram counts (quantile over the
@@ -137,9 +147,13 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
           ae.isDistinct, entropy = true))
       case GraftMedian(value) if filterOk && value.deterministic =>
         value.dataType match {
-          case _: DecimalType => // DuckDB: discrete-lower, DECIMAL-typed
+          // DuckDB: discrete-lower, type-preserving (DECIMAL, VARCHAR)
+          case _: DecimalType | _: org.apache.spark.sql.types.StringType =>
             Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
               ae.isDistinct, discrete = true))
+          case dt if isTsLike(dt) => // epoch-microsecond interpolation
+            Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
+              ae.isDistinct, tsCont = true))
           case _: NumericType => // interpolated, like Spark's percentile
             Some(Pct(ae, value, Seq(0.5), isArray = false, ae.filter,
               ae.isDistinct))
@@ -149,14 +163,17 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       // and applies the truncated-unscaled interpolation in the final
       // projection (round-13: the collect_list fallback carried it first,
       // but per-group array state is the exact memory cliff this rule
-      // exists to remove); plain numerics interpolate in DOUBLE
+      // exists to remove); DATE/TIMESTAMP interpolate in microsecond
+      // space (round 14); plain numerics interpolate in DOUBLE
       case GraftQuantileCont(value, pctLit)
           if filterOk && value.deterministic &&
-            value.dataType.isInstanceOf[NumericType] =>
+            (value.dataType.isInstanceOf[NumericType] ||
+              isTsLike(value.dataType)) =>
         QuantileMarker.percentages(QuantileMarker.foldedPercentage(pctLit))
           .map { case (qs, isArray) =>
             Pct(ae, value, qs, isArray, ae.filter, ae.isDistinct,
-              decimalCont = value.dataType.isInstanceOf[DecimalType])
+              decimalCont = value.dataType.isInstanceOf[DecimalType],
+              tsCont = isTsLike(value.dataType))
           }
       case _ => None
     }
@@ -293,9 +310,11 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       Alias(g, s"__qk${j}_$i")()
     }
     // discrete selection and DECIMAL truncated interpolation keep the
-    // NATIVE type; plain continuous interpolation arithmetic needs DOUBLE
+    // NATIVE type; timestamp interpolation normalizes DATE/NTZ to
+    // TimestampType; plain continuous interpolation arithmetic needs DOUBLE
     val vAlias =
-      if (p0.native) Alias(value, s"__v$j")()
+      if (p0.tsCont) Alias(QuantileFallbackRule.toTs(value), s"__v$j")()
+      else if (p0.native) Alias(value, s"__v$j")()
       else Alias(Cast(value, DoubleType), s"__v$j")()
     // FILTER clause applies before the histogram, on the raw child rows
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
@@ -336,7 +355,8 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       : (LogicalPlan, Seq[Attribute], Map[Expression, Attribute]) = {
     val p0 = group.head
     val vAlias =
-      if (p0.native) Alias(p0.value, s"__v$j")()
+      if (p0.tsCont) Alias(QuantileFallbackRule.toTs(p0.value), s"__v$j")()
+      else if (p0.native) Alias(p0.value, s"__v$j")()
       else Alias(Cast(p0.value, DoubleType), s"__v$j")()
     val base = p0.filter.map(f => Filter(f, child)).getOrElse(child)
     val keyed = Project(Seq(vAlias), base)
@@ -457,6 +477,13 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
             // the unscaled values, keeping the DECIMAL type (lo/hi are
             // native here — the branch skipped the DOUBLE cast)
             QuantileFallbackRule.truncDecimalInterp(lo, hi, frac, d)
+          case _ if p.tsCont =>
+            // DATE/TIMESTAMP: epoch-microsecond interpolation (lo/hi are
+            // TimestampType — the branch normalized them)
+            QuantileFallbackRule.tsInterp(lo, hi, frac, p.ae.dataType match {
+              case ArrayType(e, _) => e
+              case other => other
+            })
           case _ => Add(lo, Multiply(frac, Subtract(hi, lo)))
         }
       }
@@ -465,7 +492,7 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
       val guard = quantAttrs(off + 2)
       off += 3 * p.qs.size
       val out: Expression =
-        if (p.isArray && p.decimalCont)
+        if (p.isArray && (p.decimalCont || p.tsCont))
           // the marker declares ArrayType(d, containsNull = true)
           If(IsNull(guard), Literal(null, p.ae.dataType), CreateArray(interps))
         else if (p.isArray)

@@ -38,6 +38,21 @@ object MathStringFns {
     else UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
 
+  /** The unscaled value of a DECIMAL as a double — DuckDB's own wide-
+    * decimal quantile arithmetic (hugeint unscaled → double, probed: the
+    * p>18 interpolation rounds exactly like a BigInteger→double cast). */
+  def unscaledDouble(d: org.apache.spark.sql.types.Decimal): Double =
+    d.toJavaBigDecimal.unscaledValue.doubleValue
+
+  /** Truncate an unscaled double TOWARD ZERO and re-scale — the inverse of
+    * [[unscaledDouble]] for results wider than a long. */
+  def decimalFromUnscaledDouble(x: Double, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      BigDecimal(new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.DOWN)
+        .movePointLeft(scale)), precision, scale)
+
   /** Codepoint-wise SIMPLE case mapping, matching DuckDB's utf8proc:
     * never length-changing (upper('ﬁ') stays 'ﬁ', lower('ΑΣ') is 'ασ' with
     * a plain sigma — probed), unlike the JVM's String.toUpperCase full

@@ -118,19 +118,27 @@ case class GraftQuantileDisc(child: Expression, percentageExpression: Expression
     copy(child = newChildren(0), percentageExpression = newChildren(1))
 }
 
-/** `median(x)` with DuckDB's DECIMAL-discrete semantics — see
-  * [[QuantileMarker]]. Non-DECIMAL numerics interpolate (Spark-identical);
-  * DECIMAL is discrete-lower and keeps the DECIMAL type. */
+/** `median(x)` with DuckDB's type semantics — see [[QuantileMarker]].
+  * Non-DECIMAL numerics interpolate (Spark-identical); DECIMAL and
+  * VARCHAR are discrete-lower keeping the input type (probed: median of
+  * ['a','b','c','d'] = 'b' — the quantile_disc(0.5) selection rule);
+  * DATE/TIMESTAMP interpolate in epoch-microsecond space and return
+  * TIMESTAMP (probed: median of two adjacent dates is the midnight+12h
+  * TIMESTAMP). */
 case class GraftMedian(child: Expression) extends QuantileMarker {
   override protected def funcName: String = "median"
   override def children: Seq[Expression] = Seq(child)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+    case _: NumericType | NullType | _: StringType | DateType |
+        TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"median needs a numeric input, got ${other.sql}")
+      s"median needs a numeric, string or date/timestamp input, got ${other.sql}")
   }
   override def dataType: DataType = child.dataType match {
     case d: DecimalType => d
+    case s: StringType => s
+    case DateType | TimestampType => TimestampType
+    case TimestampNTZType => TimestampNTZType
     case _ => DoubleType
   }
   override protected def withNewChildrenInternal(
@@ -139,27 +147,29 @@ case class GraftMedian(child: Expression) extends QuantileMarker {
 }
 
 /** `quantile_cont(x, q)` with DuckDB's DECIMAL truncated-interpolation —
-  * see [[QuantileMarker]]. Non-DECIMAL = Spark's `percentile`. DECIMAL
-  * precision is capped at 18 (long-backed unscaled arithmetic); DuckDB's
-  * hugeint-backed wider decimals loud-reject rather than silently losing
-  * precision. */
+  * see [[QuantileMarker]]. Non-DECIMAL numerics = Spark's `percentile`.
+  * DECIMAL up to precision 18 interpolates over long-backed unscaled
+  * values; wider decimals use DuckDB's own probed arithmetic — the
+  * unscaled hugeint cast to DOUBLE (midpoint of 10^30 and 10^30+3 comes
+  * back as double(10^30): DuckDB loses the low bits too, so the
+  * BigInteger→double kernel is exact parity, not an approximation).
+  * DATE/TIMESTAMP interpolate in epoch-microsecond space → TIMESTAMP. */
 case class GraftQuantileCont(child: Expression, percentageExpression: Expression)
     extends QuantileMarker {
   override protected def funcName: String = "quantile_cont"
   override def children: Seq[Expression] = Seq(child, percentageExpression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case d: DecimalType if d.precision > 18 =>
-      TypeCheckResult.TypeCheckFailure(
-        "quantile_cont over DECIMAL is supported up to precision 18 " +
-          s"(long-backed unscaled interpolation), got ${d.sql}")
-    case _: NumericType | NullType =>
+    case _: NumericType | NullType | DateType | TimestampType |
+        TimestampNTZType =>
       QuantileMarker.checkPercentage("quantile_cont", percentageExpression)
     case other => TypeCheckResult.TypeCheckFailure(
-      s"quantile_cont needs a numeric input, got ${other.sql}")
+      s"quantile_cont needs a numeric or date/timestamp input, got ${other.sql}")
   }
   override def dataType: DataType = {
     val elem = child.dataType match {
       case d: DecimalType => d
+      case DateType | TimestampType => TimestampType
+      case TimestampNTZType => TimestampNTZType
       case _ => DoubleType
     }
     percentageExpression.dataType match {
@@ -255,8 +265,12 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
             s"quantile_disc position did not fold to a literal: ${pct.sql}"))
         composite(x, model, qs, isArray, discSelect)
       case GraftMedian(x) => x.dataType match {
-        case _: DecimalType => composite(x, model, Seq(0.5), isArray = false,
-          discSelect)
+        // DECIMAL and VARCHAR: discrete-lower, type-preserving (probed)
+        case _: DecimalType | _: StringType =>
+          composite(x, model, Seq(0.5), isArray = false, discSelect)
+        case DateType | TimestampType | TimestampNTZType =>
+          composite(toTs(x), model, Seq(0.5), isArray = false,
+            contTsSelect(marker.dataType))
         case _ => ae(new Percentile(x, Literal(0.5, DoubleType)), model)
       }
       case GraftQuantileCont(x, pct) => x.dataType match {
@@ -264,6 +278,14 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
           val folded = QuantileMarker.foldedPercentage(pct)
           val (qs, isArray) = QuantileMarker.percentages(folded).get
           composite(x, model, qs, isArray, contDecimalSelect(d))
+        case DateType | TimestampType | TimestampNTZType =>
+          val folded = QuantileMarker.foldedPercentage(pct)
+          val (qs, isArray) = QuantileMarker.percentages(folded).get
+          composite(toTs(x), model, qs, isArray,
+            contTsSelect(marker.dataType match {
+              case ArrayType(e, _) => e
+              case other => other
+            }))
         case _ =>
           ae(new Percentile(x, QuantileMarker.foldedPercentage(pct)), model)
       }
@@ -315,19 +337,59 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
 
   /** DuckDB's DECIMAL truncated-interpolation core, shared by the
     * collect_list fallback and ExactQuantileRule's histogram path:
-    * exact = lo_u + (hi_u − lo_u)·frac in DOUBLE over the unscaled longs,
-    * truncated TOWARD ZERO, re-scaled (probed: 200 randomized trials). */
+    * exact = lo_u + (hi_u − lo_u)·frac in DOUBLE over the unscaled values,
+    * truncated TOWARD ZERO, re-scaled (probed: 200 randomized trials).
+    * Up to precision 18 the unscaled hop is a long; wider decimals use
+    * the BigInteger→double kernels, which is what DuckDB's hugeint cast
+    * does too (probed: round 14). */
   def truncDecimalInterp(lo: Expression, hi: Expression, frac: Expression,
-      d: DecimalType): Expression = {
-    val pow10 = Literal(Decimal(BigDecimal(10).pow(d.scale), d.scale + 1, 0),
-      DecimalType(d.scale + 1, 0))
-    def unscaled(e: Expression): Expression =
-      Cast(Multiply(e, pow10), LongType) // integral value at scale s: exact
-    val loU = unscaled(lo)
-    val dU = Subtract(unscaled(hi), loU)
-    val exact = Add(Cast(loU, DoubleType), Multiply(Cast(dU, DoubleType), frac))
-    val resU = Cast(exact, LongType) // Cast double→long truncates toward zero
-    MakeDecimal(resU, d.precision, d.scale)
+      d: DecimalType): Expression =
+    if (d.precision <= 18) {
+      val pow10 = Literal(Decimal(BigDecimal(10).pow(d.scale), d.scale + 1, 0),
+        DecimalType(d.scale + 1, 0))
+      def unscaled(e: Expression): Expression =
+        Cast(Multiply(e, pow10), LongType) // integral value at scale s: exact
+      val loU = unscaled(lo)
+      val dU = Subtract(unscaled(hi), loU)
+      val exact = Add(Cast(loU, DoubleType), Multiply(Cast(dU, DoubleType), frac))
+      val resU = Cast(exact, LongType) // Cast double→long truncates toward zero
+      MakeDecimal(resU, d.precision, d.scale)
+    } else {
+      import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+      def unscaled(e: Expression): Expression =
+        StaticInvoke(MathStringFns.getClass, DoubleType, "unscaledDouble",
+          Seq(e), Seq(d))
+      val loU = unscaled(lo)
+      val exact = Add(loU, Multiply(Subtract(unscaled(hi), loU), frac))
+      StaticInvoke(MathStringFns.getClass, d, "decimalFromUnscaledDouble",
+        Seq(exact, Literal(d.precision), Literal(d.scale)),
+        Seq(DoubleType, IntegerType, IntegerType))
+    }
+
+  /** DuckDB's DATE/TIMESTAMP interpolation core: lo + (hi − lo)·frac in
+    * epoch-microsecond space (probed: median of two adjacent seconds is
+    * the .5-microsecond midpoint). Inputs must already be TimestampType;
+    * `outT` restores a TIMESTAMP_NTZ declared output. */
+  def tsInterp(lo: Expression, hi: Expression, frac: Expression,
+      outT: DataType): Expression = {
+    val loU = Cast(UnixMicros(lo), DoubleType)
+    val hiU = Cast(UnixMicros(hi), DoubleType)
+    val exact = Add(loU, Multiply(Subtract(hiU, loU), frac))
+    val ts: Expression = MicrosToTimestamp(Cast(exact, LongType))
+    if (outT == TimestampNTZType)
+      Cast(ts, TimestampNTZType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    else ts
+  }
+
+  private def tzOpt: Option[String] =
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  /** Cast a DATE/TIMESTAMP_NTZ measure to TimestampType for the
+    * interpolation space. */
+  def toTs(e: Expression): Expression = e.dataType match {
+    case TimestampType => e
+    case _ => Cast(e, TimestampType, tzOpt)
   }
 
   /** element_at(sorted, max(1, ceil(q·n))) — the discrete statistic. */
@@ -343,12 +405,26 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
     * truncated-unscaled core. */
   private def contDecimalSelect(d: DecimalType)(
       sorted: Expression, n: Expression, q: Double): Expression = {
+    val (lo, hi, frac) = straddle(sorted, n, q)
+    truncDecimalInterp(lo, hi, frac, d)
+  }
+
+  /** DATE/TIMESTAMP interpolation over the sorted (TimestampType) array —
+    * the shared epoch-microsecond core. */
+  private def contTsSelect(outT: DataType)(
+      sorted: Expression, n: Expression, q: Double): Expression = {
+    val (lo, hi, frac) = straddle(sorted, n, q)
+    tsInterp(lo, hi, frac, outT)
+  }
+
+  private def straddle(sorted: Expression, n: Expression, q: Double)
+      : (Expression, Expression, Expression) = {
     val pos = Multiply(Literal(q),
       Subtract(Cast(n, DoubleType), Literal(1.0)))
     val f = Floor(pos) // LongType
     val frac = Subtract(pos, Cast(f, DoubleType))
     val lo = new ElementAt(sorted, Cast(Add(f, Literal(1L)), IntegerType))
     val hi = new ElementAt(sorted, Cast(Add(Ceil(pos), Literal(1L)), IntegerType))
-    truncDecimalInterp(lo, hi, frac, d)
+    (lo, hi, frac)
   }
 }

@@ -1066,7 +1066,23 @@ object DialectQueries {
       |                  ELSE 'nope{' END) AS jv
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // Quantile type edges (round 14): median over VARCHAR is discrete-lower
+  // keeping VARCHAR; over TIMESTAMP it interpolates in microsecond space;
+  // quantile_cont rides DECIMAL(p>18) with DuckDB's unscaled-double
+  // arithmetic and TIMESTAMP with microsecond interpolation. All probed;
+  // the ExactQuantileRule histogram path carries every one (no
+  // collect_list buffer).
+  private val q125Sql =
+    """SELECT o_orderpriority AS k,
+      |  median(o_orderstatus) AS med_str,
+      |  CAST(median(CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS med_ts,
+      |  CAST(quantile_cont(CAST(o_totalprice AS DECIMAL(25,2)), 0.3) AS DOUBLE) AS qc_wide,
+      |  CAST(quantile_cont(CAST(o_orderdate AS TIMESTAMP), 0.25) AS TIMESTAMP) AS qc_ts,
+      |  median(DISTINCT o_orderstatus) AS med_dstr
+      |FROM orders GROUP BY o_orderpriority ORDER BY k""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q125_quantile_types", fns(q125Sql), Some(q125Sql)),
     Q("q124_case_trunc_json", fns(q124Sql), Some(q124Sql)),
     Q("q123_date_arith", fns(q123Sql), Some(q123Sql)),
     Q("q122_entropy", fns(q122Sql), Some(q122Sql)),

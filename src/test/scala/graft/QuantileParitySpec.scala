@@ -153,6 +153,63 @@ class QuantileParitySpec extends AnyFunSuite {
     }
   }
 
+  test("round 14: median over VARCHAR selects, DATE/TIMESTAMP interpolate, " +
+      "quantile_cont rides wide DECIMAL and timestamps (duckdb-pinned)") {
+    ensureFns()
+    // duckdb: median(['a','b','c','d']) = 'b' (discrete-lower, VARCHAR out)
+    bothPaths("SELECT median(x) AS v FROM VALUES ('a'),('b'),('c'),('d') t(x)") {
+      rows => assert(rows.head.getString(0) === "b")
+    }
+    bothPaths("SELECT median(x) AS v FROM VALUES ('b'),('a'),('c') t(x)") {
+      rows => assert(rows.head.getString(0) === "b")
+    }
+    // duckdb: the .5-microsecond midpoint (norm-stripped in the probe grid,
+    // pinned here): median of 00:00:00 and next-day 00:00:01 = 12:00:00.5
+    bothPaths("SELECT CAST(median(x) AS STRING) AS v FROM VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:00'),(TIMESTAMP '2024-01-02 00:00:01') t(x)") {
+      rows => assert(rows.head.getString(0) === "2024-01-01 12:00:00.5")
+    }
+    // DATE input returns an interpolated TIMESTAMP (duckdb-probed)
+    bothPaths("SELECT CAST(median(x) AS STRING) AS v FROM VALUES " +
+      "(DATE '2024-01-01'),(DATE '2024-01-02') t(x)") {
+      rows => assert(rows.head.getString(0) === "2024-01-01 12:00:00")
+    }
+    // wide DECIMAL: duckdb interpolates over the unscaled value cast to
+    // DOUBLE — both pinned results reproduce its rounding exactly
+    bothPaths("SELECT CAST(quantile_cont(x, 0.3) AS STRING) AS v FROM VALUES " +
+      "(CAST(1.5 AS DECIMAL(25,2))),(CAST(4.25 AS DECIMAL(25,2))),(CAST(9 AS DECIMAL(25,2))) t(x)") {
+      rows => assert(rows.head.getString(0) === "3.15")
+    }
+    bothPaths("SELECT CAST(quantile_cont(x, 0.25) AS STRING) AS v FROM VALUES " +
+      "(CAST('123456789012345678901.123' AS DECIMAL(38,3)))," +
+      "(CAST('123456789012345678909.125' AS DECIMAL(38,3))) t(x)") {
+      rows => assert(rows.head.getString(0) === "123456789012345685803.008")
+    }
+    bothPaths("SELECT CAST(quantile_cont(x, 0.5) AS STRING) AS v FROM VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:00'),(TIMESTAMP '2024-01-02 00:00:01') t(x)") {
+      rows => assert(rows.head.getString(0) === "2024-01-01 12:00:00.5")
+    }
+    // grouped + all-NULL-group stitching for the new types
+    bothPaths("SELECT k, median(x) AS v FROM VALUES " +
+      "(1, 'a'),(1, 'b'),(1, 'c'),(1, 'd'),(2, NULL) t(k, x) " +
+      "GROUP BY k ORDER BY k") { rows =>
+      assert(rows(0).getString(1) === "b")
+      assert(rows(1).isNullAt(1))
+    }
+    bothPaths("SELECT k, CAST(median(x) AS STRING) AS v FROM VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00'),(1, TIMESTAMP '2024-01-02 00:00:00')," +
+      "(2, TIMESTAMP '2030-05-05 10:00:00') t(k, x) GROUP BY k ORDER BY k") { rows =>
+      assert(rows(0).getString(1) === "2024-01-01 12:00:00")
+      assert(rows(1).getString(1) === "2030-05-05 10:00:00")
+    }
+    // array-q over timestamps keeps the list shape
+    bothPaths("SELECT CAST(quantile_cont(x, array(0.0D, 0.5D))[1] AS STRING) AS v " +
+      "FROM VALUES (TIMESTAMP '2024-01-01 00:00:00')," +
+      "(TIMESTAMP '2024-01-03 00:00:00') t(x)") {
+      rows => assert(rows.head.getString(0) === "2024-01-02 00:00:00")
+    }
+  }
+
   test("plan shapes: histogram by default, collect_list composite on bail") {
     ensureFns()
     val sql = "SELECT o_orderpriority, quantile_disc(o_custkey, 0.5) AS v " +
