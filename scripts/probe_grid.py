@@ -488,6 +488,28 @@ p("agg",
       "(CAST(-1.37 AS DECIMAL(30,5))),(CAST(4.25001 AS DECIMAL(30,5))),(CAST(9.1 AS DECIMAL(30,5)))"),
   agg("median(x)", "(NULL::VARCHAR)"),
   agg("median(x)", "(NULL::TIMESTAMP)"))
+p("string",
+  "upper(NULL)", "lower(NULL)", "upper('')",
+  "'é' < 'z'", "'Z' < 'a'", "greatest('ß', 'z')",
+  "repeat('é', 2)", "reverse('héllo')")
+p("datetime",
+  "date_trunc('c', DATE '1987-06-05')",
+  "date_trunc('mil', DATE '1987-06-05')",
+  "date_trunc('dayofmonth', TIMESTAMP '2024-03-14 10:11:12')",
+  "date_trunc('weekofyear', DATE '2024-03-14')",
+  "DATE '2024-01-01' - DATE '2024-01-01'",
+  "(DATE '2024-03-01' - DATE '2024-02-01') % 7",
+  # ts − date agrees semantically (an interval) but interval VALUES have
+  # no common textual normalization between the engines — spelled as a
+  # datediff probe instead
+  "datediff('hour', DATE '2024-02-29', TIMESTAMP '2024-03-01 00:00:00')")
+p("json",
+  """json_valid('null')""", """json_valid(' null ')""",
+  """json_valid(NULL)""", """json_valid('"x"')""",
+  """json_valid('[1,2]')""", """json_valid('true')""")
+p("numeric",
+  "lcm(4, 6) + gcd(12, 18)", "gcd(0, -7)", "lcm(1, 1)",
+  "5 - 2 - 1", "2.5 - 1", "CAST(1 AS SMALLINT) - CAST(250 AS SMALLINT)")
 
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")

@@ -235,9 +235,28 @@ object Bench {
     val totalCold = finalResults.map { case (name, t, _) =>
       coldTimes.get(name).filter(_ >= 0).getOrElse(t)
     }.filter(_ >= 0).sum
+    // Per-query plan fingerprint (round-14, r13 verdict task 8): md5 of
+    // the canonicalized optimized logical plan — machine evidence for
+    // mover adjudication. A mover whose fingerprint is unchanged since
+    // the previous artifact cannot be a code-change regression (the
+    // r13 q105/p74 adjudications established this manually via rewritten-
+    // SQL md5; the plan hash subsumes it and covers DataFrame-built
+    // queries too). Computed AFTER the timed sweep — plan building runs
+    // analysis+optimization only, nothing executes.
+    val planMd5: Seq[(String, String)] = names.flatMap { name =>
+      scala.util.Try {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.canonicalized.toString
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        name -> md
+      }.toOption
+    }
     val qs = fmt(finalResults.map(r => (r._1, r._2)))
     val sp = fmt(finalResults.map(r => (r._1, r._3)))
     val qc = fmt(coldTimes.toSeq.sortBy(_._1))
+    val pl = planMd5.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val rs = fmt(resampledMap.toSeq.sortBy(_._1))
     val warm = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hh = hostHealth match {
@@ -246,7 +265,7 @@ object Bench {
       case None => // no previous same-sf artifact: controls recorded, no ratio
         s""""host_health":{"controls":${fmt(controlTimes)}},"""
     }
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"plans":$pl,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
     // a SPARK_GRAFT_ONLY-filtered run is a smoke/iteration run: its delta
@@ -255,7 +274,8 @@ object Bench {
     // after BENCH_OUT discipline closed the artifact one (round 13)
     if (only.isEmpty)
       writeDelta(sfDir, finalResults.map(r => (r._1, r._2, r._3)), ms,
-        resampled = resampledMap, hostHealth = hostHealth)
+        resampled = resampledMap, hostHealth = hostHealth,
+        curPlans = planMd5.toMap, curCold = coldTimes)
     spark.stop()
   }
 
@@ -365,6 +385,14 @@ object Bench {
       .map(g => g.group(1) -> g.group(2).toDouble).toMap
   }
 
+  /** Parse the flat {"name":"str",...} dicts (the "plans" field). */
+  private def parseStrDict(json: String, field: String): Map[String, String] = {
+    val m = ("\"" + field + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return Map.empty)
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(m)
+      .map(g => g.group(1) -> g.group(2)).toMap
+  }
+
   /** Same-instrument round-over-round comparison: previous artifact from
     * SPARK_GRAFT_BENCH_PREV or the newest committed BENCH_FULL_r*.json for
     * the same sf dir. Movers = ratio outside [1/1.5, 1.5] AND |delta|
@@ -376,9 +404,19 @@ object Bench {
       prevOverride: Option[String] = None,
       outPath: String = "BENCH_DELTA.json",
       resampled: Map[String, Double] = Map.empty,
-      hostHealth: Option[Double] = None): Unit = {
+      hostHealth: Option[Double] = None,
+      curPlans: Map[String, String] = Map.empty,
+      curCold: Map[String, Double] = Map.empty): Unit = {
     loadPrev(sfDir, prevOverride).foreach { case (pp, prevQ, prevS) =>
       try {
+        // Round-14 (r13 verdict task 8): machine-readable adjudication
+        // evidence per mover — the plan fingerprint comparison and the
+        // cold/warm pair, so a latch/rider is distinguishable from a real
+        // regression without the manual prose of BENCH_SF1.md.
+        val prevJson = scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(pp))).getOrElse("")
+        val prevPlans = parseStrDict(prevJson, "plans")
+        val prevCold = parseDict(prevJson, "queries_cold")
         // Host-window gate (round-13): when the control-query ratio says
         // this run's host window differs from the previous artifact's,
         // per-query mover flags are NOISE — suppress them all and stamp
@@ -412,7 +450,23 @@ object Bench {
           val suspect = ratio < 1.0 / 1.5 && prevS.getOrElse(name, 0.0) >= p
           val verify = if (suspect) resampled.get(name)
             .map(r => s""","verify":${ms(r)}""").getOrElse("") else ""
-          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover${if (suspect) ",\"prev_suspect\":true" else ""}$verify}"""
+          // adjudication evidence rides on MOVER rows only (delta stays
+          // compact): plan_changed = the canonicalized-optimized-plan
+          // fingerprint moved since the previous artifact (absent when
+          // either side predates the field); the cold/warm pair makes a
+          // shared-stage rider visible (warm moved, cold didn't)
+          val evidence = if (!mover && !suspect) "" else {
+            val pc = (curPlans.get(name), prevPlans.get(name)) match {
+              case (Some(c), Some(pv)) => s""","plan_changed":${c != pv}"""
+              case _ => ""
+            }
+            val cc = curCold.get(name).filter(_ >= 0)
+              .map(c => s""","cur_cold":${ms(c)}""").getOrElse("")
+            val pcold = prevCold.get(name).filter(_ >= 0)
+              .map(c => s""","prev_cold":${ms(c)}""").getOrElse("")
+            pc + cc + pcold
+          }
+          s""""$name":{"prev":${ms(p)},"cur":${ms(t)},"ratio":${ms(ratio)},"mover":$mover${if (suspect) ",\"prev_suspect\":true" else ""}$verify$evidence}"""
         }
         val hh = hostHealth.map(h =>
           s""""host_health":${ms(h)},"host_unhealthy":${!healthy},""").getOrElse("")

@@ -32,13 +32,26 @@ object Clustering {
     * driver (2^17 cells × 64 dims × 8 B ≈ 67 MB — comfortably inside any
     * driver, and the per-row k×dim argmin loop stays ~10^7 integer ops).
     * The k = ⌈√n⌉ consumers (SemDeDup) cross this at n ≈ 1.7×10^10
-    * vectors; beyond it the right shape is a TWO-LEVEL assignment (coarse
-    * k' = ⌈k^(1/2)⌉ centroids broadcast first, then a fine argmin within
-    * the coarse cell's centroid subset, shipped as a cell-keyed
-    * broadcast), which no current consumer needs — so the ceiling is a
-    * LOUD error naming the knob rather than silent driver pressure
-    * (round-13, r12 verdict watch item). */
+    * vectors; beyond it [[assign]] switches to the TWO-LEVEL
+    * coarse-then-fine assignment (round 14 — previously a loud error):
+    * k' = ⌈√k⌉ coarse representatives are hash-priority-sampled from the
+    * fine centroids and broadcast; each fine centroid and each vector
+    * takes its nearest coarse cell via the same fused kernel; the fine
+    * argmin then runs within the vector's coarse group through a
+    * coarse-keyed join (AQE picks broadcast vs shuffle by the group
+    * table's size) + a map-side-combining min(struct) — n·√k̄ distance
+    * rows instead of n·k, nothing driver-sized. NOTE the two-level path
+    * is IVF-approximate: a vector whose true nearest fine centroid lives
+    * in a different coarse group gets its within-group minimum instead —
+    * the standard IVF trade, acceptable for the clustering consumers
+    * (SemDeDup cells are themselves a heuristic partition). The spec pins
+    * exactness on well-separated synthetic clusters, where the two paths
+    * agree bit-for-bit. Override the ceiling for tests via
+    * `spark.graft.clustering.maxCells`. */
   private[graft] val MaxCells: Int = 1 << 17
+
+  private[graft] def maxCells(s: SparkSession): Int =
+    s.conf.get("spark.graft.clustering.maxCells", MaxCells.toString).toInt
 
   /** (vec_id, q: array<bigint>) — shared quantization stage, pinned and
     * memoized per dir ([[Pins.shared]]): both Lloyd iterations re-read it
@@ -70,21 +83,72 @@ object Clustering {
     * HashAggregate) vs ~2 s fused. MLlib's KMeans collects centroids per
     * Lloyd round for the same reason. */
   private[graft] def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    // limit(MaxCells + 1): if the collected set fits the ceiling, the
+    // limit(ceiling + 1): if the collected set fits the ceiling, the
     // limit was a no-op and the table is COMPLETE; if not, the collect
-    // was bounded and the error below fires before driver pressure
+    // was bounded — fall through to the two-level path before any
+    // driver pressure builds
+    val ceiling = maxCells(q.sparkSession)
     val rows = cents.select(col("cell").cast("long").as("cell"), col("c"))
-      .limit(MaxCells + 1).collect()
-    require(rows.length <= MaxCells,
-      s"k-means centroid table exceeds Clustering.MaxCells = $MaxCells " +
-        "(the broadcast-assignment ceiling: k x dim x 8B must stay " +
-        "driver-sized). This needs the two-level coarse-then-fine " +
-        "assignment documented at Clustering.MaxCells, or a smaller k.")
-    val nc = graft.functions.nearest_cell(col("q"),
-      rows.map(_.getLong(0)).toSeq,
-      rows.map(_.getSeq[Long](1)).toSeq)
-    q.withColumn("m", nc)
-      .select(col("vec_id"), col("q"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+      .limit(ceiling + 1).collect()
+    if (rows.length <= ceiling) {
+      val nc = graft.functions.nearest_cell(col("q"),
+        rows.map(_.getLong(0)).toSeq,
+        rows.map(_.getSeq[Long](1)).toSeq)
+      q.withColumn("m", nc)
+        .select(col("vec_id"), col("q"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+    } else twoLevelAssign(q, cents, ceiling)
+  }
+
+  /** Hash-priority coarse representatives drawn FROM the fine centroids —
+    * the same fixed-seed sampling math as [[seedInit]], keyed by cell. */
+  private[graft] def coarseReps(cents: DataFrame, kc: Int): DataFrame = {
+    val P = PortableHash.P
+    val pri = pmod(lit(SeedA) * pmod(col("cell").cast("long"), lit(P)) + lit(SeedB), lit(P))
+    val w = Window.orderBy(col("pri"), col("cell"))
+    cents.select(col("cell").cast("long").as("cell"), col("c"))
+      .withColumn("pri", pri)
+      .orderBy(col("pri"), col("cell")).limit(kc)
+      .select((row_number().over(w) - 1).cast("long").as("coarse"),
+        col("c").as("cc"))
+  }
+
+  /** The over-ceiling assignment (see [[MaxCells]]): coarse k' = ⌈√k⌉
+    * representatives broadcast through the fused kernel, fine argmin
+    * within the coarse group via a coarse-keyed join + one map-side-
+    * combining min(struct). Same output contract as [[assign]]. */
+  private[graft] def twoLevelAssign(q: DataFrame, cents: DataFrame,
+      ceiling: Int): DataFrame = {
+    val k = cents.count()
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    require(kc <= ceiling,
+      s"two-level k-means: even the coarse level (k' = $kc of k = $k) " +
+        s"exceeds the ceiling $ceiling — raise " +
+        "spark.graft.clustering.maxCells or use a smaller k")
+    val reps = coarseReps(cents, kc).collect()
+    val repIds = reps.map(_.getLong(0)).toSeq
+    val repVecs = reps.map(_.getSeq[Long](1)).toSeq
+    // each FINE centroid joins its nearest coarse group (k rows, one
+    // fused-kernel pass over the centroid table — never the corpus)
+    val grouped = cents
+      .select(col("cell").cast("long").as("fine_cell"), col("c"))
+      .withColumn("m", graft.functions.nearest_cell(col("c"), repIds, repVecs))
+      .select(col("m.cell").as("coarse"), col("fine_cell"), col("c"))
+    // each VECTOR takes its coarse cell map-side
+    val vCoarse = q
+      .withColumn("m", graft.functions.nearest_cell(col("q"), repIds, repVecs))
+      .select(col("vec_id"), col("q"), col("m.cell").as("coarse"))
+    // fine argmin within the group: n·(k/k') distance rows, collapsed by a
+    // map-side-combining min over (dist, cell) — ties break to the
+    // smallest cell exactly like the fused kernel
+    val dist = expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    vCoarse.join(grouped, "coarse")
+      .select(col("vec_id"), col("q"), col("fine_cell"), dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("fine_cell"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.q").as("q"),
+        col("m.fine_cell").as("cell"), col("m.dist").as("dist"))
   }
 
   /** Integer truncated-mean centroid update: (cell, pos) partial sums →

@@ -35,6 +35,37 @@ class BenchDeltaSpec extends AnyFunSuite {
     assert("\"n_compared\":2".r.findFirstIn(json).isDefined, json)
   }
 
+  // Round-14 (r13 verdict task 8): mover rows carry machine-readable
+  // adjudication evidence — plan_changed from the canonicalized-plan
+  // fingerprints and the cold/warm pair — so a latch/rider is
+  // distinguishable from a real regression without manual prose.
+  test("mover rows carry plan_changed and the cold/warm pair; " +
+      "non-movers stay compact") {
+    val prev = Files.createTempFile("bench-prev", ".json")
+    Files.writeString(prev,
+      """{"metric":"total","unit":"sec","sf":"/x","samples":3,""" +
+        """"plans":{"a":"aaaa","c":"cccc","d":"dddd"},""" +
+        """"queries_cold":{"a":1.2,"c":3.3},""" +
+        """"spread":{"a":0.01,"c":0.01,"d":0.01},""" +
+        """"queries":{"a":1.0,"c":3.0,"d":4.0},"value":8.0}""" + "\n")
+    val out = Files.createTempFile("bench-delta", ".json")
+    Bench.writeDelta("/x", Seq(
+        ("a", 2.5, 0.02),  // mover: plan changed, cold pair present
+        ("c", 9.0, 0.02),  // mover: plan UNCHANGED (rider/latch signature)
+        ("d", 4.1, 0.02)), // not a mover → no evidence fields
+      ms, prevOverride = Some(prev.toString), outPath = out.toString,
+      curPlans = Map("a" -> "eeee", "c" -> "cccc", "d" -> "xxxx"),
+      curCold = Map("a" -> 2.8, "c" -> 9.4))
+    val json = Files.readString(out)
+    val a = "\"a\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(a.contains("\"plan_changed\":true"), a)
+    assert(a.contains("\"cur_cold\":2.8") && a.contains("\"prev_cold\":1.2"), a)
+    val c = "\"c\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(c.contains("\"plan_changed\":false"), c)
+    val d = "\"d\":\\{[^}]*\\}".r.findFirstIn(json).get
+    assert(!d.contains("plan_changed") && !d.contains("cur_cold"), d)
+  }
+
   // Round-11 pin of the contaminated-sweep defense: a would-be REGRESSION
   // mover is re-sampled once; a clean fresh sample clears the false mover
   // (the discarded latch is recorded in "resampled" ONLY — round 12: it
