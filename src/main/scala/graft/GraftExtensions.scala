@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (quantile_disc/quantile/median/quantile_cont, QuantileAggs.scala) —
     // ordered AFTER ExactQuantileRule so the histogram shape wins
     ext.injectOptimizerRule(_ => functions.QuantileFallbackRule)
+    // RANGE-mode window aggregates over the (pk, ord) group table
+    ext.injectOptimizerRule(_ => functions.RangeWindowGroupRule)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       es => { arity("vec_dot", 2)(es); functions.VecDot(es(0), es(1)) }))

@@ -101,6 +101,13 @@ package object functions {
     if (!spark.experimental.extraOptimizations.contains(QuantileFallbackRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ QuantileFallbackRule
+    // RANGE-mode window aggregates evaluate over the (pk, ord) group
+    // table — breaks the low-cardinality-partition-key sort ceiling
+    // (RangeWindowGroupRule.scala); AFTER the quantile rules so their
+    // engineered histogram windows are already in place (and bailed on)
+    if (!spark.experimental.extraOptimizations.contains(RangeWindowGroupRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeWindowGroupRule
     ExprBridge.registerFunction(spark, "vec_dot",
       es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "vec_norm",
