@@ -65,6 +65,19 @@ object MathStringFns {
   private def mapCase(s: UTF8String, upper: Boolean): UTF8String = {
     if (s == null) return null
     val str = s.toString
+    // ASCII fast path: the simple and full mappings agree on ASCII, and
+    // the codepoint loop measurably costs on token streams (q80 at sf10:
+    // +0.24 s from lower() over every document token before this check)
+    var ascii = true
+    var k = 0
+    while (ascii && k < str.length) {
+      if (str.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    if (ascii)
+      return UTF8String.fromString(
+        if (upper) str.toUpperCase(java.util.Locale.ROOT)
+        else str.toLowerCase(java.util.Locale.ROOT))
     val sb = new java.lang.StringBuilder(str.length)
     var i = 0
     while (i < str.length) {

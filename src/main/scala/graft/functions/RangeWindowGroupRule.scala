@@ -124,6 +124,19 @@ object RangeWindowGroupRule extends Rule[LogicalPlan] {
     case p => p.expressions.exists(_.exists(_.isInstanceOf[SparkPartitionID]))
   }
 
+  /** A `__`-prefixed PARTITION key is one of the engine's own banding
+    * helpers (Scale.bandedRangeFrame's `__g`, bandedRunningPositional's
+    * `__b`, …) — those shapes already engineered their parallelism, and
+    * their band×ord group table is corpus-sized by construction (measured:
+    * q47 at sf10 regressed 4.7 → 8.5 s before this bail). The EXCLUDE
+    * decomposition's `__graft_dr1` helper appears in ORDER position, not
+    * PARTITION — the rewrite stays live for that family. */
+  private def bandedHelper(partSpec: Seq[Expression]): Boolean =
+    partSpec.exists(_.exists {
+      case a: Attribute => a.name.startsWith("__")
+      case _ => false
+    })
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -136,6 +149,7 @@ object RangeWindowGroupRule extends Rule[LogicalPlan] {
             orderSpec.forall(_.child.deterministic) &&
             !child.isInstanceOf[Aggregate] &&
             child.stats.sizeInBytes >= minBytes &&
+            !bandedHelper(partSpec) &&
             !engineered(child) && {
               // a fully-global whole-partition window has an EMPTY group
               // key (sum(x) OVER ()) — the join-back has no condition;
