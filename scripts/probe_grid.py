@@ -511,6 +511,40 @@ p("numeric",
   "lcm(4, 6) + gcd(12, 18)", "gcd(0, -7)", "lcm(1, 1)",
   "5 - 2 - 1", "2.5 - 1", "CAST(1 AS SMALLINT) - CAST(250 AS SMALLINT)")
 
+# ----------------------------------------------------------- wave 5
+# (round 14) quantile aggregates in WINDOW position — whole-partition
+# frames ride the histogram group-join stitch, ordered/sliding frames
+# the windowed collect_list composite
+# (QuantileFallbackRule.rewriteWindow). x % 2 over NULL rows exercises
+# NULL partition keys through the stitch's null-safe join and DuckDB's
+# NULL/0.0 answers for empty frames.
+p("window",
+  win("list_sort(list(r))",
+      "CAST(median(x) OVER (PARTITION BY x % 2) AS DOUBLE)",
+      "(1),(2),(3),(4),(5)"),
+  win("list_sort(list(r))", "CAST(median(x) OVER () AS DOUBLE)",
+      "(1),(2),(30)"),
+  win("max(r) IS NULL", "median(x) OVER (PARTITION BY x % 2)",
+      "(NULL::INTEGER),(NULL::INTEGER)"),
+  win("list_sort(list(r))", "quantile_disc(x, 0.25) OVER ()",
+      "(10),(20),(30),(40)"),
+  win("list_sort(list(r))", "quantile_disc(x, 0.5) OVER (ORDER BY x)",
+      "(10),(20),(30)"),
+  win("list_sort(list(r))",
+      "CAST(quantile_cont(x, 0.5) OVER (ORDER BY x) AS DOUBLE)",
+      "(10),(20),(30)"),
+  win("list_sort(list(r))",
+      "CAST(median(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)",
+      "(10),(20),(40)"),
+  win("list_sort(list(r))", "median(x) OVER (ORDER BY x)",
+      "('b'),('a'),('c')"),
+  win("list_sort(list(r))",
+      "CAST(entropy(x) OVER (ORDER BY x) AS DOUBLE)", "(1),(1),(2)"),
+  win("max(r[2])", "quantile_disc(x, [0.25, 0.75]) OVER ()",
+      "(10),(20),(30),(40)"),
+  win("max(r)", "CAST(entropy(x) OVER (PARTITION BY x % 2) AS DOUBLE)",
+      "(NULL::INTEGER),(NULL::INTEGER)"))
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

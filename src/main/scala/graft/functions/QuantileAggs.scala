@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Cross, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, HintInfo, Join, JoinHint, LogicalPlan, Project, Window, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -37,8 +38,11 @@ import org.apache.spark.sql.types._
   * [[QuantileFallbackRule]] rewrites whatever that rule bailed on into a
   * collect_list composite (exact, but per-group-sized state — the same
   * memory class as Spark's own Percentile buffer, acceptable only as the
-  * correctness fallback). A marker that survives to physical planning
-  * throws loudly (window-function position is not supported).
+  * correctness fallback). WINDOW position is supported too (round 14):
+  * whole-partition frames stitch the aggregate-position histogram back
+  * under the window; other frames ride the windowed composite — see
+  * [[QuantileFallbackRule.rewriteWindow]]. A marker that survives to
+  * physical planning throws loudly.
   */
 abstract class QuantileMarker extends DeclarativeAggregate {
   protected def funcName: String
@@ -47,9 +51,9 @@ abstract class QuantileMarker extends DeclarativeAggregate {
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Nil
   private def unplanned: Nothing = throw new IllegalStateException(
     s"$funcName must be rewritten by the graft optimizer rules before " +
-      "execution; it is supported in aggregate position only (not as a " +
-      "window function). Is graft.functions.registerAll / GraftExtensions " +
-      "active in this session?")
+      "execution (aggregate and window position are supported). Is " +
+      "graft.functions.registerAll / GraftExtensions active in this " +
+      "session?")
   override lazy val initialValues: Seq[Expression] = unplanned
   override lazy val updateExpressions: Seq[Expression] = unplanned
   override lazy val mergeExpressions: Seq[Expression] = unplanned
@@ -233,23 +237,114 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
               rewriteMarker(ae)
           }.asInstanceOf[NamedExpression]
         })
+      case w @ Window(wexprs, _, _, _, _)
+          if wexprs.exists(_.exists {
+            case WindowExpression(ae: AggregateExpression, _) =>
+              ae.aggregateFunction.isInstanceOf[QuantileMarker]
+            case _ => false
+          }) =>
+        rewriteWindow(w)
     }
-    // a marker anywhere else (window position) has no rewrite — fail the
-    // query loudly instead of letting physical planning produce a cryptic
-    // error (or worse, a silent wrong answer)
+    // a marker anywhere else has no rewrite — fail the query loudly
+    // instead of letting physical planning produce a cryptic error (or
+    // worse, a silent wrong answer). The Aggregate emitted by
+    // rewriteWindow's whole-frame path legitimately still carries markers
+    // here: ExactQuantileRule (ordered first in the same fixed-point
+    // batch) rewrites it into the histogram shape on the next iteration.
     rewritten.foreach { node =>
       node match {
-        case _: Aggregate => // handled above
+        case _: Aggregate => // handled above / next iteration
         case other => other.expressions.foreach(_.foreach {
           case m: QuantileMarker => throw new UnsupportedOperationException(
-            s"${m.prettyName} is supported in aggregate position only " +
-              "(DuckDB-parity quantiles are not available as window " +
-              "functions in this engine)")
+            s"${m.prettyName} is supported in aggregate and window " +
+              "position only; it cannot appear here")
           case _ =>
         })
       }
     }
     rewritten
+  }
+
+  private val broadcastRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+
+  private def deterministicTree(plan: LogicalPlan): Boolean =
+    !plan.exists(_.expressions.exists(e => !e.deterministic))
+
+  /** Quantile markers in WINDOW position (DuckDB accepts every aggregate
+    * as a window function). Two shapes:
+    *
+    *  - WHOLE-PARTITION frames (`median(x) OVER (PARTITION BY p)` — the
+    *    no-ORDER-BY spelling resolves to ROWS UNBOUNDED⋯UNBOUNDED): the
+    *    frame is the partition, so the statistic is computable ONCE per
+    *    group — the marker moves to aggregate position grouped by the
+    *    partition keys (where ExactQuantileRule gives it the scale-safe
+    *    histogram shape, no data-sized buffer) and joins back under the
+    *    window on null-safe key equality (window PARTITION BY groups
+    *    NULLs together, so the join must too). The per-row
+    *    sort-an-array-per-frame cost this avoids is quadratic in the
+    *    partition size. An empty partition spec is the same stitch over
+    *    a one-row aggregate (broadcast nested-loop, the
+    *    ExactQuantileRule global shape).
+    *  - any other frame (running / sliding): each marker becomes the
+    *    [[rewriteMarker]] collect_list composite with every
+    *    sub-aggregate windowed under the ORIGINAL spec — WindowExec
+    *    patches scalar trees over window results, and collect_list /
+    *    count ride Spark's frame machinery (incremental for prefix
+    *    frames). Per-row frame state is data-sized — the same documented
+    *    trade as the aggregate-position fallback, and what a per-frame
+    *    exact quantile costs in any engine.
+    */
+  private def rewriteWindow(w: Window): LogicalPlan = {
+    val Window(wexprs, partSpec, orderSpec, child, hint) = w
+    // the whole-frame path scans the child twice (window side + group
+    // side); a nondeterministic tree would disagree between scans, so it
+    // keeps the single-scan composite
+    val wholeOk = partSpec.forall(_.deterministic) && deterministicTree(child)
+    def isWhole(spec: WindowSpecDefinition): Boolean =
+      spec.frameSpecification match {
+        case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) =>
+          true
+        case _ => false
+      }
+    val whole =
+      scala.collection.mutable.LinkedHashMap.empty[Expression, Alias]
+    val newWexprs = wexprs.map { ne =>
+      ne.transformUp {
+        case we @ WindowExpression(ae: AggregateExpression, spec)
+            if ae.aggregateFunction.isInstanceOf[QuantileMarker] =>
+          if (wholeOk && isWhole(spec)) {
+            whole.getOrElseUpdate(we.canonicalized,
+              Alias(ae, s"__wq${whole.size}")()).toAttribute
+          } else {
+            rewriteMarker(ae).transformUp {
+              case sub: AggregateExpression => WindowExpression(sub, spec)
+            }
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    val child2: LogicalPlan = if (whole.isEmpty) child else {
+      val keyAliases = partSpec.zipWithIndex.map { case (k, i) =>
+        Alias(k, s"__wqk$i")()
+      }
+      val aggSide =
+        Aggregate(partSpec, keyAliases ++ whole.values.toSeq, child)
+      val joined =
+        if (partSpec.isEmpty) Join(child, aggSide, Cross, None, broadcastRight)
+        else Join(child, aggSide, LeftOuter,
+          Some(partSpec.zip(keyAliases)
+            .map { case (k, a) => EqualNullSafe(k, a.toAttribute): Expression }
+            .reduce(And)),
+          JoinHint.NONE)
+      // drop the helper join keys; keep the stitched marker columns
+      Project(child.output ++ whole.values.map(_.toAttribute), joined)
+    }
+    val core: LogicalPlan =
+      if (newWexprs.exists(_.exists(_.isInstanceOf[WindowExpression])))
+        Window(newWexprs, partSpec, orderSpec, child2, hint)
+      else Project(child2.output.filterNot(a =>
+        whole.values.exists(_.exprId == a.exprId)) ++ newWexprs, child2)
+    // parents resolve against the original Window output, unchanged
+    Project(w.output, core)
   }
 
   private def ae(f: AggregateFunction, model: AggregateExpression): Expression =

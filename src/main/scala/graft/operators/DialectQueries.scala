@@ -1081,7 +1081,49 @@ object DialectQueries {
       |  median(DISTINCT o_orderstatus) AS med_dstr
       |FROM orders GROUP BY o_orderpriority ORDER BY k""".stripMargin
 
+  // Quantile aggregates in WINDOW position (round 14): DuckDB accepts
+  // every aggregate as a window function. Whole-partition frames (the
+  // no-ORDER-BY spelling) ride QuantileFallbackRule.rewriteWindow's
+  // group-join stitch — the marker moves to aggregate position (=
+  // ExactQuantileRule's histogram shape, no per-row collect, no
+  // data-sized buffer) and joins back under the window — so this form is
+  // safe over the full orders table at any SF. count(*) per group pins
+  // that the stitch neither drops nor duplicates rows. round(·,2)
+  // recovers the exact 2-dp median from engine-order float drift
+  // (the q103 discipline).
+  private val q126Sql =
+    """WITH w AS (
+      |  SELECT o_orderpriority AS k,
+      |    median(o_totalprice) OVER (PARTITION BY o_orderpriority) AS med_all,
+      |    CAST(quantile_disc(o_custkey, 0.25) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS qd_all,
+      |    median(o_orderstatus) OVER () AS med_str
+      |  FROM orders)
+      |SELECT k, CAST(round(min(med_all), 2) AS DOUBLE) AS med,
+      |  max(qd_all) AS qd, min(med_str) AS med_str,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM w GROUP BY k ORDER BY k""".stripMargin
+
+  // Ordered/sliding window frames carry per-frame quantile state (the
+  // windowed collect_list composite — what an exact per-frame quantile
+  // costs in any engine), so this row runs over a key-bounded subset
+  // (~500 rows at every SF). Multi-column ORDER BY keeps RANGE peers
+  // single rows; the ROWS frames order by the unique key — both engines'
+  // tie orders agree by construction. VARCHAR median exercises the
+  // discrete-select composite in a sliding frame.
+  private val q127Sql =
+    """SELECT o_orderkey,
+      |  CAST(quantile_disc(o_custkey, 0.5) OVER (ORDER BY o_orderkey) AS BIGINT) AS qd_run,
+      |  CAST(quantile_cont(o_totalprice, 0.25) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS qc_run,
+      |  median(o_orderstatus) OVER (ORDER BY o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med_slide,
+      |  CAST(quantile_disc(o_custkey, 0.9) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS qd_slide
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q127_quantile_window_frames", fns(q127Sql), Some(q127Sql)),
+    Q("q126_quantile_window", fns(q126Sql), Some(q126Sql)),
     Q("q125_quantile_types", fns(q125Sql), Some(q125Sql)),
     Q("q124_case_trunc_json", fns(q124Sql), Some(q124Sql)),
     Q("q123_date_arith", fns(q123Sql), Some(q123Sql)),

@@ -243,13 +243,18 @@ class QuantileParitySpec extends AnyFunSuite {
       s"entropy must be pure aggregation:\n$entPlan")
   }
 
-  test("quantile_disc in window position loud-rejects") {
+  test("quantile_disc in window position computes (round 14; QuantileWindowSpec pins values)") {
     ensureFns()
-    val ex = intercept[Exception] {
-      spark.sql("SELECT quantile_disc(o_custkey, 0.5) OVER " +
-        "(PARTITION BY o_orderpriority) AS v FROM orders").collect()
-    }
-    assert(ex.getMessage.toLowerCase.contains("window"), ex.getMessage)
+    // was a loud-reject through round 13; the whole-partition frame now
+    // rides the group-join stitch — here just pin that it executes and
+    // agrees with the aggregate-position answer per group
+    val win = spark.sql("SELECT DISTINCT o_orderpriority AS k, " +
+      "quantile_disc(o_custkey, 0.5) OVER (PARTITION BY o_orderpriority) AS v " +
+      "FROM orders").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val agg = spark.sql("SELECT o_orderpriority AS k, " +
+      "quantile_disc(o_custkey, 0.5) AS v FROM orders GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(win === agg)
   }
 
   test("quantile positions must be constants in [0, 1]") {
