@@ -545,6 +545,35 @@ p("window",
   win("max(r)", "CAST(entropy(x) OVER (PARTITION BY x % 2) AS DOUBLE)",
       "(NULL::INTEGER),(NULL::INTEGER)"))
 
+# wave 5b: date_part/extract over INTERVAL values (graft_datepart) —
+# DuckDB's independent month/day/micros components: hours UNBOUNDED
+# (26 stays 26, never rolls into days), minutes roll into hours,
+# trunc-toward-zero month arithmetic, second/ms/us within the minute,
+# DOUBLE epoch with 365.25-day years + 30-day month remainders. Also
+# re-pins the epoch() rewrite (now routed through the marker) on
+# date/timestamp sources.
+p("temporal",
+  "extract(hour FROM INTERVAL 90 MINUTE)",
+  "extract(minute FROM INTERVAL 90 MINUTE)",
+  "extract(year FROM INTERVAL 14 MONTH)",
+  "extract(month FROM INTERVAL '-14' MONTH)",
+  "extract(day FROM INTERVAL 26 HOUR)",
+  "extract(hour FROM INTERVAL 26 HOUR)",
+  "extract(quarter FROM INTERVAL 14 MONTH)",
+  "extract(decade FROM INTERVAL '-25' YEAR)",
+  "date_part('ms', INTERVAL '1.5' SECOND)",
+  "date_part('us', INTERVAL '1.5' SECOND)",
+  "date_part('s', INTERVAL '1.5' SECOND)",
+  "date_part('mins', INTERVAL 3661 SECOND)",
+  "CAST(date_part('epoch', INTERVAL 14 MONTH) AS DOUBLE)",
+  "CAST(date_part('epoch', INTERVAL 90 MINUTE) AS DOUBLE)",
+  "CAST(epoch(INTERVAL 2 DAY) AS DOUBLE)",
+  "extract(day FROM TIMESTAMP '2024-03-05 10:00:00' - TIMESTAMP '2024-03-01 08:00:00')",
+  "extract(hour FROM TIMESTAMP '2024-03-05 10:00:00' - TIMESTAMP '2024-03-01 08:00:00')",
+  "extract(minute FROM INTERVAL 3661 SECOND)",
+  "CAST(date_part('epoch', DATE '2024-01-02') AS DOUBLE)",
+  "CAST(epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS DOUBLE)")
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -172,6 +172,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sub",
         "graft_sub(a, b) - infix minus with DuckDB's type dispatch (DATE - DATE is BIGINT days)"),
       es => { arity("graft_sub", 2)(es); functions.GraftSub(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_datepart"),
+      info("graft_datepart",
+        "graft_datepart(field, e) - date_part/extract with DuckDB's INTERVAL component semantics and DOUBLE epoch"),
+      es => { arity("graft_datepart", 2)(es); functions.GraftDatePart(es(0), es(1)) }))
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
       ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
         info(s"graft_strict_$kind",

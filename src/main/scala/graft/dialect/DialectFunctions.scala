@@ -225,11 +225,12 @@ object DialectFunctions {
         if (m.matches()) Some(s"graft_try_bool(${m.group(1)})") else None
       case _ => None
     }
-    // epoch(ts) = DOUBLE seconds (the epoch_ms / date_part('epoch')
-    // siblings have their own rewrites below)
+    // epoch(ts) = DOUBLE seconds — routed through date_part so the
+    // engine path's graft_datepart marker can dispatch INTERVAL sources
+    // to the component kernels (round 14; was a direct unix_micros cast
+    // that broke on intervals)
     sql2 = rewriteCalls(sql2, "epoch") {
-      case Seq(x) =>
-        Some(s"(CAST(unix_micros(CAST(($x) AS TIMESTAMP)) AS DOUBLE) / 1000000.0D)")
+      case Seq(x) => Some(s"date_part('epoch', $x)")
       case _ => None
     }
     // yearweek = ISO year (the year of the ISO week's Thursday) * 100 +
@@ -455,8 +456,9 @@ object DialectFunctions {
         f.trim.stripPrefix("'").stripSuffix("'").toLowerCase match {
           case "dow" | "dayofweek" => Some(s"(dayofweek($e) - 1)")
           case "isodow" => Some(s"(weekday($e) + 1)")
-          case "epoch" =>
-            Some(s"(CAST(unix_micros(CAST($e AS TIMESTAMP)) AS DOUBLE) / 1000000.0D)")
+          // 'epoch' passes through: graft_datepart (the engine path's
+          // parse-level swap) computes DOUBLE seconds for date/timestamp
+          // AND dispatches INTERVAL sources to the component kernels
           case _ => None
         }
       case _ => None

@@ -193,6 +193,8 @@ package object functions {
       es => { arity("graft_fdiv", 2)(es); GraftFloorDiv(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "graft_sub",
       es => { arity("graft_sub", 2)(es); GraftSub(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_datepart",
+      es => { arity("graft_datepart", 2)(es); GraftDatePart(es(0), es(1)) })
     // round-13 probe-grid parity kernels (type-dispatched after
     // resolution — see DialectParityFns.scala)
     ExprBridge.registerFunction(spark, "graft_len",

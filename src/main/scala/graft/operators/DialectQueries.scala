@@ -1121,7 +1121,33 @@ object DialectQueries {
       |    ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS qd_slide
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  // date_part/extract over INTERVAL values (round 14, graft_datepart):
+  // DuckDB intervals keep months/days/micros independent — hours are
+  // UNBOUNDED (never roll into days), minutes roll into hours, month
+  // arithmetic truncates toward zero, epoch is DOUBLE seconds. A
+  // timestamp difference carries a DAY component on both engines
+  // (DuckDB normalizes ts−ts to days + time < 24 h; Spark's
+  // DT(DAY,SECOND) splits the same way), so the per-row extracts agree.
+  // The 07:30:00 anchor makes every time component non-zero, and orders
+  // before 1995 exercise the negative mirror.
+  private val q128Sql =
+    """SELECT o_orderkey,
+      |  CAST(extract(day FROM CAST(o_orderdate AS TIMESTAMP)
+      |    - TIMESTAMP '1995-01-01 07:30:00') AS BIGINT) AS dd,
+      |  CAST(extract(hour FROM CAST(o_orderdate AS TIMESTAMP)
+      |    - TIMESTAMP '1995-01-01 07:30:00') AS BIGINT) AS dh,
+      |  CAST(date_part('mins', CAST(o_orderdate AS TIMESTAMP)
+      |    - TIMESTAMP '1995-01-01 07:30:00') AS BIGINT) AS dm,
+      |  CAST(date_part('epoch', CAST(o_orderdate AS TIMESTAMP)
+      |    - TIMESTAMP '1995-01-01 07:30:00') AS DOUBLE) AS dep,
+      |  CAST(epoch(o_orderdate) AS DOUBLE) AS dateep,
+      |  CAST(extract(hour FROM INTERVAL 90 MINUTE)
+      |    + extract(year FROM INTERVAL 14 MONTH)
+      |    + date_part('ms', INTERVAL '1.5' SECOND) AS BIGINT) AS consts
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q128_interval_extract", fns(q128Sql), Some(q128Sql)),
     Q("q127_quantile_window_frames", fns(q127Sql), Some(q127Sql)),
     Q("q126_quantile_window", fns(q126Sql), Some(q126Sql)),
     Q("q125_quantile_types", fns(q125Sql), Some(q125Sql)),

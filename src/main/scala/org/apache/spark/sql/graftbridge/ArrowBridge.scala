@@ -187,6 +187,16 @@ object ParsedSql {
     plan.transformAllExpressions {
       case se: SubqueryExpression => se.withNewPlan(fixPlan(se.plan))
       case d: IntegralDivide => fn("graft_fdiv", Seq(d.left, d.right))
+      // date_part/extract: DuckDB's INTERVAL component semantics (hours
+      // unbounded, days separate, trunc-toward-zero month arithmetic,
+      // DOUBLE epoch) are a resolved-type dispatch — graft_datepart keeps
+      // Spark's own field parsing for date/timestamp sources
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if uf.nameParts.length == 1 && uf.arguments.length == 2 &&
+            !uf.isDistinct && uf.filter.isEmpty &&
+            Set("extract", "date_part", "datepart")(
+              uf.nameParts.head.toLowerCase) =>
+        fn("graft_datepart", uf.arguments)
       // DATE − DATE is BIGINT days in DuckDB, an INTERVAL in Spark — a
       // resolved-type dispatch (graft_sub reproduces Spark's analyzer
       // dispatch for every other operand combination)

@@ -16,15 +16,12 @@ class ProbeGridSpec extends AnyFunSuite {
     new Engine(EngineConfig(existingSession = Some(SparkTestSession.spark)))
   private lazy val conn = engine.connect()
 
-  /** sql → short reason; each must correspond to a documented boundary. */
-  private val knownDivergences: Map[String, String] = Map(
-    // round 14 closed the former upper('straße') (graft_upper simple
-    // mapping) and DATE−DATE (graft_sub BIGINT days) divergences
-    "EXTRACT(HOUR FROM INTERVAL 90 MINUTE)" ->
-      ("Spark cannot extract a COARSER field from a narrow-precision " +
-        "interval literal (DayTimeIntervalType(MINUTE, MINUTE)); DuckDB " +
-        "normalizes — loud INVALID_EXTRACT_FIELD, and the " +
-        "date_part('minute', …) spelling agrees on both"))
+  /** sql → short reason; each must correspond to a documented boundary.
+    * Round 14 closed every formerly pinned divergence: upper('straße')
+    * (graft_upper simple mapping), DATE−DATE (graft_sub BIGINT days),
+    * and EXTRACT of a coarser field from a narrow interval
+    * (graft_datepart component kernels). */
+  private val knownDivergences: Map[String, String] = Map.empty
 
   /** Mirror of probe_grid.py's norm(). */
   private def norm(v: Any): String = v match {
