@@ -574,6 +574,108 @@ p("temporal",
   "CAST(date_part('epoch', DATE '2024-01-02') AS DOUBLE)",
   "CAST(epoch(TIMESTAMP '2024-01-01 00:00:01.5') AS DOUBLE)")
 
+# ----------------------------------------------------------- wave 6
+# (round 14) families the earlier waves under-covered: hashing, the
+# regex family, struct/map functions, hex/encode, arg-order-sensitive
+# math (2-arg log, atan2), temporal constructors, list aggregation,
+# three-valued boolean logic, and string-function edges.
+p("string",
+  "md5('abc')", "sha256('')",
+  "regexp_matches('aaa', 'a+')", "regexp_matches('abc', '^b')",
+  "regexp_replace('aaaa', 'aa', 'b')",
+  "regexp_replace('aaaa', 'aa', 'b', 'g')",
+  "regexp_extract('a1b22c', '[0-9]+', 0)",
+  "regexp_extract('ab12', '([a-z]+)([0-9]+)', 2)",
+  "regexp_extract_all('a1b22c', '[0-9]+')",
+  "regexp_split_to_array('a,b;c', '[,;]')",
+  "regexp_full_match('abc', 'a.c')", "regexp_full_match('abc', 'a.')",
+  "translate('abcba', 'ab', 'xy')", "repeat('ab', 3)", "repeat('ab', 0)",
+  "replace('aaa', '', 'x')", "ascii('xyz')", "chr(9731)",
+  "strip_accents('piñata café')", "position('b' IN 'abcb')",
+  "instr('abcb', 'b')", "starts_with('abc', 'ab')",
+  "ends_with('abc', 'bc')", "contains('abc', 'z')",
+  "concat_ws('-', 'a', NULL, 'b')", "to_base(255, 16)",
+  "to_hex(255)", "hex('ab')", "unhex('6162')::VARCHAR",
+  "to_base64('ab'::BLOB)", "from_base64('YWI=')::VARCHAR",
+  "bit_length('abc')", "octet_length('abc')",
+  "left('héllo', 2)", "right('héllo', 2)",
+  "format('{:.2f}', 3.14159)", "printf('%05d', 42)",
+  "printf('%.3f|%s', 2.5, 'x')")
+p("numeric",
+  "log(2, 8)", "atan2(1.0, 2.0)", "CAST(cbrt(27) AS DOUBLE)",
+  "factorial(5)", "CAST(pow(2, -2) AS DOUBLE)", "2 ** 10",
+  "CAST(round(2.5) AS DOUBLE)", "CAST(round(-2.5) AS DOUBLE)",
+  "CAST(round(2.5::DOUBLE) AS DOUBLE)", "CAST(round(3.345, 1) AS DOUBLE)",
+  "CAST(ceil(-0.5) AS DOUBLE)", "CAST(power(0, 0) AS DOUBLE)",
+  "sign(-0.0::DOUBLE)", "CAST(0.1 + 0.2 AS DOUBLE)",
+  "divide(7, 2)", "multiply(3, 4)", "add(1, 2)", "subtract(10, 3)")
+p("predicate",
+  "TRUE AND NULL", "FALSE AND NULL", "TRUE OR NULL", "FALSE OR NULL",
+  "NOT NULL::BOOLEAN", "NULL = NULL", "NULL IS DISTINCT FROM NULL",
+  "1 IS DISTINCT FROM NULL", "coalesce(NULL, NULL, 2)",
+  "ifnull(NULL, 2)", "nullif(3, 3)", "nullif(3, 4)",
+  "CAST(nvl2(NULL, 'a', 'b') AS VARCHAR)")
+p("map",
+  "map_keys(MAP {'a': 1, 'b': 2})", "map_values(MAP {'a': 1, 'b': 2})",
+  "cardinality(MAP {'a': 1, 'b': 2})",
+  "(MAP {'a': 1, 'b': 2}).a")
+p("list",
+  "list_aggregate([3, 1, 2], 'string_agg', '-')",
+  "list_aggregate([3, 1, 2], 'sum')", "list_aggregate([3, 1, 2], 'min')",
+  "flatten([[1, 2], [], [3]])", "list_concat([1], [2, 3])",
+  "list_contains([1, 2], 2)", "list_position([7, 8, 9], 9)",
+  "list_reverse([1, 2, 3])", "array_length([1, 2, 3])",
+  "list_sum([1, NULL, 2])", "[1, 2] || [3]")
+p("datetime",
+  "make_date(2024, 2, 29)", "CAST(make_timestamp(2024, 1, 2, 3, 4, 5.5) AS VARCHAR)",
+  "last_day(DATE '2024-02-05')", "monthname(DATE '2024-02-05')",
+  "dayname(DATE '2024-02-05')",
+  "date_add(DATE '2024-01-31', INTERVAL 1 MONTH)",
+  "datediff('month', DATE '2024-01-15', DATE '2024-03-01')",
+  "datesub('month', DATE '2024-01-15', DATE '2024-03-14')",
+  "greatest(DATE '2024-01-01', DATE '2023-12-31')",
+  # age(): the interval's TEXT rendering differs between engines, so the
+  # probes read the components through date_part (full parity via the
+  # CalendarInterval branch of graft_datepart)
+  "date_part('month', age(TIMESTAMP '2024-03-05 10:00:00', TIMESTAMP '2024-01-01 08:30:00'))",
+  "date_part('day', age(TIMESTAMP '2024-03-05 10:00:00', TIMESTAMP '2024-01-01 08:30:00'))",
+  "date_part('hour', age(TIMESTAMP '2024-03-05 10:00:00', TIMESTAMP '2024-01-01 08:30:00'))",
+  "date_part('day', age(TIMESTAMP '2024-03-31 10:00:00', TIMESTAMP '2024-01-31 11:00:00'))",
+  "date_part('hour', age(TIMESTAMP '2024-03-31 10:00:00', TIMESTAMP '2024-01-31 11:00:00'))",
+  "date_part('month', age(TIMESTAMP '2025-02-28 00:00:00', TIMESTAMP '2024-02-29 00:00:00'))",
+  "date_part('day', age(TIMESTAMP '2025-02-28 00:00:00', TIMESTAMP '2024-02-29 00:00:00'))",
+  "date_part('day', age(TIMESTAMP '2024-01-01 08:30:00', TIMESTAMP '2024-03-05 10:00:00'))",
+  "datesub('month', DATE '2024-01-15', DATE '2024-03-14')",
+  "datesub('month', DATE '2024-03-14', DATE '2024-01-15')",
+  "datesub('month', DATE '2023-01-31', DATE '2023-02-28')",
+  "datesub('year', DATE '2023-03-15', DATE '2024-03-14')",
+  "datesub('quarter', DATE '2024-01-15', DATE '2024-07-14')",
+  "datesub('week', DATE '2024-01-01', DATE '2024-01-16')",
+  "datesub('day', TIMESTAMP '2024-01-01 09:00:00', TIMESTAMP '2024-01-02 10:00:00')",
+  "datesub('hour', TIMESTAMP '2024-01-01 09:30:00', TIMESTAMP '2024-01-01 08:00:00')",
+  "datesub('mins', TIMESTAMP '2024-01-01 09:00:00', TIMESTAMP '2024-01-01 09:59:30')")
+p("numeric",
+  "2 ** 3 ** 2", "-2 ** 2", "CAST(2 ** -2 AS DOUBLE)", "2 + 3 ** 2",
+  "2 ** 2 * 3", "(1 + 1) ** 3", "abs(-2) ** 2",
+  "divide(7.5, 2)", "divide(-7, 2)")
+p("agg",
+  agg("first(x ORDER BY k)", "(1,NULL),(2,5),(3,1)", t="t(x, k)"),
+  agg("last(x ORDER BY k DESC)", "(1,NULL),(2,5),(3,1)", t="t(x, k)"),
+  agg("arbitrary(x)", "(7),(8)"),
+  agg("count(x) FILTER (x > 1)", "(1),(2),(3)"))
+p("agg",
+  agg("string_agg(x, '|')", "('a'),('b'),(NULL),('c')"),
+  agg("CAST(product(x) AS DOUBLE)", "(2.0),(3.0),(4.0)"),
+  agg("bit_xor(x)", "(5),(3),(6)"),
+  agg("arg_max(x, x % 3)", "(1),(2),(3),(4)"),
+  agg("arg_min(x || '', x)", "(5),(2),(9)"),
+  agg("first(x ORDER BY x DESC)", "(1),(3),(2)"),
+  agg("last(x ORDER BY x)", "(1),(3),(2)"),
+  agg("mode(x)", "(1),(2),(2),(3)"),
+  agg("CAST(corr(x, x * 2) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("CAST(covar_pop(x, x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
+  agg("count(*) FILTER (x > 1)", "(1),(2),(3)"))
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -176,6 +176,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_datepart",
         "graft_datepart(field, e) - date_part/extract with DuckDB's INTERVAL component semantics and DOUBLE epoch"),
       es => { arity("graft_datepart", 2)(es); functions.GraftDatePart(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_add"),
+      info("graft_add",
+        "graft_add(a, b) - infix plus with DuckDB's type dispatch (DATE + INTERVAL is TIMESTAMP)"),
+      es => { arity("graft_add", 2)(es); functions.GraftAdd(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_chr"),
+      info("graft_chr", "graft_chr(n) - UTF-8 character of a codepoint"),
+      es => { arity("graft_chr", 1)(es); functions.GraftChr(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_strip_accents"),
+      info("graft_strip_accents",
+        "graft_strip_accents(s) - NFD-decompose and drop combining marks"),
+      es => { arity("graft_strip_accents", 1)(es); functions.GraftStripAccents(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_printf"),
+      info("graft_printf",
+        "graft_printf(fmt, ...) - format_string with DECIMAL args cast to DOUBLE"),
+      es => functions.GraftPrintf(es)))
+    ext.injectFunction((FunctionIdentifier("graft_age"),
+      info("graft_age",
+        "graft_age(end, start) - Postgres-style symbolic calendar difference"),
+      es => { arity("graft_age", 2)(es); functions.GraftAge(es(0), es(1)) }))
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
       ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
         info(s"graft_strict_$kind",

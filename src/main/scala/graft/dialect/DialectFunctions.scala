@@ -85,8 +85,10 @@ object DialectFunctions {
     "lgamma" -> "graft_lgamma",
     "date_trunc" -> "graft_date_trunc",
     "datetrunc" -> "graft_date_trunc",
-    // C-style printf formatting: Spark's format_string IS printf semantics
-    "printf" -> "format_string",
+    // C-style printf formatting: Spark's format_string IS printf
+    // semantics — but %f rejects DECIMAL arguments (DuckDB's numeric
+    // literals parse as DECIMAL), so the marker casts those to DOUBLE
+    "printf" -> "graft_printf",
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
@@ -100,6 +102,99 @@ object DialectFunctions {
     "regexp_matches" -> "regexp_like",
     "starts_with" -> "startswith",
     "ends_with" -> "endswith")
+
+  /** fmt `{:spec}` placeholders that map 1:1 onto printf `%spec`:
+    * optional flags/width/precision + a d/f/s/e/E/g/G/x/X/o conversion. */
+  private val FmtSpecRe = java.util.regex.Pattern.compile(
+    """\{:([#0\- +]?[0-9]*(?:\.[0-9]+)?[dfseEgGxXo])\}""")
+
+  private val FilterNoWhereRe = java.util.regex.Pattern.compile(
+    """(?i)\)\s*FILTER\s*\(\s*(?!WHERE\b)""")
+
+  /** DuckDB's `**` power operator → power(l, r). Scanner, not regex: the
+    * operands must be bounded exactly or the precedence miscompiles.
+    * Accepted operand shapes: identifier/number/dotted chains, a
+    * balanced parenthesized group (with a leading callee name), and a
+    * prefix minus when it is unambiguously unary (preceded by nothing or
+    * an operator/open-paren/comma). Left-assoc: leftmost rewrites first
+    * (probed: 2 ** 3 ** 2 = 64). Unbounded shapes are left for Spark to
+    * reject loudly. */
+  private def rewritePowOperator(seg: String): String = {
+    if (!seg.contains("**")) return seg
+    var s = seg
+    var search = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val idx = s.indexOf("**", search)
+      if (idx < 0) return s
+      // ---- right operand
+      var r = idx + 2
+      while (r < s.length && s.charAt(r) == ' ') r += 1
+      var rEnd = r
+      if (rEnd < s.length && (s.charAt(rEnd) == '-' || s.charAt(rEnd) == '+'))
+        rEnd += 1
+      // optional callee name then a balanced group, or a word chain
+      while (rEnd < s.length &&
+          (s.charAt(rEnd).isLetterOrDigit || s.charAt(rEnd) == '_' ||
+            s.charAt(rEnd) == '.')) rEnd += 1
+      if (rEnd < s.length && s.charAt(rEnd) == '(') {
+        var depth = 0
+        var ok = false
+        while (rEnd < s.length && !ok) {
+          s.charAt(rEnd) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) ok = true
+            case _ =>
+          }
+          rEnd += 1
+        }
+        if (!ok) return s
+      }
+      // ---- left operand
+      var l = idx - 1
+      while (l >= 0 && s.charAt(l) == ' ') l -= 1
+      var lStart = l
+      if (l >= 0 && s.charAt(l) == ')') {
+        var depth = 0
+        var ok = false
+        while (lStart >= 0 && !ok) {
+          s.charAt(lStart) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) ok = true
+            case _ =>
+          }
+          if (!ok) lStart -= 1
+        }
+        if (!ok) return s
+        // a callee name directly before the group belongs to the operand
+        var k = lStart - 1
+        while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' ||
+            s.charAt(k) == '.')) k -= 1
+        lStart = k + 1
+      } else {
+        while (lStart >= 0 && (s.charAt(lStart).isLetterOrDigit ||
+            s.charAt(lStart) == '_' || s.charAt(lStart) == '.')) lStart -= 1
+        lStart += 1
+        // prefix minus binds tighter than ** in DuckDB (probed:
+        // -2 ** 2 = 4) — absorb it only in unambiguous prefix position
+        if (lStart - 1 >= 0 && s.charAt(lStart - 1) == '-') {
+          var m = lStart - 2
+          while (m >= 0 && s.charAt(m) == ' ') m -= 1
+          if (m < 0 || "(,=<>+-*/%".contains(s.charAt(m))) lStart -= 1
+        }
+      }
+      val leftOp = s.substring(lStart, l + 1).trim
+      val rightOp = s.substring(r, rEnd).trim
+      if (leftOp.isEmpty || rightOp.isEmpty) search = idx + 2
+      else {
+        s = s.substring(0, lStart) + s"power($leftOp, $rightOp)" +
+          s.substring(rEnd)
+        search = 0
+      }
+    }
+    s
+  }
 
   private val namePatterns: Seq[(java.util.regex.Pattern, String)] =
     NameMap.map { case (from, to) =>
@@ -274,16 +369,30 @@ object DialectFunctions {
       case Seq(x) => Some(s"exp(avg(ln(CAST(($x) AS DOUBLE))))")
       case _ => None
     }
-    // DuckDB fmt-style format('{} {:d}', …) → format_string (%-style):
-    // literal templates with only {} / {:d} placeholders translate; other
-    // templates pass through for a loud UNRESOLVED_ROUTINE
+    // DuckDB fmt-style format('{} {:d} {:.2f}', …) → printf-style via the
+    // graft_printf marker (DECIMAL args cast to DOUBLE — {:.2f} over a
+    // 3.14159 literal is DECIMAL in both engines): literal templates
+    // whose every placeholder is {} or a printf-compatible {:spec}
+    // translate; other templates pass through for a loud
+    // UNRESOLVED_ROUTINE
     sql2 = rewriteCalls(sql2, "format") {
-      case fmt +: rest if rest.nonEmpty && isLiteral(fmt) &&
-          !fmt.replace("{}", "").replace("{:d}", "").contains("{") =>
-        val body = fmt.trim.stripPrefix("'").stripSuffix("'")
-          .replace("%", "%%").replace("{}", "%s").replace("{:d}", "%d")
-        Some(s"format_string('$body', ${rest.mkString(", ")})")
+      case fmt +: rest if rest.nonEmpty && isLiteral(fmt) && {
+        val stripped = FmtSpecRe.matcher(
+          fmt.replace("{}", "")).replaceAll("")
+        !stripped.contains("{")
+      } =>
+        val body0 = fmt.trim.stripPrefix("'").stripSuffix("'")
+          .replace("%", "%%").replace("{}", "%s")
+        val body = FmtSpecRe.matcher(body0).replaceAll("%$1")
+        Some(s"graft_printf('$body', ${rest.mkString(", ")})")
       case _ => None
+    }
+    // DuckDB allows `FILTER (cond)` without the WHERE keyword; Spark's
+    // grammar requires it. Aggregate/window FILTER always follows the
+    // call's closing paren — which disambiguates it from the filter()
+    // higher-order function (never preceded by `)`).
+    sql2 = SqlText.mapOutsideLiterals(sql2) { seg =>
+      FilterNoWhereRe.matcher(seg).replaceAll(") FILTER (WHERE ")
     }
     // window FILTER folds before the EXCLUDE expansion (so
     // `FILTER (...) ... EXCLUDE TIES` composes), then frame EXCLUDE
@@ -302,6 +411,13 @@ object DialectFunctions {
     // degenerate to plain DOUBLE division exactly like DuckDB 1.0
     // (integral operands keep truncating integer division)
     out = SqlText.mapOutsideLiterals(out)(_.replace("//", " div "))
+    // DuckDB's `**` power operator (left-associative, tighter than `*`,
+    // DOUBLE result — probed 2**3**2 = 64): scanner-based operand capture
+    // (identifier/number/quoted/parenthesized group, prefix minus only in
+    // unambiguous prefix position) looped leftmost-first for left
+    // associativity; operand shapes the scanner cannot bound stay a loud
+    // parse error rather than risking a precedence miscompile
+    out = SqlText.mapOutsideLiterals(out)(rewritePowOperator)
     // DuckDB's prefix @ = abs (call-shaped spelling only; `@` appears
     // nowhere in Spark's grammar, so the plain replace is unambiguous)
     out = SqlText.mapOutsideLiterals(out)(_.replace("@(", "abs("))
@@ -746,21 +862,151 @@ object DialectFunctions {
     // accumulate in DOUBLE (documented deviation: DuckDB keeps integer
     // sums integral — callers cast, as the oracle does).
     out = rewriteCalls(out, "list_aggregate|list_aggr") {
-      case Seq(l, f) if isLiteral(f) =>
-        val fn = f.trim.stripPrefix("'").stripSuffix("'").toLowerCase
+      case args @ (Seq(_, _) | Seq(_, _, _)) if isLiteral(args(1)) =>
+        val l = args.head
+        val fn = args(1).trim.stripPrefix("'").stripSuffix("'").toLowerCase
         def nn = s"filter($l, __la -> __la IS NOT NULL)"
         def dsum = s"aggregate($nn, CAST(0 AS DOUBLE), " +
           "(__a, __x) -> __a + CAST(__x AS DOUBLE))"
-        fn match {
-          case "min" => Some(s"array_min($l)")
-          case "max" => Some(s"array_max($l)")
-          case "count" => Some(s"CAST(size($nn) AS BIGINT)")
-          case "sum" =>
+        def joined(sep: String) =
+          s"array_join(transform($nn, __la -> CAST(__la AS STRING)), $sep)"
+        (fn, args.length) match {
+          case ("min", 2) => Some(s"array_min($l)")
+          case ("max", 2) => Some(s"array_max($l)")
+          case ("count", 2) => Some(s"CAST(size($nn) AS BIGINT)")
+          case ("sum", 2) =>
             Some(s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $dsum END)")
-          case "avg" =>
+          case ("avg", 2) =>
             Some(s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $dsum / size($nn) END)")
+          // string_agg joins with the separator (default ','), skipping
+          // NULL elements like the aggregate itself (round-14 grid)
+          case ("string_agg", 2) => Some(joined("','"))
+          case ("string_agg", 3) => Some(joined(args(2)))
           case _ => None
         }
+      case _ => None
+    }
+    // ---- wave-6 probe-grid spellings (round 14) ----
+    // chr over full codepoints (Spark's chr is ASCII-only — chr(9731)
+    // silently returned ''), strip_accents, sha256, hex/base64 names,
+    // full-anchored regex match
+    out = rewriteCalls(out, "chr") {
+      case Seq(n) => Some(s"graft_chr($n)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "strip_accents") {
+      case Seq(s) => Some(s"graft_strip_accents($s)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "sha256") {
+      case Seq(s) => Some(s"sha2($s, 256)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "to_hex") {
+      case Seq(n) => Some(s"hex($n)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "to_base64") {
+      case Seq(b) => Some(s"base64($b)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "from_base64") {
+      case Seq(b) => Some(s"unbase64($b)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "regexp_full_match") {
+      case Seq(s, p) => Some(s"regexp_like($s, concat('^(?:', $p, ')$$'))")
+      case _ => None
+    }
+    // arithmetic function spellings: divide() is DuckDB's `//` kernel
+    // (integral truncating, DOUBLE when fractional — probed divide(7,2)=3,
+    // divide(7.5,2)=3.75); add/subtract ride the infix operators so the
+    // parse-level graft_add/graft_sub markers type-dispatch them
+    out = rewriteCalls(out, "divide") {
+      case Seq(a, b) => Some(s"graft_fdiv($a, $b)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "multiply") {
+      case Seq(a, b) => Some(s"(($a) * ($b))")
+      case _ => None
+    }
+    out = rewriteCalls(out, "add") {
+      case Seq(a, b) => Some(s"(($a) + ($b))")
+      case _ => None
+    }
+    out = rewriteCalls(out, "subtract") {
+      case Seq(a, b) => Some(s"(($a) - ($b))")
+      case _ => None
+    }
+    // date_add(x, iv) is the infix + (DuckDB returns TIMESTAMP for
+    // DATE + INTERVAL — graft_add reproduces that); the Spark-spelled
+    // date_add(d, n) lands on the same DATE+integral dispatch
+    out = rewriteCalls(out, "date_add") {
+      case Seq(a, b) => Some(s"(($a) + ($b))")
+      case _ => None
+    }
+    // age(end, start): Postgres-style symbolic calendar difference
+    out = rewriteCalls(out, "age") {
+      case Seq(a, b) => Some(s"graft_age($a, $b)")
+      case _ => None
+    }
+    // datesub(part, start, end): COMPLETE whole units from start to end,
+    // truncating toward zero (probed: month Jan15→Mar14 = 1, negative
+    // mirror −1, week = days/7, quarter = months/3). Month-family parts
+    // ride months_between (day-of-month + time comparison, month-end
+    // pairs exact); day-and-finer ride the micros difference. 3-arg only:
+    // 2-arg date_sub stays Spark's.
+    out = rewriteCalls(out, "datesub|date_sub") {
+      case Seq(p, a, b) if isLiteral(p) =>
+        val part = p.trim.stripPrefix("'").stripSuffix("'").toLowerCase
+        val mb = s"CAST(months_between(CAST(($b) AS TIMESTAMP), " +
+          s"CAST(($a) AS TIMESTAMP)) AS BIGINT)"
+        def mic(unit: Long) =
+          s"((unix_micros(CAST(($b) AS TIMESTAMP)) - " +
+            s"unix_micros(CAST(($a) AS TIMESTAMP))) div ${unit}L)"
+        part match {
+          case "year" | "years" | "yr" | "yrs" | "y" => Some(s"($mb div 12)")
+          case "quarter" | "quarters" => Some(s"($mb div 3)")
+          case "month" | "months" | "mon" | "mons" => Some(s"($mb)")
+          case "week" | "weeks" | "w" => Some(mic(604800000000L))
+          case "day" | "days" | "d" => Some(mic(86400000000L))
+          case "hour" | "hours" | "hr" | "hrs" | "h" => Some(mic(3600000000L))
+          case "minute" | "minutes" | "min" | "mins" | "m" => Some(mic(60000000L))
+          case "second" | "seconds" | "sec" | "secs" | "s" => Some(mic(1000000L))
+          case "millisecond" | "milliseconds" | "ms" => Some(mic(1000L))
+          case "microsecond" | "microseconds" | "us" => Some(mic(1L))
+          case _ => None
+        }
+      case _ => None
+    }
+    // first/last with an in-aggregate ORDER BY (DuckDB ordered
+    // aggregates): the value at the order-minimal/maximal row under
+    // DuckDB's NULLS-LAST default. min_by/max_by skip NULL keys, so the
+    // null order is encoded IN the key: each key becomes a
+    // (null-flag, key) struct pair whose flag polarity puts NULL-key
+    // rows last in the traversal direction — min_by then never sees a
+    // top-level NULL key, which also makes all-NULL-key groups return a
+    // row's value like DuckDB instead of NULL (round-14 grid, incl. the
+    // `last … DESC` null-key probe that caught the naive min/max_by).
+    def orderedPick(firstAgg: Boolean): Seq[String] => Option[String] = {
+      case Seq(a) => parseOrdered(a) match {
+        case Ordered(v, keys, asc) =>
+          // minimal traversal point: first ASC and last DESC; the flag
+          // polarity keeps NULL keys on the far side of that point
+          val useMin = firstAgg == asc
+          val flag = if (useMin == firstAgg) "IS NULL" else "IS NOT NULL"
+          val k = s"struct(${keys.map(k => s"(($k) $flag), $k").mkString(", ")})"
+          Some(s"${if (useMin) "min_by" else "max_by"}($v, $k)")
+        case _ => None
+      }
+      case _ => None
+    }
+    out = rewriteCalls(out, "first")(orderedPick(firstAgg = true))
+    out = rewriteCalls(out, "last")(orderedPick(firstAgg = false))
+    // arbitrary(x) is DuckDB's alias for first(x)
+    out = rewriteCalls(out, "arbitrary") {
+      case Seq(a) => orderedPick(firstAgg = true)(Seq(a))
+        .orElse(Some(s"first($a)"))
       case _ => None
     }
     out

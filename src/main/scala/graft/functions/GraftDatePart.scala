@@ -118,6 +118,57 @@ object IntervalPartFns {
   def calEpoch(iv: CalendarInterval): Double =
     monthsEpoch(iv.months.toLong) + iv.days * 86400.0 +
       iv.microseconds / 1e6
+
+  /** DuckDB/Postgres `age(end, start)`: the SYMBOLIC calendar difference
+    * as a three-component interval — component-wise year/month/day/time
+    * diffs with borrow cascades, day borrows taking the length of the
+    * EARLIER timestamp's month and advancing it per borrow (the Postgres
+    * timestamp_age algorithm; pinned on five probed cases incl. both
+    * month-end clamps and the negative mirror). */
+  def agePG(endMicros: Long, startMicros: Long, zone: UTF8String)
+      : CalendarInterval = {
+    if (endMicros < startMicros) {
+      val p = agePG(startMicros, endMicros, zone)
+      return new CalendarInterval(-p.months, -p.days, -p.microseconds)
+    }
+    val zid = java.time.ZoneId.of(zone.toString)
+    def ldt(m: Long) = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L), zid)
+    val e = ldt(endMicros)
+    val s = ldt(startMicros)
+    var micros =
+      (e.toLocalTime.toNanoOfDay - s.toLocalTime.toNanoOfDay) / 1000L
+    var day = e.getDayOfMonth - s.getDayOfMonth
+    var month = e.getMonthValue - s.getMonthValue
+    var year = e.getYear - s.getYear
+    if (micros < 0) { micros += MicrosDay; day -= 1 }
+    var anchor = java.time.YearMonth.of(s.getYear, s.getMonthValue)
+    while (day < 0) {
+      day += anchor.lengthOfMonth()
+      month -= 1
+      anchor = anchor.plusMonths(1)
+    }
+    while (month < 0) { month += 12; year -= 1 }
+    new CalendarInterval(year * 12 + month, day, micros)
+  }
+}
+
+/** `age(end, start)` — see [[IntervalPartFns.agePG]]; the result is a
+  * CalendarInterval, so date_part/extract over it reads the components
+  * with full parity ([[IntervalPartFns.calPart]]). */
+case class GraftAge(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override lazy val replacement: Expression = {
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType, "agePG",
+      Seq(Cast(left, TimestampType, Some(zone)),
+        Cast(right, TimestampType, Some(zone)), Literal(zone)),
+      Seq(TimestampType, TimestampType, StringType))
+  }
 }
 
 /** `date_part(field, e)` / `extract(field FROM e)` with DuckDB's interval

@@ -90,3 +90,66 @@ case class GraftSub(left: Expression, right: Expression)
         }
     }
 }
+
+/** DuckDB's infix `+`, the [[GraftSub]] mirror (round 14). The semantic
+  * divergence: DATE + INTERVAL is a midnight-anchored TIMESTAMP in DuckDB
+  * (probed: `DATE '2024-01-31' + INTERVAL 1 MONTH` → TIMESTAMP
+  * `2024-02-29 00:00:00`) where Spark keeps DATE for YM intervals.
+  * DATE ± integral stays DATE on both. Everything else reproduces the
+  * analyzer's own dispatch — the replacement tree is never revisited by
+  * coercion, so the widening is spelled out. */
+case class GraftAdd(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  private def tz: Option[String] =
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  private def isTs(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def anyInterval(dt: DataType): Boolean = dt match {
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+        CalendarIntervalType => true
+    case _ => false
+  }
+
+  private def tsPlusInterval(ts: Expression, iv: Expression): Expression =
+    iv.dataType match {
+      case _: YearMonthIntervalType => TimestampAddYMInterval(ts, iv, tz)
+      case _ => TimestampAddInterval(ts, iv, tz)
+    }
+
+  override lazy val replacement: Expression =
+    (left.dataType, right.dataType) match {
+      case (DateType, r) if isIntegral(r) =>
+        DateAdd(left, Cast(right, IntegerType))
+      case (l, DateType) if isIntegral(l) =>
+        DateAdd(right, Cast(left, IntegerType))
+      // THE divergence this marker exists for: DATE + INTERVAL is a
+      // TIMESTAMP in DuckDB (midnight-anchored)
+      case (DateType, r) if anyInterval(r) =>
+        tsPlusInterval(Cast(left, TimestampType, tz), right)
+      case (l, DateType) if anyInterval(l) =>
+        tsPlusInterval(Cast(right, TimestampType, tz), left)
+      case (l, r) if isTs(l) && anyInterval(r) => tsPlusInterval(left, right)
+      case (l, r) if anyInterval(l) && isTs(r) => tsPlusInterval(right, left)
+      case (l, r) =>
+        def arith(dt: DataType): DataType =
+          if (dt == StringType) DoubleType else dt
+        TypeCoercion.findWiderTypeForTwo(arith(l), arith(r)) match {
+          case Some(common) =>
+            Add(Cast(left, common, tz), Cast(right, common, tz))
+          case None => throw new IllegalArgumentException(
+            s"cannot add ${l.catalogString} and ${r.catalogString}")
+        }
+    }
+}

@@ -38,6 +38,23 @@ object MathStringFns {
     else UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
 
+  /** DuckDB chr(n): the UTF-8 character of a CODEPOINT (Spark's chr is
+    * ASCII-only — chr(9731) silently returns '' where DuckDB gives ☃;
+    * round-14 probe grid). Invalid codepoints error loudly like DuckDB. */
+  def chrCodepoint(n: Long): UTF8String = {
+    if (n < 0 || n > Character.MAX_CODE_POINT || !Character.isValidCodePoint(n.toInt))
+      throw new IllegalArgumentException(
+        s"Invalid Input Error: Invalid UTF8 Codepoint of value $n")
+    UTF8String.fromString(new String(Character.toChars(n.toInt)))
+  }
+
+  /** DuckDB strip_accents: NFD-decompose and drop combining marks. */
+  def stripAccents(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", ""))
+
   /** The unscaled value of a DECIMAL as a double — DuckDB's own wide-
     * decimal quantile arithmetic (hugeint unscaled → double, probed: the
     * p>18 interpolation rounds exactly like a BigInteger→double cast). */
@@ -122,4 +139,41 @@ case class GraftNfcNormalize(child: Expression)
   override lazy val replacement: Expression =
     StaticInvoke(MathStringFns.getClass, StringType, "nfc",
       Seq(Cast(child, StringType)), Seq(StringType))
+}
+
+/** DuckDB chr(codepoint) — see [[MathStringFns.chrCodepoint]]. */
+case class GraftChr(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass, StringType, "chrCodepoint",
+      Seq(Cast(child, LongType)), Seq(LongType))
+}
+
+/** DuckDB strip_accents — see [[MathStringFns.stripAccents]]. */
+case class GraftStripAccents(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass, StringType, "stripAccents",
+      Seq(Cast(child, StringType)), Seq(StringType))
+}
+
+/** printf/format with DECIMAL arguments: DuckDB's %f accepts its DECIMAL
+  * literals (2.5 parses as DECIMAL(2,1)) where Spark's format_string
+  * throws IllegalFormatConversion — the marker casts DECIMAL arguments
+  * to DOUBLE and delegates to FormatString (round-14 probe grid). */
+case class GraftPrintf(children: Seq[Expression]) extends RuntimeReplaceable {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+  override lazy val replacement: Expression =
+    FormatString(children.head +: children.tail.map { a =>
+      a.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType => Cast(a, DoubleType)
+        case _ => a
+      }
+    }: _*)
 }

@@ -195,6 +195,16 @@ package object functions {
       es => { arity("graft_sub", 2)(es); GraftSub(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "graft_datepart",
       es => { arity("graft_datepart", 2)(es); GraftDatePart(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_add",
+      es => { arity("graft_add", 2)(es); GraftAdd(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_chr",
+      es => { arity("graft_chr", 1)(es); GraftChr(es.head) })
+    ExprBridge.registerFunction(spark, "graft_strip_accents",
+      es => { arity("graft_strip_accents", 1)(es); GraftStripAccents(es.head) })
+    ExprBridge.registerFunction(spark, "graft_printf",
+      es => GraftPrintf(es))
+    ExprBridge.registerFunction(spark, "graft_age",
+      es => { arity("graft_age", 2)(es); GraftAge(es(0), es(1)) })
     // round-13 probe-grid parity kernels (type-dispatched after
     // resolution — see DialectParityFns.scala)
     ExprBridge.registerFunction(spark, "graft_len",

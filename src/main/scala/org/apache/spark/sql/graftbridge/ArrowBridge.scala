@@ -170,7 +170,7 @@ object CasePreserve {
   * only on the engine's SQL path (Connection.queryDF / the oracle-query
   * chain); plain spark.sql keeps Spark's `div`. */
 object ParsedSql {
-  import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, IntegralDivide, Remainder, SubqueryExpression, Subtract}
+  import org.apache.spark.sql.catalyst.expressions.{Add, Divide, EvalMode, IntegralDivide, Remainder, SubqueryExpression, Subtract}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   private def fn(name: String,
@@ -201,6 +201,9 @@ object ParsedSql {
       // resolved-type dispatch (graft_sub reproduces Spark's analyzer
       // dispatch for every other operand combination)
       case s: Subtract => fn("graft_sub", Seq(s.left, s.right))
+      // DATE + INTERVAL is a midnight-anchored TIMESTAMP in DuckDB where
+      // Spark keeps DATE — the graft_sub mirror (round 14)
+      case a: Add => fn("graft_add", Seq(a.left, a.right))
       // DuckDB yields NULL for division/modulo by zero at EVERY type;
       // Spark's ANSI `/` and `%` throw. try_divide/try_mod are exactly
       // Divide/Remainder with EvalMode.TRY — same typing, NULL on zero
