@@ -34,17 +34,35 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     except OSError:
         pass
 
-out = {}
+# Optional per-query wall cap (seconds): a recursive-CTE oracle that is
+# pathological for a single-threaded engine at sf10 must not stall the
+# whole sweep. A capped query records -2.0 and lands in "timeouts" with
+# the cap — the comparison then reports "duck DNF within cap" instead of
+# a ratio (a LOWER bound on the duck time, never an inflated claim).
+import os, threading
+cap = float(os.environ.get("DUCK_QUERY_CAP_S", "0") or 0)
+
+out, timeouts = {}, {}
 for name in sorted(oracle):
     times = []
+    timed_out = False
     for i in range(runs):
         t0 = time.time()
+        timer = None
+        if cap > 0:
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
         try:
             con.sql(oracle[name]).fetchall()  # materialize fully
             times.append(time.time() - t0)
         except Exception as e:
+            if cap > 0 and time.time() - t0 >= cap - 1.0:
+                timed_out = True
             times.append(-1.0)
             break
+        finally:
+            if timer is not None:
+                timer.cancel()
         # queries dominated by compute don't need repeat sampling — the
         # fixed-cost noise repeat runs guard against is negligible there
         if times[-1] > 10.0:
@@ -52,8 +70,15 @@ for name in sorted(oracle):
     ok = [t for t in times if t >= 0]
     # min over runs, matching graft.Bench's sampling (co-tenant noise is
     # additive; same estimator on both sides keeps the ratio fair)
-    out[name] = min(ok) if ok else -1.0
+    if timed_out and not ok:
+        out[name] = -2.0
+        timeouts[name] = cap
+    else:
+        out[name] = min(ok) if ok else -1.0
     print(f"[duck] {name}: {out[name]:.3f}s", file=sys.stderr, flush=True)
 total = sum(v for v in out.values() if v >= 0)
-print(json.dumps({"total": round(total, 3), "sf": sf_dir,
-                  "queries": {k: round(v, 4) for k, v in out.items()}}))
+res = {"total": round(total, 3), "sf": sf_dir,
+       "queries": {k: round(v, 4) for k, v in out.items()}}
+if timeouts:
+    res["timeouts"] = timeouts
+print(json.dumps(res))

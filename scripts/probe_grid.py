@@ -662,7 +662,10 @@ p("agg",
   agg("first(x ORDER BY k)", "(1,NULL),(2,5),(3,1)", t="t(x, k)"),
   agg("last(x ORDER BY k DESC)", "(1,NULL),(2,5),(3,1)", t="t(x, k)"),
   agg("arbitrary(x)", "(7),(8)"),
-  agg("count(x) FILTER (x > 1)", "(1),(2),(3)"))
+  agg("count(x) FILTER (x > 1)", "(1),(2),(3)"),
+  agg("first(x ORDER BY k, x)", "(2,1),(1,1),(3,0)", t="t(x, k)"),
+  agg("list(x ORDER BY k DESC, x DESC)", "(2,1),(1,1),(3,0)", t="t(x, k)"),
+  agg("string_agg(x, '-' ORDER BY k, x)", "(2,1),(1,1),(3,0)", t="t(x, k)"))
 p("agg",
   agg("string_agg(x, '|')", "('a'),('b'),(NULL),('c')"),
   agg("CAST(product(x) AS DOUBLE)", "(2.0),(3.0),(4.0)"),

@@ -830,15 +830,18 @@ object DialectFunctions {
     // (DuckDB: last for ASC); string_agg of an all-empty group is '' not
     // NULL; NULLS FIRST/LAST and mixed per-key directions pass through
     // untouched for Spark to reject loudly.
+    // multi-key ORDER BY keys arrive as extra args from the top-level
+    // comma split — rejoin before parsing (round 14; a 2-key ordered
+    // list() previously fell through to a loud unresolved function)
     out = rewriteCalls(out, "list|array_agg") {
-      case Seq(a) => parseOrdered(a) match {
+      case args if args.nonEmpty => parseOrdered(args.mkString(",")) match {
         case Ordered(v, keys, asc) => Some(orderedCollectExpr(v, keys, asc))
-        case NoOrder =>
+        case NoOrder if args.lengthIs == 1 =>
           // DuckDB's list() KEEPS NULL elements; collect_list drops them
           // (round-13 probe grid) — collect non-null struct wrappers and
           // unwrap, preserving arrival order on both engines
-          Some(s"transform(collect_list(named_struct('v', $a)), __lg -> __lg.v)")
-        case UnsupportedOrder => None
+          Some(s"transform(collect_list(named_struct('v', ${args.head})), __lg -> __lg.v)")
+        case _ => None
       }
       case _ => None
     }
@@ -849,11 +852,12 @@ object DialectFunctions {
         case NoOrder => Some(s"array_join(collect_list($a), ',')")
         case UnsupportedOrder => None
       }
-      case Seq(x, rest) => parseOrdered(rest) match {
+      case x +: rest if rest.nonEmpty => parseOrdered(rest.mkString(",")) match {
         case Ordered(sep, keys, asc) =>
           Some(s"array_join(${orderedCollectExpr(x, keys, asc)}, $sep)")
-        case NoOrder => Some(s"array_join(collect_list($x), $rest)")
-        case UnsupportedOrder => None
+        case NoOrder if rest.lengthIs == 1 =>
+          Some(s"array_join(collect_list($x), ${rest.head})")
+        case _ => None
       }
       case _ => None
     }
@@ -988,18 +992,23 @@ object DialectFunctions {
     // top-level NULL key, which also makes all-NULL-key groups return a
     // row's value like DuckDB instead of NULL (round-14 grid, incl. the
     // `last … DESC` null-key probe that caught the naive min/max_by).
+    // the call scanner splits top-level commas, so a multi-key ORDER BY
+    // arrives as several args — rejoin before parsing (keys may only
+    // follow an ORDER BY, so the join is unambiguous for 1-arg calls)
     def orderedPick(firstAgg: Boolean): Seq[String] => Option[String] = {
-      case Seq(a) => parseOrdered(a) match {
-        case Ordered(v, keys, asc) =>
-          // minimal traversal point: first ASC and last DESC; the flag
-          // polarity keeps NULL keys on the far side of that point
-          val useMin = firstAgg == asc
-          val flag = if (useMin == firstAgg) "IS NULL" else "IS NOT NULL"
-          val k = s"struct(${keys.map(k => s"(($k) $flag), $k").mkString(", ")})"
-          Some(s"${if (useMin) "min_by" else "max_by"}($v, $k)")
-        case _ => None
-      }
-      case _ => None
+      args =>
+        if (args.isEmpty) None
+        else parseOrdered(args.mkString(",")) match {
+          case Ordered(v, keys, asc) =>
+            // minimal traversal point: first ASC and last DESC; the flag
+            // polarity keeps NULL keys on the far side of that point
+            val useMin = firstAgg == asc
+            val flag = if (useMin == firstAgg) "IS NULL" else "IS NOT NULL"
+            val k =
+              s"struct(${keys.map(k => s"(($k) $flag), $k").mkString(", ")})"
+            Some(s"${if (useMin) "min_by" else "max_by"}($v, $k)")
+          case _ => None
+        }
     }
     out = rewriteCalls(out, "first")(orderedPick(firstAgg = true))
     out = rewriteCalls(out, "last")(orderedPick(firstAgg = false))

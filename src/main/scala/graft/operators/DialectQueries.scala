@@ -1146,7 +1146,42 @@ object DialectQueries {
       |    + date_part('ms', INTERVAL '1.5' SECOND) AS BIGINT) AS consts
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  // Wave-6 scalar surface over table data (round 14): datesub complete
+  // units, age() component reads, codepoint chr, the ** power operator,
+  // and DATE + INTERVAL's TIMESTAMP result type (graft_add) — left
+  // uncast so the driver's schema compare pins the type parity.
+  private val q129Sql =
+    """SELECT o_orderkey,
+      |  CAST(datesub('month', DATE '1994-06-15', o_orderdate) AS BIGINT) AS dsm,
+      |  CAST(datesub('day', DATE '1994-06-15', o_orderdate) AS BIGINT) AS dsd,
+      |  CAST(date_part('month', age(CAST(o_orderdate AS TIMESTAMP),
+      |    TIMESTAMP '1994-06-15 07:30:00')) AS BIGINT) AS agem,
+      |  CAST(date_part('day', age(CAST(o_orderdate AS TIMESTAMP),
+      |    TIMESTAMP '1994-06-15 07:30:00')) AS BIGINT) AS aged,
+      |  chr(65 + CAST(o_orderkey % 26 AS INTEGER)) AS ch,
+      |  CAST((o_orderkey % 7) ** 2 AS DOUBLE) AS pw,
+      |  o_orderdate + INTERVAL 40 DAY AS plus_iv,
+      |  last_day(o_orderdate) AS eom
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
+  // Ordered first/last aggregates (round 14): DuckDB's in-aggregate
+  // ORDER BY — min_by/max_by with the NULLS-LAST default encoded in
+  // (null-flag, key) struct pairs. Multi-key orders with the unique
+  // o_orderkey tiebreaker keep both engines deterministic. mode() and
+  // arbitrary-free string_agg ride along; count FILTER without WHERE.
+  private val q130Sql =
+    """SELECT o_orderpriority AS k,
+      |  CAST(first(o_orderkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS cheapest,
+      |  CAST(last(o_orderkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS dearest,
+      |  CAST(first(o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS first_cust,
+      |  CAST(last(o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS oldest,
+      |  mode(o_orderstatus) AS md,
+      |  CAST(count(*) FILTER (o_totalprice > 150000) AS BIGINT) AS big_cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY k""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q130_ordered_first_last", fns(q130Sql), Some(q130Sql)),
+    Q("q129_scalar_wave6", fns(q129Sql), Some(q129Sql)),
     Q("q128_interval_extract", fns(q128Sql), Some(q128Sql)),
     Q("q127_quantile_window_frames", fns(q127Sql), Some(q127Sql)),
     Q("q126_quantile_window", fns(q126Sql), Some(q126Sql)),
