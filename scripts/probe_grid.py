@@ -679,6 +679,60 @@ p("agg",
   agg("CAST(covar_pop(x, x) AS DOUBLE)", "(1.0),(2.0),(3.0)"),
   agg("count(*) FILTER (x > 1)", "(1),(2),(3)"))
 
+# ----------------------------------------------------------- wave 7
+# (round 14) list lambdas, string-similarity metrics, blob functions,
+# ILIKE spellings, greatest/least NULL edges, struct functions, bar().
+p("list",
+  "list_transform([1, 2, 3], x -> x * 2)",
+  "list_filter([1, 2, 3, 4], x -> x % 2 = 0)",
+  "list_reduce([1, 2, 3, 4], (a, b) -> a + b)",
+  "list_transform(['a', 'b'], s -> upper(s))",
+  "list_has_any([1, 2], [2, 3])", "list_has_all([1, 2, 3], [2, 3])",
+  "list_sort([3, 1, 2], 'DESC')", "list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST')",
+  "list_value(1, 2, 3)", "len(list_value())",
+  "list_cosine_similarity([1.0, 0.0], [0.0, 1.0])",
+  "CAST(list_dot_product([1.0, 2.0], [3.0, 4.0]) AS DOUBLE)",
+  "CAST(list_inner_product([1.0, 2.0], [3.0, 4.0]) AS DOUBLE)",
+  "CAST(list_distance([0.0, 0.0], [3.0, 4.0]) AS DOUBLE)",
+  "CAST(list_cosine_similarity([1.0, 2.0], [2.0, 4.0]) AS DOUBLE)",
+  "list_reverse_sort([1, NULL, 3])",
+  "list_sort([3, NULL, 1], 'DESC')",
+  "list_sort([3, NULL, 1], 'DESC', 'NULLS FIRST')",
+  "list_sort([3, NULL, 1], 'ASC', 'NULLS LAST')",
+  "list_reduce([5], (a, b) -> a + b)",
+  "list_reduce(['a', 'b', 'c'], (a, b) -> a || b)")
+p("string",
+  "CAST(jaro_similarity('martha', 'marhta') AS DOUBLE)",
+  "CAST(jaro_winkler_similarity('martha', 'marhta') AS DOUBLE)",
+  "damerau_levenshtein('abcd', 'acbd')",
+  "CAST(jaccard('abc', 'bcd') AS DOUBLE)",
+  "'AbC' ILIKE 'abc'", "'AbC' NOT ILIKE 'xyz'",
+  "'abc' ILIKE 'A%'", "ilike_escape('A_C', 'a$_c', '$')",
+  "like_escape('a_c', 'a$_c', '$')",
+  "octet_length('ab'::BLOB)", "encode('abc')::VARCHAR",
+  "decode('abc'::BLOB)",
+  "bar(3, 0, 6, 6)", "bar(2.5, 0, 6, 6)", "bar(0.9, 0, 6, 6)",
+  "bar(5.99, 0, 6, 6)", "bar(7, 0, 6, 6)", "bar(-1, 0, 6, 6)",
+  "length(bar(2.5, 0, 6))")
+p("predicate",
+  "greatest(1, NULL, 3)", "least(NULL::INTEGER, NULL::INTEGER)",
+  "greatest('b', 'a', 'c')", "least(1.5, 2)",
+  "NULL IS NOT DISTINCT FROM NULL", "3 IS NOT DISTINCT FROM 3",
+  "isnan('nan'::DOUBLE)", "isinf('-inf'::DOUBLE)",
+  "signbit(-0.0::DOUBLE)")
+p("map",
+  "map_from_entries([{'k': 'a', 'v': 1}, {'k': 'b', 'v': 2}])['b']",
+  "map_concat(MAP {'a': 1}, MAP {'b': 2})['b']",
+  "element_at(MAP {'a': 1}, 'a')")
+p("numeric",
+  "nextafter(1.0, 2.0) = 1.0000000000000002",
+  "nextafter(1.0, 0.0) < 1.0", "signbit(nextafter(-0.0, -1.0))",
+  "nextafter(1.0, 2.0)", "CAST(ldexp(1.0, 3) AS DOUBLE)",
+  "even(-2.5)", "CAST(cot(1.0) AS DOUBLE)",
+  "CAST(degrees(pi()) AS DOUBLE)", "CAST(radians(180.0) AS DOUBLE)",
+  "CAST(atanh(0.5) AS DOUBLE)", "bit_count(CAST(-1 AS BIGINT))",
+  "CAST(exp(1) AS DOUBLE)")
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -195,6 +195,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_age",
         "graft_age(end, start) - Postgres-style symbolic calendar difference"),
       es => { arity("graft_age", 2)(es); functions.GraftAge(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_bar"),
+      info("graft_bar", "graft_bar(x, min, max, width) - Unicode block bar"),
+      es => functions.GraftBar(es)))
+    ext.injectFunction((FunctionIdentifier("graft_signbit"),
+      info("graft_signbit", "graft_signbit(x) - IEEE 754 sign bit"),
+      es => { arity("graft_signbit", 1)(es); functions.GraftSignbit(es.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_nextafter"),
+      info("graft_nextafter", "graft_nextafter(a, b) - next representable double toward b"),
+      es => { arity("graft_nextafter", 2)(es); functions.GraftNextAfter(es(0), es(1)) }))
     for (kind <- Seq("ln", "log10", "log2", "sqrt", "asin", "acos"))
       ext.injectFunction((FunctionIdentifier(s"graft_strict_$kind"),
         info(s"graft_strict_$kind",

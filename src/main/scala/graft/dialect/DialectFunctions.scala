@@ -387,6 +387,39 @@ object DialectFunctions {
         Some(s"graft_printf('$body', ${rest.mkString(", ")})")
       case _ => None
     }
+    // list_sort with explicit direction / null order (round-14 grid;
+    // runs BEFORE the list_sort → array_sort rename): DuckDB defaults
+    // NULLS LAST in both directions. array_sort = ASC NULLS LAST;
+    // sort_array(asc) = ASC NULLS FIRST / DESC NULLS LAST; reversed
+    // array_sort = DESC NULLS FIRST.
+    sql2 = rewriteCalls(sql2, "list_reverse_sort") {
+      case Seq(l) => Some(s"sort_array($l, false)")
+      case Seq(l, no) if isLiteral(no) =>
+        no.trim.stripPrefix("'").stripSuffix("'").toUpperCase match {
+          case "NULLS LAST" => Some(s"sort_array($l, false)")
+          case "NULLS FIRST" => Some(s"reverse(array_sort($l))")
+          case _ => None
+        }
+      case _ => None
+    }
+    sql2 = rewriteCalls(sql2, "list_sort|array_sort") {
+      case args if args.length >= 2 && args.length <= 3 &&
+          args.tail.forall(isLiteral) =>
+        val l = args.head
+        val dir = args(1).trim.stripPrefix("'").stripSuffix("'").toUpperCase
+        val nulls = if (args.length == 3)
+          args(2).trim.stripPrefix("'").stripSuffix("'").toUpperCase
+        else if (dir == "ASC" || dir == "DESC") "NULLS LAST"
+        else ""
+        (dir, nulls) match {
+          case ("ASC", "NULLS LAST") => Some(s"array_sort($l)")
+          case ("ASC", "NULLS FIRST") => Some(s"sort_array($l, true)")
+          case ("DESC", "NULLS LAST") => Some(s"sort_array($l, false)")
+          case ("DESC", "NULLS FIRST") => Some(s"reverse(array_sort($l))")
+          case _ => None
+        }
+      case _ => None
+    }
     // DuckDB allows `FILTER (cond)` without the WHERE keyword; Spark's
     // grammar requires it. Aggregate/window FILTER always follows the
     // call's closing paren — which disambiguates it from the filter()
@@ -433,6 +466,18 @@ object DialectFunctions {
     out = rewriteCalls(out, "not_like_escape") {
       case Seq(s, pat, esc) if isLiteral(esc) =>
         Some(s"(($s) NOT LIKE ($pat) ESCAPE ${esc.trim})")
+      case _ => None
+    }
+    // ilike twins: case-fold both sides (the escape char is unaffected —
+    // DuckDB lowercases pattern and input the same way; round-14 grid)
+    out = rewriteCalls(out, "ilike_escape") {
+      case Seq(s, pat, esc) if isLiteral(esc) =>
+        Some(s"((lower($s)) LIKE (lower($pat)) ESCAPE ${esc.trim})")
+      case _ => None
+    }
+    out = rewriteCalls(out, "not_ilike_escape") {
+      case Seq(s, pat, esc) if isLiteral(esc) =>
+        Some(s"((lower($s)) NOT LIKE (lower($pat)) ESCAPE ${esc.trim})")
       case _ => None
     }
     out = rewriteCalls(out, "isodow") {
@@ -1016,6 +1061,67 @@ object DialectFunctions {
     out = rewriteCalls(out, "arbitrary") {
       case Seq(a) => orderedPick(firstAgg = true)(Seq(a))
         .orElse(Some(s"first($a)"))
+      case _ => None
+    }
+    // ---- wave-7 probe-grid spellings (round 14) ----
+    // list_reduce seeds from the first element (empty input errors
+    // loudly in both engines — element_at(…, 1) throws on [])
+    out = rewriteCalls(out, "list_reduce") {
+      case Seq(l, lam) =>
+        Some(s"aggregate(slice($l, 2, greatest(size($l) - 1, 0)), " +
+          s"element_at($l, 1), $lam)")
+      case _ => None
+    }
+    // list vector math (DuckDB ANN sugar): zip_with arithmetic in
+    // DOUBLE, dimension mismatch a loud error like DuckDB's
+    def vdot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (__vx, __vy) -> " +
+        "CAST(__vx AS DOUBLE) * CAST(__vy AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (__vs, __ve) -> __vs + __ve)"
+    def dimGuard(a: String, b: String, expr: String) =
+      s"(CASE WHEN size($a) <> size($b) THEN " +
+        "CAST(raise_error('list dimensions must be equal') AS DOUBLE) " +
+        s"ELSE $expr END)"
+    out = rewriteCalls(out, "list_dot_product|list_inner_product") {
+      case Seq(a, b) => Some(dimGuard(a, b, vdot(a, b)))
+      case _ => None
+    }
+    out = rewriteCalls(out, "list_cosine_similarity") {
+      case Seq(a, b) => Some(dimGuard(a, b,
+        s"(${vdot(a, b)} / (sqrt(${vdot(a, a)}) * sqrt(${vdot(b, b)})))"))
+      case _ => None
+    }
+    out = rewriteCalls(out, "list_distance") {
+      case Seq(a, b) => Some(dimGuard(a, b,
+        s"sqrt(aggregate(zip_with($a, $b, (__vx, __vy) -> " +
+          "(CAST(__vx AS DOUBLE) - CAST(__vy AS DOUBLE)) * " +
+          "(CAST(__vx AS DOUBLE) - CAST(__vy AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (__vs, __ve) -> __vs + __ve))"))
+      case _ => None
+    }
+    // 1-arg encode/decode: UTF-8 bytes ↔ text (2-arg charset forms stay
+    // Spark's own)
+    out = rewriteCalls(out, "encode") {
+      case Seq(x) => Some(s"CAST($x AS BINARY)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "decode") {
+      case Seq(x) => Some(s"CAST($x AS STRING)")
+      case _ => None
+    }
+    // bar / signbit / nextafter ride native kernels (exact eighth-block
+    // rendering incl. DuckDB's byte-padding quirk; IEEE sign bit)
+    out = rewriteCalls(out, "bar") {
+      case Seq(x, lo, hi) => Some(s"graft_bar($x, $lo, $hi, 80.0D)")
+      case Seq(x, lo, hi, w) => Some(s"graft_bar($x, $lo, $hi, $w)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "signbit") {
+      case Seq(x) => Some(s"graft_signbit($x)")
+      case _ => None
+    }
+    out = rewriteCalls(out, "nextafter") {
+      case Seq(a, b) => Some(s"graft_nextafter($a, $b)")
       case _ => None
     }
     out

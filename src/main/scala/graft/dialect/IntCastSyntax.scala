@@ -27,7 +27,25 @@ object IntCastSyntax {
   private val ColonType = java.util.regex.Pattern.compile(
     "::\\s*(?i:(TINYINT|SMALLINT|INTEGER|INT|BIGINT))(?![A-Za-z0-9_])(?!\\s*\\[)")
 
-  def rewrite(sql: String): String = colonCasts(castCalls(sql))
+  /** Prefix-position `-literal::TYPE` (round-14 grid): Spark's parser
+    * folds the minus INTO the numeric literal (losing the IEEE sign of
+    * -0.0 through the DECIMAL intermediate, and the out-of-range error
+    * of -128::TINYINT — DuckDB applies unary minus AFTER the cast).
+    * Rewritten to (- (literal::TYPE)) — the parenthesized operand is no
+    * longer a literal token, so UnaryMinus applies after the cast and
+    * PRESERVES ITS TYPE (a (-1)·x spelling would widen TINYINT to INT
+    * and break bit_count's width dispatch). Fires only when the minus is
+    * unambiguously unary (preceded by start / open-paren / comma / an
+    * operator), the `**` discipline. */
+  private val PrefixMinusCast = java.util.regex.Pattern.compile(
+    """(^|[(,=<>+\-*/%])(\s*)-\s*((?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\s*::\s*(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""")
+
+  def rewrite(sql: String): String = {
+    val noFold = SqlText.mapOutsideLiterals(sql) { seg =>
+      PrefixMinusCast.matcher(seg).replaceAll("$1$2(- ($3::$4))")
+    }
+    colonCasts(castCalls(noFold))
+  }
 
   // ------------------------------------------------- CAST(e AS INT) form
   private def castCalls(sql: String): String = {

@@ -55,6 +55,32 @@ object MathStringFns {
       s.toString, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", ""))
 
+  /** DuckDB bar(x, min, max, width): Unicode block bar. Semantics pinned
+    * by probe (round 14): fraction clamped to [0,1], units =
+    * TRUNC(fraction · width · 8) eighth-blocks (bar(5.99,0,6,6) is five
+    * fulls + ▉, not six fulls), partial glyph = U+2590 − remainder, and
+    * the result is space-padded while its UTF-8 BYTE length is under
+    * width — a byte-vs-glyph quirk DuckDB itself exhibits (bar(0.9,0,6,6)
+    * = '▉   ': 3 bytes of ▉ + 3 spaces). */
+  def bar(x: Double, lo: Double, hi: Double, width: Double): UTF8String = {
+    val f0 = (x - lo) / (hi - lo)
+    val fraction = if (f0.isNaN) 0.0 else math.max(0.0, math.min(1.0, f0))
+    val units = (fraction * (width * 8).toLong).toLong
+    val sb = new java.lang.StringBuilder
+    var i = 0L
+    while (i < units / 8) { sb.append('█'); i += 1 }
+    val rem = (units % 8).toInt
+    if (rem > 0) sb.append((0x2590 - rem).toChar)
+    var bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    while (bytes < width.toLong) { sb.append(' '); bytes += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** IEEE 754 sign bit — exact for −0.0 and negative NaN payloads. */
+  def signbit(d: Double): Boolean = java.lang.Double.doubleToRawLongBits(d) < 0
+
+  def nextafter(a: Double, b: Double): Double = Math.nextAfter(a, b)
+
   /** The unscaled value of a DECIMAL as a double — DuckDB's own wide-
     * decimal quantile arithmetic (hugeint unscaled → double, probed: the
     * p>18 interpolation rounds exactly like a BigInteger→double cast). */
@@ -159,6 +185,40 @@ case class GraftStripAccents(child: Expression)
   override lazy val replacement: Expression =
     StaticInvoke(MathStringFns.getClass, StringType, "stripAccents",
       Seq(Cast(child, StringType)), Seq(StringType))
+}
+
+/** DuckDB bar() — see [[MathStringFns.bar]]. */
+case class GraftBar(children: Seq[Expression]) extends RuntimeReplaceable {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass, StringType, "bar",
+      children.map(Cast(_, DoubleType)),
+      Seq.fill(children.length)(DoubleType))
+}
+
+/** IEEE sign bit — see [[MathStringFns.signbit]]. */
+case class GraftSignbit(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass,
+      org.apache.spark.sql.types.BooleanType, "signbit",
+      Seq(Cast(child, DoubleType)), Seq(DoubleType))
+}
+
+/** Math.nextAfter — see [[MathStringFns.nextafter]]. */
+case class GraftNextAfter(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override lazy val replacement: Expression =
+    StaticInvoke(MathStringFns.getClass, DoubleType, "nextafter",
+      Seq(Cast(left, DoubleType), Cast(right, DoubleType)),
+      Seq(DoubleType, DoubleType))
 }
 
 /** printf/format with DECIMAL arguments: DuckDB's %f accepts its DECIMAL

@@ -205,6 +205,11 @@ package object functions {
       es => GraftPrintf(es))
     ExprBridge.registerFunction(spark, "graft_age",
       es => { arity("graft_age", 2)(es); GraftAge(es(0), es(1)) })
+    ExprBridge.registerFunction(spark, "graft_bar", es => GraftBar(es))
+    ExprBridge.registerFunction(spark, "graft_signbit",
+      es => { arity("graft_signbit", 1)(es); GraftSignbit(es.head) })
+    ExprBridge.registerFunction(spark, "graft_nextafter",
+      es => { arity("graft_nextafter", 2)(es); GraftNextAfter(es(0), es(1)) })
     // round-13 probe-grid parity kernels (type-dispatched after
     // resolution — see DialectParityFns.scala)
     ExprBridge.registerFunction(spark, "graft_len",
