@@ -733,6 +733,40 @@ p("numeric",
   "CAST(atanh(0.5) AS DOUBLE)", "bit_count(CAST(-1 AS BIGINT))",
   "CAST(exp(1) AS DOUBLE)")
 
+# ----------------------------------------------------------- wave 8
+# (round 14) regression aggregates, strftime specifier coverage, fmt
+# thousands/alignment, epoch_us/ns, 1-arg to_timestamp, century/decade/
+# millennium as date_part fields, approx_quantile (small-n exact).
+p("agg",
+  agg("CAST(regr_slope(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_intercept(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_r2(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_count(y, x) AS BIGINT)", "(1,2),(2,NULL),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_avgx(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_avgy(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_sxy(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(regr_sxx(y, x) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(covar_samp(x, y) AS DOUBLE)", "(1,2),(2,4),(3,7)", t="t(x, y)"),
+  agg("CAST(var_pop(x) AS DOUBLE)", "(1.0),(2.0),(4.0)"),
+  agg("CAST(approx_quantile(x, 0.5) AS BIGINT)", "(1),(2),(3),(4),(5)"))
+p("datetime",
+  "strftime(DATE '2024-03-09', '%a %A %b %B %j')",
+  "strftime(TIMESTAMP '2024-03-09 14:05:06', '%I %p %H:%M:%S')",
+  "strftime(TIMESTAMP '2024-03-09 14:05:06.123456', '%f')",
+  "strftime(TIMESTAMP '2024-03-09 14:05:06.123456', '%g')",
+  "epoch_us(TIMESTAMP '2024-01-01 00:00:00.000123')",
+  "epoch_ns(TIMESTAMP '2024-01-01 00:00:00.000123')",
+  "CAST(epoch_us(1704067200000123) AS VARCHAR)",
+  "CAST(date_part('epoch', to_timestamp(1700000000.5)) AS DOUBLE)",
+  "date_part('century', DATE '2001-01-01')",
+  "date_part('century', DATE '2000-01-01')",
+  "extract(decade FROM DATE '1987-06-05')",
+  "extract(millennium FROM TIMESTAMP '2001-01-01 00:00:00')",
+  "dayofyear(DATE '2024-03-01')", "weekofyear(DATE '2024-01-01')")
+p("string",
+  "format('{:,}', 123456789)", "format('{:>6}', 'ab')",
+  "format('{:<4}', 'ab') || '|'")
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -89,6 +89,10 @@ object DialectFunctions {
     // semantics — but %f rejects DECIMAL arguments (DuckDB's numeric
     // literals parse as DECIMAL), so the marker casts those to DOUBLE
     "printf" -> "graft_printf",
+    // approximate quantile: both engines sketch (t-digest vs Greenwald-
+    // Khanna) — exact on small inputs, estimate-class on large (the q44
+    // HLL precedent)
+    "approx_quantile" -> "approx_percentile",
     "array_length" -> "size",
     "unnest" -> "explode",
     "list_value" -> "array",
@@ -110,6 +114,14 @@ object DialectFunctions {
 
   private val FilterNoWhereRe = java.util.regex.Pattern.compile(
     """(?i)\)\s*FILTER\s*\(\s*(?!WHERE\b)""")
+
+  /** fmt alignment placeholders mapping to printf width specs. */
+  private val FmtAlignRightRe = java.util.regex.Pattern.compile(
+    """\{:>(\d+)\}""")
+  private val FmtAlignLeftRe = java.util.regex.Pattern.compile(
+    """\{:<(\d+)\}""")
+  private val FmtAlignRe = java.util.regex.Pattern.compile(
+    """\{:[><](\d+)\}""")
 
   /** DuckDB's `**` power operator → power(l, r). Scanner, not regex: the
     * operands must be bounded exactly or the precedence miscompiles.
@@ -377,13 +389,18 @@ object DialectFunctions {
     // UNRESOLVED_ROUTINE
     sql2 = rewriteCalls(sql2, "format") {
       case fmt +: rest if rest.nonEmpty && isLiteral(fmt) && {
-        val stripped = FmtSpecRe.matcher(
-          fmt.replace("{}", "")).replaceAll("")
+        val stripped = FmtAlignRe.matcher(FmtSpecRe.matcher(
+          fmt.replace("{}", "").replace("{:,}", ""))
+          .replaceAll("")).replaceAll("")
         !stripped.contains("{")
       } =>
         val body0 = fmt.trim.stripPrefix("'").stripSuffix("'")
           .replace("%", "%%").replace("{}", "%s")
-        val body = FmtSpecRe.matcher(body0).replaceAll("%$1")
+          .replace("{:,}", "%,d")
+        val body1 = FmtSpecRe.matcher(body0).replaceAll("%$1")
+        val body = FmtAlignLeftRe.matcher(
+          FmtAlignRightRe.matcher(body1).replaceAll("%$1s"))
+          .replaceAll("%-$1s")
         Some(s"graft_printf('$body', ${rest.mkString(", ")})")
       case _ => None
     }
@@ -600,6 +617,24 @@ object DialectFunctions {
     out = rewriteCalls(out, "epoch_ms") {
       case Seq(e) if isIntegerShaped(e) => Some(s"timestamp_millis(CAST($e AS BIGINT))")
       case Seq(e) => Some(s"unix_millis(CAST($e AS TIMESTAMP))")
+      case _ => None
+    }
+    // the µs/ns siblings (round-14 grid), same overload discipline
+    out = rewriteCalls(out, "epoch_us") {
+      case Seq(e) if isIntegerShaped(e) => Some(s"timestamp_micros(CAST($e AS BIGINT))")
+      case Seq(e) => Some(s"unix_micros(CAST($e AS TIMESTAMP))")
+      case _ => None
+    }
+    out = rewriteCalls(out, "epoch_ns") {
+      case Seq(e) if isIntegerShaped(e) =>
+        Some(s"timestamp_micros(CAST($e AS BIGINT) div 1000L)")
+      case Seq(e) => Some(s"(unix_micros(CAST($e AS TIMESTAMP)) * 1000L)")
+      case _ => None
+    }
+    // DuckDB's 1-arg to_timestamp is epoch SECONDS (DOUBLE) — the string
+    // form is strptime in this dialect, so the rewrite is unconditional
+    out = rewriteCalls(out, "to_timestamp") {
+      case Seq(e) => Some(s"timestamp_seconds(CAST($e AS DOUBLE))")
       case _ => None
     }
     // Day-of-week numbering and the EPOCH field (pinned on DuckDB 1.0):

@@ -154,8 +154,8 @@ object Strftime {
   private val map = Map(
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
-    'f' -> "SSSSSS", 'p' -> "a", 'j' -> "DDD", 'B' -> "MMMM",
-    'b' -> "MMM", 'a' -> "EEE", 'A' -> "EEEE", '%' -> "%")
+    'f' -> "SSSSSS", 'g' -> "SSS", 'p' -> "a", 'j' -> "DDD",
+    'B' -> "MMMM", 'b' -> "MMM", 'a' -> "EEE", 'A' -> "EEEE", '%' -> "%")
 
   def toJavaPattern(strf: String): String = {
     val sb = new StringBuilder
@@ -163,7 +163,16 @@ object Strftime {
     while (i < strf.length) {
       val c = strf.charAt(i)
       if (c == '%' && i + 1 < strf.length) {
-        sb.append(map.getOrElse(strf.charAt(i + 1), strf.charAt(i + 1).toString))
+        val spec = strf.charAt(i + 1)
+        // an unmapped %LETTER would previously leak the raw letter into
+        // the Java pattern — a SILENT week-aligned/era garbage class
+        // (round-14 grid); DuckDB supports specifiers Java's patterns
+        // cannot express (%U/%W/%w/%u/%n/…) — loud beats wrong
+        if (!map.contains(spec) && spec.isLetter)
+          throw new IllegalArgumentException(
+            s"strftime specifier %$spec is not supported by this engine " +
+              "(no Java date pattern equivalent)")
+        sb.append(map.getOrElse(spec, spec.toString))
         i += 2
       } else {
         // literal chars that are pattern letters need quoting

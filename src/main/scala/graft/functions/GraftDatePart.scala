@@ -212,6 +212,21 @@ case class GraftDatePart(left: Expression, right: Expression)
         Divide(
           Cast(UnixMicros(Cast(right, TimestampType, tz)), DoubleType),
           Literal(1000000.0), EvalMode.LEGACY)
+      case _ if Set("century", "centuries", "cent", "c", "decade",
+          "decades", "dec", "decs", "millennium", "millenniums",
+          "millennia", "mil", "mils")(f.toLowerCase) =>
+        // Spark's DatePart has no century/decade/millennium fields;
+        // DuckDB (probed): century = ⌈year/100⌉ (2001 → 21), decade =
+        // ⌊year/10⌋ (1987 → 198), millennium = ⌈year/1000⌉ — matching
+        // the function-spelling rewrites in DialectFunctions
+        val yr = Cast(Year(Cast(right, DateType, tz)), DoubleType)
+        val (span, ceilF) = f.toLowerCase.head match {
+          case 'c' => (100.0, true)
+          case 'd' => (10.0, false)
+          case _ => (1000.0, true)
+        }
+        val q = Divide(yr, Literal(span), EvalMode.LEGACY)
+        Cast(if (ceilF) Ceil(q) else Floor(q), LongType)
       case _ =>
         // Spark's own field dispatch — but a replacement tree is never
         // visited by the analyzer, so the two analysis-time services its
