@@ -326,8 +326,40 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
       val keyAliases = partSpec.zipWithIndex.map { case (k, i) =>
         Alias(k, s"__wqk$i")()
       }
+      // Aggregate over the BARE child: when several marker windows stack
+      // (grouped + global in one SELECT), this child already contains the
+      // previous window's stitch — a Project-over-Join whose right side
+      // is OUR "__wq*"-aliased Aggregate. Aggregating through it would
+      // (a) recompute that stitch once more per quantile branch and
+      // (b) put its SparkPartitionID-bearing histogram inside this
+      // aggregate's subtree, failing ExactQuantileRule's deterministic-
+      // tree guard and silently degrading THIS stitch to the collect_list
+      // composite (found by q126's plan audit). Strip our own stitch
+      // layers — they are row-preserving by construction (unique-key
+      // LeftOuter / one-row Cross) — as long as this window's keys and
+      // measures resolve against the stripped output.
+      val aggChild = {
+        def ourAgg(a: Aggregate): Boolean =
+          a.aggregateExpressions.nonEmpty &&
+            a.aggregateExpressions.forall(_.name.startsWith("__wq"))
+        // peel our own wrap-Project chains and stitch joins only; any
+        // node that is not ours is returned unchanged (eq), which stops
+        // the peel — user Projects/Joins are never removed
+        def strip(p: LogicalPlan): LogicalPlan = p match {
+          case proj @ Project(_, inner) =>
+            val s = strip(inner)
+            if (s.eq(inner)) proj else s
+          case Join(l, a: Aggregate, _, _, _) if ourAgg(a) => strip(l)
+          case other => other
+        }
+        val s = strip(child)
+        val needed = AttributeSet(
+          partSpec.flatMap(_.references) ++
+            whole.values.flatMap(_.references))
+        if (s.ne(child) && needed.subsetOf(s.outputSet)) s else child
+      }
       val aggSide =
-        Aggregate(partSpec, keyAliases ++ whole.values.toSeq, child)
+        Aggregate(partSpec, keyAliases ++ whole.values.toSeq, aggChild)
       val joined =
         if (partSpec.isEmpty) Join(child, aggSide, Cross, None, broadcastRight)
         else Join(child, aggSide, LeftOuter,

@@ -96,6 +96,25 @@ class QuantileWindowSpec extends AnyFunSuite {
       case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("stacked marker windows (grouped + global) BOTH ride the histogram") {
+    ensureFns()
+    // two Window nodes stack; the second stitch's aggregate must strip
+    // the first stitch from its child (q126 plan audit: aggregating
+    // THROUGH the other stitch put its SparkPartitionID-bearing
+    // histogram inside the subtree, failed ExactQuantileRule's
+    // deterministic-tree guard, and silently degraded to collect_list)
+    val df = spark.sql(
+      s"""SELECT quantile_disc(x, 0.25) OVER (PARTITION BY p) AS qd,
+         |  median(o) OVER () AS m
+         |FROM $t""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "stacked stitches must not fall back to the collect_list composite")
+    val rows = df.collect().map(r => (r.get(0), r.get(1))).toSet
+    // duckdb: a-group disc(.25) over [10,20,30] = 10; b-group [5,7] = 5;
+    // global median of o-values [1,2,3,4,1,2] = 2.0
+    assert(rows === Set((10, 2.0), (5, 2.0)))
+  }
+
   test("windowed quantiles mix with plain window aggregates in one OVER set") {
     ensureFns()
     val rows = spark.sql(
