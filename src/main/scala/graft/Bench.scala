@@ -366,7 +366,17 @@ object Bench {
     * its perf evidence, so: primary path, then tmpdir fallback, then
     * THROW. */
   private def writeArtifact(line: String): Unit = {
-    val primary = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a FILTERED run (SPARK_GRAFT_ONLY) must never clobber the committed
+    // full-sweep artifact — round 13 protected the delta file, but a
+    // 3-query smoke run still overwrote BENCH_FULL.json (it had to be
+    // git-restored twice, rounds 12 and 14). Filtered runs without an
+    // explicit SPARK_GRAFT_BENCH_OUT land in the tmpdir.
+    val default =
+      if (sys.env.contains("SPARK_GRAFT_ONLY"))
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "BENCH_FULL_filtered.json").toString
+      else "BENCH_FULL.json"
+    val primary = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", default)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(primary), line + "\n")
     catch { case e: Throwable =>
       val fallback = java.nio.file.Paths.get(
