@@ -42,22 +42,58 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 import os, threading
 cap = float(os.environ.get("DUCK_QUERY_CAP_S", "0") or 0)
 
+InterruptErr = getattr(duckdb, "InterruptException", None)
+
+
+def is_interrupt(e):
+    if InterruptErr is not None and isinstance(e, InterruptErr):
+        return True
+    return "interrupt" in str(e).lower()
+
+
 out, timeouts = {}, {}
 for name in sorted(oracle):
     times = []
     timed_out = False
-    for i in range(runs):
+    attempt = 0
+    while attempt < runs:
+        attempt += 1
         t0 = time.time()
         timer = None
+        # DNF is classified by the INTERRUPT actually having fired for THIS
+        # run (exception type + flag), never by elapsed-time proximity to
+        # the cap — a genuine query error near the cap is an error, and a
+        # timer that fires just as a run completes is detected as a leak
+        # and the run retried, instead of mislabeling the next query.
+        fired = threading.Event()
+        active = threading.Event()
+        active.set()
+
+        def _interrupt(active=active, fired=fired):
+            if active.is_set():
+                fired.set()
+                con.interrupt()
+
         if cap > 0:
-            timer = threading.Timer(cap, con.interrupt)
+            timer = threading.Timer(cap, _interrupt)
             timer.start()
         try:
             con.sql(oracle[name]).fetchall()  # materialize fully
+            active.clear()
             times.append(time.time() - t0)
         except Exception as e:
-            if cap > 0 and time.time() - t0 >= cap - 1.0:
+            active.clear()
+            if is_interrupt(e) and not fired.is_set() and (
+                    cap <= 0 or time.time() - t0 < cap):
+                # a previous run's late-firing interrupt leaked into this
+                # execution — not this query's fault; retry the run
+                print(f"[duck] {name}: leaked interrupt, retrying",
+                      file=sys.stderr)
+                continue
+            if fired.is_set() or is_interrupt(e):
                 timed_out = True
+            else:
+                print(f"[duck] {name} error: {e}", file=sys.stderr)
             times.append(-1.0)
             break
         finally:

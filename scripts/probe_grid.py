@@ -767,6 +767,70 @@ p("string",
   "format('{:,}', 123456789)", "format('{:>6}', 'ab')",
   "format('{:<4}', 'ab') || '|'")
 
+# ----------------------------------------------------------- wave 9
+# (round 15) multi-unit INTERVAL literals (the round-14 "unrepresentable
+# corner", now on make_interval/CalendarIntervalType), cross-family
+# interval arithmetic, and interval comparison normalization (months at a
+# flat 30 days, days at 24 h). Components compared via date_part — the
+# engines' interval TEXT renderings differ (the age() convention).
+p("interval",
+  "date_part('day', INTERVAL '400 days 26 hours')",
+  "date_part('hour', INTERVAL '400 days 26 hours')",
+  "date_part('month', INTERVAL '1 month 5 days')",
+  "date_part('day', INTERVAL '1 month 5 days')",
+  "date_part('year', INTERVAL '2 years 3 months')",
+  "date_part('month', INTERVAL '2 years 3 months')",
+  "date_part('month', INTERVAL '1.5 months')",
+  "date_part('day', INTERVAL '1.5 months')",
+  "date_part('day', INTERVAL '1.5 weeks')",
+  "date_part('hour', INTERVAL '1.5 weeks')",
+  "date_part('hour', INTERVAL '1.5 hours 90 seconds')",
+  "date_part('minute', INTERVAL '1.5 hours 90 seconds')",
+  "date_part('day', INTERVAL '3 weeks 2 days')",
+  "date_part('day', INTERVAL '-3 days 5 hours')",
+  "date_part('hour', INTERVAL '-3 days 5 hours')",
+  "date_part('hour', INTERVAL '04:05:06')",
+  "date_part('minute', INTERVAL '04:05:06')",
+  "date_part('day', INTERVAL '1 day 01:30:00')",
+  "date_part('minute', INTERVAL '1 day 01:30:00')",
+  "date_part('year', INTERVAL '1 decade 1 year')",
+  "date_part('year', INTERVAL '2 quarters 1 week')",
+  "date_part('month', INTERVAL '2 quarters 1 week')",
+  "date_part('day', INTERVAL '2 quarters 1 week')",
+  "CAST(date_part('epoch', INTERVAL '1 month 5 days') AS DOUBLE)",
+  "date_part('second', INTERVAL '1.9999996 seconds')",
+  "date_part('microsecond', INTERVAL '1.9999996 seconds')")
+p("interval",
+  "date_part('day', INTERVAL 400 DAYS + INTERVAL 26 HOURS)",
+  "date_part('hour', INTERVAL 400 DAYS + INTERVAL 26 HOURS)",
+  "date_part('month', INTERVAL 1 MONTH + INTERVAL 1 DAY)",
+  "date_part('day', INTERVAL 1 MONTH + INTERVAL 1 DAY)",
+  "date_part('day', INTERVAL '1 day' - INTERVAL '26 hours')",
+  "date_part('hour', INTERVAL '1 day' - INTERVAL '26 hours')",
+  "date_part('month', INTERVAL '1 month 5 days' - INTERVAL '2 days 26 hours')",
+  "date_part('day', INTERVAL '1 month 5 days' - INTERVAL '2 days 26 hours')",
+  "date_part('hour', INTERVAL '1 month 5 days' - INTERVAL '2 days 26 hours')",
+  "date_part('day', (TIMESTAMP '2024-01-03 20:00:00' - TIMESTAMP"
+  " '2024-01-01 00:00:00') + (TIMESTAMP '2024-01-03 20:00:00' - TIMESTAMP"
+  " '2024-01-01 00:00:00'))",
+  "date_part('hour', (TIMESTAMP '2024-01-03 20:00:00' - TIMESTAMP"
+  " '2024-01-01 00:00:00') + (TIMESTAMP '2024-01-03 20:00:00' - TIMESTAMP"
+  " '2024-01-01 00:00:00'))",
+  "CAST(TIMESTAMP '2024-01-31 00:00:00' + INTERVAL '1 month 2 days' AS VARCHAR)",
+  "CAST(DATE '2024-01-31' + INTERVAL '1 month 26 hours' AS VARCHAR)")
+p("interval",
+  "INTERVAL '1 month' = INTERVAL '30 days'",
+  "INTERVAL '1 month' > INTERVAL '29 days'",
+  "INTERVAL '1 month' < INTERVAL '31 days'",
+  "INTERVAL '1 day' = INTERVAL '24 hours'",
+  "INTERVAL '1 year' = INTERVAL '360 days'",
+  "INTERVAL '1 year' = INTERVAL '365 days'",
+  "INTERVAL '1 day 2 hours' > INTERVAL '25 hours'",
+  "INTERVAL '1 month 1 day' > INTERVAL '31 days'",
+  "INTERVAL '1 month 1 day' >= INTERVAL '31 days'",
+  "INTERVAL '-1 month' < INTERVAL '-29 days'",
+  "INTERVAL '1 month 5 days' <> INTERVAL '35 days'")
+
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "probe_grid.tsv")
 os.makedirs(os.path.dirname(out_path), exist_ok=True)

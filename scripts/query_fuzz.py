@@ -1,0 +1,333 @@
+#!/usr/bin/env python3
+"""Query-SHAPE fuzzing (round 15, r14 verdict task 5): the scalar probe
+grid is saturated (wave 8 dry, 870 probes), so composition bugs are the
+remaining place for divergences to hide — the QUALIFY / frame-EXCLUDE /
+ordered-aggregate / set-op rewriters compose with joins and aggregation in
+ways single-feature oracles never exercise.
+
+This generator builds ~260 deterministic pseudo-random FULL queries over
+the sf0.001 fixture tables — 2-3-way joins, GROUP BY + HAVING, window
+frames (ROWS/RANGE/GROUPS × EXCLUDE), set operations, QUALIFY, ordered
+aggregates, correlated/IN subqueries — evaluates each in python-duckdb
+(the driver's oracle engine), and pins the normalized result into a TSV
+fixture that QueryFuzzSpec replays through the engine's SQL path.
+
+Determinism rules the shapes obey (so a hash compare is meaningful):
+  - rows are SORTED by their normalized text on both sides — queries don't
+    need a total ORDER BY unless they use LIMIT;
+  - LIMIT only rides a total (unique-key) ORDER BY;
+  - window ORDER BY always ends in a unique key, so ROWS frames and
+    lag/lead are deterministic; RANGE frames use a single numeric key;
+  - double-typed SUM/AVG results are wrapped in round(x, 3) IN THE SQL:
+    the two engines accumulate in different orders, and the ~1e-9
+    accumulation error must not flip the 6dp normalization (sums of the
+    integer-valued l_quantity are exact and stay unrounded).
+
+Usage: python3 scripts/query_fuzz.py → src/test/resources/query_fuzz.tsv
+Lines: <name>\t<sql>\t<nrows>\t<md5-of-normalized-sorted-rows>
+Normalization mirrors QueryFuzzSpec.norm exactly (probe_grid conventions).
+"""
+import duckdb, hashlib, math, datetime, decimal, os, random
+
+SF_DIR = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+rng = random.Random(15)  # the round number; never reseed
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        if math.isinf(v): return "Infinity" if v > 0 else "-Infinity"
+        s = f"{round(v, 6):.6f}".rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
+    if isinstance(v, decimal.Decimal):
+        return norm(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def digest(rows):
+    lines = sorted("|".join(norm(v) for v in r) for r in rows)
+    return hashlib.md5("\n".join(lines).encode("utf-8")).hexdigest()
+
+
+QUERIES = []
+
+
+def q(sql):
+    QUERIES.append(" ".join(sql.split()))
+
+
+# ---------------------------------------------------------------- pools
+LI_PRED = [
+    "l_quantity BETWEEN 5 AND 20", "l_discount > 0.05",
+    "l_returnflag = 'R'", "l_linestatus = 'F'",
+    "l_shipdate < TIMESTAMP '1997-06-01 00:00:00'",
+    "l_extendedprice > 20000", "l_tax <= 0.04",
+    "l_linenumber <= 3", "l_partkey % 7 = 0"]
+ORD_PRED = [
+    "o_orderstatus = 'O'", "o_totalprice > 100000",
+    "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'",
+    "o_orderpriority LIKE '1%'", "o_custkey % 5 = 1"]
+CUST_PRED = [
+    "c_mktsegment = 'BUILDING'", "c_acctbal > 0",
+    "c_nationkey < 13", "c_name LIKE '%5%'"]
+LI_GROUP = ["l_returnflag", "l_linestatus", "l_linenumber"]
+AGGS = [
+    "count(*) AS cnt", "sum(l_quantity) AS sq",
+    "round(sum(l_extendedprice), 3) AS se",
+    "round(avg(l_discount), 6) AS ad",
+    "min(l_shipdate) AS ms", "max(l_extendedprice) AS mx",
+    "count(DISTINCT l_orderkey) AS cdo"]
+HAVINGS = [
+    "count(*) > 3", "sum(l_quantity) > 50", "min(l_linenumber) = 1",
+    "max(l_extendedprice) < 90000"]
+
+# ------------------------------------------------------- 1. join + agg
+for i in range(45):
+    three = rng.random() < 0.5
+    joins = ("lineitem JOIN orders ON l_orderkey = o_orderkey" +
+             (" JOIN customer ON o_custkey = c_custkey" if three else ""))
+    preds = [rng.choice(LI_PRED), rng.choice(ORD_PRED)]
+    if three:
+        preds.append(rng.choice(CUST_PRED))
+    gcols = rng.sample(LI_GROUP, rng.randint(1, 2))
+    if three and rng.random() < 0.5:
+        gcols.append("c_mktsegment")
+    aggs = rng.sample(AGGS, rng.randint(1, 3))
+    having = f" HAVING {rng.choice(HAVINGS)}" if rng.random() < 0.5 else ""
+    q(f"SELECT {', '.join(gcols)}, {', '.join(aggs)} FROM {joins} "
+      f"WHERE {' AND '.join(preds)} GROUP BY {', '.join(gcols)}{having}")
+
+# implicit comma joins + mixed filters, no grouping (row-shape checks)
+for i in range(12):
+    p1, p2 = rng.choice(LI_PRED), rng.choice(ORD_PRED)
+    q(f"SELECT l_orderkey, l_linenumber, o_orderstatus, "
+      f"round(l_extendedprice * (1 - l_discount), 3) AS net "
+      f"FROM lineitem, orders WHERE l_orderkey = o_orderkey AND {p1} "
+      f"AND {p2} AND l_orderkey % 37 = 3")
+
+# ---------------------------------------------------- 2. window frames
+# Windows ride `orders` — o_orderkey is the fixtures' only UNIQUE key, so
+# ROWS frames and lag/lead are deterministic (lineitem's (okey, lineno)
+# has 1161 duplicate pairs at sf0.001: a running sum ordered by it is
+# tie-order-defined and the first fuzz run diverged on exactly that).
+# Frame aggregates use INTEGER-VALUED expressions (sums exact in any
+# accumulation order); RANGE-mode positional fns are skipped (the first/
+# last row among order-by peers is physical-order-defined in both
+# engines); min/max with RANGE k-offsets and first/last_value with
+# EXCLUDE GROUP/TIES are documented loud pass-throughs.
+FRAMES_ROWS = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"]
+# (GROUPS mode is a parser error in the oracle's duckdb build — the
+# engine's GROUPS support is pinned by WindowExcludeSpec instead)
+FRAMES_RANGE_NOOFF = [
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"]
+FRAMES_RANGE_OFF = [
+    "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING"]
+EXCLUDES = ["", " EXCLUDE CURRENT ROW", " EXCLUDE GROUP", " EXCLUDE TIES",
+            " EXCLUDE NO OTHERS"]
+AGG_FNS = ["count(*)", "sum(o_orderkey % 100)", "min(o_custkey)",
+           "max(o_custkey)", "avg(o_custkey)"]
+POS_FNS = ["first_value(o_custkey)", "last_value(o_custkey)"]
+RANK_FNS = ["row_number()", "rank()", "dense_rank()",
+            "lag(o_custkey, 1)", "lead(o_custkey, 1)"]
+FRAMES_ROWS_NOOFF = [f for f in FRAMES_ROWS
+                     if not any(c.isdigit() for c in f)]
+
+
+def win_expr(fn, over):
+    # avg divides exact integer sums but the DOUBLE quotient still gets
+    # rounded outside the window (both engines compute the same division)
+    if fn.startswith("avg("):
+        return f"round({fn} OVER ({over}), 6)"
+    return f"{fn} OVER ({over})"
+
+
+for i in range(50):
+    kind = rng.choice(["agg_rows", "agg_rows", "pos_rows", "rank",
+                       "agg_range"])
+    part = "PARTITION BY o_orderstatus"
+    if kind == "agg_rows":
+        fn = rng.choice(AGG_FNS)
+        exc = rng.choice(EXCLUDES)
+        # min/max cannot ride the ROWS-offset difference path for
+        # GROUP/TIES (documented loud pass-through) — keep those on
+        # non-offset frames
+        frames = (FRAMES_ROWS_NOOFF
+                  if ("GROUP" in exc or "TIES" in exc) and
+                  (fn.startswith("min") or fn.startswith("max"))
+                  else FRAMES_ROWS)
+        over = (f"{part} ORDER BY o_totalprice, o_orderkey "
+                f"{rng.choice(frames)}{exc}")
+    elif kind == "pos_rows":
+        fn = rng.choice(POS_FNS)
+        over = (f"{part} ORDER BY o_totalprice, o_orderkey "
+                f"{rng.choice(FRAMES_ROWS)}"
+                f"{rng.choice(['', ' EXCLUDE CURRENT ROW', ' EXCLUDE NO OTHERS'])}")
+    elif kind == "rank":
+        fn = rng.choice(RANK_FNS)
+        over = f"{part} ORDER BY o_totalprice, o_orderkey"
+    else:  # agg_range — single numeric order key, repeats are real peers
+        off = rng.random() < 0.5
+        frame = rng.choice(FRAMES_RANGE_OFF if off else FRAMES_RANGE_NOOFF)
+        fn = rng.choice(["count(*)", "sum(o_orderkey % 100)",
+                         "avg(o_orderkey % 100)"] +
+                        ([] if off else ["min(o_orderkey)", "max(o_orderkey)"]))
+        over = f"{part} ORDER BY o_custkey % 50 {frame}{rng.choice(EXCLUDES)}"
+    pred = rng.choice(ORD_PRED)
+    q(f"SELECT o_orderkey, {win_expr(fn, over)} AS w "
+      f"FROM orders WHERE {pred} AND o_orderkey % 7 = 2")
+
+# two windows in one select + expression over a window
+for i in range(10):
+    pred = rng.choice(ORD_PRED)
+    q(f"SELECT o_orderkey, "
+      f"sum(o_orderkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY "
+      f"o_totalprice, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+      f"{rng.choice(EXCLUDES)}) AS s, "
+      f"rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, "
+      f"o_orderkey) AS r "
+      f"FROM orders WHERE {pred} AND o_orderkey % 13 = 5")
+
+# ---------------------------------------------------------- 3. QUALIFY
+for i in range(18):
+    k = rng.randint(1, 4)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    part = rng.choice(["l_returnflag", "l_linestatus",
+                       "l_returnflag, l_linestatus"])
+    pred = rng.choice(LI_PRED)
+    q(f"SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+      f"WHERE {pred} QUALIFY {fn} OVER (PARTITION BY {part} "
+      f"ORDER BY l_quantity DESC, l_orderkey, l_linenumber) <= {k}")
+for i in range(6):
+    q(f"SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+      f"WHERE {rng.choice(ORD_PRED)} "
+      f"QUALIFY o_totalprice = max(o_totalprice) OVER (PARTITION BY o_custkey)")
+
+# ------------------------------------------------------- 4. set operations
+SETOP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+for i in range(24):
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = ", ".join(rng.sample(SETOP_COLS, rng.randint(1, 2)))
+    p1, p2 = rng.sample(LI_PRED, 2)
+    q(f"SELECT {cols} FROM lineitem WHERE {p1} {op} "
+      f"SELECT {cols} FROM lineitem WHERE {p2}")
+for i in range(8):
+    op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+    q(f"SELECT n_regionkey AS k FROM nation WHERE n_nationkey % 2 = {i % 2} "
+      f"{op} SELECT r_regionkey AS k FROM region WHERE r_regionkey < {2 + i % 3}")
+
+# ------------------------------------------------- 5. ordered aggregates
+for i in range(16):
+    dirn = rng.choice(["ASC", "DESC"])
+    sep = rng.choice(["','", "'-'", "'|'"])
+    g = rng.choice(["n_regionkey", "n_name IS NOT NULL"])
+    q(f"SELECT n_regionkey, string_agg(n_name, {sep} ORDER BY n_name {dirn}) "
+      f"AS names FROM nation GROUP BY n_regionkey")
+    break
+for i in range(14):
+    dirn = rng.choice(["ASC", "DESC"])
+    src, key, val, grp = rng.choice([
+        ("nation", "n_name", "n_name", "n_regionkey"),
+        ("region", "r_name", "r_name", "r_regionkey % 2"),
+        ("supplier", "s_name", "s_name", "s_nationkey"),
+    ])
+    agg = rng.choice([
+        f"string_agg({val}, ',' ORDER BY {key} {dirn})",
+        f"array_agg({val} ORDER BY {key} {dirn})",
+        f"first({val} ORDER BY {key} {dirn})",
+        f"last({val} ORDER BY {key} {dirn})"])
+    q(f"SELECT {grp} AS g, {agg} AS a FROM {src} GROUP BY {grp}")
+
+# --------------------------------------------------------- 6. subqueries
+for i in range(10):
+    q(f"SELECT o_orderkey, o_totalprice FROM orders o WHERE "
+      f"{rng.choice(ORD_PRED)} AND o_totalprice > (SELECT avg(o2.o_totalprice)"
+      f" * {rng.choice(['1.5', '1.8', '2.0'])} FROM orders o2 "
+      f"WHERE o2.o_custkey = o.o_custkey)")
+for i in range(8):
+    q(f"SELECT c_custkey, c_acctbal FROM customer WHERE "
+      f"{rng.choice(CUST_PRED)} AND c_custkey IN (SELECT o_custkey FROM "
+      f"orders WHERE {rng.choice(ORD_PRED)} AND o_orderkey % {3 + i} = 1)")
+for i in range(8):
+    kind = "EXISTS" if i % 2 == 0 else "NOT EXISTS"
+    q(f"SELECT s_suppkey, s_name FROM supplier s WHERE {kind} "
+      f"(SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND "
+      f"{rng.choice(LI_PRED)})")
+
+# ------------------------------------------- 7. ORDER BY + LIMIT (top-k)
+for i in range(12):
+    k = rng.choice([5, 10, 25])
+    dirn = rng.choice(["ASC", "DESC"])
+    q(f"SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+      f"WHERE {rng.choice(LI_PRED)} "
+      f"ORDER BY l_quantity {dirn}, l_orderkey, l_linenumber LIMIT {k}")
+
+# --------------------------------- 8. expression salad over a join
+for i in range(14):
+    q(f"SELECT o_orderkey, CASE WHEN o_totalprice > 150000 THEN 'big' "
+      f"WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket, "
+      f"round(o_totalprice / {rng.choice([7, 13, 29])}, 3) AS slice, "
+      f"extract(year FROM o_orderdate) AS yr, "
+      f"substr(o_orderpriority, 1, 1) AS pr "
+      f"FROM orders WHERE {rng.choice(ORD_PRED)} AND o_orderkey % 17 = {i % 6}")
+
+# GROUP BY ALL / ORDER BY ALL sugar composition
+for i in range(8):
+    q(f"SELECT l_returnflag, l_linestatus, count(*) AS c, "
+      f"sum(l_quantity) AS s FROM lineitem WHERE {rng.choice(LI_PRED)} "
+      f"GROUP BY ALL")
+
+# distinct + scalar fns
+for i in range(8):
+    q(f"SELECT DISTINCT upper(l_returnflag) AS f, l_linenumber % 3 AS m "
+      f"FROM lineitem WHERE {rng.choice(LI_PRED)}")
+
+# ------------------------------------------------------------ evaluate
+out_path = os.path.join(os.path.dirname(__file__),
+                        "..", "src", "test", "resources", "query_fuzz.tsv")
+os.makedirs(os.path.dirname(out_path), exist_ok=True)
+rows_out, failed = [], []
+for idx, sql in enumerate(QUERIES):
+    name = f"fz{idx:03d}"
+    try:
+        rows = con.sql(sql).fetchall()
+        rows_out.append((name, sql, len(rows), digest(rows)))
+    except Exception as e:
+        failed.append((name, sql, str(e).split("\n")[0][:110]))
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+with open(out_path, "w") as f:
+    f.write("# name\tsql\tnrows\tmd5 — generated by scripts/query_fuzz.py "
+            "(seed 15) against duckdb %s on sf0.001\n" % duckdb.__version__)
+    for name, sql, n, h in rows_out:
+        assert "\t" not in sql
+        f.write(f"{name}\t{sql}\t{n}\t{h}\n")
+print(f"{len(rows_out)} fuzz queries written to {out_path}; "
+      f"{len(failed)} failed in duckdb")
+for name, sql, e in failed:
+    print("  failed:", name, sql[:80], "→", e)

@@ -73,6 +73,7 @@ object Bench {
     val samples = sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -157,8 +158,15 @@ object Bench {
       // measurement (the r10 q24/q25 false movers and the r13 q68 "10.05 s"
       // — actually 4.5 s, proven by a checkout control — were all this).
       graft.pipeline.Pins.resetWarmTracking(spark)
-      val knownLight = prevArt.exists(_._2.get(name)
-        .exists(p => p > 0 && p < HeavyCutoffSec * 0.7))
+      val prevTime = prevArt.flatMap(_._2.get(name)).filter(_ > 0)
+      val knownLight = prevTime.exists(_ < HeavyCutoffSec * 0.7)
+      // Known-HEAVY rows (previous artifact ≥ cutoff) always take ≥2
+      // samples before the early-break may fire: a single sample above
+      // the break is indistinguishable from a co-tenant burst, and it
+      // gets committed as the round's number (r14: p08 recorded 64.5 s
+      // where a same-day sweep of identical code measured 19.3 —
+      // min-of-2 absorbs the burst at the cost of one extra run).
+      val minSamples = heavyMinSamples(prevTime, samples)
       val times = Seq.newBuilder[Double]
       var taken = 0
       var break_ = false
@@ -166,7 +174,8 @@ object Bench {
         val t = runOnce(name)
         times += t
         taken += 1
-        if (t >= HeavyCutoffSec && !knownLight) break_ = true
+        if (t >= HeavyCutoffSec && !knownLight && taken >= minSamples)
+          break_ = true
       }
       if (graft.pipeline.Pins.warmKeys(spark).nonEmpty) warmQueries += name
       val ok = times.result().filter(_ >= 0)
@@ -278,6 +287,15 @@ object Bench {
         curPlans = planMd5.toMap, curCold = coldTimes)
     spark.stop()
   }
+
+  /** Sample floor before the heavy-row early-break may fire: a row the
+    * previous same-sf artifact already measured at/above the cutoff takes
+    * at least two samples (capped by the configured sample count), so one
+    * burst sample can never be the committed number (r14 p08). Unknown or
+    * known-light rows keep the single-sample break. */
+  private[graft] def heavyMinSamples(prevSec: Option[Double],
+      samples: Int): Int =
+    if (prevSec.exists(_ >= HeavyCutoffSec)) math.min(2, samples) else 1
 
   /** Two-sided mover predicate shared by the delta artifact and the
     * resampling defense: ratio leaves [1/1.5, 1.5] AND the absolute delta

@@ -35,16 +35,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // exception-free TRY_CAST(string AS integral) — see functions/TryParse.scala
-    ext.injectOptimizerRule(_ => functions.TryCastParseRule)
-    // grouped exact percentile without the data-sized agg buffer
-    ext.injectOptimizerRule(_ => functions.ExactQuantileRule)
-    // always-on eliminator for the DuckDB-parity quantile markers
-    // (quantile_disc/quantile/median/quantile_cont, QuantileAggs.scala) —
-    // ordered AFTER ExactQuantileRule so the histogram shape wins
-    ext.injectOptimizerRule(_ => functions.QuantileFallbackRule)
-    // RANGE-mode window aggregates over the (pk, ord) group table
-    ext.injectOptimizerRule(_ => functions.RangeWindowGroupRule)
+    // Optimizer rules (TryCastParseRule / ExactQuantileRule /
+    // QuantileFallbackRule / RangeWindowGroupRule) must land in the
+    // END-position "User Provided Optimizers" batch, NOT the operator-
+    // optimization batch injectOptimizerRule feeds: at operator-batch
+    // position their stitched output is re-chewed by the standard rules
+    // and the marker-eliminator can outrun the histogram stitch
+    // (round 15: windowed entropy over an all-NULL partition folded to
+    // NULL). injectPostHocResolutionRule is the one hook that receives
+    // the session, so the rules are appended to experimental
+    // .extraOptimizations exactly like graft.functions.registerAll does;
+    // the hook itself is a pass-through on the plan and the append is
+    // idempotent.
+    ext.injectPostHocResolutionRule { session =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override val ruleName = "graft.EnsureOptimizerRules"
+        override def apply(
+            plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+          functions.ensureOptimizerRules(session)
+          plan
+        }
+      }
+    }
+    // interval comparisons Spark can't resolve (CalendarIntervalType /
+    // cross-family) → exact normalized compare (months=30 d, day=24 h)
+    ext.injectResolutionRule(_ => functions.IntervalCompareRule)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       es => { arity("vec_dot", 2)(es); functions.VecDot(es(0), es(1)) }))

@@ -131,12 +131,34 @@ object DialectFunctions {
     * an operator/open-paren/comma). Left-assoc: leftmost rewrites first
     * (probed: 2 ** 3 ** 2 = 64). Unbounded shapes are left for Spark to
     * reject loudly. */
+  /** Is s(signIdx) a '+'/'-' that belongs to exponent notation inside a
+    * numeric literal ('1e-3' is ONE operand)? True iff it follows e/E
+    * whose mantissa is purely digits/dots — 'col1e-3' stays subtraction. */
+  private def isExpSign(s: String, signIdx: Int): Boolean = {
+    if (signIdx <= 0) return false
+    val c = s.charAt(signIdx)
+    if (c != '-' && c != '+') return false
+    val e = s.charAt(signIdx - 1)
+    if (e != 'e' && e != 'E') return false
+    var j = signIdx - 2
+    if (j < 0 || !(s.charAt(j).isDigit || s.charAt(j) == '.')) return false
+    while (j >= 0 && (s.charAt(j).isDigit || s.charAt(j) == '.')) j -= 1
+    j < 0 || !(s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' ||
+      s.charAt(j) == '.')
+  }
+
   private def rewritePowOperator(seg: String): String = {
     if (!seg.contains("**")) return seg
     var s = seg
     var search = 0
     var guard = 0
-    while (guard < 64) {
+    // Progress bound, not a silent cap: each iteration either rewrites one
+    // `**` away or advances `search` past one; a rewrite resets the scan,
+    // so the worst case is quadratic in the occurrence count. Anything
+    // past the bound is a scanner bug — give Spark the raw text to reject.
+    val occ = seg.sliding(2).count(_ == "**")
+    val guardMax = occ * occ + occ + 8
+    while (guard < guardMax) {
       guard += 1
       val idx = s.indexOf("**", search)
       if (idx < 0) return s
@@ -146,10 +168,16 @@ object DialectFunctions {
       var rEnd = r
       if (rEnd < s.length && (s.charAt(rEnd) == '-' || s.charAt(rEnd) == '+'))
         rEnd += 1
-      // optional callee name then a balanced group, or a word chain
-      while (rEnd < s.length &&
-          (s.charAt(rEnd).isLetterOrDigit || s.charAt(rEnd) == '_' ||
-            s.charAt(rEnd) == '.')) rEnd += 1
+      // optional callee name then a balanced group, or a word chain;
+      // an exponent-notation sign ('1e-3') continues the chain
+      var chain = true
+      while (chain) {
+        chain = false
+        while (rEnd < s.length &&
+            (s.charAt(rEnd).isLetterOrDigit || s.charAt(rEnd) == '_' ||
+              s.charAt(rEnd) == '.')) rEnd += 1
+        if (rEnd < s.length && isExpSign(s, rEnd)) { rEnd += 1; chain = true }
+      }
       if (rEnd < s.length && s.charAt(rEnd) == '(') {
         var depth = 0
         var ok = false
@@ -188,6 +216,17 @@ object DialectFunctions {
         while (lStart >= 0 && (s.charAt(lStart).isLetterOrDigit ||
             s.charAt(lStart) == '_' || s.charAt(lStart) == '.')) lStart -= 1
         lStart += 1
+        // an exponent-notation sign continues the numeric operand leftward
+        // ('1e-3 ** 2' must take '1e-3', not '3')
+        var lchain = lStart - 1 >= 0 && isExpSign(s, lStart - 1)
+        while (lchain) {
+          lStart -= 1 // the sign
+          var m = lStart - 1
+          while (m >= 0 && (s.charAt(m).isLetterOrDigit ||
+              s.charAt(m) == '_' || s.charAt(m) == '.')) m -= 1
+          lStart = m + 1
+          lchain = lStart - 1 >= 0 && isExpSign(s, lStart - 1)
+        }
         // prefix minus binds tighter than ** in DuckDB (probed:
         // -2 ** 2 = 4) — absorb it only in unambiguous prefix position
         if (lStart - 1 >= 0 && s.charAt(lStart - 1) == '-') {
@@ -221,8 +260,10 @@ object DialectFunctions {
     // integer-target casts rewrite to the rounding graft_icast BEFORE the
     // remaining passes emit their own (truncating, integral-valued) CAST
     // text — only USER-written casts get DuckDB rounding semantics
-    val sql1 = IntCastSyntax.rewrite(
-      ListComprehension.rewrite(StructSyntax.rewrite(sql)))
+    // multi-unit INTERVAL literals → make_interval (CalendarIntervalType
+    // keeps DuckDB's independent month/day/micros components)
+    val sql1 = IntervalLiteral.rewrite(IntCastSyntax.rewrite(
+      ListComprehension.rewrite(StructSyntax.rewrite(sql))))
     // DuckDB string-function edges (pinned on 1.0, found by differential
     // probing): concat SKIPS NULL arguments and casts everything to
     // VARCHAR (Spark's concat is null-intolerant and array-overloaded);

@@ -97,16 +97,42 @@ object WindowExclude {
 
   private val AggCall =
     java.util.regex.Pattern.compile("(?i)\\b(sum|count|avg|min|max)\\s*\\(")
+  /** rewriteOne/expand additionally handle the positional pair (EXCLUDE
+    * CURRENT ROW only); the TIES/GROUP block machinery must NOT match
+    * them (its per-fn dispatch is aggregate-only), so this wider pattern
+    * stays local to the expand path. */
+  private val ExpandCall = java.util.regex.Pattern.compile(
+    "(?i)\\b(sum|count|avg|min|max|first_value|last_value)\\s*\\(")
   private val ExcludeCur =
     java.util.regex.Pattern.compile("(?i)\\bEXCLUDE\\s+CURRENT\\s+ROW\\s*$")
   private val ExcludeNone =
     java.util.regex.Pattern.compile("(?i)\\bEXCLUDE\\s+NO\\s+OTHERS\\s*$")
+  private val ExcludeNoneAny =
+    java.util.regex.Pattern.compile("(?i)\\s*\\bEXCLUDE\\s+NO\\s+OTHERS\\b")
   private val RowsBetween =
     java.util.regex.Pattern.compile("(?i)\\bROWS\\s+BETWEEN\\s+")
+  private val RangeBetween =
+    java.util.regex.Pattern.compile("(?i)\\bRANGE\\s+BETWEEN\\s+")
   private val Over = java.util.regex.Pattern.compile("(?i)\\s*OVER\\s*\\(")
 
+  /** `EXCLUDE NO OTHERS` is a semantic no-op for EVERY window function —
+    * strip it unconditionally (round 15 fuzz: it only used to be handled
+    * on the aggregate path, so `first_value(... EXCLUDE NO OTHERS)`
+    * reached Spark's parser and failed loudly on valid DuckDB SQL). The
+    * token sequence is window-spec-only; literal contents are masked. */
+  private def stripNoOthers(sql: String): String = {
+    val m = ExcludeNoneAny.matcher(blankLits(sql))
+    if (!m.find()) return sql
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    m.reset()
+    while (m.find()) { sb.append(sql, last, m.start); last = m.end }
+    sb.append(sql.substring(last))
+    sb.toString
+  }
+
   def rewrite(sql: String): String = {
-    var out = inlineNamed(sql)
+    var out = inlineNamed(stripNoOthers(sql))
     var changed = true
     while (changed) {
       changed = false
@@ -179,7 +205,7 @@ object WindowExclude {
   /** Rewrite the first `agg(...) OVER (... EXCLUDE CURRENT ROW)` found
     * outside literals, or None when none (or an unsupported shape) left. */
   private def rewriteOne(sql: String): Option[String] = {
-    val m = AggCall.matcher(sql)
+    val m = ExpandCall.matcher(sql)
     var i = 0
     while (i < sql.length) {
       sql.charAt(i) match {
@@ -218,7 +244,37 @@ object WindowExclude {
     if (!ex.find()) return None
     val body = spec.substring(0, ex.start).trim
     val rb = RowsBetween.matcher(body)
-    if (!rb.find()) return None
+    if (!rb.find()) {
+      // RANGE-mode EXCLUDE CURRENT ROW (round 15 fuzz): sum/count/avg
+      // subtract the current row's own contribution from the frame
+      // (same incremental spellings as the TIES/GROUP subtract path);
+      // min/max and positional functions stay loud pass-throughs — the
+      // row at the peer value cannot be cut out of a value range.
+      val gb = RangeBetween.matcher(body)
+      if (!gb.find()) return None
+      val rBase = body.substring(0, gb.start).trim
+      val rBounds = body.substring(gb.end).trim
+      val rAnd = java.util.regex.Pattern.compile("(?i)\\s+AND\\s+")
+        .matcher(rBounds)
+      if (!rAnd.find()) return None
+      def bound(txt: String, side: String): Option[TgBound] = {
+        val t = txt.trim
+        if (t.equalsIgnoreCase("CURRENT ROW") ||
+          t.matches(s"(?i)0\\s+$side")) Some(BCur)
+        else if (t.matches(s"(?i)UNBOUNDED\\s+$side")) Some(BUnb)
+        else {
+          val om = java.util.regex.Pattern
+            .compile(s"(?i)^(.+?)\\s+$side$$").matcher(t)
+          if (om.find()) Some(BOff(om.group(1).trim)) else None
+        }
+      }
+      return (for {
+        lo <- bound(rBounds.substring(0, rAnd.start), "PRECEDING")
+        hi <- bound(rBounds.substring(rAnd.end), "FOLLOWING")
+        out <- subtractExpr(fn, args, rBase, lo, hi, keepSelf = false,
+          exclCur = true)
+      } yield out)
+    }
     val base = body.substring(0, rb.start).trim
     val bounds = body.substring(rb.end).trim
     val andM = java.util.regex.Pattern.compile("(?i)\\s+AND\\s+").matcher(bounds)
@@ -260,6 +316,26 @@ object WindowExclude {
         val s = sumOf("sum", args, "NULL", addNullable)
         val c = sumOf("count", args, "0", (a, b) => s"($a + $b)")
         s"(CAST($s AS DOUBLE) / nullif($c, 0))"
+      // POSITIONAL functions (round 15 fuzz): excluding the current row
+      // can only displace the value when the frame STARTS (first_value)
+      // / ENDS (last_value) at the current row — otherwise the full-frame
+      // value is already a non-current row. One count window decides;
+      // the displaced value is the adjacent piece's own first/last (NULL
+      // when the frame has no rows on that side). ROWS mode only — under
+      // RANGE/GROUPS the first/last row among order-by peers is
+      // physical-order-defined in BOTH engines, so those stay loud
+      // pass-throughs (EXCLUDE GROUP/TIES likewise, which need a peer-
+      // boundary the frame grammar cannot spell).
+      case "first_value" =>
+        val full = s"first_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
+        val before = l.map(lf => lf("count", "*")).getOrElse("0")
+        val after = r.map(rf => rf("first_value", args)).getOrElse("NULL")
+        s"(CASE WHEN $before > 0 THEN $full ELSE $after END)"
+      case "last_value" =>
+        val full = s"last_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
+        val after = r.map(rf => rf("count", "*")).getOrElse("0")
+        val before = l.map(lf => lf("last_value", args)).getOrElse("NULL")
+        s"(CASE WHEN $after > 0 THEN $full ELSE $before END)"
     })
   }
 
@@ -300,8 +376,13 @@ object WindowExclude {
     * Caveat shared with every decomposition in this file: DOUBLE sums
     * accumulate in a different order than a native exclusion, so oracle
     * queries round to the data's true scale (see q103's discipline). */
+  /** `exclCur = true` (round 15 fuzz): EXCLUDE CURRENT ROW over a RANGE
+    * frame — the subtraction is the CURRENT ROW'S OWN contribution
+    * instead of the peer-group window: rem = frame − self. Same
+    * incremental frame spellings, one window fewer. */
   private def subtractExpr(fn: String, args: String, base: String,
-      lo: TgBound, hi: TgBound, keepSelf: Boolean): Option[String] = {
+      lo: TgBound, hi: TgBound, keepSelf: Boolean,
+      exclCur: Boolean = false): Option[String] = {
     if (fn != "sum" && fn != "count" && fn != "avg") return None
     locally {
         def win(f: String, a: String, b: String, frame: String) =
@@ -332,15 +413,22 @@ object WindowExclude {
               w(base, peersF)))
         }
         ab.map { case (winA, winB) =>
-          val selfCnt =
-            if (!keepSelf) "0"
-            else if (args.trim == "*") "1"
+          val oneSelf =
+            if (args.trim == "*") "1"
             else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
-          val cntRem = s"(${winA("count", args)} - ${winB("count", args)} + $selfCnt)"
+          val selfCnt = if (keepSelf) oneSelf else "0"
+          // what gets subtracted from the frame: the peer-group window
+          // (EXCLUDE GROUP/TIES) or the current row's own contribution
+          // (EXCLUDE CURRENT ROW on the RANGE path)
+          val subCnt = if (exclCur) oneSelf else winB("count", args)
+          val subSum =
+            if (exclCur) s"coalesce(($args), 0)"
+            else s"coalesce(${winB("sum", args)}, 0)"
+          val cntRem = s"(${winA("count", args)} - $subCnt + $selfCnt)"
           def sumRem = {
             val selfSum = if (keepSelf) s"coalesce(($args), 0)" else "0"
             s"(CASE WHEN $cntRem > 0 THEN coalesce(${winA("sum", args)}, 0) " +
-              s"- coalesce(${winB("sum", args)}, 0) + $selfSum ELSE NULL END)"
+              s"- $subSum + $selfSum ELSE NULL END)"
           }
           fn match {
             case "count" => cntRem

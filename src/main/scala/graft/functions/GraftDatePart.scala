@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   *     roll into days), minute = (micros%1h)/1min, second/millisecond/
   *     microsecond read within the MINUTE (ms of 1.5 s = 1500), second
   *     truncates to BIGINT (1.5 s → 1);
-  *   - epoch: DOUBLE total seconds with months at 30.4375 days
-  *     (365.25/12: epoch of 14 months = 36 741 600);
+  *   - epoch: DOUBLE total seconds with months converted as WHOLE years
+  *     at 365.25 days plus remainder months at 30 days (epoch of
+  *     14 months = 1y·365.25d + 2mo·30d = 36 741 600 — NOT a flat
+  *     30.4375 d/month, which would give 36 817 200; see monthsEpoch);
   *   - any other field (dow, week, doy, era, isoyear, …) is a LOUD
   *     "interval units not recognized" error.
   *
@@ -118,6 +120,38 @@ object IntervalPartFns {
   def calEpoch(iv: CalendarInterval): Double =
     monthsEpoch(iv.months.toLong) + iv.days * 86400.0 +
       iv.microseconds / 1e6
+
+  /** Widening ANSI intervals to the three-component CalendarInterval —
+    * DuckDB adds/subtracts intervals of ANY unit family freely
+    * (INTERVAL 1 MONTH + INTERVAL 1 DAY), where Spark's ANSI types can't
+    * widen across families. A DAY-starting interval keeps its day
+    * component separate (the dtPart convention) so extraction parity
+    * survives the arithmetic. */
+  def ymToCal(months: Int): CalendarInterval =
+    new CalendarInterval(months, 0, 0)
+  def dtToCal(micros: Long, startsAtDay: Boolean): CalendarInterval =
+    if (startsAtDay)
+      new CalendarInterval(0, (micros / MicrosDay).toInt, micros % MicrosDay)
+    else new CalendarInterval(0, 0, micros)
+  def addCal(a: CalendarInterval, b: CalendarInterval): CalendarInterval =
+    new CalendarInterval(Math.addExact(a.months, b.months),
+      Math.addExact(a.days, b.days),
+      Math.addExact(a.microseconds, b.microseconds))
+  def subCal(a: CalendarInterval, b: CalendarInterval): CalendarInterval =
+    new CalendarInterval(Math.subtractExact(a.months, b.months),
+      Math.subtractExact(a.days, b.days),
+      Math.subtractExact(a.microseconds, b.microseconds))
+
+  /** Interval COMPARISON normalization (probed: '1 month' = '30 days',
+    * '1 day' = '24 hours', '1 year' = '360 days' — months at a flat
+    * 30 days, days at 24 h; NOT the 365.25-day epoch formula). BigInt
+    * keeps the total exact at any component magnitude. */
+  def calCompare(a: CalendarInterval, b: CalendarInterval): Int = {
+    def norm(iv: CalendarInterval): BigInt =
+      (BigInt(iv.months) * 30 + BigInt(iv.days)) * 86400000000L +
+        BigInt(iv.microseconds)
+    norm(a).compare(norm(b))
+  }
 
   /** DuckDB/Postgres `age(end, start)`: the SYMBOLIC calendar difference
     * as a three-component interval — component-wise year/month/day/time

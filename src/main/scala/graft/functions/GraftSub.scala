@@ -2,8 +2,65 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
+
+/** Interval comparisons DuckDB supports but Spark cannot resolve —
+  * CalendarIntervalType is not orderable, and YM/DT cannot widen — are
+  * rewritten to an exact normalized three-way compare
+  * ([[IntervalPartFns.calCompare]]: months at 30 days, days at 24 h,
+  * probed '1 month' = '30 days'). Same-family ANSI comparisons stay on
+  * Spark's native (equivalent) ordering, so pushdown is untouched. */
+object IntervalCompareRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def iv(dt: DataType): Boolean = dt match {
+    case CalendarIntervalType | _: DayTimeIntervalType |
+        _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  private def needs(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved && iv(l.dataType) && iv(r.dataType) && {
+      val cross = (l.dataType, r.dataType) match {
+        case (_: YearMonthIntervalType, _: DayTimeIntervalType) => true
+        case (_: DayTimeIntervalType, _: YearMonthIntervalType) => true
+        case _ => false
+      }
+      l.dataType == CalendarIntervalType ||
+        r.dataType == CalendarIntervalType || cross
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case c: BinaryComparison if needs(c.left, c.right) =>
+        val cmp = StaticInvoke(IntervalPartFns.getClass, IntegerType,
+          "calCompare",
+          Seq(IntervalWiden.toCal(c.left), IntervalWiden.toCal(c.right)),
+          Seq(CalendarIntervalType, CalendarIntervalType))
+        c.withNewChildren(Seq(cmp, Literal(0))).asInstanceOf[Expression]
+    }
+}
+
+/** Shared by [[GraftSub]]/[[GraftAdd]]: widen any interval flavor to the
+  * three-component CalendarInterval for cross-family arithmetic. */
+private[functions] object IntervalWiden {
+  def toCal(e: Expression): Expression = e.dataType match {
+    case CalendarIntervalType => e
+    case _: YearMonthIntervalType =>
+      StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+        "ymToCal", Seq(e), Seq(e.dataType))
+    case it: DayTimeIntervalType =>
+      StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+        "dtToCal", Seq(e, Literal(it.startField == DayTimeIntervalType.DAY)),
+        Seq(it, BooleanType))
+    case other => throw new IllegalArgumentException(
+      s"not an interval: ${other.catalogString}")
+  }
+}
 
 /** DuckDB's infix `-` with its probed type dispatch. The one semantic
   * divergence from Spark is DATE − DATE: BIGINT days in DuckDB
@@ -74,6 +131,18 @@ case class GraftSub(left: Expression, right: Expression)
         subTs(left, Cast(right, l, tz))
       case (DateType, r) if isTs(r) =>
         subTs(Cast(left, r, tz), right)
+      // DT − DT where either side carries a DAY component: DuckDB keeps
+      // the day/time split component-wise ('1 day' − '26 hours' extracts
+      // day 1 / hour −26; ts-diff sums keep hours ≥ 24) — Spark's
+      // single-micros DT canonicalizes the split away, so widen to the
+      // three-component CalendarInterval (probed, round 15)
+      case (l: DayTimeIntervalType, r: DayTimeIntervalType)
+          if l.startField == DayTimeIntervalType.DAY ||
+            r.startField == DayTimeIntervalType.DAY =>
+        StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+          "subCal",
+          Seq(IntervalWiden.toCal(left), IntervalWiden.toCal(right)),
+          Seq(CalendarIntervalType, CalendarIntervalType))
       // interval − interval / numeric − numeric / NULL: widen to the
       // common type (the coercion the analyzer would insert) and keep
       // Spark's Subtract — decimal result precision is computed by
@@ -85,6 +154,14 @@ case class GraftSub(left: Expression, right: Expression)
         TypeCoercion.findWiderTypeForTwo(arith(l), arith(r)) match {
           case Some(common) =>
             Subtract(Cast(left, common, tz), Cast(right, common, tz))
+          // cross-family interval arithmetic (YM − DT, Calendar − ANSI):
+          // DuckDB subtracts intervals of any unit freely — widen both to
+          // CalendarInterval and subtract component-wise
+          case None if anyInterval(l) && anyInterval(r) =>
+            StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+              "subCal",
+              Seq(IntervalWiden.toCal(left), IntervalWiden.toCal(right)),
+              Seq(CalendarIntervalType, CalendarIntervalType))
           case None => throw new IllegalArgumentException(
             s"cannot subtract ${r.catalogString} from ${l.catalogString}")
         }
@@ -142,12 +219,30 @@ case class GraftAdd(left: Expression, right: Expression)
         tsPlusInterval(Cast(right, TimestampType, tz), left)
       case (l, r) if isTs(l) && anyInterval(r) => tsPlusInterval(left, right)
       case (l, r) if anyInterval(l) && isTs(r) => tsPlusInterval(right, left)
+      // DT + DT with a DAY component on either side: component-wise, the
+      // GraftSub mirror (probed: INTERVAL 400 DAYS + INTERVAL 26 HOURS
+      // extracts day 400 / hour 26 — never day 401 / hour 2)
+      case (l: DayTimeIntervalType, r: DayTimeIntervalType)
+          if l.startField == DayTimeIntervalType.DAY ||
+            r.startField == DayTimeIntervalType.DAY =>
+        StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+          "addCal",
+          Seq(IntervalWiden.toCal(left), IntervalWiden.toCal(right)),
+          Seq(CalendarIntervalType, CalendarIntervalType))
       case (l, r) =>
         def arith(dt: DataType): DataType =
           if (dt == StringType) DoubleType else dt
         TypeCoercion.findWiderTypeForTwo(arith(l), arith(r)) match {
           case Some(common) =>
             Add(Cast(left, common, tz), Cast(right, common, tz))
+          // cross-family interval arithmetic (YM + DT, Calendar + ANSI):
+          // DuckDB adds intervals of any unit freely — widen both to
+          // CalendarInterval and add component-wise
+          case None if anyInterval(l) && anyInterval(r) =>
+            StaticInvoke(IntervalPartFns.getClass, CalendarIntervalType,
+              "addCal",
+              Seq(IntervalWiden.toCal(left), IntervalWiden.toCal(right)),
+              Seq(CalendarIntervalType, CalendarIntervalType))
           case None => throw new IllegalArgumentException(
             s"cannot add ${l.catalogString} and ${r.catalogString}")
         }

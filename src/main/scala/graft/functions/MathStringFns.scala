@@ -42,7 +42,10 @@ object MathStringFns {
     * ASCII-only — chr(9731) silently returns '' where DuckDB gives ☃;
     * round-14 probe grid). Invalid codepoints error loudly like DuckDB. */
   def chrCodepoint(n: Long): UTF8String = {
-    if (n < 0 || n > Character.MAX_CODE_POINT || !Character.isValidCodePoint(n.toInt))
+    // Surrogates (U+D800–U+DFFF) pass isValidCodePoint but encode as no
+    // valid UTF-8 scalar — DuckDB rejects them loudly; so do we.
+    if (n < 0 || n > Character.MAX_CODE_POINT || !Character.isValidCodePoint(n.toInt) ||
+        (n >= 0xD800 && n <= 0xDFFF))
       throw new IllegalArgumentException(
         s"Invalid Input Error: Invalid UTF8 Codepoint of value $n")
     UTF8String.fromString(new String(Character.toChars(n.toInt)))

@@ -85,29 +85,34 @@ package object functions {
     }
   }
 
+  /** The engine's optimizer rules, in application order, at the position
+    * they were built for: the END-position "User Provided Optimizers"
+    * batch. POSITION IS LOAD-BEARING — injected into the operator-
+    * optimization batch (SparkSessionExtensions.injectOptimizerRule) the
+    * stitch output gets re-chewed by the standard operator rules and the
+    * marker-eliminator can outrun the histogram rule (round 15: windowed
+    * entropy over an all-NULL partition folded to NULL). Idempotent.
+    *
+    *  - TryCastParseRule: exception-free TRY_CAST(string AS integral)
+    *  - ExactQuantileRule: grouped exact percentile → histogram +
+    *    spillable window (no data-sized agg buffer)
+    *  - QuantileFallbackRule: always-on eliminator for the DuckDB-parity
+    *    quantile markers; AFTER ExactQuantileRule so the histogram shape
+    *    wins when it can
+    *  - RangeWindowGroupRule: RANGE-mode window aggregates over the
+    *    (pk, ord) group table; AFTER the quantile rules so their
+    *    engineered histogram windows are already in place (and bailed on)
+    */
+  def ensureOptimizerRules(spark: SparkSession): Unit =
+    Seq(TryCastParseRule, ExactQuantileRule, QuantileFallbackRule,
+        RangeWindowGroupRule).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
+
   def registerAll(spark: SparkSession): Unit = {
-    // exception-free TRY_CAST(string AS integral) — see TryParse.scala
-    if (!spark.experimental.extraOptimizations.contains(TryCastParseRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ TryCastParseRule
-    // grouped exact percentile → histogram + spillable window (no
-    // data-sized agg buffer) — see ExactQuantileRule.scala
-    if (!spark.experimental.extraOptimizations.contains(ExactQuantileRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ ExactQuantileRule
-    // always-on eliminator for the DuckDB-parity quantile markers this
-    // file registers below (quantile_disc/quantile/median/quantile_cont);
-    // runs AFTER ExactQuantileRule so the histogram shape wins when it can
-    if (!spark.experimental.extraOptimizations.contains(QuantileFallbackRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ QuantileFallbackRule
-    // RANGE-mode window aggregates evaluate over the (pk, ord) group
-    // table — breaks the low-cardinality-partition-key sort ceiling
-    // (RangeWindowGroupRule.scala); AFTER the quantile rules so their
-    // engineered histogram windows are already in place (and bailed on)
-    if (!spark.experimental.extraOptimizations.contains(RangeWindowGroupRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RangeWindowGroupRule
+    ensureOptimizerRules(spark)
     ExprBridge.registerFunction(spark, "vec_dot",
       es => { arity("vec_dot", 2)(es); VecDot(es(0), es(1)) })
     ExprBridge.registerFunction(spark, "vec_norm",

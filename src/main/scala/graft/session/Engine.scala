@@ -89,6 +89,10 @@ final class Engine(val config: EngineConfig = EngineConfig()) {
     val s = SparkSession.builder()
       .master(s"local[$n]")
       .appName("graft-engine")
+      // resolution-time rules (interval comparison normalization) can only
+      // ride session construction — registerAll covers optimizer rules and
+      // functions for pre-existing sessions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", config.shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -216,6 +216,18 @@ class BenchDeltaSpec extends AnyFunSuite {
       noHealth.contains("\"mover\":true"), noHealth)
   }
 
+  // Round-15 (r14 verdict task 2): rows the previous artifact measured
+  // at/above the 10 s early-break always take ≥2 samples — one co-tenant
+  // burst sample must never be the committed number (r14: p08 committed
+  // 64.5 s where a same-day sweep of identical code measured 19.3 s).
+  test("heavyMinSamples: known-heavy rows take >=2 samples, others 1") {
+    assert(Bench.heavyMinSamples(Some(25.0), 3) === 2)
+    assert(Bench.heavyMinSamples(Some(10.0), 3) === 2) // at the cutoff
+    assert(Bench.heavyMinSamples(Some(3.0), 3) === 1) // known light
+    assert(Bench.heavyMinSamples(None, 3) === 1) // unknown row
+    assert(Bench.heavyMinSamples(Some(25.0), 1) === 1) // capped by samples
+  }
+
   test("reconcile: failed re-sample and missing prev change nothing") {
     val cur = Seq(("a", 5.0, 0.1))
     val (noPrev, f1) = Bench.reconcile(cur, None, _ => fail("no prev → no sampling"))

@@ -9,6 +9,7 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-tests")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

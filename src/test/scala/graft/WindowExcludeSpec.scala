@@ -69,9 +69,17 @@ class WindowExcludeSpec extends AnyFunSuite {
     assert(WindowExclude.rewrite(ties) == ties)
     assert(!WindowExclude.rewrite(ties.replace("min(", "sum("))
       .toUpperCase.contains("EXCLUDE"))
+    // RANGE-mode EXCLUDE CURRENT ROW rides the subtract path since
+    // round 15 (frame − the current row's own contribution); min/max
+    // still pass through loudly (a peer-value row cannot be cut out of
+    // a value range)
     val range =
       "SELECT sum(x) OVER (ORDER BY y RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
-    assert(WindowExclude.rewrite(range) == range)
+    val rr = WindowExclude.rewrite(range)
+    assert(!rr.toUpperCase.contains("EXCLUDE"), rr)
+    assert(rr.toUpperCase.contains("RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING"), rr)
+    val rangeMin = range.replace("sum(", "min(")
+    assert(WindowExclude.rewrite(rangeMin) == rangeMin)
   }
 
   test("named WINDOW with EXCLUDE is inlined; without EXCLUDE it is kept") {
