@@ -1179,7 +1179,30 @@ object DialectQueries {
       |  CAST(count(*) FILTER (o_totalprice > 150000) AS BIGINT) AS big_cnt
       |FROM orders GROUP BY o_orderpriority ORDER BY k""".stripMargin
 
+  // Multi-unit INTERVAL literals + cross-family interval arithmetic +
+  // normalized interval comparisons (round 15, closing the round-14
+  // "unrepresentable corner"): the literal rewrite keeps DuckDB's
+  // independent components ('400 days 26 hours' extracts day 400 /
+  // hour 26), mixed-family addition is component-wise, and comparisons
+  // normalize months to 30 days / days to 24 h on both engines. The
+  // ts-difference comparison exercises IntervalCompareRule over table
+  // data (DT vs CalendarIntervalType from the literal).
+  private val q131Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_part('day', INTERVAL '400 days 26 hours') AS BIGINT) AS litd,
+      |  CAST(date_part('hour', INTERVAL '400 days 26 hours') AS BIGINT) AS lith,
+      |  CAST(date_part('month', INTERVAL '1 month 5 days'
+      |    + INTERVAL 26 HOURS) AS BIGINT) AS addm,
+      |  CAST(date_part('hour', INTERVAL '1 month 5 days'
+      |    + INTERVAL 26 HOURS) AS BIGINT) AS addh,
+      |  CAST(date_part('day', INTERVAL '1.5 months') AS BIGINT) AS fracd,
+      |  (CAST(o_orderdate AS TIMESTAMP) - TIMESTAMP '1995-01-01 00:00:00')
+      |    > INTERVAL '3 months 10 days' AS cmp,
+      |  CAST(date_part('minute', INTERVAL '1 day 01:30:00') AS BIGINT) AS tailm
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q131_interval_multiunit", fns(q131Sql), Some(q131Sql)),
     Q("q130_ordered_first_last", fns(q130Sql), Some(q130Sql)),
     Q("q129_scalar_wave6", fns(q129Sql), Some(q129Sql)),
     Q("q128_interval_extract", fns(q128Sql), Some(q128Sql)),

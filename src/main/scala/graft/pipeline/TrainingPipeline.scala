@@ -148,6 +148,139 @@ final class TrainingPipeline private (val result: DataFrame) {
 object TrainingPipeline {
   def apply(docs: DataFrame): TrainingPipeline = new TrainingPipeline(docs)
 
+  // ------------------------------------------------ p78 BPE training loop
+  /** Number of merges the p78 oracle row unrolls (the DuckDB side is one
+    * statement, so each round is a CTE triplet — keep it small). */
+  private[graft] val BpeMerges = 6
+
+  /** Frequency-weighted symbol-sequence vocabulary (TermStats.toks's
+    * tokenization + p52's length filter): one row per DISTINCT word,
+    * exploded to its character sequence. Pair counting over this frame is
+    * vocabulary-sized — sublinear in corpus growth, the classic move from
+    * Sennrich et al.'s reference implementation. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .select(explode(org.apache.spark.sql.functions.split(
+        lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .select(expr("transform(sequence(1, length(term)), " +
+        "i -> substring(term, CAST(i AS INT), 1))").as("sy"), col("c"))
+
+  /** Full BPE tokenizer-training loop (Sennrich et al. 2016) — p52 is one
+    * merge step; this iterates it: per round, count adjacent symbol pairs
+    * over the weighted vocabulary, take the argmax pair (ties →
+    * lexicographic smallest), and REWRITE every word's symbol sequence
+    * with the pair merged left-to-right non-overlapping ("aaa" + (a,a) →
+    * [aa, a] — the reference implementation's scan order). Returns the
+    * merge table (merge_rank, left_sym, right_sym, merged, pair_count) —
+    * the artifact a tokenizer ships.
+    *
+    * Scale shape (the connectedComponents discipline): rounds are
+    * DRIVER-BOUNDED (nMerges is the vocab-size budget, a constant);
+    * per round the only driver data is ONE argmax row (TakeOrdered(1));
+    * the vocabulary is localCheckpoint'ed per round so the lambda-rewrite
+    * lineage never stacks; the merge rewrite is a map-side `aggregate`
+    * lambda over each word's symbol array — the corpus collapsed to the
+    * distinct-word frame once, up front, and never reshuffles. Pair
+    * exhaustion before the budget returns the merges found (natural
+    * convergence — every word a single symbol — not an error). */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = BpeMerges)
+      : DataFrame = {
+    var vocab = bpeVocab(s, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val best = vocab.filter(size(col("sy")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), " +
+            "i -> named_struct('l', sy[i], 'r', sy[i + 1]))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round + 1L, l, r, l + r, pc))
+        // left-to-right non-overlapping rewrite: acc = (done symbols,
+        // pending symbol); a merge consumes the pending left and the
+        // current right, and the merged symbol is NOT reconsidered as a
+        // left (the '' pend) — Sennrich's scan order
+        val rewritten = aggregate(
+          col("sy"),
+          struct(typedLit(Seq.empty[String]).as("o"), lit("").as("p")),
+          (acc, sym) =>
+            when(acc("p") === lit(l) && sym === lit(r),
+              struct(concat(acc("o"), array(lit(l + r))).as("o"),
+                lit("").as("p")))
+              .when(acc("p") === lit(""),
+                struct(acc("o").as("o"), sym.as("p")))
+              .otherwise(struct(concat(acc("o"), array(acc("p"))).as("o"),
+                sym.as("p"))),
+          acc => when(acc("p") === lit(""), acc("o"))
+            .otherwise(concat(acc("o"), array(acc("p")))))
+        vocab = vocab.select(rewritten.as("sy"), col("c")).localCheckpoint()
+        round += 1
+      }
+    }
+    import s.implicits._
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir)
+
+  /** The DuckDB mirror, one statement: each round is a CTE triplet —
+    * pair counts over the space-joined vocabulary (`p_i`), the argmax
+    * (`b_i`), and the rewrite (`v_i`) as a `list_reduce` scan encoding
+    * (done, pending) into one string with a chr(1) sentinel (probed:
+    * 'a a a a' + (a,a) → 'aa aa', the same non-overlapping order as the
+    * Spark lambda). chr(1) inside a document token would break the
+    * encoding — not a character the tokenization produces. */
+  private val bpeTrainSql: String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(c) AS BIGINT) AS pc
+         |  FROM (SELECT sy, c, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT string_split(w, ' ') AS sy, c FROM $prev) t0) t1
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |v$i AS (SELECT trim(replace(list_reduce(
+         |    list_prepend(chr(1), string_split($prev.w, ' ')),
+         |    (acc, s) -> CASE
+         |      WHEN split_part(acc, chr(1), 2) = b$i.l AND s = b$i.r
+         |        THEN split_part(acc, chr(1), 1) || ' ' || b$i.l || b$i.r || chr(1)
+         |      WHEN split_part(acc, chr(1), 2) = ''
+         |        THEN split_part(acc, chr(1), 1) || chr(1) || s
+         |      ELSE split_part(acc, chr(1), 1) || ' ' ||
+         |        split_part(acc, chr(1), 2) || chr(1) || s
+         |    END), chr(1), ' ')) AS w, $prev.c
+         |  FROM $prev, b$i)""".stripMargin
+    }
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    val union = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, pc AS pair_count FROM b$i").mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term, count(*) AS c FROM toks
+       |  WHERE length(term) >= 2 GROUP BY term),
+       |v0 AS (
+       |  SELECT array_to_string(list_transform(range(1, length(term) + 1),
+       |    i -> term[i]), ' ') AS w, c FROM vocab),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym,
+       |       merged, CAST(pair_count AS BIGINT) AS pair_count FROM (
+       |  $union) m
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The end-to-end curation flow as a declared query (rows-only check):
     * per-split corpus stats after full dedupe + quality gates. */
   private def endToEnd(s: SparkSession, dir: String): DataFrame =
@@ -206,5 +339,7 @@ object TrainingPipeline {
        |FROM spl GROUP BY split ORDER BY split""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(Q("p20_training_pipeline", endToEnd, Some(endToEndSql)))
+  val all: Seq[Q] = Seq(
+    Q("p20_training_pipeline", endToEnd, Some(endToEndSql)),
+    Q("p78_bpe_train", bpeTrainQ, Some(bpeTrainSql)))
 }

@@ -305,6 +305,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  // Round-15 (r14 verdict task 6): the full BPE training loop. Merge
+  // determinism is the whole point of shipping a merge table — two runs
+  // must agree bit-for-bit (argmax ties break lexicographically, the
+  // rewrite is a fixed left-to-right scan), and round 1 must equal the
+  // single-step p52 argmax (the loop IS the step, iterated).
+  test("bpeTrain is deterministic and its first merge is p52's argmax") {
+    val a = graft.pipeline.TrainingPipeline.bpeTrain(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.pipeline.TrainingPipeline.bpeTrain(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.size === graft.pipeline.TrainingPipeline.BpeMerges)
+    // ranks are 1..n and pair counts never increase as merges consume mass
+    assert(a.map(_.head) === (1 to a.size).map(_.toLong))
+    val p52Top = run("p52_bpe_merge_step").collect().head
+    val first = a.head
+    assert(first(1) === p52Top.getString(0) && first(2) === p52Top.getString(1),
+      s"round-1 merge ${first(1)}+${first(2)} != p52 argmax " +
+        s"${p52Top.getString(0)}+${p52Top.getString(1)}")
+    // merged symbol is the concatenation, by construction
+    assert(a.forall(r => r(3) === s"${r(1)}${r(2)}"))
+  }
+
   test("token count matches manual whitespace split on a sample") {
     val sample = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(20).collect()
