@@ -232,7 +232,12 @@ object ExactQuantileRule extends Rule[LogicalPlan] {
     val anchor: Seq[Alias] =
       if (global && residAliases.isEmpty) Seq(Alias(Literal(1), "__one")()) else Nil
     val left: LogicalPlan =
-      Aggregate(groupingExprs, anchor ++ gkAliases ++ residAliases, child, None)
+      if (anchor.nonEmpty)
+        // a global SELECT of only percentiles needs just a one-row anchor;
+        // Aggregate(Nil, [1], child) returns one constant row regardless
+        // of the child but costs a full corpus scan (q126 plan audit, r15)
+        Project(anchor, org.apache.spark.sql.catalyst.plans.logical.OneRowRelation())
+      else Aggregate(groupingExprs, anchor ++ gkAliases ++ residAliases, child, None)
     val gkAttrs = gkAliases.map(_.toAttribute)
     val residAttrs = residAliases.map(_.toAttribute)
 

@@ -110,6 +110,11 @@ package object functions {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule
     }
+  // NOTE (round 15): re-running Catalyst's ColumnPruning over the emitted
+  // stitch plans was measured a NO-OP — FileSourceStrategy prunes scan
+  // schemas at physical planning regardless of end-position rule output
+  // (verified: identical ReadSchema per branch with and without), so no
+  // cleanup pass rides here.
 
   def registerAll(spark: SparkSession): Unit = {
     ensureOptimizerRules(spark)
