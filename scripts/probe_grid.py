@@ -818,6 +818,28 @@ p("interval",
   " '2024-01-01 00:00:00'))",
   "CAST(TIMESTAMP '2024-01-31 00:00:00' + INTERVAL '1 month 2 days' AS VARCHAR)",
   "CAST(DATE '2024-01-31' + INTERVAL '1 month 26 hours' AS VARCHAR)")
+# comparison normalization is duckdb's normalize-entries shape, NOT a
+# flat total: days/30 and micros/(30 d) carry into months, remaining
+# micros/(1 d) into days, and the carried days do NOT re-carry into
+# months — '31 days' → (1 mo, 1 d) but '24 days 168 hours' → (0, 31 d),
+# so they compare UNEQUAL despite equal flat hours (round-15 probe
+# matrix; the second block below pins the distinguishing cases)
+p("interval",
+  "INTERVAL '31 days' = INTERVAL '24 days 168 hours'",
+  "INTERVAL '31 days' > INTERVAL '24 days 168 hours'",
+  "INTERVAL '744 hours' = INTERVAL '31 days'",
+  "INTERVAL '744 hours' = INTERVAL '1 month 1 day'",
+  "INTERVAL '1 month' = INTERVAL '720 hours'",
+  "INTERVAL '1 month' = INTERVAL '20 days 240 hours'",
+  "INTERVAL '1 month 1 day' > INTERVAL '24 days 200 hours'",
+  "INTERVAL '1 month' > INTERVAL '29 days 23 hours'",
+  "INTERVAL '1 month' < INTERVAL '29 days 25 hours'",
+  "INTERVAL '1 month 1 day' > INTERVAL '31 days 1 hour'",
+  "INTERVAL '50 hours' = INTERVAL '2 days 2 hours'",
+  "INTERVAL '1441 minutes' > INTERVAL '1 day'",
+  "INTERVAL '31 days' = INTERVAL '30 days 24 hours'",
+  "INTERVAL '2 days' = INTERVAL '1 day 24 hours'",
+  "INTERVAL '1 month' = INTERVAL '4 weeks 2 days'")
 p("interval",
   "INTERVAL '1 month' = INTERVAL '30 days'",
   "INTERVAL '1 month' > INTERVAL '29 days'",

@@ -142,15 +142,30 @@ object IntervalPartFns {
       Math.subtractExact(a.days, b.days),
       Math.subtractExact(a.microseconds, b.microseconds))
 
-  /** Interval COMPARISON normalization (probed: '1 month' = '30 days',
-    * '1 day' = '24 hours', '1 year' = '360 days' — months at a flat
-    * 30 days, days at 24 h; NOT the 365.25-day epoch formula). BigInt
-    * keeps the total exact at any component magnitude. */
+  /** Interval COMPARISON normalization — duckdb's normalize-entries
+    * shape, pinned by a 25-case probe matrix (round 15): each side's
+    * days/30 and micros/(30 d) carry into MONTHS, the remaining
+    * micros/(1 d) carry into DAYS — and the carried days do NOT re-carry
+    * into months — then the (months, days, micros) triples compare
+    * lexicographically. This is NOT a flat total ('31 days' normalizes
+    * to (1 mo, 1 d) but '24 days 168 hours' to (0 mo, 31 d), so
+    * '31 days' > '24 days 168 hours' despite equal flat hours — probed),
+    * though it agrees with the flat total whenever micros stay under
+    * 24 h. All divisions truncate toward zero (negative mirror probed:
+    * '-1 month' < '-29 days'). */
   def calCompare(a: CalendarInterval, b: CalendarInterval): Int = {
-    def norm(iv: CalendarInterval): BigInt =
-      (BigInt(iv.months) * 30 + BigInt(iv.days)) * 86400000000L +
-        BigInt(iv.microseconds)
-    norm(a).compare(norm(b))
+    val MicrosMonth = 30L * MicrosDay
+    def norm(iv: CalendarInterval): (Long, Long, Long) = {
+      val m = iv.months.toLong + iv.days / 30 +
+        iv.microseconds / MicrosMonth
+      val usRem = iv.microseconds % MicrosMonth
+      (m, iv.days % 30 + usRem / MicrosDay, usRem % MicrosDay)
+    }
+    val (am, ad, au) = norm(a)
+    val (bm, bd, bu) = norm(b)
+    if (am != bm) java.lang.Long.compare(am, bm)
+    else if (ad != bd) java.lang.Long.compare(ad, bd)
+    else java.lang.Long.compare(au, bu)
   }
 
   /** DuckDB/Postgres `age(end, start)`: the SYMBOLIC calendar difference

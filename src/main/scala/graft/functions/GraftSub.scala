@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
 /** Interval comparisons DuckDB supports but Spark cannot resolve —
   * CalendarIntervalType is not orderable, and YM/DT cannot widen — are
   * rewritten to an exact normalized three-way compare
-  * ([[IntervalPartFns.calCompare]]: months at 30 days, days at 24 h,
-  * probed '1 month' = '30 days'). Same-family ANSI comparisons stay on
-  * Spark's native (equivalent) ordering, so pushdown is untouched. */
+  * ([[IntervalPartFns.calCompare]]: duckdb's normalize-entries shape —
+  * days/30 and micros/30 d carry into months, remaining micros/1 d into
+  * days, no re-carry, lexicographic triple compare; probed
+  * '1 month' = '30 days' but '31 days' > '24 days 168 hours').
+  * Same-family ANSI comparisons stay on Spark's native (equivalent)
+  * ordering, so pushdown is untouched. */
 object IntervalCompareRule
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
