@@ -304,6 +304,96 @@ for i in range(8):
     q(f"SELECT DISTINCT upper(l_returnflag) AS f, l_linenumber % 3 AS m "
       f"FROM lineitem WHERE {rng.choice(LI_PRED)}")
 
+# ---------------------------------------------------- wave 2 (round 15)
+# CTE chains, ROLLUP/CUBE/GROUPING SETS, ASOF joins, DISTINCT ON,
+# FROM-first + GROUP BY ALL + star-EXCLUDE sugar, list comprehensions,
+# string-function salads — the dialect rewriters composed inside full
+# queries rather than probed one feature at a time.
+
+# CTE chains (a reused CTE must evaluate consistently at both use sites)
+BASE_PRED = ["l_quantity BETWEEN 5 AND 20", "l_linenumber <= 3",
+             "l_orderkey % 3 = 1", "l_quantity > 30"]
+for i in range(10):
+    p1 = rng.choice(LI_PRED)
+    p2 = rng.choice(BASE_PRED)  # must resolve against base's projection
+    q(f"WITH base AS (SELECT l_orderkey, l_linenumber, l_quantity, "
+      f"l_returnflag FROM lineitem WHERE {p1}), "
+      f"agg AS (SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS c "
+      f"FROM base GROUP BY l_returnflag) "
+      f"SELECT b.l_returnflag, a.sq, a.c, count(*) AS n FROM base b "
+      f"JOIN agg a ON b.l_returnflag = a.l_returnflag WHERE {p2} "
+      f"GROUP BY b.l_returnflag, a.sq, a.c")
+
+# ROLLUP / CUBE / GROUPING SETS (exact aggregates only)
+for i in range(14):
+    kind = rng.choice([
+        "ROLLUP(l_returnflag, l_linestatus)",
+        "CUBE(l_returnflag, l_linestatus)",
+        "GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())"])
+    q(f"SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
+      f"count(*) AS c FROM lineitem WHERE {rng.choice(LI_PRED)} "
+      f"GROUP BY {kind}")
+
+# ASOF JOIN — the right side is pre-aggregated to a UNIQUE (key, time)
+# frame so the picked row is deterministic on both engines
+for i in range(10):
+    op = rng.choice([">=", ">"])
+    left_pred = rng.choice(ORD_PRED)
+    q(f"WITH r AS (SELECT o_custkey AS ck, o_orderdate AS d, "
+      f"round(max(o_totalprice), 3) AS mp FROM orders GROUP BY 1, 2) "
+      f"SELECT o.o_orderkey, r.mp FROM orders o ASOF JOIN r "
+      f"ON o.o_custkey = r.ck AND o.o_orderdate {op} r.d "
+      f"WHERE {left_pred} AND o.o_orderkey % 9 = {i % 5}")
+
+# DISTINCT ON with a total order
+for i in range(8):
+    q(f"SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+      f"FROM orders WHERE {rng.choice(ORD_PRED)} "
+      f"ORDER BY o_custkey, o_totalprice DESC, o_orderkey")
+
+# FROM-first + GROUP BY ALL + star-EXCLUDE sugar
+for i in range(6):
+    q(f"FROM orders SELECT o_orderstatus, count(*) AS c, "
+      f"round(sum(o_totalprice), 3) AS s WHERE {rng.choice(ORD_PRED)} "
+      f"GROUP BY ALL")
+for i in range(6):
+    q(f"SELECT * EXCLUDE (o_orderdate, o_orderpriority) FROM orders "
+      f"WHERE {rng.choice(ORD_PRED)} AND o_orderkey % 101 = {i}")
+
+# list comprehensions / list lambdas over tokenized documents
+for i in range(8):
+    inner = rng.choice([
+        "[length(t) FOR t IN regexp_split_to_array(trim(text), '\\s+') IF length(t) > 4]",
+        "list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> length(t))",
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> length(t) > 6)"])
+    q(f"SELECT doc_id, len({inner}) AS n FROM documents "
+      f"WHERE doc_id % 17 = {i % 9}")
+
+# string-function salads with grouping
+for i in range(10):
+    fn = rng.choice([
+        "upper(substr(trim(text), 1, 3))",
+        "split_part(trim(text), ' ', 2)",
+        "left(trim(text), 4)", "right(trim(text), 4)",
+        "regexp_extract(text, '([a-z]+)', 1)"])
+    q(f"SELECT {fn} AS k, count(*) AS c, sum(n_chars) AS s FROM documents "
+      f"WHERE doc_id % 5 = {i % 5} GROUP BY 1")
+
+# windows + correlated subquery composed
+for i in range(6):
+    q(f"SELECT o_orderkey, o_custkey, "
+      f"rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, "
+      f"o_orderkey) AS r FROM orders o WHERE {rng.choice(ORD_PRED)} AND "
+      f"EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND "
+      f"{rng.choice(LI_PRED)}) QUALIFY r <= 2")
+
+# HAVING with a scalar subquery
+for i in range(6):
+    q(f"SELECT l_returnflag, sum(l_quantity) AS sq FROM lineitem "
+      f"WHERE {rng.choice(LI_PRED)} GROUP BY l_returnflag "
+      f"HAVING sum(l_quantity) > (SELECT avg(l_quantity) * "
+      f"{rng.choice([10, 50, 200])} FROM lineitem)")
+
 # ------------------------------------------------------------ evaluate
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "query_fuzz.tsv")
