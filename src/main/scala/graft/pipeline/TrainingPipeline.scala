@@ -209,20 +209,8 @@ object TrainingPipeline {
         // pending symbol); a merge consumes the pending left and the
         // current right, and the merged symbol is NOT reconsidered as a
         // left (the '' pend) — Sennrich's scan order
-        val rewritten = aggregate(
-          col("sy"),
-          struct(typedLit(Seq.empty[String]).as("o"), lit("").as("p")),
-          (acc, sym) =>
-            when(acc("p") === lit(l) && sym === lit(r),
-              struct(concat(acc("o"), array(lit(l + r))).as("o"),
-                lit("").as("p")))
-              .when(acc("p") === lit(""),
-                struct(acc("o").as("o"), sym.as("p")))
-              .otherwise(struct(concat(acc("o"), array(acc("p"))).as("o"),
-                sym.as("p"))),
-          acc => when(acc("p") === lit(""), acc("o"))
-            .otherwise(concat(acc("o"), array(acc("p")))))
-        vocab = vocab.select(rewritten.as("sy"), col("c")).localCheckpoint()
+        vocab = vocab.select(mergeRewrite(l, r).as("sy"), col("c"))
+          .localCheckpoint()
         round += 1
       }
     }
@@ -231,8 +219,59 @@ object TrainingPipeline {
       .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** The merge-apply scan over a `sy` symbol array as a Column: acc =
+    * (done symbols, pending symbol); a merge consumes the pending left
+    * and the current right, and the merged symbol is not reconsidered as
+    * a left — left-to-right non-overlapping, the reference order. */
+  private def mergeRewrite(l: String, r: String): Column =
+    aggregate(
+      col("sy"),
+      struct(typedLit(Seq.empty[String]).as("o"), lit("").as("p")),
+      (acc, sym) =>
+        when(acc("p") === lit(l) && sym === lit(r),
+          struct(concat(acc("o"), array(lit(l + r))).as("o"),
+            lit("").as("p")))
+          .when(acc("p") === lit(""),
+            struct(acc("o").as("o"), sym.as("p")))
+          .otherwise(struct(concat(acc("o"), array(acc("p"))).as("o"),
+            sym.as("p"))),
+      acc => when(acc("p") === lit(""), acc("o"))
+        .otherwise(concat(acc("o"), array(acc("p")))))
+
   private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
     bpeTrain(s, dir)
+
+  /** p79: BPE ENCODE — apply the trained merge table to the corpus and
+    * report per-source token totals (the compression a tokenizer buys).
+    * The merges come from [[bpeTrain]] (weighted length≥2 vocabulary);
+    * ENCODING runs over ALL distinct words — merges can't touch
+    * single-symbol words, so their token count is their char count.
+    * Scale shape: the rewrite chain runs over the DISTINCT-word frame
+    * (vocabulary-sized), and the corpus only joins the (term → token
+    * count) result — words never re-tokenize per occurrence. */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(s, dir).collect().sortBy(_.getLong(0))
+    val words = graft.Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(org.apache.spark.sql.functions.split(
+          lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 1)
+    var vocab = words.select(col("term")).distinct()
+      .select(col("term"), expr("transform(sequence(1, length(term)), " +
+        "i -> substring(term, CAST(i AS INT), 1))").as("sy"))
+      .localCheckpoint()
+    merges.foreach { m =>
+      vocab = vocab.select(col("term"),
+        mergeRewrite(m.getString(1), m.getString(2)).as("sy"))
+        .localCheckpoint()
+    }
+    words.join(
+        vocab.select(col("term"), size(col("sy")).cast("long").as("nt")),
+        Seq("term"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy(col("source"))
+  }
 
   /** The DuckDB mirror, one statement: each round is a CTE triplet —
     * pair counts over the space-joined vocabulary (`p_i`), the argmax
@@ -241,7 +280,22 @@ object TrainingPipeline {
     * 'a a a a' + (a,a) → 'aa aa', the same non-overlapping order as the
     * Spark lambda). chr(1) inside a document token would break the
     * encoding — not a character the tokenization produces. */
-  private val bpeTrainSql: String = {
+  /** The list_reduce merge-apply over `$prev.w` with `$b`'s pair. */
+  private def applySql(prev: String, b: String): String =
+    s"""trim(replace(list_reduce(
+       |    list_prepend(chr(1), string_split($prev.w, ' ')),
+       |    (acc, s) -> CASE
+       |      WHEN split_part(acc, chr(1), 2) = $b.l AND s = $b.r
+       |        THEN split_part(acc, chr(1), 1) || ' ' || $b.l || $b.r || chr(1)
+       |      WHEN split_part(acc, chr(1), 2) = ''
+       |        THEN split_part(acc, chr(1), 1) || chr(1) || s
+       |      ELSE split_part(acc, chr(1), 1) || ' ' ||
+       |        split_part(acc, chr(1), 2) || chr(1) || s
+       |    END), chr(1), ' '))""".stripMargin
+
+  /** The shared WITH-body: tokenize → weighted vocabulary → BpeMerges
+    * rounds of (pair counts p_i, argmax b_i, rewrite v_i). */
+  private val bpeMergeCtes: String = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT sy[i] AS l, sy[i + 1] AS r, CAST(sum(c) AS BIGINT) AS pc
@@ -249,23 +303,10 @@ object TrainingPipeline {
          |        FROM (SELECT string_split(w, ' ') AS sy, c FROM $prev) t0) t1
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |v$i AS (SELECT trim(replace(list_reduce(
-         |    list_prepend(chr(1), string_split($prev.w, ' ')),
-         |    (acc, s) -> CASE
-         |      WHEN split_part(acc, chr(1), 2) = b$i.l AND s = b$i.r
-         |        THEN split_part(acc, chr(1), 1) || ' ' || b$i.l || b$i.r || chr(1)
-         |      WHEN split_part(acc, chr(1), 2) = ''
-         |        THEN split_part(acc, chr(1), 1) || chr(1) || s
-         |      ELSE split_part(acc, chr(1), 1) || ' ' ||
-         |        split_part(acc, chr(1), 2) || chr(1) || s
-         |    END), chr(1), ' ')) AS w, $prev.c
+         |v$i AS (SELECT ${applySql(prev, s"b$i")} AS w, $prev.c
          |  FROM $prev, b$i)""".stripMargin
     }
-    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
-    val union = (1 to BpeMerges).map(i =>
-      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, pc AS pair_count FROM b$i").mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
        |  FROM documents),
        |vocab AS (
@@ -274,11 +315,44 @@ object TrainingPipeline {
        |v0 AS (
        |  SELECT array_to_string(list_transform(range(1, length(term) + 1),
        |    i -> term[i]), ' ') AS w, c FROM vocab),
-       |$rounds
+       |${(1 to BpeMerges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
+    val union = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, pc AS pair_count FROM b$i").mkString("\n  UNION ALL ")
+    s"""WITH $bpeMergeCtes
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym,
        |       merged, CAST(pair_count AS BIGINT) AS pair_count FROM (
        |  $union) m
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The p79 mirror: the shared merge CTEs feed an ENCODE chain over ALL
+    * distinct words (e0..eN thread the original term), then the corpus
+    * word stream joins the (term → token count) result per source. */
+  private val bpeEncodeSql: String = {
+    def enc(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""e$i AS (SELECT $prev.term, ${applySql(prev, s"b$i")} AS w
+         |  FROM $prev, b$i)""".stripMargin
+    }
+    s"""WITH $bpeMergeCtes,
+       |allv AS (SELECT DISTINCT term FROM toks WHERE length(term) >= 1),
+       |e0 AS (
+       |  SELECT term, array_to_string(list_transform(range(1, length(term) + 1),
+       |    i -> term[i]), ' ') AS w FROM allv),
+       |${(1 to BpeMerges).map(enc).mkString(",\n")},
+       |tok2 AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |encl AS (SELECT term, CAST(len(string_split(w, ' ')) AS BIGINT) AS nt
+       |         FROM e$BpeMerges)
+       |SELECT source, CAST(sum(nt) AS BIGINT) AS bpe_tokens,
+       |       count(*) AS n_words
+       |FROM tok2 JOIN encl USING (term)
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** The end-to-end curation flow as a declared query (rows-only check):
@@ -341,5 +415,6 @@ object TrainingPipeline {
 
   val all: Seq[Q] = Seq(
     Q("p20_training_pipeline", endToEnd, Some(endToEndSql)),
-    Q("p78_bpe_train", bpeTrainQ, Some(bpeTrainSql)))
+    Q("p78_bpe_train", bpeTrainQ, Some(bpeTrainSql)),
+    Q("p79_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }

@@ -328,6 +328,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(r => r(3) === s"${r(1)}${r(2)}"))
   }
 
+  test("bpeEncode: every word yields >= 1 token, merges only shrink counts") {
+    val enc = run("p79_bpe_encode").collect()
+    assert(enc.nonEmpty)
+    // a word is at least one token after any number of merges
+    enc.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"source ${r.getString(0)}: ${r.getLong(1)} tokens < ${r.getLong(2)} words"))
+    // six merges strictly compress this corpus vs character tokens
+    val charTotal = graft.Tables.load(spark, sfDir, "documents")
+      .selectExpr("sum(aggregate(transform(split(lower(trim(text)), '\\\\s+'), t -> length(t)), 0L, (a, x) -> a + x)) AS c")
+      .collect().head.getLong(0)
+    val tokTotal = enc.map(_.getLong(1)).sum
+    assert(tokTotal < charTotal, s"BPE tokens $tokTotal !< chars $charTotal")
+  }
+
   test("token count matches manual whitespace split on a sample") {
     val sample = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(20).collect()
