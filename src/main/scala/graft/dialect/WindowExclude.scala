@@ -325,7 +325,13 @@ object WindowExclude {
       // RANGE/GROUPS the first/last row among order-by peers is
       // physical-order-defined in BOTH engines, so those stay loud
       // pass-throughs (EXCLUDE GROUP/TIES likewise, which need a peer-
-      // boundary the frame grammar cannot spell).
+      // boundary the frame grammar cannot spell). IGNORE NULLS breaks
+      // the row-presence logic (the full-frame value can sit ON the
+      // current row even with rows before it) — loud pass-through.
+      case "first_value" | "last_value"
+          if java.util.regex.Pattern.compile("(?i)\\bIGNORE\\s+NULLS\\b")
+            .matcher(args).find() =>
+        return None
       case "first_value" =>
         val full = s"first_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
         val before = l.map(lf => lf("count", "*")).getOrElse("0")
