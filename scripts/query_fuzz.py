@@ -394,6 +394,48 @@ for i in range(6):
       f"HAVING sum(l_quantity) > (SELECT avg(l_quantity) * "
       f"{rng.choice([10, 50, 200])} FROM lineitem)")
 
+# ---------------------------------------------------- wave 3 (round 15)
+# The round-15 interval surface inside FULL queries: multi-unit literal
+# comparisons against timestamp differences, interval arithmetic in
+# projections (components extracted — the engines' interval text
+# renderings differ), and INTERVAL-bounded RANGE window frames.
+
+IV_LITS = ["'3 months 10 days'", "'100 days'", "'1 month 2 days 12 hours'",
+           "'90 days 36 hours'", "'2 months'", "'1 month 1 day'"]
+for i in range(12):
+    lit = rng.choice(IV_LITS)
+    op = rng.choice(["<", "<=", ">", ">=", "="])
+    q(f"SELECT o_orderkey FROM orders WHERE (CAST(o_orderdate AS TIMESTAMP)"
+      f" - TIMESTAMP '1995-06-01 00:00:00') {op} INTERVAL {lit} "
+      f"AND o_orderkey % 19 = {i % 7}")
+
+for i in range(10):
+    lit = rng.choice(IV_LITS)
+    q(f"SELECT o_orderkey, "
+      f"CAST(o_orderdate AS TIMESTAMP) + INTERVAL {lit} AS plus_iv, "
+      f"CAST(date_part('day', (CAST(o_orderdate AS TIMESTAMP) "
+      f"- TIMESTAMP '1994-01-01 00:00:00') + INTERVAL {lit}) AS BIGINT) AS dd, "
+      f"CAST(date_part('hour', (CAST(o_orderdate AS TIMESTAMP) "
+      f"- TIMESTAMP '1994-01-01 00:00:00') + INTERVAL {lit}) AS BIGINT) AS dh "
+      f"FROM orders WHERE o_orderkey % 23 = {i % 8}")
+
+# INTERVAL-bounded RANGE frames over event time (value-bounded frames
+# make the aggregate deterministic regardless of intra-peer order)
+for i in range(10):
+    span = rng.choice(["'1 day'", "'12 hours'", "'3 days'"])
+    agg = rng.choice(["count(*)", "sum(event_id % 100)",
+                      "min(event_id)", "max(event_id)"])
+    q(f"SELECT event_id, {agg} OVER (PARTITION BY event_type ORDER BY ts "
+      f"RANGE BETWEEN INTERVAL {span} PRECEDING AND CURRENT ROW) AS w "
+      f"FROM events WHERE event_id % 29 = {i % 9}")
+
+# GROUP BY on an interval-derived bucket
+for i in range(6):
+    q(f"SELECT CAST(date_part('month', CAST(o_orderdate AS TIMESTAMP) "
+      f"- TIMESTAMP '1993-01-01 00:00:00') AS BIGINT) AS m, count(*) AS c, "
+      f"sum(o_orderkey % 50) AS s FROM orders "
+      f"WHERE {rng.choice(ORD_PRED)} GROUP BY 1")
+
 # ------------------------------------------------------------ evaluate
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "query_fuzz.tsv")
