@@ -36,6 +36,26 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT vec_sum(v) AS s FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)")
         .collect().head.getSeq[Double](0)
       assert(agg === Seq(4.0, 6.0))
+      // Round-15 regression pin: the extension must land the optimizer
+      // rules in the END-position extraOptimizations batch (via the
+      // post-hoc hook), NOT the operator-optimization batch — at operator
+      // position the marker eliminator outran the histogram stitch and a
+      // windowed entropy over an all-NULL partition folded to NULL
+      // (duckdb: 0). No registerAll call anywhere on this session.
+      val ent = spark.sql(
+        """SELECT (SELECT max(r) FROM (SELECT CAST(entropy(x) OVER
+          |  (PARTITION BY x % 2) AS DOUBLE) AS r, x FROM
+          |  (VALUES (CAST(NULL AS INT)), (CAST(NULL AS INT))) t(x)) s) AS v"""
+          .stripMargin).collect().head
+      assert(ent.getDouble(0) === 0.0,
+        "extension-built session: windowed entropy over an all-NULL " +
+          s"partition must be 0.0, got ${ent.get(0)}")
+      // and the resolution rule rides the same build: cross-family
+      // interval comparison resolves (normalized: 1 month < 40 days)
+      val iv = spark.sql(
+        "SELECT make_ym_interval(0, 1) < make_dt_interval(40) AS v")
+        .collect().head
+      assert(iv.getBoolean(0))
     } finally {
       // restore the shared session for the rest of the suite run
       SparkSession.clearActiveSession()
