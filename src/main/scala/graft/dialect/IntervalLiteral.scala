@@ -137,7 +137,12 @@ object IntervalLiteral {
 
   def rewrite(sql: String): String = {
     if (!sql.toLowerCase.contains("interval")) return sql
-    val m = LiteralRe.matcher(sql)
+    // Match against a literal/comment-masked copy (length-preserving) so
+    // an INTERVAL-shaped token sequence starting inside a string constant
+    // or a comment can never be rewritten; the literal body is read back
+    // from the ORIGINAL text by offset (masking blanks literal insides).
+    val masked = SqlText.maskLitsAndComments(sql)
+    val m = LiteralRe.matcher(masked)
     val sb = new java.lang.StringBuilder
     var last = 0
     while (m.find()) {
@@ -145,7 +150,7 @@ object IntervalLiteral {
       val ansiUnit = m.group(2)
       val replaced: Option[String] =
         if (ansiUnit != null) None // ANSI form `INTERVAL '4' DAY` — Spark's
-        else parse(m.group(1)) match {
+        else parse(sql.substring(m.start(1), m.end(1))) match {
           // single plain integer unit group keeps Spark's ANSI literal
           case Some((mo, d, s, groups, needsCal))
               if groups >= 2 || needsCal => emit(mo, d, s)

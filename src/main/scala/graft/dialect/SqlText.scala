@@ -59,6 +59,31 @@ object SqlText {
     i
   }
 
+  /** Length-preserving copy with the INSIDES of string literals (quote
+    * delimiters kept) and the entirety of comments blanked to spaces, so
+    * offset-based regex rewriters match keywords against code only and
+    * splice replacements back into the ORIGINAL text by offset. */
+  def maskLitsAndComments(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        val e = literalEnd(sql, i)
+        var j = i + 1
+        while (j < e - 1) { sb.setCharAt(j, ' '); j += 1 }
+        i = e
+      } else {
+        val ce = commentEnd(sql, i)
+        if (ce > i) {
+          var j = i
+          while (j < ce) { sb.setCharAt(j, ' '); j += 1 }
+          i = ce
+        } else i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Apply `f` to every segment of `sql` outside single-quoted literals,
     * leaving the literals byte-identical. */
   def mapOutsideLiterals(sql: String)(f: String => String): String = {

@@ -399,37 +399,50 @@ object WindowExclude {
           case BCur => "CURRENT ROW"
           case BOff(k) => s"$k $side"
         }
-        // (frame-or-total window A, peers-or-prefix window B) per the
-        // scaladoc's spelling table; None = single-key flip unavailable
+        // (window A, (subtract-count, subtract-sum)) per the scaladoc's
+        // spelling table — rem = A − sub [+ self when keepSelf]; each
+        // case picks its own subtraction because the A window is not
+        // always the literal frame (the total−prefix identity), so the
+        // exclCur self-subtraction is only valid when A IS the frame.
+        // None = single-key flip unavailable for a k-offset bound.
         type W = (String, String) => String
         def w(b: String, frame: String): W = (f, a) => win(f, a, b, frame)
         val unbUnb = "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
-        val ab: Option[(W, W)] = (lo, hi) match {
-          case (BUnb, BUnb) => Some((w(base, unbUnb), w(base, peersF)))
-          case (BCur, BUnb) => Some((w(base, unbUnb),
-            w(base, "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")))
+        val prefixF = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        val oneSelf =
+          if (args.trim == "*") "1"
+          else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+        val selfVal = s"coalesce(($args), 0)"
+        val selfSub = (oneSelf, selfVal)
+        def winSub(b: String, frame: String) =
+          (win("count", args, b, frame),
+            s"coalesce(${win("sum", args, b, frame)}, 0)")
+        val ab: Option[(W, (String, String))] = (lo, hi) match {
+          case (BUnb, BUnb) => Some((w(base, unbUnb),
+            if (exclCur) selfSub else winSub(base, peersF)))
+          case (BCur, BUnb) if exclCur =>
+            // the total−prefix identity subtracts the whole peer group;
+            // for EXCLUDE CURRENT ROW the remainder is frame − self =
+            // total − prefix + peers − self: three incremental windows
+            // on the SAME sort order (one WindowExec pass, multi-key
+            // safe), instead of spelling the O(n²) [CUR, UNB] frame.
+            val (pC, pS) = winSub(base, prefixF)
+            val (gC, gS) = winSub(base, peersF)
+            Some((w(base, unbUnb),
+              (s"($pC - $gC + $oneSelf)", s"($pS - $gS + $selfVal)")))
+          case (BCur, BUnb) => Some((w(base, unbUnb), winSub(base, prefixF)))
           case (BOff(k), BUnb) =>
             flipBase(base).map { fb =>
               (w(fb, s"RANGE BETWEEN UNBOUNDED PRECEDING AND $k FOLLOWING"),
-                w(fb, peersF))
+                if (exclCur) selfSub else winSub(fb, peersF))
             }
           case _ =>
             Some((w(base,
               s"RANGE BETWEEN ${btxt(lo, "PRECEDING")} AND ${btxt(hi, "FOLLOWING")}"),
-              w(base, peersF)))
+              if (exclCur) selfSub else winSub(base, peersF)))
         }
-        ab.map { case (winA, winB) =>
-          val oneSelf =
-            if (args.trim == "*") "1"
-            else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+        ab.map { case (winA, (subCnt, subSum)) =>
           val selfCnt = if (keepSelf) oneSelf else "0"
-          // what gets subtracted from the frame: the peer-group window
-          // (EXCLUDE GROUP/TIES) or the current row's own contribution
-          // (EXCLUDE CURRENT ROW on the RANGE path)
-          val subCnt = if (exclCur) oneSelf else winB("count", args)
-          val subSum =
-            if (exclCur) s"coalesce(($args), 0)"
-            else s"coalesce(${winB("sum", args)}, 0)"
           val cntRem = s"(${winA("count", args)} - $subCnt + $selfCnt)"
           def sumRem = {
             val selfSum = if (keepSelf) s"coalesce(($args), 0)" else "0"

@@ -37,14 +37,23 @@ object IntervalCompareRule
         r.dataType == CalendarIntervalType || cross
     }
 
+  private def cmpCall(l: Expression, r: Expression): Expression =
+    StaticInvoke(IntervalPartFns.getClass, IntegerType, "calCompare",
+      Seq(IntervalWiden.toCal(l), IntervalWiden.toCal(r)),
+      Seq(CalendarIntervalType, CalendarIntervalType))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // IS [NOT] DISTINCT FROM: calCompare propagates NULL, so the bare
+      // rewrite would turn NULL <=> NULL into (NULL <=> 0) = false.
+      // Preserve null-safe semantics explicitly: both-null → true,
+      // one-null → false (inner <=> sees a NULL compare result).
+      case EqualNullSafe(l, r) if needs(l, r) =>
+        Or(And(IsNull(l), IsNull(r)),
+          EqualNullSafe(cmpCall(l, r), Literal(0)))
       case c: BinaryComparison if needs(c.left, c.right) =>
-        val cmp = StaticInvoke(IntervalPartFns.getClass, IntegerType,
-          "calCompare",
-          Seq(IntervalWiden.toCal(c.left), IntervalWiden.toCal(c.right)),
-          Seq(CalendarIntervalType, CalendarIntervalType))
-        c.withNewChildren(Seq(cmp, Literal(0))).asInstanceOf[Expression]
+        c.withNewChildren(Seq(cmpCall(c.left, c.right), Literal(0)))
+          .asInstanceOf[Expression]
     }
 }
 

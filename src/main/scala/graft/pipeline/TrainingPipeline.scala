@@ -303,8 +303,9 @@ object TrainingPipeline {
          |        FROM (SELECT string_split(w, ' ') AS sy, c FROM $prev) t0) t1
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |v$i AS (SELECT ${applySql(prev, s"b$i")} AS w, $prev.c
-         |  FROM $prev, b$i)""".stripMargin
+         |v$i AS (SELECT CASE WHEN b$i.l IS NULL THEN $prev.w
+         |    ELSE ${applySql(prev, s"b$i")} END AS w, $prev.c
+         |  FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     s"""toks AS (
        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -335,8 +336,9 @@ object TrainingPipeline {
   private val bpeEncodeSql: String = {
     def enc(i: Int): String = {
       val prev = s"e${i - 1}"
-      s"""e$i AS (SELECT $prev.term, ${applySql(prev, s"b$i")} AS w
-         |  FROM $prev, b$i)""".stripMargin
+      s"""e$i AS (SELECT $prev.term, CASE WHEN b$i.l IS NULL THEN $prev.w
+         |    ELSE ${applySql(prev, s"b$i")} END AS w
+         |  FROM $prev LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     s"""WITH $bpeMergeCtes,
        |allv AS (SELECT DISTINCT term FROM toks WHERE length(term) >= 1),

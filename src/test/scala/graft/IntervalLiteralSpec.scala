@@ -44,6 +44,35 @@ class IntervalLiteralSpec extends AnyFunSuite {
       assert(rw(sql) == sql, sql)
   }
 
+  test("literal and comment interiors are never rewritten (masked scan)") {
+    // a doubled-quote literal whose interior spells INTERVAL'<units>'
+    // must stay byte-identical (the raw-scan bug corrupted it)
+    val s1 = "SELECT 'tag INTERVAL''1 month 2 days' AS s"
+    assert(rw(s1) == s1)
+    // INTERVAL inside a line comment followed by a genuine string literal
+    val s2 = "SELECT x, -- INTERVAL\n '1 month 2 days' AS s FROM t"
+    assert(rw(s2) == s2)
+    val s3 = "SELECT /* INTERVAL */ '2 months 3 days' AS s"
+    assert(rw(s3) == s3)
+    // masking must not suppress a REAL literal in the same statement
+    assert(rw("SELECT '- INTERVAL -' AS s, INTERVAL '1 month 5 days' AS i") ==
+      "SELECT '- INTERVAL -' AS s, make_interval(0, 1, 0, 5, 0, 0, 0.000000) AS i")
+  }
+
+  test("IS NOT DISTINCT FROM keeps null-safe semantics across interval families") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT CAST(NULL AS INTERVAL MONTH) <=> CAST(NULL AS INTERVAL DAY) AS bothnull,
+        |       make_ym_interval(0, 1) <=> CAST(NULL AS INTERVAL DAY) AS onenull,
+        |       make_ym_interval(0, 1) <=> make_dt_interval(30) AS eq,
+        |       make_ym_interval(0, 1) <=> make_dt_interval(31) AS ne""".stripMargin)
+      .head
+    assert(r.getBoolean(0), "NULL <=> NULL must stay true under the rewrite")
+    assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)) // 1 month ≡ 30 days under normalize-entries
+    assert(!r.getBoolean(3))
+  }
+
   test("same-family ANSI interval comparisons keep Spark's native operator") {
     val spark = SparkTestSession.spark
     import spark.implicits._

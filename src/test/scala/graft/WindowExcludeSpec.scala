@@ -57,6 +57,51 @@ class WindowExcludeSpec extends AnyFunSuite {
       s"expected exactly one Window operator:\n$plan")
   }
 
+  test("RANGE [CUR, UNB FOLLOWING] EXCLUDE CURRENT ROW subtracts self from the FRAME, not the partition") {
+    Tables.registerAll(spark, sfDir)
+    // the total−prefix identity is peer-group-only; this frame shape must
+    // come out as total − prefix + peers − self (three incremental
+    // windows, one sort) — the raw identity silently gave partition−self
+    def sql(order: String) =
+      s"""SELECT o_orderkey,
+         |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY $order
+         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s,
+         |  count(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY $order
+         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS c,
+         |  avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY $order
+         |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS a
+         |FROM orders""".stripMargin
+    def ref(order: String) = spark.sql(
+      s"""SELECT o_orderkey,
+         |  CASE WHEN count(o_totalprice) OVER w > 1
+         |       THEN (sum(o_totalprice) OVER w) - o_totalprice END AS s,
+         |  (count(o_totalprice) OVER w) - 1 AS c,
+         |  CASE WHEN count(o_totalprice) OVER w > 1
+         |       THEN CAST((sum(o_totalprice) OVER w) - o_totalprice AS DOUBLE)
+         |            / ((count(o_totalprice) OVER w) - 1) END AS a
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY $order
+         |             RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin)
+    // single-key (date ties give non-trivial peer groups) and multi-key
+    for (order <- Seq("o_orderdate", "o_orderdate, o_orderpriority")) {
+      val rewritten = WindowExclude.rewrite(sql(order))
+      assert(!rewritten.toUpperCase.contains("EXCLUDE"), rewritten)
+      // incremental spelling: the O(n²) [CUR, UNB] frame is never emitted
+      assert(!rewritten.toUpperCase.contains("CURRENT ROW AND UNBOUNDED"), rewritten)
+      // ulp-tolerant join compare: the identity's DOUBLE accumulation
+      // order differs from the reference's frame−self by last-digit ulps
+      val diff = spark.sql(rewritten).as("g")
+        .join(ref(order).as("r"), "o_orderkey")
+        .selectExpr("g.c AS gc", "r.c AS rc",
+          "CAST(g.s AS DOUBLE) AS gs", "CAST(r.s AS DOUBLE) AS rs",
+          "CAST(g.a AS DOUBLE) AS ga", "CAST(r.a AS DOUBLE) AS ra")
+        .where("""NOT (gc <=> rc)
+          OR (NOT (gs <=> rs) AND (gs IS NULL OR rs IS NULL OR abs(gs - rs) > 1e-4))
+          OR (NOT (ga <=> ra) AND (ga IS NULL OR ra IS NULL OR abs(ga - ra) > 1e-4))""")
+      assert(diff.count() == 0, order)
+    }
+  }
+
   test("EXCLUDE NO OTHERS is stripped, TIES/GROUP and RANGE pass through") {
     val noOthers = WindowExclude.rewrite(
       "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
