@@ -436,6 +436,147 @@ for i in range(6):
       f"sum(o_orderkey % 50) AS s FROM orders "
       f"WHERE {rng.choice(ORD_PRED)} GROUP BY 1")
 
+# ---------------------------------------------------- wave 4 (round 16)
+# Multi-feature STITCH interaction: every in-round catch of rounds 14-15
+# (interval comparator, stacked-stitch bail, extension rule placement)
+# was an interaction bug, so this wave stacks the rewriters — quantile
+# window stitches × frame-EXCLUDE × QUALIFY × set ops × CTE chains ×
+# PIVOT × list comprehensions × interval frames — in single statements.
+
+# (a) two quantile windows + an EXCLUDE window in ONE select (the
+# literal r15 verdict shape): whole-partition stitch + running histogram
+# + WindowExclude all rewriting the same statement
+QUANT_WINS = [
+    "median(o_custkey) OVER (PARTITION BY o_orderstatus)",
+    "quantile_disc(o_custkey, 0.5) OVER (PARTITION BY o_orderstatus)",
+    "quantile_disc(o_totalprice, 0.25) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_totalprice, o_orderkey)",
+    "quantile_cont(o_custkey, 0.75) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderdate)",
+    "median(o_orderstatus) OVER (ORDER BY o_orderdate)",
+    "entropy(o_orderstatus) OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_orderdate)",
+]
+EXC_WINS = [
+    "sum(o_orderkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_totalprice, o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+    "EXCLUDE CURRENT ROW)",
+    "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50 "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+    "avg(o_orderkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_custkey % 50 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING "
+    "EXCLUDE CURRENT ROW)",
+    "sum(o_orderkey % 100) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_custkey % 50 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING "
+    "EXCLUDE TIES)",
+]
+for i in range(16):
+    qw1, qw2 = rng.sample(QUANT_WINS, 2)
+    ew = rng.choice(EXC_WINS)
+    def rq(e):
+        return (f"round({e}, 3)"
+                if e.startswith(("entropy", "quantile_cont", "avg")) or
+                e.startswith("median(o_custkey") else e)
+    ew_r = f"round({ew}, 3)" if ew.startswith("avg") else ew
+    q(f"SELECT o_orderkey, {rq(qw1)} AS w1, {rq(qw2)} AS w2, {ew_r} AS w3 "
+      f"FROM orders WHERE {rng.choice(ORD_PRED)} AND o_orderkey % 11 = {i % 6}")
+
+# (b) QUALIFY over a stitched quantile window (QUALIFY rewriter feeds the
+# stitch's helper columns through its subquery wrap)
+for i in range(10):
+    qw = rng.choice(QUANT_WINS[:4])
+    op = rng.choice(["<=", ">", ">="])
+    q(f"SELECT o_orderkey, o_custkey FROM orders "
+      f"WHERE o_orderkey % 13 = {i % 5} "
+      f"QUALIFY {qw} {op} o_custkey")
+
+# (c) grouped EXCLUDE windows inside set-operation branches (each branch
+# rewritten independently, then SetOpsByName aligns)
+for i in range(12):
+    ew1, ew2 = rng.sample(EXC_WINS, 2)
+    setop = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    e1 = f"round({ew1}, 3)" if ew1.startswith("avg") else ew1
+    e2 = f"round({ew2}, 3)" if ew2.startswith("avg") else ew2
+    q(f"SELECT o_orderkey, {e1} AS w FROM orders WHERE o_orderkey % 4 = {i % 2} "
+      f"{setop} "
+      f"SELECT o_orderkey, {e2} AS w FROM orders WHERE o_orderkey % 4 <= 1")
+
+# (d) interval-bounded RANGE frames × EXCLUDE over event time
+for i in range(10):
+    span = rng.choice(["'1 day'", "'12 hours'", "'2 days'"])
+    exc = rng.choice([" EXCLUDE CURRENT ROW", " EXCLUDE GROUP",
+                      " EXCLUDE TIES"])
+    agg = rng.choice(["count(*)", "sum(event_id % 100)",
+                      "avg(event_id % 100)"])
+    expr_ = (f"{agg} OVER (PARTITION BY event_type ORDER BY ts "
+             f"RANGE BETWEEN INTERVAL {span} PRECEDING AND CURRENT ROW{exc})")
+    if agg.startswith("avg"):
+        expr_ = f"round({expr_}, 3)"
+    q(f"SELECT event_id, {expr_} AS w "
+      f"FROM events WHERE event_id % 31 = {i % 9}")
+
+# (e) the round-16 fixed frame: [CURRENT ROW, UNBOUNDED FOLLOWING] with
+# every EXCLUDE mode over sum/count/avg (the silent partition−self bug)
+for i in range(9):
+    agg = ["sum(o_orderkey % 100)", "count(o_custkey)",
+           "avg(o_orderkey % 100)"][i % 3]
+    exc = [" EXCLUDE CURRENT ROW", " EXCLUDE GROUP", " EXCLUDE TIES"][i // 3]
+    expr_ = (f"{agg} OVER (PARTITION BY o_orderstatus ORDER BY o_custkey % 50 "
+             f"RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING{exc})")
+    if agg.startswith("avg"):
+        expr_ = f"round({expr_}, 3)"
+    q(f"SELECT o_orderkey, {expr_} AS w FROM orders "
+      f"WHERE o_orderkey % 9 = {i % 4}")
+
+# (f) interval ORDER BY + LIMIT on the ts-difference subdomain, where
+# duck's raw-triple sort ≡ total-micros order (the q133 contract)
+for i in range(8):
+    anchor = rng.choice(["'1995-06-01 12:00:00'", "'1994-01-01 00:00:00'",
+                         "'1997-03-15 06:30:00'"])
+    d = rng.choice(["ASC", "DESC"])
+    q(f"SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = {i % 4} "
+      f"ORDER BY (CAST(o_orderdate AS TIMESTAMP) - TIMESTAMP {anchor}) {d}, "
+      f"o_orderkey LIMIT 40")
+
+# (g) CTE chains where one stage computes EXCLUDE windows and the next
+# takes quantile windows (or GROUP-BY quantiles) over the result
+for i in range(10):
+    ew = rng.choice(EXC_WINS)
+    e = f"round({ew}, 3)" if ew.startswith("avg") else ew
+    stat = rng.choice(["median(w)", "quantile_disc(w, 0.5)",
+                       "quantile_cont(w, 0.25)", "entropy(w % 10)"])
+    q(f"WITH base AS (SELECT o_orderkey, o_orderstatus, {e} AS w "
+      f"FROM orders WHERE o_orderkey % 6 = {i % 3}) "
+      f"SELECT o_orderstatus, round({stat}, 3) AS s, count(*) AS c "
+      f"FROM base GROUP BY o_orderstatus")
+
+# (h) PIVOT over a window-derived frame and list comprehensions over
+# split() arrays composed with lambdas (text-layer rewriters stacked)
+for i in range(6):
+    q(f"PIVOT (SELECT o_orderpriority, o_orderstatus, o_orderkey % 100 "
+      f"AS v FROM orders WHERE o_orderkey % 7 = {i % 4}) "
+      f"ON o_orderstatus USING sum(v) GROUP BY o_orderpriority")
+for i in range(6):
+    q(f"SELECT doc_id, [upper(x) FOR x IN string_split(lower(trim(text)), "
+      f"' ') IF length(x) > {3 + i % 3}][1] AS first_long, "
+      f"len([x FOR x IN string_split(lower(trim(text)), ' ') "
+      f"IF length(x) > {3 + i % 3}]) AS n_long "
+      f"FROM documents WHERE doc_id % 17 = {i % 8}")
+
+# (i) IGNORE NULLS positionals × frame EXCLUDE (round-16 rewrite: the
+# two-half coalesce; r15 rejected these loudly)
+for i in range(10):
+    fn = ["first_value", "last_value"][i % 2]
+    frame = rng.choice(["ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+                        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+                        "ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING"])
+    exc = rng.choice([" EXCLUDE CURRENT ROW", " EXCLUDE NO OTHERS"])
+    q(f"SELECT event_id, {fn}(CASE WHEN event_id % 4 = 0 THEN NULL "
+      f"ELSE event_id % 97 END IGNORE NULLS) "
+      f"OVER (PARTITION BY event_type ORDER BY ts, event_id {frame}{exc}) AS w "
+      f"FROM events WHERE event_id % 3 = {i % 3}")
+
 # ------------------------------------------------------------ evaluate
 out_path = os.path.join(os.path.dirname(__file__),
                         "..", "src", "test", "resources", "query_fuzz.tsv")

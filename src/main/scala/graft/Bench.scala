@@ -30,8 +30,14 @@ import org.apache.spark.sql.SparkSession
   *    earlier query, or by an earlier SAMPLE of the query itself) is
   *    listed in the artifact's "warm" array, so warm-path minima are never
   *    mistaken for cold-path cost (round-8 item 7).
+  *  - SHARED stages are PREBUILT before the timed sweep (round 16,
+  *    [[graft.pipeline.SharedStages]]) and charged to the "stage_build"
+  *    field, so warm per-query minima are order-independent — which
+  *    family member runs first no longer decides who pays the build
+  *    (the r14 p07 / r15 p47 false warm regressions).
   * Emits ONE JSON line with the load-bearing dicts LAST:
-  * {"metric":"total","unit":"sec","sf":...,"samples":k,"warm":[...],
+  * {"metric":"total","unit":"sec","sf":...,"samples":k,
+  *  "stage_build":{kind:sec,...},"warm":[...],
   *  "queries_cold":{warm-query:cold-sec,...},"value_cold":total,
   *  "resampled":{mover:fresh-sec,...},
   *  "spread":{name:sec,...},"queries":{name:sec,...},"value":total}.
@@ -131,6 +137,26 @@ object Bench {
       spark.stop()
       return
     }
+
+    // Shared-stage prebuild (round 16): materialize every Pins.shared
+    // stage ONCE before the timed sweep, charged to the separate
+    // "stage_build" artifact field — warm per-query minima no longer
+    // depend on suite order (r14 p07 / r15 p47: the first consumer of a
+    // shared stage paid its build inside the timed window, and the heavy
+    // early-break latched the build-inflated sample as the committed
+    // number while the cold pair improved). Consumers now measure warm
+    // by construction; the cold-equivalent pass below still charges the
+    // per-query stage rebuild for symmetry with bench_duck. Skipped on
+    // filtered (local-iteration) runs, where prebuilding unconsumed
+    // stages would dominate the wall clock.
+    val stageBuild: Seq[(String, Double)] =
+      if (only.nonEmpty) Nil
+      else graft.pipeline.SharedStages.prebuild(spark, sfDir)
+    // the prebuild was "query zero": mark its keys seen so every sweep
+    // consumer registers as warm (true by construction), then clear the
+    // per-query hit tracking
+    graft.pipeline.Pins.releaseEphemeral(spark)
+    graft.pipeline.Pins.resetWarmTracking(spark)
 
     // Host-health control names (round-13: the r12 host-window proof was
     // a manual checkout-r10-and-re-run experiment). The health ratio is
@@ -274,7 +300,8 @@ object Bench {
       case None => // no previous same-sf artifact: controls recorded, no ratio
         s""""host_health":{"controls":${fmt(controlTimes)}},"""
     }
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"plans":$pl,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
+    val sb = fmt(stageBuild)
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","samples":$samples,$hh"stage_build":$sb,"warm":$warm,"queries_cold":$qc,"value_cold":${ms(totalCold)},"resampled":$rs,"plans":$pl,"spread":$sp,"queries":$qs,"value":${ms(total)}}"""
     println(line)
     writeArtifact(line)
     // a SPARK_GRAFT_ONLY-filtered run is a smoke/iteration run: its delta

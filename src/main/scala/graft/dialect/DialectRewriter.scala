@@ -111,6 +111,10 @@ final class DialectRewriter(spark: SparkSession, files: FileRegistry,
     // windows that rejected pre-sugar (QUALIFY was in their block) are
     // now rewritable; a no-op when the first pass consumed every EXCLUDE
     out = WindowExclude.rewrite(out)
+    // duck's in-call IGNORE/RESPECT NULLS → Spark's postfix spelling;
+    // after WindowExclude, whose null-aware EXCLUDE split must still see
+    // the flag inside the call (and re-emits it in the halves)
+    out = IgnoreNulls.rewrite(out)
     // UNION BY NAME needs every branch already Spark-parseable (it
     // resolves branch schemas plan-only), so it follows the passes above
     out = SetOpsByName.rewrite(spark, out)

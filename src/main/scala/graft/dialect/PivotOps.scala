@@ -32,18 +32,76 @@ object PivotOps {
   private val UnpivotRe =
     """(?is)\s*UNPIVOT\s+([\w.`"]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w`"]+)\s+VALUE\s+([\w`"]+)\s*""".r
 
-  /** Some(result) when the statement is a PIVOT/UNPIVOT handled here. */
-  def dispatch(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+  private val SubHead =
+    java.util.regex.Pattern.compile("""(?is)^\s*(UNPIVOT|PIVOT)\s*\(""")
+  private val PivotRestRe =
+    """(?is)\s+ON\s+([\w`"]+)(?:\s+IN\s*\((.+?)\))?\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?\s*""".r
+  private val UnpivotRestRe =
+    """(?is)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w`"]+)\s+VALUE\s+([\w`"]+)\s*""".r
+
+  /** Some(result) when the statement is a PIVOT/UNPIVOT handled here.
+    * `runSub` evaluates a parenthesized SUBQUERY source — DuckDB accepts
+    * `PIVOT (SELECT …) ON …` (round-16 fuzz find) — and must be the
+    * caller's FULL dialect path so the inner SELECT gets every rewrite
+    * a top-level query would (Commands passes `conn.queryDF`). */
+  def dispatch(spark: SparkSession, sql: String,
+      runSub: String => DataFrame = null): Option[DataFrame] = sql match {
     case PivotRe(table, on, inList, using, groupBy) =>
-      Some(pivot(spark, table, unquote(on), using, Option(groupBy), Option(inList)))
+      Some(pivotDf(spark, spark.table(unquote(table)), unquote(on), using,
+        Option(groupBy), Option(inList)))
     case UnpivotRe(table, on, name, value) =>
-      Some(unpivot(spark, table, on, unquote(name), unquote(value)))
-    case _ => None
+      Some(unpivotDf(spark.table(unquote(table)), on, unquote(name),
+        unquote(value)))
+    case _ =>
+      val m = SubHead.matcher(sql)
+      if (!m.lookingAt()) None
+      else {
+        val kw = m.group(1).toUpperCase
+        val open = m.end - 1
+        val close = groupEnd(sql, open) // exclusive, past ')'
+        if (close > sql.length) None
+        else {
+          val inner = sql.substring(open + 1, close - 1)
+          val eval = Option(runSub).getOrElse((s: String) => spark.sql(s))
+          sql.substring(close) match {
+            case PivotRestRe(on, inList, using, groupBy) if kw == "PIVOT" =>
+              Some(pivotDf(spark, eval(inner), unquote(on), using,
+                Option(groupBy), Option(inList)))
+            case UnpivotRestRe(onText, name, value) if kw == "UNPIVOT" =>
+              Some(unpivotDf(eval(inner), onText, unquote(name),
+                unquote(value)))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  /** Exclusive end of the balanced paren group opening at `open`
+    * (literal- and comment-aware). */
+  private def groupEnd(sql: String, open: Int): Int = {
+    var depth = 1
+    var j = open + 1
+    while (j < sql.length && depth > 0) {
+      val ce = SqlText.commentEnd(sql, j)
+      if (ce > j) j = ce
+      else sql.charAt(j) match {
+        case '\'' => j = SqlText.literalEnd(sql, j)
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case _ => j += 1
+      }
+    }
+    if (depth == 0) j else sql.length + 1
   }
 
   def pivot(spark: SparkSession, table: String, on: String, usingText: String,
-      groupByText: Option[String], inListText: Option[String] = None): DataFrame = {
-    val df = spark.table(unquote(table))
+      groupByText: Option[String], inListText: Option[String] = None): DataFrame =
+    pivotDf(spark, spark.table(unquote(table)), on, usingText, groupByText,
+      inListText)
+
+  private def pivotDf(spark: SparkSession, df: DataFrame, on: String,
+      usingText: String, groupByText: Option[String],
+      inListText: Option[String]): DataFrame = {
     val aggs = splitTopLevel(usingText).map(parseAgg)
     val groupCols: Seq[String] = groupByText match {
       case Some(g) => splitTopLevel(g).map(unquote)
@@ -82,8 +140,11 @@ object PivotOps {
   }
 
   def unpivot(spark: SparkSession, table: String, onText: String,
+      name: String, value: String): DataFrame =
+    unpivotDf(spark.table(unquote(table)), onText, name, value)
+
+  private def unpivotDf(df: DataFrame, onText: String,
       name: String, value: String): DataFrame = {
-    val df = spark.table(unquote(table))
     val values = splitTopLevel(onText).map(unquote)
     val ids = df.columns.toSeq.filterNot(c => values.exists(_.equalsIgnoreCase(c)))
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, name, value)

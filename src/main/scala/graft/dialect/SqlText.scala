@@ -84,6 +84,24 @@ object SqlText {
     sb.toString
   }
 
+  /** Exclusive end of the balanced paren group opening at `open`
+    * (literal- and comment-aware); `sql.length + 1` when unbalanced. */
+  def groupEnd(sql: String, open: Int): Int = {
+    var depth = 1
+    var j = open + 1
+    while (j < sql.length && depth > 0) {
+      val ce = commentEnd(sql, j)
+      if (ce > j) j = ce
+      else sql.charAt(j) match {
+        case '\'' => j = literalEnd(sql, j)
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case _ => j += 1
+      }
+    }
+    if (depth == 0) j else sql.length + 1
+  }
+
   /** Apply `f` to every segment of `sql` outside single-quoted literals,
     * leaving the literals byte-identical. */
   def mapOutsideLiterals(sql: String)(f: String => String): String = {

@@ -325,13 +325,26 @@ object WindowExclude {
       // RANGE/GROUPS the first/last row among order-by peers is
       // physical-order-defined in BOTH engines, so those stay loud
       // pass-throughs (EXCLUDE GROUP/TIES likewise, which need a peer-
-      // boundary the frame grammar cannot spell). IGNORE NULLS breaks
-      // the row-presence logic (the full-frame value can sit ON the
-      // current row even with rows before it) — loud pass-through.
+      // boundary the frame grammar cannot spell). IGNORE NULLS (round 16,
+      // closing the r15 loud reject): null-skipping makes the two halves
+      // compose DIRECTLY — the excluded remainder's first non-null is the
+      // BEFORE half's first non-null else the AFTER half's (symmetric for
+      // last_value); no row-presence count, empty halves contribute NULL.
+      // The row-presence trick below is wrong here because the full-frame
+      // value can sit ON the current row even with rows before it.
       case "first_value" | "last_value"
           if java.util.regex.Pattern.compile("(?i)\\bIGNORE\\s+NULLS\\b")
             .matcher(args).find() =>
-        return None
+        val (pref, fall) = if (fn == "first_value") (l, r) else (r, l)
+        (pref.map(_(fn, args)), fall.map(_(fn, args))) match {
+          case (Some(p), Some(q)) => s"coalesce($p, $q)"
+          case (Some(p), None) => p
+          case (None, Some(q)) => q
+          case (None, None) =>
+            // degenerate [CUR, CUR] EXCLUDE CURRENT ROW: a typed NULL
+            s"(CASE WHEN 1 = 0 THEN " +
+              s"$fn($args) OVER ($base ROWS BETWEEN $lo AND $hi) END)"
+        }
       case "first_value" =>
         val full = s"first_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
         val before = l.map(lf => lf("count", "*")).getOrElse("0")

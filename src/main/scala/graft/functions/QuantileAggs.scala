@@ -316,7 +316,12 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
             whole.getOrElseUpdate(we.canonicalized,
               Alias(ae, s"__wq${whole.size}")()).toAttribute
           } else {
-            rewriteMarker(ae).transformUp {
+            // ordered/sliding frames: the histogram window aggregate
+            // (O(distinct) buffer, no per-row frame array) when the
+            // marker shape supports it; the collect_list composite
+            // otherwise (DISTINCT/FILTER, non-atomic types, unfoldable
+            // percentage — the documented data-sized fallback)
+            histForWindow(ae).getOrElse(rewriteMarker(ae)).transformUp {
               case sub: AggregateExpression => WindowExpression(sub, spec)
             }
           }
@@ -381,6 +386,62 @@ object QuantileFallbackRule extends Rule[LogicalPlan] {
 
   private def ae(f: AggregateFunction, model: AggregateExpression): Expression =
     AggregateExpression(f, Complete, model.isDistinct, model.filter)
+
+  /** Route an ordered/sliding-frame marker to [[WindowQuantileHist]] —
+    * None keeps the collect_list composite. Numeric median/quantile_cont
+    * stay on Spark's Percentile (already an O(distinct) histogram buffer
+    * in window position, incremental under running frames). DATE / NTZ
+    * interpolation aggregates in TimestampType and restores the declared
+    * output with an outer Cast (sits above the WindowExpression). */
+  private def histForWindow(model: AggregateExpression): Option[Expression] = {
+    if (model.isDistinct || model.filter.nonEmpty) return None
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType | _: StringType | DateType | TimestampType |
+          TimestampNTZType | BooleanType => true
+      case _ => false
+    }
+    def hist(x: Expression, mode: String, qs: Seq[Double],
+        isArray: Boolean): Expression =
+      AggregateExpression(WindowQuantileHist(x, mode, qs, isArray),
+        Complete, isDistinct = false, None)
+    def restore(e: Expression, declared: DataType): Expression =
+      if (e.dataType == declared) e
+      else Cast(e, declared,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    def folded(pct: Expression): Option[(Seq[Double], Boolean)] =
+      QuantileMarker.percentages(QuantileMarker.foldedPercentage(pct))
+    val marker = model.aggregateFunction.asInstanceOf[QuantileMarker]
+    marker match {
+      case GraftQuantileDisc(x, pct) if atomic(x.dataType) =>
+        folded(pct).map { case (qs, arr) =>
+          hist(x, WindowQuantileHist.Disc, qs, arr)
+        }
+      case GraftMedian(x) => x.dataType match {
+        case _: DecimalType | _: StringType =>
+          Some(hist(x, WindowQuantileHist.Disc, Seq(0.5), isArray = false))
+        case DateType | TimestampType | TimestampNTZType =>
+          Some(restore(
+            hist(toTs(x), WindowQuantileHist.ContTs, Seq(0.5),
+              isArray = false), marker.dataType))
+        case _ => None // numeric → windowed Percentile, already histogram
+      }
+      case GraftQuantileCont(x, pct) => x.dataType match {
+        case _: DecimalType =>
+          folded(pct).map { case (qs, arr) =>
+            hist(x, WindowQuantileHist.ContDec, qs, arr)
+          }
+        case DateType | TimestampType | TimestampNTZType =>
+          folded(pct).map { case (qs, arr) =>
+            restore(hist(toTs(x), WindowQuantileHist.ContTs, qs, arr),
+              marker.dataType)
+          }
+        case _ => None
+      }
+      case GraftEntropy(x) if atomic(x.dataType) =>
+        Some(hist(x, WindowQuantileHist.Entropy, Nil, isArray = false))
+      case _ => None
+    }
+  }
 
   private def rewriteMarker(model: AggregateExpression): Expression = {
     val marker = model.aggregateFunction.asInstanceOf[QuantileMarker]

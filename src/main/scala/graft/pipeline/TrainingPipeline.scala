@@ -219,6 +219,22 @@ object TrainingPipeline {
       .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** Vocab-size-driven stop (round 16): train until the tokenizer's
+    * symbol inventory (base characters + one new symbol per merge)
+    * reaches `targetVocab` — how production BPE budgets are specified
+    * (Sennrich's --symbols). The merge budget derives from ONE one-row
+    * distinct-char aggregate, so the loop stays driver-bounded; pair
+    * exhaustion still stops early. A target at or below the base
+    * alphabet trains zero merges. */
+  def bpeTrainToVocab(s: SparkSession, dir: String, targetVocab: Int)
+      : DataFrame = {
+    val base = bpeVocab(s, dir)
+      .select(explode(col("sy")).as("ch"))
+      .agg(countDistinct(col("ch")).as("n"))
+      .head().getLong(0)
+    bpeTrain(s, dir, math.max(0L, targetVocab - base).toInt)
+  }
+
   /** The merge-apply scan over a `sy` symbol array as a Column: acc =
     * (done symbols, pending symbol); a merge consumes the pending left
     * and the current right, and the merged symbol is not reconsidered as

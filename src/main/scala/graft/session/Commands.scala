@@ -121,7 +121,8 @@ object Commands {
           val spark = conn.engine.spark
           import spark.implicits._
           Some(Seq(name).toDF("macro"))
-        case None => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql)
+        case None => graft.dialect.PivotOps.dispatch(conn.engine.spark, sql,
+          s => conn.queryDF(s)) // subquery sources ride the full dialect path
       }
   }
 

@@ -328,6 +328,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(r => r(3) === s"${r(1)}${r(2)}"))
   }
 
+  test("bpeTrainToVocab: merge budget = target minus base alphabet") {
+    val tp = graft.pipeline.TrainingPipeline
+    // base alphabet of the fixture corpus (distinct chars in the vocab)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS term")
+      .where("length(term) >= 2")
+      .selectExpr("explode(split(term, '')) AS ch")
+      .agg(org.apache.spark.sql.functions.countDistinct("ch"))
+      .head().getLong(0)
+    // target = base + 3 symbols → exactly 3 merges (corpus has plenty)
+    val m3 = tp.bpeTrainToVocab(spark, sfDir, (base + 3).toInt).collect()
+    assert(m3.length === 3)
+    // the derived budget trains the SAME merges as the explicit count
+    val e3 = tp.bpeTrain(spark, sfDir, 3).collect()
+    assert(m3.map(_.toSeq).toSeq === e3.map(_.toSeq).toSeq)
+    // a target at or below the base alphabet trains zero merges
+    assert(tp.bpeTrainToVocab(spark, sfDir, base.toInt).count() === 0L)
+  }
+
   test("bpeEncode: every word yields >= 1 token, merges only shrink counts") {
     val enc = run("p79_bpe_encode").collect()
     assert(enc.nonEmpty)

@@ -10,7 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - whole-partition frames (no ORDER BY) stitch the aggregate-position
   *    marker — i.e. the ExactQuantileRule histogram shape — back under
   *    the window via a group join (plan-asserted: no per-row collect);
-  *  - ordered/sliding frames ride the windowed collect_list composite. */
+  *  - ordered/sliding frames ride WindowQuantileHist (round 16): an
+  *    O(distinct) run-length histogram window aggregate, plan-asserted
+  *    collect_list-free below. Only DISTINCT/FILTER markers, non-atomic
+  *    types and unfoldable percentages keep the collect_list composite. */
 class QuantileWindowSpec extends AnyFunSuite {
   import SparkTestSession.spark
 
@@ -94,6 +97,36 @@ class QuantileWindowSpec extends AnyFunSuite {
     assert(h.map(_.getDouble(1)).toSeq.zip(
       Seq(0.0, 0.0, 0.9182958340544893)).forall {
       case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("ordered/sliding frames plan the histogram window aggregate, no per-row collect_list") {
+    ensureFns()
+    // every marker family over a running frame + a sliding ROWS frame:
+    // the optimized plan must carry graft_window_quantile and NO
+    // CollectList (the O(frame)-array-per-row composite this replaces)
+    val df = spark.sql(
+      s"""SELECT p, o,
+         |  quantile_disc(x, 0.5) OVER (PARTITION BY p ORDER BY o) AS qd,
+         |  quantile_cont(CAST(x AS DECIMAL(10,2)), 0.25)
+         |    OVER (PARTITION BY p ORDER BY o) AS qcd,
+         |  entropy(x) OVER (PARTITION BY p ORDER BY o
+         |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS h
+         |FROM $t""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.contains("collect_list"),
+      s"ordered frames must ride the histogram aggregate:\n$opt")
+    assert(opt.toString.contains("graft_window_quantile"), opt.toString)
+    assert(df.count() === 6) // and it executes
+    // the composite remains for shapes the histogram cannot take:
+    // DISTINCT markers (window DISTINCT is rejected loudly by Spark —
+    // same behavior as before), and non-atomic measures fall back
+    val ts = spark.sql(
+      s"""SELECT o, median(d) OVER (ORDER BY o) AS m
+         |FROM (VALUES (1, DATE '2024-01-01'), (2, DATE '2024-01-03')) v(o, d)
+         |ORDER BY o""".stripMargin).collect()
+    // duckdb median(DATE) interpolates in epoch space → TIMESTAMP
+    assert(ts.map(_.get(1).toString).toSeq ===
+      Seq("2024-01-01 00:00:00.0", "2024-01-02 00:00:00.0"))
   }
 
   test("stacked marker windows (grouped + global) BOTH ride the histogram") {
