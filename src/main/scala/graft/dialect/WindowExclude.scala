@@ -289,10 +289,44 @@ object WindowExclude {
     if (!hiCur && !hi.matches("(?i)(UNBOUNDED|\\d+)\\s+FOLLOWING")) return None
     def half(f: String, a: String, b: String) =
       s"$f($a) OVER ($base ROWS BETWEEN $b)"
+    // A ROWS frame whose UPPER bound is UNBOUNDED FOLLOWING is the one
+    // shape Spark recomputes from scratch per row (O(n²) per partition —
+    // UnboundedFollowingWindowFunctionFrame; round 16: a q134 sweep at
+    // sf10 sat in it for half an hour). Emit those pieces on the
+    // SEQUENCE-REVERSED ordering instead, where they become incremental
+    // [UNBOUNDED PRECEDING, offset] frames: aggregates are order-
+    // symmetric, positionals mirror (first↔last). Ties permute under the
+    // reversal, but ROWS frames over tied keys are physical-order-defined
+    // in both engines anyway.
+    val hiUnb = hi.matches("(?i)UNBOUNDED\\s+FOLLOWING")
+    val loUnb = lo.matches("(?i)UNBOUNDED\\s+PRECEDING")
+    def mirror(f: String): String = f match {
+      case "first_value" => "last_value"
+      case "last_value" => "first_value"
+      case other => other
+    }
+    lazy val flipped = flipRowsBase(base)
     val l = if (loCur) None else Some((f: String, a: String) =>
       half(f, a, s"$lo AND 1 PRECEDING"))
-    val r = if (hiCur) None else Some((f: String, a: String) =>
-      half(f, a, s"1 FOLLOWING AND $hi"))
+    val r: Option[(String, String) => String] =
+      if (hiCur) None
+      else if (hiUnb && flipped.isDefined) Some((f: String, a: String) =>
+        s"${mirror(f)}($a) OVER (${flipped.get} " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+      else Some((f: String, a: String) => half(f, a, s"1 FOLLOWING AND $hi"))
+    // the full-frame window for the positional CASE: same O(n²) spelling
+    // hazard when hi is UNBOUNDED and lo is not (a [UNB, UNB] frame is
+    // one-pass already) — flip it too
+    def fullWin(f: String, a: String): String =
+      if (!hiUnb || loUnb || flipped.isEmpty)
+        s"$f($a) OVER ($base ROWS BETWEEN $lo AND $hi)"
+      else {
+        val fl =
+          if (loCur) "CURRENT ROW"
+          else lo.replaceAll("(?i)PRECEDING", "FOLLOWING")
+        s"${mirror(f)}($a) OVER (${flipped.get} " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND $fl)"
+      }
     def sumOf(f: String, a: String, empty: String, combine: (String, String) => String) =
       (l, r) match {
         case (Some(lf), Some(rf)) => combine(lf(f, a), rf(f, a))
@@ -346,12 +380,12 @@ object WindowExclude {
               s"$fn($args) OVER ($base ROWS BETWEEN $lo AND $hi) END)"
         }
       case "first_value" =>
-        val full = s"first_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
+        val full = fullWin("first_value", args)
         val before = l.map(lf => lf("count", "*")).getOrElse("0")
         val after = r.map(rf => rf("first_value", args)).getOrElse("NULL")
         s"(CASE WHEN $before > 0 THEN $full ELSE $after END)"
       case "last_value" =>
-        val full = s"last_value($args) OVER ($base ROWS BETWEEN $lo AND $hi)"
+        val full = fullWin("last_value", args)
         val after = r.map(rf => rf("count", "*")).getOrElse("0")
         val before = l.map(lf => lf("last_value", args)).getOrElse("NULL")
         s"(CASE WHEN $after > 0 THEN $full ELSE $before END)"
@@ -477,6 +511,50 @@ object WindowExclude {
     * DuckDB/NullOrder-pinned ASC + NULLS LAST). None for multi-key order
     * (RANGE offsets are invalid there anyway — the original EXCLUDE is
     * left for Spark to reject loudly). */
+  /** Sequence-reverse an arbitrary (multi-key) ORDER BY base for
+    * ROWS-mode frames (round 16): every key flips direction and null
+    * placement, so row positions reverse exactly. Rows tied on ALL keys
+    * may permute, but ROWS frames over tied keys are physical-order-
+    * defined in both engines anyway. RANGE offset frames must keep using
+    * the single-key [[flipBase]] (offsets need one numeric key). */
+  private def flipRowsBase(base: String): Option[String] = {
+    val om = OrderByKw.matcher(base)
+    if (!om.find()) return None
+    val part = base.substring(0, om.start).trim
+    val core = base.substring(om.end).trim
+    val keys = scala.collection.mutable.Buffer.empty[String]
+    var i = 0
+    var depth = 0
+    var start = 0
+    while (i < core.length) {
+      core.charAt(i) match {
+        case '\'' => i = SqlText.literalEnd(core, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          keys += core.substring(start, i); start = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    keys += core.substring(start)
+    val pn = java.util.regex.Pattern.compile("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$")
+    val pd = java.util.regex.Pattern.compile("(?is)\\s+(ASC|DESC)\\s*$")
+    val flipped = keys.map { k0 =>
+      var k = k0.trim
+      var dir = "ASC"
+      var nulls = "LAST" // DuckDB/NullOrder-pinned defaults
+      val mn = pn.matcher(blankLits(k))
+      if (mn.find()) { nulls = mn.group(1).toUpperCase; k = k.substring(0, mn.start) }
+      val md = pd.matcher(blankLits(k))
+      if (md.find()) { dir = md.group(1).toUpperCase; k = k.substring(0, md.start) }
+      val fDir = if (dir == "ASC") "DESC" else "ASC"
+      val fNulls = if (nulls == "LAST") "FIRST" else "LAST"
+      s"$k $fDir NULLS $fNulls"
+    }
+    Some((if (part.isEmpty) "" else part + " ") +
+      "ORDER BY " + flipped.mkString(", "))
+  }
+
   private def flipBase(base: String): Option[String] = {
     val om = OrderByKw.matcher(base)
     if (!om.find()) return None

@@ -1203,24 +1203,28 @@ object DialectQueries {
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
   // Running-frame quantiles over the FULL lineitem table (round 16, the
-  // long-partition variant of q127): three-value PARTITION BY keeps each
-  // partition ~n/3 rows at every SF, so a per-row frame buffer would be
-  // O(n²) bytes — this row only became runnable when ordered frames moved
-  // to the WindowQuantileHist O(distinct) histogram (collect_list-free,
-  // plan-pinned in QuantileWindowSpec). RANGE default frames include
-  // date peers, so every statistic is deterministic under ties; the
-  // DECIMAL cast exercises the truncated-interpolation window path and
-  // median(l_shipdate) the epoch-micros one.
+  // long-partition variant of q127): (flag, ship-year) partitions hold
+  // ~n/21 rows at every SF (~3 M at sf10), so a per-row frame buffer
+  // would be O(partition²) bytes — this row only became runnable when
+  // ordered frames moved to the WindowQuantileHist O(distinct) histogram
+  // (collect_list-free, plan-pinned in QuantileWindowSpec) — while the
+  // partition COUNT stays task-parallel (a running window over ONE
+  // global partition is inherently a sequential pass in any engine; the
+  // whole-frame global shape is q126's stitch instead). RANGE default
+  // frames include date peers, so every statistic is deterministic under
+  // ties; the DECIMAL cast exercises the truncated-interpolation window
+  // path and median(l_shipdate) the epoch-micros one.
   private val q132Sql =
     """SELECT l_orderkey, l_linenumber,
       |  quantile_disc(l_quantity, 0.9) OVER w AS qd_run,
       |  quantile_cont(CAST(l_extendedprice AS DECIMAL(12,2)), 0.25)
       |    OVER w AS qc_dec_run,
       |  median(l_shipdate) OVER w AS med_ts_run,
-      |  median(l_returnflag) OVER (ORDER BY l_shipdate) AS med_str_run,
+      |  median(l_returnflag) OVER w AS med_str_run,
       |  CAST(entropy(l_linestatus) OVER w AS DOUBLE) AS ent_run
       |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_shipdate)
+      |WINDOW w AS (PARTITION BY l_returnflag, year(l_shipdate)
+      |             ORDER BY l_shipdate)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // Interval ORDER BY contract (round 16, closing the r15 boundary):

@@ -102,6 +102,54 @@ class WindowExcludeSpec extends AnyFunSuite {
     }
   }
 
+  test("UNBOUNDED FOLLOWING halves are emitted on the reversed ordering (no O(n²) frames)") {
+    // a ROWS frame whose upper bound is UNBOUNDED FOLLOWING is recomputed
+    // from scratch per row by Spark (UnboundedFollowingWindowFunctionFrame
+    // — a q134 sf10 sweep sat in it for half an hour); the rewriter must
+    // spell those pieces on the sequence-reversed ordering instead
+    val sql =
+      """SELECT
+        |  sum(x) OVER (PARTITION BY p ORDER BY y, z ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s,
+        |  last_value(x IGNORE NULLS) OVER (PARTITION BY p ORDER BY y, z ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS ln,
+        |  first_value(x) OVER (PARTITION BY p ORDER BY y ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS f
+        |FROM t""".stripMargin
+    val rw = WindowExclude.rewrite(sql).toUpperCase
+    assert(!rw.contains("EXCLUDE"), rw)
+    assert(!rw.contains("FOLLOWING AND UNBOUNDED FOLLOWING") &&
+      !rw.contains("CURRENT ROW AND UNBOUNDED FOLLOWING"), rw)
+    assert(rw.contains("DESC NULLS FIRST"), rw) // the mirrored ordering
+  }
+
+  test("flipped UNBOUNDED FOLLOWING pieces match a native reference") {
+    Tables.registerAll(spark, sfDir)
+    val rw = WindowExclude.rewrite(
+      """SELECT o_orderkey,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s,
+        |  last_value(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS lv
+        |FROM orders""".stripMargin)
+    assert(!rw.toUpperCase.contains("EXCLUDE"), rw)
+    // reference pays the O(n²) frame — fine at fixture size. The excluded
+    // remainder's last equals the frame's last whenever the frame has
+    // rows beyond the current one.
+    val ref = spark.sql(
+      """SELECT o_orderkey,
+        |  CASE WHEN count(*) OVER w > 1
+        |       THEN (sum(o_totalprice) OVER w) - o_totalprice END AS s,
+        |  CASE WHEN count(*) OVER w > 1
+        |       THEN last_value(o_orderpriority) OVER w END AS lv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin)
+    val diff = spark.sql(rw).as("g").join(ref.as("r"), "o_orderkey")
+      .selectExpr("CAST(g.s AS DOUBLE) AS gs", "CAST(r.s AS DOUBLE) AS rs",
+        "g.lv AS gl", "r.lv AS rl")
+      .where("""NOT (gl <=> rl)
+        OR (NOT (gs <=> rs) AND (gs IS NULL OR rs IS NULL OR abs(gs - rs) > 1e-4))""")
+    assert(diff.count() == 0)
+  }
+
   test("EXCLUDE NO OTHERS is stripped, TIES/GROUP and RANGE pass through") {
     val noOthers = WindowExclude.rewrite(
       "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) FROM t")
